@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines (north-star).
+
+Four families, all distributed, all deterministic (no engine-specific
+hash functions — signatures use explicit polynomial arithmetic so a
+DuckDB oracle can reproduce them bit-for-bit):
+
+- exact            — hash-groupBy on the raw text (one shuffle).
+- ngram_jaccard    — shingle → inverted-index self-join → Jaccard.
+- minhash_lsh      — shingle → K minhashes → banded buckets →
+                     candidate pairs → Jaccard verify. The scale path:
+                     candidate generation is |buckets| joins instead of
+                     an all-pairs product.
+- simhash          — 32-bit sign-sum fingerprint; near-dups share
+                     fingerprints (or differ in few bits).
+
+Scale notes: the all-pairs product is O(n²) and never materialized —
+pairs only form inside an inverted-index bucket (shared shingle / LSH
+band bucket / identical simhash). Skewed buckets (a shingle appearing
+in every doc) are the classic hazard; `max_bucket_size` drops
+super-common shingles the way real pipelines drop high-DF shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Polynomial-hash constants shared with the DuckDB oracle SQL
+# (plans/queries_pipeline.py) — change them together.
+HASH_PRIME = 1_000_000_007
+HASH_BASE = 31
+
+# (a, b) pairs for the K minhash functions h_j(x) = (a·x + b) mod P.
+# Fixed constants (not rand()) so signatures are reproducible across
+# runs, engines and retries.
+MINHASH_SEEDS: tuple[tuple[int, int], ...] = (
+    (472882049, 291898331), (741233103, 861932053), (263893451, 187722013),
+    (923456789, 543217687), (112358132, 597273917), (318309886, 271828183),
+    (662607015, 602214077), (141421357, 173205081), (577215665, 261497213),
+    (693147181, 301029997), (434294482, 881373587), (244948975, 645751311),
+    (828427125, 732050807), (236067977, 449489743), (645751311, 937253933),
+    (913562431, 104395301),
+)
+MINHASH_K = len(MINHASH_SEEDS)
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def _char_poly_hash(s: Column) -> Column:
+    """Deterministic polynomial hash of a string:
+    fold (acc·31 + codepoint) mod P over characters. Pure Catalyst
+    (whole-stage codegen'd higher-order functions) — identical
+    arithmetic is reproducible in any SQL engine."""
+    chars = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_PRIME,
+    )
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (strings). Docs with < n tokens yield
+    an empty array."""
+    count = F.size(tokens) - (n - 1)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + off) for off in range(n)]
+    )
+    # Guard: sequence(1, 0) DESCENDS in Spark → index 0 → error; short
+    # docs must yield an empty array instead.
+    return F.when(
+        count >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), count), shingle)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest id.
+    One hash shuffle on the text (at 100 TB you'd group on a text
+    digest instead of the full string to shrink shuffle payload —
+    see `fingerprint` in text_analysis.py)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_id", "n_copies")
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows + per-doc shingle counts."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc"), shingles_col(toks, n).alias("shs"))
+        .filter(F.size("shs") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold.
+
+    Pipeline: shingle sets → inverted index (explode) → self-join on
+    shingle (pairs only form inside a bucket) → |A∩B| per pair →
+    Jaccard via per-doc set sizes. Output: (doc_a, doc_b, jaccard),
+    doc_a < doc_b.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.select("doc", F.size("shs").alias("n_sh"))
+    inv = sh.select("doc", F.explode("shs").alias("s"))
+    if max_bucket_size is not None:
+        # Drop shingles shared by too many docs: they explode the
+        # bucket join quadratically and carry no dedup signal (the
+        # high-DF cut every production dedup pipeline applies).
+        df_counts = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(
+            F.broadcast(df_counts.filter(F.col("df") <= max_bucket_size)), "s"
+        ).drop("df")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sig array<long>[K]) — K minhashes over shingle poly-hashes.
+
+    All array-level Catalyst expressions: hash each shingle once, then
+    K (a·h+b) mod P minima — no explode, no shuffle at all for the
+    signature computation itself.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    hashed = sh.withColumn(
+        "hs", F.transform("shs", lambda s: _char_poly_hash(s))
+    )
+    def min_hash(a: int, b: int) -> Column:
+        # NB: factory closure, not default-arg lambda — extra params
+        # would change the lambda arity Spark uses to bind HOF args.
+        return F.array_min(F.transform("hs", lambda h: (a * h + b) % HASH_PRIME))
+
+    sig = F.array(*[min_hash(a, b) for a, b in MINHASH_SEEDS])
+    return hashed.select("doc", sig.alias("sig"))
+
+
+def minhash_band_buckets(sig_df: DataFrame) -> DataFrame:
+    """(doc, band, bucket) — LSH banding: bucket = order-independent
+    polynomial combine of the band's signature rows mod P."""
+    bands = []
+    for band in range(LSH_BANDS):
+        combined = F.lit(0).cast("long")
+        for r in range(LSH_ROWS):
+            j = band * LSH_ROWS + r
+            combined = combined + F.element_at("sig", j + 1) * (HASH_BASE ** r)
+        bands.append(
+            F.struct(F.lit(band).alias("band"), (combined % HASH_PRIME).alias("bucket"))
+        )
+    return sig_df.select(
+        "doc", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified.
+
+    1. signatures (no shuffle) → 2. band buckets → 3. bucket self-join
+    (candidates only — the LSH trick: ~O(n) instead of O(n²)) →
+    4. exact Jaccard verify on candidates only.
+    Output: (doc_a, doc_b, jaccard) for verified pairs, doc_a < doc_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    buckets = minhash_band_buckets(sigs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over shingle sets.
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "doc", F.col("shs")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_col(tokens: Column, bits: int = 32) -> Column:
+    """32-bit SimHash: per-token poly hash; fingerprint bit i is the
+    sign of Σ_tokens (±1 by token-hash bit i). Array-level Catalyst —
+    the bit loop unrolls into the plan, one pass over tokens."""
+    hs = F.transform(tokens, lambda t: _char_poly_hash(t))
+
+    def bit_sum(mask: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(bit_sum(1 << i) >= 0, F.lit(1 << i)).otherwise(0)
+    return fp
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 32-bit simhash (bucket groupBy — the
+    scale path; Hamming-distance-1 would union 32 bit-flip buckets)."""
+    with_fp = df.select(
+        F.col(id_col).alias("doc"),
+        simhash_col(tokens_col(F.col(text_col))).alias("simhash"),
+    )
+    return (
+        with_fp.groupBy("simhash")
+        .agg(F.min("doc").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("simhash", "keeper_id", "n_docs")
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (north-star).
+
+`embeddings` table: (vec_id long, embedding array<float>[64], label int).
+
+- `cosine_col` / `dot_col` — explicit left-fold arithmetic (zip_with +
+  aggregate in double) so results are bit-reproducible in any engine
+  (no SIMD-order dependence; the DuckDB oracle mirrors the same fold).
+- `brute_force_topk` — baseline ANN: broadcast the query vector, one
+  pass over all vectors, TakeOrderedAndProject top-k. At 100 TB this
+  is one scan, no shuffle — correct but O(n) per query.
+- `blocked_neardup_pairs` — all-pairs cosine INSIDE a blocking key
+  (label / cluster id): the standard embedding near-dup pattern where
+  a coarse partitioner bounds the quadratic term.
+- `lsh_topk` — the scale path: random-hyperplane signs bucket vectors;
+  only the query's bucket (and optionally neighboring probes) is
+  scanned. Hyperplanes are DETERMINISTIC pseudo-vectors derived from
+  poly-hash arithmetic, not rand(), so plans are retry-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_PRIME = 1_000_000_007
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """dot/(‖a‖·‖b‖), all folds sequential: reproducible bit-for-bit."""
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query frame.
+
+    The query side is crossJoin(broadcast(...)) — zero shuffle of the
+    vector table; Catalyst executes orderBy().limit(k) as
+    TakeOrderedAndProject (per-partition heaps).
+    """
+    q = query_df.select(as_double(F.col(vec_col)).alias("_q"))
+    return (
+        vectors.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_col(as_double(F.col(vec_col)), F.col("_q")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def blocked_neardup_pairs(
+    vectors: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold inside each block (doc_a < doc_b).
+    The self-join key is the block column, so the quadratic blow-up is
+    bounded per block — never a global cross join."""
+    v = vectors.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._blk").alias("block"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _pseudo_hyperplane(plane_idx: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component i is mapped
+    from a poly-hash of (plane_idx, i) onto [-1, 1]. Same constants
+    everywhere — retry-safe, engine-independent."""
+    comps = []
+    for i in range(dims):
+        h = (472882049 * (plane_idx * 10_007 + i) + 291898331) % HASH_PRIME
+        comps.append((h / (HASH_PRIME - 1)) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(vec·plane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(c) for c in plane])
+        bucket = bucket + F.when(
+            dot_col(vec, plane_lit) >= 0, F.lit(1 << p)
+        ).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only vectors in the query's LSH bucket.
+
+    At 100 TB: vectors are WRITTEN partitioned by bucket, so this scan
+    is a partition-pruned read of ~1/2^n_planes of the data; here we
+    compute the bucket on the fly (same plan shape, no pre-partitioned
+    table in the fixture). Recall < 1.0 by construction — this is the
+    scale path; `brute_force_topk` is the exact baseline.
+    """
+    planes = [_pseudo_hyperplane(p, dims) for p in range(n_planes)]
+    v = vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
+    q = (
+        query_df.select(as_double(F.col(vec_col)).alias("_q"))
+        .withColumn("_qbucket", lsh_bucket_col(F.col("_q"), planes))
+    )
+    return (
+        v.join(F.broadcast(q), v["_bucket"] == q["_qbucket"])
+        .select(
+            F.col(id_col),
+            cosine_col(F.col("_v"), F.col("_q")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

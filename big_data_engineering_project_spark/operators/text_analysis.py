@@ -1,0 +1,87 @@
+"""Text analysis for training-data pipelines (north-star): language-ID,
+quality scoring, token stats, document fingerprinting.
+
+All pure Catalyst expressions over the `documents` table — no Python
+in the path, every metric reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.functions.lexicons import (
+    LANG_MARKERS,
+    STOPWORDS,
+)
+from big_data_engineering_project_spark.operators.dedup import (
+    _char_poly_hash,
+    tokens_col,
+)
+
+
+def lang_id_col(tokens: Column) -> Column:
+    """Marker-word language heuristic: count per-language marker hits,
+    argmax with fixed priority order (en > es > de > fr) on ties; zero
+    hits everywhere → 'unknown'. A real pipeline would use character
+    n-gram profiles — same plan shape (per-language score columns +
+    argmax), richer features."""
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+    counts = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    c = counts
+    all_zero = (c["en"] == 0) & (c["es"] == 0) & (c["de"] == 0) & (c["fr"] == 0)
+    return (
+        F.when(all_zero, F.lit("unknown"))
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]), "en")
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+        .when(c["de"] >= c["fr"], "de")
+        .otherwise("fr")
+    )
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: token count, mean token length,
+    stopword ratio, and a [0,1] composite score (longer + lower
+    stopword share = higher quality; mirrors the usual length/
+    punct/stopword heuristics)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = sw / F.greatest(n, F.lit(1)).cast("double")
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+    )
+    return {
+        "n_tokens": n,
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": stop_ratio,
+        "quality": score,
+    }
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: polynomial rolling hash of the full text
+    mod P (content-addressable id; at 100 TB exact dedup groups on
+    this 8-byte value instead of shuffling full document bodies)."""
+    return _char_poly_hash(text)
+
+
+def with_text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stamp all text-analysis features in one projection (single scan)."""
+    text = F.col(text_col)
+    q = quality_score_cols(text)
+    return df.select(
+        F.col(id_col),
+        lang_id_col(tokens_col(text)).alias("pred_lang"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality"),
+        fingerprint_col(text).alias("fingerprint"),
+    )

@@ -1,0 +1,417 @@
+"""Training-data pipeline queries (north-star): dedup, similarity
+search, text analysis — each with a DuckDB oracle that reproduces the
+exact arithmetic (shared polynomial-hash constants from operators/
+dedup.py; no engine-native hash functions anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.functions.lexicons import (
+    LANG_MARKERS,
+    STOPWORDS,
+    sql_array,
+)
+from big_data_engineering_project_spark.operators import dedup, similarity
+from big_data_engineering_project_spark.operators.dedup import (
+    HASH_BASE,
+    HASH_PRIME,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_SEEDS,
+)
+from big_data_engineering_project_spark.operators.text_analysis import (
+    with_text_features,
+)
+from big_data_engineering_project_spark.plans.registry import register
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+P = HASH_PRIME
+B = HASH_BASE
+
+# Shared DuckDB CTE fragments ------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id AS doc, "
+    "list_filter(string_split(lower(text), ' '), x -> x != '') AS t "
+    "FROM documents)"
+)
+
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc, list_distinct(list_transform("
+    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs "
+    "FROM toks WHERE len(t) >= 3)"
+)
+
+# Character-level polynomial hash of a string s (mirror of
+# dedup._char_poly_hash).
+_POLY = (
+    "list_reduce([0::BIGINT] + list_transform(string_split({s}, ''), "
+    f"c -> ascii(c)::BIGINT), (acc, x) -> (acc * {B} + x) % {P})"
+)
+
+JACCARD_THRESHOLD = 0.5
+NGRAM_N = 3
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY keeper_id
+""",
+    doc="Exact dedup: hash-groupBy on text, keep min id per group",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "text", "doc_id").orderBy("keeper_id")
+
+
+# --- document fingerprint ---------------------------------------------------
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id, {_POLY.format(s="text")} AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Rolling-hash document fingerprint (content-addressed id for scale dedup)",
+    tags=("pipeline", "text"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# --- n-gram Jaccard near-dup pairs -------------------------------------------
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+sizes AS (SELECT doc, len(shs) AS n_sh FROM sh),
+inv AS (SELECT doc, unnest(shs) AS s FROM sh),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    doc="n-gram Jaccard dedup: shingle inverted index → bucket self-join → verify",
+    headline=True,
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=NGRAM_N
+    ).orderBy("doc_a", "doc_b")
+
+
+# --- MinHash + LSH near-dup pairs --------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {P}))"
+        for a, b in MINHASH_SEEDS
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        combine = " + ".join(
+            f"sig[{band * LSH_ROWS + r + 1}] * {B ** r}" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc, {band} AS band, ({combine}) % {P} AS bucket FROM sig"
+        )
+    buckets = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+hs AS (SELECT doc, shs, list_transform(shs, s -> {_POLY.format(s="s")}) AS hv FROM sh),
+sig AS (SELECT doc, [{sig_items}] AS sig FROM hs),
+buckets AS (
+  {buckets}
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+  len(list_intersect(ha.shs, hb.shs))
+    / CAST(len(ha.shs) + len(hb.shs) - len(list_intersect(ha.shs, hb.shs)) AS DOUBLE)
+    AS jaccard
+FROM cands
+JOIN hs ha ON doc_a = ha.doc
+JOIN hs hb ON doc_b = hb.doc
+WHERE len(list_intersect(ha.shs, hb.shs))
+    / CAST(len(ha.shs) + len(hb.shs) - len(list_intersect(ha.shs, hb.shs)) AS DOUBLE)
+    >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16) + LSH(4×4 bands) candidates → Jaccard-verified near-dups",
+    headline=True,
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=NGRAM_N
+    ).orderBy("doc_a", "doc_b")
+
+
+# --- SimHash buckets ----------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        "(CASE WHEN COALESCE(list_sum(list_transform(hv, "
+        f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+hs AS (SELECT doc, list_transform(t, s -> {_POLY.format(s="s")}) AS hv FROM toks)
+SELECT simhash, MIN(doc) AS keeper_id, COUNT(*) AS n_docs
+FROM (SELECT doc, ({bit_terms})::BIGINT AS simhash FROM hs)
+GROUP BY simhash
+HAVING COUNT(*) > 1
+ORDER BY simhash
+"""
+
+
+@register(
+    "q_simhash_buckets",
+    oracle=_simhash_oracle(),
+    doc=f"SimHash({_SIMHASH_BITS}-bit sign-sum) duplicate buckets",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        F.col("doc_id").alias("doc"),
+        dedup.simhash_col(
+            dedup.tokens_col(F.col("text")), bits=_SIMHASH_BITS
+        ).alias("simhash"),
+    )
+    return (
+        with_fp.groupBy("simhash")
+        .agg(F.min("doc").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+# --- embedding similarity ------------------------------------------------------
+
+_DIMS = 64
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (mirror of similarity.dot_col)."""
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] + "
+        f"list_transform(range(1, {_DIMS + 1}), i -> {a}[i] * {b}[i]), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+_COS = f"{_fold_dot('e', 'qe')} / (sqrt({_fold_dot('e', 'e')}) * sqrt({_fold_dot('qe', 'qe')}))"
+
+
+@register(
+    "q_embedding_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0)
+SELECT vec_id, {_COS} AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""",
+    doc="Brute-force cosine top-k ANN baseline (broadcast query, TakeOrdered)",
+    headline=True,
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10
+    )
+
+
+_NEARDUP_TAU = 0.6
+
+
+@register(
+    "q_embedding_neardup_pairs",
+    oracle=f"""
+WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+  {_fold_dot('a.emb', 'b.emb')}
+    / (sqrt({_fold_dot('a.emb', 'a.emb')}) * sqrt({_fold_dot('b.emb', 'b.emb')})) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_fold_dot('a.emb', 'b.emb')}
+    / (sqrt({_fold_dot('a.emb', 'a.emb')}) * sqrt({_fold_dot('b.emb', 'b.emb')})) >= {_NEARDUP_TAU}
+ORDER BY id_a, id_b
+""",
+    doc="Embedding near-dup pairs inside label blocks (bounded quadratic)",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.blocked_neardup_pairs(emb, "label", _NEARDUP_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- text analysis -------------------------------------------------------------
+
+_SW_ARR = sql_array(STOPWORDS)
+
+
+@register(
+    "q_lang_id",
+    oracle=(
+        lambda: f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    {", ".join(f"len(list_filter(t, x -> list_contains({sql_array(m)}, x))) AS c_{lang}" for lang, m in LANG_MARKERS.items())}
+  FROM toks
+)
+SELECT lang,
+  CASE
+    WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+    WHEN c_de >= c_fr THEN 'de'
+    ELSE 'fr'
+  END AS pred_lang,
+  COUNT(*) AS cnt
+FROM scores
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+    )(),
+    doc="Language-ID heuristic (marker-word argmax) vs labeled lang",
+    tags=("pipeline", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            lang_id_col(dedup.tokens_col(F.col("text"))).alias("pred_lang"),
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "q_quality_scores",
+    oracle=f"""
+WITH {_TOKS_CTE}
+SELECT doc AS doc_id,
+  len(t) AS n_tokens,
+  COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+    / CAST(GREATEST(len(t), 1) AS DOUBLE) AS mean_token_len,
+  len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
+    / CAST(GREATEST(len(t), 1) AS DOUBLE) AS stopword_ratio,
+  0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+    + 0.5 * (1.0 - len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
+                     / CAST(GREATEST(len(t), 1) AS DOUBLE)) AS quality
+FROM toks
+ORDER BY doc_id
+""",
+    doc="Quality scoring: token stats + stopword ratio → composite [0,1] score",
+    tags=("pipeline", "text"),
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        quality_score_cols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_token_stats_by_source",
+    oracle="""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(list_filter(string_split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS total_tokens,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    doc="Token counting rolled up by source (corpus accounting)",
+    tags=("pipeline", "text"),
+)
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(dedup.tokens_col(F.col("text")))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens.cast("long")).alias("total_tokens"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

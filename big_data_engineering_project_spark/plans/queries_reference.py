@@ -1,0 +1,512 @@
+"""Reference-derived queries (SURVEY.md §2 inventory → named plans).
+
+The notebook's analytics ran on `reddit_posts` (subreddit/title/
+creation_date/...); per FIXTURES.md §4 the driver's `events` table
+(event_type ≈ subreddit, ts ≈ creation_date, value ≈ upvotes, user_id ≈
+author, props ≈ raw JSON payload) and `documents` (text ≈ post body)
+stand in. Every query cites the reference op IDs it implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.functions.datetime_ops import time_of_day
+from big_data_engineering_project_spark.functions.lexicons import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    STOPWORDS,
+    sql_string_list,
+)
+from big_data_engineering_project_spark.functions.math_ops import popularity_score
+from big_data_engineering_project_spark.functions.sentiment import sentiment_col
+from big_data_engineering_project_spark.functions.text import clean_text
+from big_data_engineering_project_spark.operators import analytics
+from big_data_engineering_project_spark.operators.anomaly import detect_anomalies
+from big_data_engineering_project_spark.operators.serving import (
+    serving_query_sql,
+    stringly_select_sql,
+)
+from big_data_engineering_project_spark.plans.registry import (
+    avg_via_dec,
+    register,
+    sum_dec,
+)
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+_SW = sql_string_list(STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# A1/O1 — group-count + sort (NB:1341-1346, cell 21)
+
+
+@register(
+    "q_counts_by_type",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, event_type
+""",
+    doc="A1/O1: groupBy(key).count().orderBy(desc) — NB cell 21",
+    headline=True,
+    tags=("reference", "agg"),
+)
+def q_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.group_count(ev, "event_type").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+
+
+# A2/O1 — group-sum + alias (NB:1441/1541, cells 25/29)
+
+
+@register(
+    "q_value_sum_by_type",
+    oracle=f"""
+SELECT event_type, {sum_dec("value", "total_value")}
+FROM events
+GROUP BY event_type
+ORDER BY total_value DESC, event_type
+""",
+    doc="A2: groupBy(key).agg(sum(value).alias(...)) — NB cell 25",
+    tags=("reference", "agg"),
+)
+def q_value_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("event_type"))
+    )
+
+
+# A3/D4/O2 — counts by derived date parts (NB cells 49/52/55)
+
+
+def _date_part_query(part: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        col = {"year": F.year, "month": F.month, "hour": F.hour}[part]
+        return (
+            ev.groupBy(col("ts").alias(f"event_{part}"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.asc(f"event_{part}"))
+        )
+
+    return build
+
+
+for _part in ("year", "month", "hour"):
+    register(
+        f"q_events_by_{_part}",
+        oracle=f"""
+SELECT CAST(date_part('{_part}', ts) AS INTEGER) AS event_{_part}, COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY event_{_part}
+""",
+        doc=f"A3/D4/O2: count by {_part}(ts) — NB cells 49/52/55",
+        tags=("reference", "agg", "datetime"),
+    )(_date_part_query(_part))
+
+
+# A4 + W1 + F4 — multi-key count then argmax-per-group (NB cell 58)
+
+
+@register(
+    "q_counts_by_type_hour",
+    oracle="""
+SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS event_hour,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, event_hour
+""",
+    doc="A4: groupBy(type, hour).count() — NB cell 58 first half",
+    tags=("reference", "agg"),
+)
+def q_counts_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.group_count(
+        ev.withColumn("event_hour", F.hour("ts")), "event_type", "event_hour"
+    ).orderBy("event_type", "event_hour")
+
+
+@register(
+    "q_peak_hour_per_type",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS event_hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY cnt DESC, event_hour ASC) AS rn
+  FROM counts
+)
+SELECT event_type, event_hour, cnt FROM ranked WHERE rn = 1
+""",
+    doc="W1+F4: peak posting hour per group via row_number rank=1 — NB cell 58",
+    headline=True,
+    tags=("reference", "window"),
+)
+def q_peak_hour_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = analytics.group_count(
+        ev.withColumn("event_hour", F.hour("ts")), "event_type", "event_hour"
+    )
+    return analytics.argmax_per_group(
+        counts, ["event_type"], [F.desc("cnt"), F.asc("event_hour")]
+    )
+
+
+# O3 — top-k by value (NB:1629-1632, cell 32: top-10 titles by upvotes)
+
+
+@register(
+    "q_top10_by_value",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT 10
+""",
+    doc="O3: orderBy(desc).limit(10) → TakeOrderedAndProject — NB cell 32",
+    tags=("reference", "topk"),
+)
+def q_top10_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.top_k(
+        ev.select("event_id", "event_type", "value"),
+        [F.desc("value"), F.asc("event_id")],
+        10,
+    )
+
+
+# U1/A9 — 32-way union (NB:170, cell 7), modeled as per-type slices
+
+
+@register(
+    "q_union_slices",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL SELECT * FROM events WHERE event_type = 'view'
+  UNION ALL SELECT * FROM events WHERE event_type = 'purchase'
+) GROUP BY event_type ORDER BY event_type
+""",
+    doc="U1/A9: pd.concat row-union → unionByName reduce — NB cell 7",
+    tags=("reference", "union"),
+)
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    slices = [ev.filter(F.col("event_type") == t) for t in ("click", "view", "purchase")]
+    return (
+        analytics.group_count(analytics.union_all(slices), "event_type")
+        .orderBy("event_type")
+    )
+
+
+# F1 — numeric filter (process_dynamo.py:23 `score > 1`)
+
+
+@register(
+    "q_filter_high_value",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+WHERE value > 190.0
+ORDER BY event_id
+""",
+    doc="F1: df.filter(col > threshold) — process_dynamo.py:23",
+    tags=("reference", "filter"),
+)
+def q_filter_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 190.0)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# JSON extraction (producer json.dumps / consumer json.loads,
+# reddit_kinesis_1.py:63 / kinesis_processing_2.py:133)
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY k
+""",
+    doc="JSON schema-on-read: from_json(props).k — kinesis_processing_2.py:133",
+    tags=("reference", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.from_json("props", "k INT").getField("k").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k")
+    )
+
+
+# D6 — time-of-day bucket (kinesis_processing_2.py:96)
+
+
+@register(
+    "q_time_of_day",
+    oracle="""
+SELECT CASE WHEN date_part('hour', ts) >= 6 AND date_part('hour', ts) < 18
+            THEN 'day' ELSE 'night' END AS time_of_day,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY time_of_day
+""",
+    doc="D6: day/night bucket — kinesis_processing_2.py:96",
+    tags=("reference", "datetime"),
+)
+def q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(time_of_day(F.col("ts")).alias("time_of_day"))
+        .groupBy("time_of_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("time_of_day")
+    )
+
+
+# M1/M4 + O3 — popularity score top-k (kinesis_processing_2.py:90)
+
+
+@register(
+    "q_popularity_top20",
+    oracle="""
+SELECT event_id,
+       value * (value / 1000.0) + 0.5 * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS popularity
+FROM events
+ORDER BY popularity DESC, event_id ASC
+LIMIT 20
+""",
+    doc="M1+M4: popularity = score·upvote_ratio + 0.5·num_comments — kinesis_processing_2.py:90",
+    tags=("reference", "scalar"),
+)
+def q_popularity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    pop = popularity_score(F.col("value"), F.col("value") / 1000.0, k)
+    return analytics.top_k(
+        ev.select("event_id", pop.alias("popularity")),
+        [F.desc("popularity"), F.asc("event_id")],
+        20,
+    )
+
+
+# A8 batch form — running per-key count (kinesis_processing_2.py:42-43,98-100)
+
+
+@register(
+    "q_running_user_count",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER)
+         AS running_count
+FROM events
+ORDER BY event_id
+""",
+    doc="A8 batch form: author_activity running count ≡ row_number per key",
+    tags=("reference", "window"),
+)
+def q_running_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        analytics.running_count_per_key(
+            ev.select("event_id", "user_id"), "user_id", [F.asc("event_id")]
+        )
+        .orderBy("event_id")
+    )
+
+
+# A6 + M2 + F6 — z-score anomaly detection (kinesis_processing_2.py:104-119)
+
+
+@register(
+    "q_zscore_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sigma FROM events
+)
+SELECT event_id, value, ABS((value - mu) / NULLIF(sigma, 0.0)) AS z
+FROM events, stats
+WHERE ABS((value - mu) / NULLIF(sigma, 0.0)) > 3.0
+ORDER BY event_id
+""",
+    doc="A6+M2+F6: z-score outliers, stddev_samp (pandas ddof=1 parity)",
+    headline=True,
+    tags=("reference", "anomaly"),
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        detect_anomalies(ev.select("event_id", "value"), "value", 3.0)
+        .orderBy("event_id")
+    )
+
+
+# X1–X7 — the notebook clean_post regex chain (NB:1726-1744, cell 36)
+
+
+@register(
+    "q_clean_text",
+    oracle=r"""
+SELECT doc_id,
+  lower(trim(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                'Visit https://example.com/' || CAST(doc_id AS STRING)
+                  || ' NOW!! ' || upper(substr(text, 1, 40)),
+                '^.+@[^\.].*\.[a-z]{2,}$', 'emailaddress', 'g'),
+              '(\\u[0-9A-Fa-f]+)', '', 'g'),
+            '[^\x00-\x7f]', '', 'g'),
+          '((www\.[^\s]+)|(https?://[^\s]+))', 'website', 'g'),
+        '[^a-zA-Z#@ ]', '', 'g'),
+      ' {2,}', ' ', 'g')
+  )) AS cleaned
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X1–X7: order-sensitive cleaning chain — NB cell 36 clean_post",
+    tags=("reference", "text"),
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Documents are already clean ASCII; prepend deterministic dirt
+    # (URL + punctuation + upper case) so the chain has work to do.
+    dirty = F.concat(
+        F.lit("Visit https://example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" NOW!! "),
+        F.upper(F.substring("text", 1, 40)),
+    )
+    return (
+        docs.select("doc_id", clean_text(dirty).alias("cleaned"))
+        .orderBy("doc_id")
+    )
+
+
+# A7/UD8 — distributed word frequency, top-15 (NB cells 44-45)
+
+
+@register(
+    "q_word_counts_top15",
+    oracle=f"""
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+)
+WHERE word != '' AND word NOT IN {_SW}
+GROUP BY word
+ORDER BY cnt DESC, word ASC
+LIMIT 15
+""",
+    doc="A7: word frequency, distributed explode form (vs collect()[0] — NB cell 44-45)",
+    headline=True,
+    tags=("reference", "text", "agg"),
+)
+def q_word_counts_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.word_counts(docs, "text", k=15, drop_stopwords=True)
+
+
+# A7 per-group — top-3 words per lang in one pass
+
+
+@register(
+    "q_top_words_per_lang",
+    oracle=f"""
+WITH words AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+), counts AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM words
+  WHERE word != '' AND word NOT IN {_SW}
+  GROUP BY lang, word
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) rn
+  FROM counts
+)
+SELECT lang, word, cnt FROM ranked WHERE rn <= 3 ORDER BY lang, cnt DESC, word
+""",
+    doc="A7 per-group: top words per group in ONE pass (reference reruns ×5)",
+    tags=("reference", "text", "window"),
+)
+def q_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.top_words_per_group(docs, "lang", "text", 3).orderBy(
+        "lang", F.desc("cnt"), "word"
+    )
+
+
+# UD2 — deterministic lexicon sentiment (kinesis_processing_2.py:82-83)
+
+_POS_ARR = "[" + ", ".join(f"'{w}'" for w in POSITIVE_WORDS) + "]"
+_NEG_ARR = "[" + ", ".join(f"'{w}'" for w in NEGATIVE_WORDS) + "]"
+
+
+@register(
+    "q_sentiment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  LEAST(1.0, GREATEST(-1.0, COALESCE(
+    (len(list_filter(t, x -> list_contains({_POS_ARR}, x)))
+     - len(list_filter(t, x -> list_contains({_NEG_ARR}, x))))
+    / NULLIF(CAST(len(t) AS DOUBLE), 0.0)
+  , 0.0))) AS sentiment
+FROM toks
+ORDER BY doc_id
+""",
+    doc="UD2: lexicon polarity in [-1,1] (TextBlob replacement) — kinesis_processing_2.py:82-83",
+    tags=("reference", "text", "udf"),
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", sentiment_col(F.col("text")).alias("sentiment")
+    ).orderBy("doc_id")
+
+
+# P8 + F2 — the Athena serving query (reddit_lambda.py:24-68)
+
+_SERVING_SQL = serving_query_sql(stringly_select_sql("events")) + "\nORDER BY event_id"
+
+
+@register(
+    "q_serving_try_cast",
+    oracle=_SERVING_SQL,
+    doc="P8+F2: Athena serving port — TRY_CAST DECIMAL(38,9) + dirty-row filter",
+    headline=True,
+    tags=("reference", "serving", "sql"),
+)
+def q_serving_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    # Same SQL text runs on both engines — the engine's SQL entry point.
+    return spark.sql(_SERVING_SQL)

@@ -1,0 +1,67 @@
+"""Table catalog over the driver's Parquet testdata.
+
+Stands in for the reference's three storage layers (SURVEY.md §1.1):
+the Hive warehouse table (`NB:1238` saveAsTable → `spark.sql` reads),
+the DynamoDB keyed table (`process_dynamo.py:14-17`), and the Athena
+external table (`reddit_lambda.py:46`). All become Parquet scans with
+full Catalyst pushdown (predicate + column pruning reach the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's correctness depends
+    on, for sessions we didn't build (the driver passes its own):
+    - nanosAsLong: events.parquet stores timestamp[ns], unreadable by
+      Spark 4 otherwise;
+    - UTC session timezone: hour()/day() parity with the timezone-naive
+      oracle (and the reference's pinned-UTC semantics, SURVEY.md §7.4).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one catalog table.
+
+    Parquet so that Catalyst's PushedFilters / ReadSchema pruning apply;
+    at 100 TB the table would additionally be partitioned (e.g. orders
+    by month of o_orderdate) for partition pruning — the query code is
+    identical either way.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is timestamp[ns] in the parquet; Spark reads it as long
+        # (session conf spark.sql.legacy.parquet.nanosAsLong). Convert
+        # to a proper µs timestamp with INTEGER division (a double
+        # division would lose precision at 1.7e18 ns magnitudes).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register catalog tables as temp views so `spark.sql` queries work
+    by name (the reference's Hive/Athena access pattern, SURVEY.md S6/S7).
+    """
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

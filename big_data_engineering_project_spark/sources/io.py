@@ -1,0 +1,83 @@
+"""Batch IO: the reference's CSV/JSON/keyed-table reads and writes.
+
+Maps (SURVEY.md §2.1/§2.2):
+- S4  32× `pd.read_csv` (`NB:102-141`)         → one `spark.read.csv` call
+- K1  StringIO CSV → `s3.put_object`
+      (`reddit_batch_processing.py:62-76`)     → `write_csv_artifact`
+- K3  DynamoDB `put_item` keyed upsert
+      (`kinesis_processing_2.py:149-163`)      → `write_parquet_table`
+- K5  `toPandas().to_csv` (`NB:1836-1846`)     → `write_csv_artifact`
+- K6  Athena result → stable S3 key
+      (`reddit_lambda.py:91-108`)              → `write_csv_artifact`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """Multi-path CSV scan. The reference loops `pd.read_csv` over 32
+    files on the driver (`NB:102-141`) then concatenates (`NB:170`);
+    one distributed scan over the path list replaces both — the
+    union is implicit and each file is read where it lives.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema inference costs an extra pass; acceptable for artifact
+        # reads, never for the 100 TB hot path (pass a StructType there).
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def read_json(
+    spark: SparkSession, paths: str | list[str], schema: StructType
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema (schema-on-read like the
+    Kinesis consumer's `json.loads`, `kinesis_processing_2.py:133`, but
+    typed up-front — no inference pass)."""
+    return spark.read.schema(schema).json(paths)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar keyed-table sink (replaces DynamoDB put_item, K3).
+
+    `partition_by` enables partition pruning downstream — at 100 TB the
+    serving table would be partitioned by a low-cardinality time column
+    so the serving query scans only recent partitions.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_artifact(df: DataFrame, path: str, limit: int | None = None) -> None:
+    """Small CSV artifact for a dashboard (K1/K5/K6): optional head
+    slice (the reference writes first-100, `reddit_batch_processing.py:68`)
+    and coalesce(1) for a single stable object.
+
+    coalesce(1) is only sane because the artifact is small by
+    construction (limit or post-aggregation); never coalesce a big
+    frame to 1.
+    """
+    if limit is not None:
+        df = df.limit(limit)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

@@ -1,0 +1,169 @@
+"""Operator-level tests: dedup/similarity/anomaly/joins semantics on
+small controlled frames + the driver fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators import (
+    analytics,
+    anomaly,
+    dedup,
+    joins,
+    similarity,
+)
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="aaa"), Row(id=2, t="bbb"), Row(id=3, t="aaa")]
+    )
+    got = {
+        r["keeper_id"]: r["n_copies"]
+        for r in dedup.exact_duplicates(df, "t", "id").collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(id=1, t="a b c d")])
+    out = dedup.shingle_table(df, "id", "t").first()["shs"]
+    assert out == ["a b c", "b c d"]
+    # short doc → filtered out
+    df2 = spark.createDataFrame([Row(id=1, t="a b")])
+    assert dedup.shingle_table(df2, "id", "t").count() == 0
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="w x y z q r s"),
+            Row(id=2, t="w x y z q r s"),
+            Row(id=3, t="completely different words here now ok"),
+        ]
+    )
+    got = dedup.ngram_jaccard_pairs(df, "id", "t", threshold=0.9).collect()
+    assert len(got) == 1
+    assert (got[0]["doc_a"], got[0]["doc_b"], got[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_identical(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="w x y z q r s"),
+            Row(id=2, t="w x y z q r s"),
+            Row(id=3, t="totally other content words go here"),
+        ]
+    )
+    got = dedup.minhash_lsh_pairs(df, "id", "t", threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+def test_minhash_lsh_subset_of_ngram(spark, sf_dir):
+    """LSH candidates are a subset of the full inverted-index pairs at
+    the same threshold (LSH can only lose pairs, never invent them)."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert lsh <= full
+
+
+def test_simhash_identical_collide(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="p q r s"), Row(id=2, t="p q r s"), Row(id=3, t="unrelated thing")]
+    )
+    got = dedup.simhash_duplicates(df, "id", "t").collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 2
+
+
+def test_cosine_fold(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])])
+    got = df.select(
+        similarity.cosine_col(F.col("a"), F.col("b")).alias("c")
+    ).collect()
+    assert math.isclose(got[0]["c"], 1.0)
+    assert math.isclose(got[1]["c"], 0.0, abs_tol=1e-12)
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding")
+    got = similarity.brute_force_topk(emb, q, k=1).collect()
+    # The query vector itself has cosine 1.0 with itself.
+    assert got[0]["vec_id"] == 3
+    assert math.isclose(got[0]["cosine"], 1.0, rel_tol=1e-9)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """LSH top-k hits are a subset of vectors and include the query's
+    own bucket-mates; every returned cosine matches brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding")
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.brute_force_topk(emb, q, k=50).collect()
+    }
+    lsh = similarity.lsh_topk(emb, q, k=10, n_planes=4).collect()
+    assert len(lsh) >= 1
+    for r in lsh:
+        if r["vec_id"] in brute:
+            assert math.isclose(r["cosine"], brute[r["vec_id"]], rel_tol=1e-12)
+
+
+def test_zscore_constant_column_no_anomaly(spark):
+    df = spark.createDataFrame([Row(v=5.0)] * 10)
+    # std == 0 → z NULL → no anomalies (pandas NaN semantics).
+    assert anomaly.detect_anomalies(df, "v").count() == 0
+
+
+def test_zscore_flags_outlier(spark):
+    rows = [Row(id=i, v=10.0) for i in range(30)] + [Row(id=99, v=1000.0)]
+    got = anomaly.detect_anomalies(spark.createDataFrame(rows), "v").collect()
+    assert [r["id"] for r in got] == [99]
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "key")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "key")
+    plain = li.join(orders, "key").count()
+    salted = joins.salted_join(li, orders, "key", salt_buckets=4).count()
+    assert plain == salted
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    """semi(x) + anti(x) partitions the left side exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    n_semi = joins.semi_join(cust, orders, on=cond).count()
+    n_anti = joins.anti_join(cust, orders, on=cond).count()
+    assert n_semi + n_anti == cust.count()
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    parts = [ev.filter(F.col("event_type") == t) for t in ("click", "view")]
+    assert analytics.union_all(parts).count() == sum(p.count() for p in parts)
+
+
+def test_topk_is_sorted_prefix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    full = [
+        r["event_id"]
+        for r in ev.orderBy(F.desc("value"), F.asc("event_id")).limit(50).collect()
+    ]
+    top = [
+        r["event_id"]
+        for r in analytics.top_k(ev, [F.desc("value"), F.asc("event_id")], 10).collect()
+    ]
+    assert top == full[:10]
