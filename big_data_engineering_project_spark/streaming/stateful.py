@@ -1,0 +1,61 @@
+"""T4 — cross-batch per-record running author count.
+
+Reference: a driver-local dict `author_activity[author] += 1` stamped
+onto every record (`kinesis_processing_2.py:42-43,98-100`) — state
+lives in one Python process, lost on crash, impossible to scale.
+
+Here: `applyInPandasWithState` — state is per-author, partitioned by
+the shuffle, checkpointed with the query. Each micro-batch the group's
+rows get consecutive counts continuing from the stored total. This is
+the hardest op in SURVEY.md §7.4 because update-mode `groupBy.count`
+gives per-key TOTALS, not per-RECORD stamps; the stateful map is what
+reproduces the reference's exact record-level semantics.
+
+Exact batch equivalent (tested): `row_number().over(
+Window.partitionBy(author).orderBy(arrival))`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def with_author_activity_count(
+    df: DataFrame,
+    author_col: str = "author",
+    order_col: str = "seq",
+    out_col: str = "author_activity_count",
+) -> DataFrame:
+    """Stamp a running per-author count on every record of a streaming
+    DataFrame. Rows within a batch are stamped in `order_col` order
+    (arrival order — the reference stamps in poll-loop order)."""
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    state_schema = StructType([StructField("total", LongType())])
+
+    def stamp(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            n = len(pdf)
+            pdf[out_col] = range(total + 1, total + n + 1)
+            total += n
+            yield pdf
+        state.update((total,))
+
+    return df.groupBy(author_col).applyInPandasWithState(
+        stamp,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,194 @@
+"""Streaming tests (SURVEY.md §5.4): file-source micro-batches with a
+frozen clock; author_activity_count == batch row_number formulation;
+per-batch z-score anomalies == pandas oracle; exactly-once restart."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.streaming.pipeline import (
+    STREAM_SCHEMA,
+    enrich_stream,
+    run_hot_path,
+)
+
+FROZEN_NOW = dt.datetime(2026, 1, 16, 0, 0, 0)
+
+
+def _gen_records(n: int, seed: int = 42) -> list[dict]:
+    rng = random.Random(seed)
+    authors = [f"user{i}" for i in range(8)]
+    recs = []
+    for i in range(n):
+        score = rng.randint(0, 100)
+        if i % 37 == 0:
+            score = 100_000  # guaranteed z-score outlier (FIXTURES.md §2)
+        recs.append(
+            {
+                "seq": i,
+                "id": f"post{i:05d}",
+                "author": rng.choice(authors),
+                "title": rng.choice(
+                    ["Good news everyone", "bad terrible day!!", "Just a question?"]
+                ),
+                "subreddit": rng.choice(["jobs", "college"]),
+                "created_time": (
+                    dt.datetime(2026, 1, 15, 0, 0, 0) + dt.timedelta(minutes=i)
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+                "score": score,
+                "num_comments": rng.randint(0, 50),
+                "is_self_post": bool(rng.getrandbits(1)),
+                "flair_text": rng.choice(["Help", None]),
+                "upvote_ratio": round(rng.random(), 2),
+                "edited": "False",
+                "over_18": False,
+                "thumbnail": rng.choice(["self", "http://img/x.jpg"]),
+                "stickied": False,
+            }
+        )
+    return recs
+
+
+def _write_batches(dirpath, recs, batch_size=40):
+    # Spark's file source orders by modification time (ties → undefined
+    # order); strictly increasing mtimes pin arrival order = seq order.
+    import os
+    import time
+
+    t0 = time.time() - 3600
+    for b, start in enumerate(range(0, len(recs), batch_size)):
+        path = f"{dirpath}/{b:04d}.json"
+        with open(path, "w") as f:
+            for r in recs[start : start + batch_size]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+
+@pytest.fixture(scope="module")
+def hot_path_output(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, table, anom, cp = (
+        str(base / "in"),
+        str(base / "table"),
+        str(base / "anomalies"),
+        str(base / "cp"),
+    )
+    (base / "in").mkdir()
+    recs = _gen_records(200)
+    _write_batches(in_dir, recs, batch_size=40)
+    run_hot_path(
+        spark, in_dir, table, anom, cp, now=FROZEN_NOW, max_files_per_trigger=1
+    )
+    return {"in": in_dir, "table": table, "anom": anom, "cp": cp, "recs": recs}
+
+
+def test_all_records_land_exactly_once(spark, hot_path_output):
+    out = spark.read.parquet(hot_path_output["table"])
+    assert out.count() == 200
+    assert out.select("id").distinct().count() == 200
+
+
+def test_batches_respect_trigger_cap(spark, hot_path_output):
+    out = spark.read.parquet(hot_path_output["table"])
+    per_batch = {
+        r["batch_id"]: r["cnt"]
+        for r in out.groupBy("batch_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # 200 records / 40 per file / 1 file per trigger = 5 batches (T1/O7).
+    assert len(per_batch) == 5
+    assert all(v == 40 for v in per_batch.values())
+
+
+def test_author_count_equals_batch_row_number(spark, hot_path_output):
+    """The stateful streaming count must equal the batch formulation
+    row_number().over(partitionBy(author).orderBy(seq)) — SURVEY §7.3
+    'has exact batch equivalent for testing'."""
+    out = spark.read.parquet(hot_path_output["table"])
+    w = Window.partitionBy("author").orderBy("seq")
+    expected = (
+        spark.read.schema(STREAM_SCHEMA)
+        .json(hot_path_output["in"])
+        .withColumn("expected", F.row_number().over(w))
+        .select("seq", "expected")
+    )
+    joined = out.join(expected, "seq")
+    mismatches = joined.filter(
+        F.col("author_activity_count") != F.col("expected")
+    ).count()
+    assert mismatches == 0
+
+
+def test_enrichment_matches_batch_mode(spark, hot_path_output):
+    """Streaming enrichment == the same expressions applied in batch
+    mode over the same files (stream/batch unification)."""
+    out = spark.read.parquet(hot_path_output["table"])
+    batch = enrich_stream(
+        spark.read.schema(STREAM_SCHEMA).json(hot_path_output["in"]), FROZEN_NOW
+    )
+    cols = [
+        "seq",
+        "sentiment",
+        "post_age_minutes",
+        "popularity_score",
+        "post_type",
+        "time_of_day",
+    ]
+    a = out.select(cols).toPandas().sort_values("seq").reset_index(drop=True)
+    b = batch.select(cols).toPandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_per_batch_anomalies_match_pandas_oracle(spark, hot_path_output):
+    """T5: z-score anomalies recomputed per micro-batch only — verify
+    against a pandas groupby-per-batch oracle (ddof=1 like the
+    reference's pandas .std())."""
+    table = spark.read.parquet(hot_path_output["table"]).toPandas()
+    anom = spark.read.parquet(hot_path_output["anom"]).toPandas()
+    expected = set()
+    for batch_id, g in table.groupby("batch_id"):
+        mu, sigma = g["score"].mean(), g["score"].std(ddof=1)
+        if sigma and sigma > 0:
+            z = ((g["score"] - mu) / sigma).abs()
+            expected |= set(g.loc[z > 3.0, "seq"])
+    assert set(anom["seq"]) == expected
+    assert len(expected) > 0  # the generator plants outliers
+
+
+def test_restart_is_exactly_once_and_state_continues(spark, hot_path_output):
+    """T8: re-running with the same checkpoint after new files arrive
+    processes ONLY the new files; author counts continue from state."""
+    in_dir, table, anom, cp = (
+        hot_path_output["in"],
+        hot_path_output["table"],
+        hot_path_output["anom"],
+        hot_path_output["cp"],
+    )
+    more = _gen_records(40, seed=7)
+    for r in more:
+        r["seq"] += 1000
+        r["id"] = f"late{r['seq']}"
+    with open(f"{in_dir}/9999.json", "w") as f:
+        for r in more:
+            f.write(json.dumps(r) + "\n")
+    run_hot_path(
+        spark, in_dir, table, anom, cp, now=FROZEN_NOW, max_files_per_trigger=1
+    )
+    out = spark.read.parquet(table)
+    assert out.count() == 240  # old 200 NOT reprocessed
+    # State continued: for an author seen before, the new max count >
+    # the count reachable from the late file alone.
+    late = out.filter(F.col("seq") >= 1000)
+    per_author_late_n = late.groupBy("author").count().collect()
+    maxes = {
+        r["author"]: r["m"]
+        for r in out.groupBy("author").agg(F.max("author_activity_count").alias("m")).collect()
+    }
+    for r in per_author_late_n:
+        assert maxes[r["author"]] > r["count"]
