@@ -93,10 +93,14 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows + per-doc shingle counts."""
+    """(doc, shs): per-doc distinct shingle array. Spread across the
+    cluster first — shingling is the CPU-heavy step."""
+    from big_data_engineering_project_spark.sources.catalog import spread
+
     toks = tokens_col(F.col(text_col))
     return (
-        df.select(F.col(id_col).alias("doc"), shingles_col(toks, n).alias("shs"))
+        spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+        .select("doc", shingles_col(toks, n).alias("shs"))
         .filter(F.size("shs") > 0)
     )
 
@@ -116,9 +120,15 @@ def ngram_jaccard_pairs(
     Jaccard via per-doc set sizes. Output: (doc_a, doc_b, jaccard),
     doc_a < doc_b.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.select("doc", F.size("shs").alias("n_sh"))
-    inv = sh.select("doc", F.explode("shs").alias("s"))
+    # Inverted index over HASHED shingles (8-byte join key instead of a
+    # ~20-char string), computed once and cached: the self-join reads it
+    # twice and the sizes aggregate a third time.
+    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    inv = hashed.select("doc", F.explode("hv").alias("s")).persist()
+    # Per-doc set size from the inverted index itself (shingles are
+    # distinct per doc) — avoids recomputing the shingle expression a
+    # second time for a separate sizes frame.
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_bucket_size is not None:
         # Drop shingles shared by too many docs: they explode the
         # bucket join quadratically and carry no dedup signal (the
@@ -155,17 +165,63 @@ def minhash_signatures(
     K (a·h+b) mod P minima — no explode, no shuffle at all for the
     signature computation itself.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    hashed = sh.withColumn(
-        "hs", F.transform("shs", lambda s: _char_poly_hash(s))
+    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    return with_minhash_signature(hashed).select("doc", "sig")
+
+
+def hashed_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, hv array<long>): distinct hashed n-gram shingles per doc.
+
+    Cost shape matters: higher-order functions are interpreted (not
+    whole-stage-codegen'd), so char-level folds dominate. Each TOKEN is
+    char-hashed once (|tokens| folds), then each shingle combines n
+    token hashes with two mults — instead of char-folding every
+    (overlapping) shingle string, which costs n× the char work plus an
+    array allocation per shingle. Signatures, LSH buckets and candidate
+    verification all reuse this frame; joins ship 8-byte longs, never
+    shingle strings."""
+    from big_data_engineering_project_spark.sources.catalog import spread
+
+    if n != 3:  # the fold below slides a fixed 3-window (oracle ditto)
+        raise NotImplementedError("hashed shingles support n=3 only")
+    toks = tokens_col(F.col(text_col))
+    base = spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    ht = F.transform(toks, lambda t: _char_poly_hash(t))
+    # Sliding 3-window combine as ONE fold over ht. Referencing ht from
+    # several expressions (element_at per index) would let projection
+    # collapse inline — and thus recompute — the whole token-hash array
+    # per shingle (quadratic); a single aggregate references it once.
+    init = F.struct(
+        F.lit(-1).cast("long").alias("p1"),
+        F.lit(-1).cast("long").alias("p2"),
+        F.array().cast("array<long>").alias("out"),
     )
+
+    def step(acc: Column, x: Column) -> Column:
+        combined = (
+            (acc["p1"] * HASH_BASE + acc["p2"]) % HASH_PRIME * HASH_BASE + x
+        ) % HASH_PRIME
+        out = F.when(
+            acc["p1"] >= 0, F.concat(acc["out"], F.array(combined))
+        ).otherwise(acc["out"])
+        return F.struct(
+            acc["p2"].alias("p1"), x.alias("p2"), out.alias("out")
+        )
+
+    hv = F.array_distinct(F.aggregate(ht, init, step, lambda a: a["out"]))
+    return base.select("doc", hv.alias("hv")).filter(F.size("hv") > 0)
+
+
+def with_minhash_signature(hashed: DataFrame) -> DataFrame:
     def min_hash(a: int, b: int) -> Column:
         # NB: factory closure, not default-arg lambda — extra params
         # would change the lambda arity Spark uses to bind HOF args.
-        return F.array_min(F.transform("hs", lambda h: (a * h + b) % HASH_PRIME))
+        return F.array_min(F.transform("hv", lambda h: (a * h + b) % HASH_PRIME))
 
     sig = F.array(*[min_hash(a, b) for a, b in MINHASH_SEEDS])
-    return hashed.select("doc", sig.alias("sig"))
+    return hashed.withColumn("sig", sig)
 
 
 def minhash_band_buckets(sig_df: DataFrame) -> DataFrame:
@@ -199,7 +255,12 @@ def minhash_lsh_pairs(
     4. exact Jaccard verify on candidates only.
     Output: (doc_a, doc_b, jaccard) for verified pairs, doc_a < doc_b.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    # One computation feeds signatures AND verification (cached: the
+    # char-fold hashing is the expensive step; the frame is compact —
+    # one long array per doc).
+    hashed = hashed.persist()
+    sigs = with_minhash_signature(hashed).select("doc", "sig")
     buckets = minhash_band_buckets(sigs)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -213,13 +274,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over shingle sets.
-    sh = shingle_table(df, id_col, text_col, n).select(
-        "doc", F.col("shs")
-    )
+    # Verify candidates with exact Jaccard over HASHED shingle sets —
+    # long-array intersects, no document text in the shuffle.
+    sh = hashed.select("doc", "hv")
     verified = (
-        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("hv", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("hv", "sb"), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",

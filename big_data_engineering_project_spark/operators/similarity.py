@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from big_data_engineering_project_spark.sources.catalog import spread
+
 HASH_PRIME = 1_000_000_007
 
 
@@ -56,7 +58,7 @@ def brute_force_topk(
     """
     q = query_df.select(as_double(F.col(vec_col)).alias("_q"))
     return (
-        vectors.crossJoin(F.broadcast(q))
+        spread(vectors).crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
             cosine_col(as_double(F.col(vec_col)), F.col("_q")).alias("cosine"),
@@ -76,7 +78,7 @@ def blocked_neardup_pairs(
     """Pairs with cosine ≥ threshold inside each block (doc_a < doc_b).
     The self-join key is the block column, so the quadratic blow-up is
     bounded per block — never a global cross join."""
-    v = vectors.select(
+    v = spread(vectors).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),

@@ -18,6 +18,7 @@ from big_data_engineering_project_spark.operators.dedup import (
     _char_poly_hash,
     tokens_col,
 )
+from big_data_engineering_project_spark.sources.catalog import spread
 
 
 def lang_id_col(tokens: Column) -> Column:
@@ -74,6 +75,7 @@ def fingerprint_col(text: Column) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stamp all text-analysis features in one projection (single scan)."""
+    df = spread(df)
     text = F.col(text_col)
     q = quality_score_cols(text)
     return df.select(

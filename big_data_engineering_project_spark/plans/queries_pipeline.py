@@ -26,7 +26,7 @@ from big_data_engineering_project_spark.operators.text_analysis import (
     with_text_features,
 )
 from big_data_engineering_project_spark.plans.registry import register
-from big_data_engineering_project_spark.sources.catalog import load_table
+from big_data_engineering_project_spark.sources.catalog import load_table, spread
 
 P = HASH_PRIME
 B = HASH_BASE
@@ -39,17 +39,20 @@ _TOKS_CTE = (
     "FROM documents)"
 )
 
-_SHINGLES_CTE = (
-    "sh AS (SELECT doc, list_distinct(list_transform("
-    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs "
-    "FROM toks WHERE len(t) >= 3)"
-)
-
 # Character-level polynomial hash of a string s (mirror of
 # dedup._char_poly_hash).
 _POLY = (
     "list_reduce([0::BIGINT] + list_transform(string_split({s}, ''), "
     f"c -> ascii(c)::BIGINT), (acc, x) -> (acc * {B} + x) % {P})"
+)
+
+# Hashed-shingle construction (mirror of dedup.hashed_shingle_table):
+# per-token char hash once, then 3-token arithmetic combine per shingle.
+_HT_CTE = f"ht AS (SELECT doc, list_transform(t, s -> {_POLY.format(s='s')}) AS ht FROM toks)"
+_HV_CTE = (
+    "hs AS (SELECT doc, list_distinct(list_transform(range(1, len(ht) - 1), "
+    f"i -> ((ht[i] * {B} + ht[i+1]) % {P} * {B} + ht[i+2]) % {P})) AS hv "
+    "FROM ht WHERE len(ht) >= 3)"
 )
 
 JACCARD_THRESHOLD = 0.5
@@ -93,7 +96,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
@@ -106,9 +109,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram_jaccard",
     oracle=f"""
 WITH {_TOKS_CTE},
-{_SHINGLES_CTE},
-sizes AS (SELECT doc, len(shs) AS n_sh FROM sh),
-inv AS (SELECT doc, unnest(shs) AS s FROM sh),
+{_HT_CTE},
+{_HV_CTE},
+sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
+inv AS (SELECT doc, unnest(hv) AS s FROM hs),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc < b.doc
@@ -152,8 +156,8 @@ def _minhash_oracle() -> str:
     buckets = "\n  UNION ALL ".join(band_selects)
     return f"""
 WITH {_TOKS_CTE},
-{_SHINGLES_CTE},
-hs AS (SELECT doc, shs, list_transform(shs, s -> {_POLY.format(s="s")}) AS hv FROM sh),
+{_HT_CTE},
+{_HV_CTE},
 sig AS (SELECT doc, [{sig_items}] AS sig FROM hs),
 buckets AS (
   {buckets}
@@ -164,14 +168,14 @@ cands AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 )
 SELECT doc_a, doc_b,
-  len(list_intersect(ha.shs, hb.shs))
-    / CAST(len(ha.shs) + len(hb.shs) - len(list_intersect(ha.shs, hb.shs)) AS DOUBLE)
+  len(list_intersect(ha.hv, hb.hv))
+    / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
     AS jaccard
 FROM cands
 JOIN hs ha ON doc_a = ha.doc
 JOIN hs hb ON doc_b = hb.doc
-WHERE len(list_intersect(ha.shs, hb.shs))
-    / CAST(len(ha.shs) + len(hb.shs) - len(list_intersect(ha.shs, hb.shs)) AS DOUBLE)
+WHERE len(list_intersect(ha.hv, hb.hv))
+    / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
     >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
@@ -221,7 +225,7 @@ ORDER BY simhash
     tags=("pipeline", "dedup"),
 )
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     with_fp = docs.select(
         F.col("doc_id").alias("doc"),
         dedup.simhash_col(
@@ -339,7 +343,7 @@ ORDER BY lang, pred_lang
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.operators.text_analysis import lang_id_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "lang",
@@ -375,7 +379,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_cols,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     q = quality_score_cols(F.col("text"))
     return docs.select(
         "doc_id",

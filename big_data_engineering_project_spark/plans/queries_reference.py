@@ -33,7 +33,7 @@ from big_data_engineering_project_spark.plans.registry import (
     register,
     sum_dec,
 )
-from big_data_engineering_project_spark.sources.catalog import load_table
+from big_data_engineering_project_spark.sources.catalog import load_table, spread
 
 _SW = sql_string_list(STOPWORDS)
 
@@ -393,7 +393,7 @@ ORDER BY doc_id
     tags=("reference", "text"),
 )
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Documents are already clean ASCII; prepend deterministic dirt
     # (URL + punctuation + upper case) so the chain has work to do.
     dirty = F.concat(
@@ -487,7 +487,7 @@ ORDER BY doc_id
     tags=("reference", "text", "udf"),
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", sentiment_col(F.col("text")).alias("sentiment")
     ).orderBy("doc_id")

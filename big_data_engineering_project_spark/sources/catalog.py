@@ -59,6 +59,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Parallelism hint for expression-heavy operators.
+
+    Small local fixture files arrive as ONE scan partition (a parquet
+    file below maxPartitionBytes with a single row group cannot be
+    split), which serializes CPU-heavy per-row work (shingling,
+    hashing, folds). Repartition ONLY when the scan is narrower than
+    the cluster — at real scale the scan already has thousands of
+    partitions and this is a no-op (a blanket repartition of 100 TB
+    would be a catastrophic full shuffle).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register catalog tables as temp views so `spark.sql` queries work
     by name (the reference's Hive/Athena access pattern, SURVEY.md S6/S7).
