@@ -1,0 +1,205 @@
+"""Binary media columns + mapInPandas processing.
+
+Design for 100 TB of media:
+- media lives in Parquet as `binary` with typed metadata beside it
+  (kind/width/height/duration) so filters prune WITHOUT touching bytes
+  (column pruning: a `WHERE kind='image' AND width>100` scan never
+  reads the blob column);
+- decode/feature-extract run as `mapInPandas` — Arrow ships each
+  partition's rows to Python in batches, the UDF is the only Python in
+  the pipeline, and parallelism = partitions;
+- real codecs (PIL/ffmpeg) are NOT in this container: `decode_media`
+  handles the synthetic `BDE1` fixture format deterministically and
+  raises NotImplementedError for real formats — the seam where a
+  production deployment plugs in the actual codec.
+
+Synthetic `BDE1` blob layout (deterministic, self-describing):
+  bytes 0-3   magic b"BDE1"
+  bytes 4-5   width  (uint16 BE)
+  bytes 6-7   height (uint16 BE)
+  bytes 8+    payload: (width*height) pseudo-pixel bytes,
+              byte[i] = (seed + i*31) % 256
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"BDE1"
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+def _make_blob(media_id: int, width: int, height: int) -> bytes:
+    payload = bytes((media_id + i * 31) % 256 for i in range(width * height))
+    return MAGIC + struct.pack(">HH", width, height) + payload
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media fixture (seeded by media_id, no RNG)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+        rows.append(
+            Row(
+                media_id=i,
+                kind=("image", "audio", "video")[i % 3],
+                width=w,
+                height=h,
+                blob=_make_blob(i, w, h),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_one(blob: bytes) -> tuple[int, int, int, float]:
+    if blob[:4] != MAGIC:
+        # The production seam: plug PIL/soundfile/ffmpeg in here.
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present "
+            "in this environment; only the BDE1 fixture format decodes"
+        )
+    w, h = struct.unpack(">HH", blob[4:8])
+    payload = blob[8 : 8 + w * h]
+    mean = sum(payload) / len(payload) if payload else 0.0
+    return w, h, len(payload), mean
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode blobs partition-parallel via mapInPandas (Arrow batches).
+
+    The output drops the blob column — decoded features are orders of
+    magnitude smaller, so downstream stages never shuffle raw bytes.
+    """
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["blob"].map(_decode_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "n_pixels": decoded.map(lambda t: t[2]),
+                    "mean_intensity": decoded.map(lambda t: t[3]),
+                }
+            )
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Byte-histogram 'embedding' per blob (the deterministic stand-in
+    for a vision/audio encoder; same mapInPandas shape a real encoder
+    batch-inference job would use)."""
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = []
+            for blob in pdf["blob"]:
+                payload = blob[8:]
+                counts = [0] * bins
+                for b in payload:
+                    counts[b * bins // 256] += 1
+                total = max(len(payload), 1)
+                hists.append([c / total for c in counts])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "histogram": hists})
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling STUB: the row-explosion plumbing is real
+    (one output row per sampled frame index), the pixel decode is the
+    fixture codec. Real video needs ffmpeg — NotImplementedError seam
+    in _decode_one applies."""
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("height") - 1), F.lit(every_n))
+        ).alias("frame_idx"),
+        "blob",
+    )
+
+    def decode_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_mean": []}
+            for mid, idx, blob in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["blob"]
+            ):
+                w, h = struct.unpack(">HH", blob[4:8])
+                line = blob[8 + idx * w : 8 + (idx + 1) * w]
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["frame_mean"].append(sum(line) / max(len(line), 1))
+            yield pd.DataFrame(rows)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_mean", DoubleType()),
+        ]
+    )
+    return frames.mapInPandas(decode_frame, out_schema)

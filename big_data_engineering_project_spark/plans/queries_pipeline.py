@@ -383,7 +383,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score_cols(F.col("text"))
     return docs.select(
         "doc_id",
-        q["n_tokens"].alias("n_tokens"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
         q["mean_token_len"].alias("mean_token_len"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["quality"].alias("quality"),
@@ -419,3 +419,45 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- tokenizer + stemmer (UD4/UD5) -------------------------------------------
+
+
+@register(
+    "q_tokenized_docs",
+    oracle="""
+SELECT doc_id,
+  array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''), '|') AS tokens_joined,
+  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    doc="UD4: whitespace tokenizer (pure Catalyst split) — kinesis_processing_2.py:79",
+    tags=("pipeline", "text", "udf"),
+)
+def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = dedup.tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(toks, "|").alias("tokens_joined"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_stemmed_docs",
+    oracle=None,  # Porter stemming is not SQL-expressible → rows-only check
+    doc="UD5: Porter stemmer over token arrays as Arrow-batched pandas UDF — NB cell 65",
+    tags=("pipeline", "text", "udf"),
+)
+def q_stemmed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.functions.stemmer import stem_tokens_udf
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = dedup.tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(stem_tokens_udf(toks), "|").alias("stems_joined"),
+    ).orderBy("doc_id")

@@ -510,3 +510,157 @@ def q_serving_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("events")
     # Same SQL text runs on both engines — the engine's SQL entry point.
     return spark.sql(_SERVING_SQL)
+
+
+# UD3 — the full preprocess_record enrichment as one projection
+# (kinesis_processing_2.py:48-102): D1-D3, D6, M1, M3, M4 composed.
+
+_FROZEN_NOW = "2026-01-16 00:00:00"
+
+
+@register(
+    "q_enrich_events",
+    oracle=f"""
+SELECT event_id,
+  (epoch(TIMESTAMP '{_FROZEN_NOW}') - FLOOR(epoch(ts))) / 60.0 AS age_minutes,
+  value * (value / 1000.0)
+    + 0.5 * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS popularity,
+  CASE WHEN event_type != 'click' THEN 'media' ELSE 'text' END AS post_type,
+  CASE WHEN date_part('hour', ts) >= 6 AND date_part('hour', ts) < 18
+       THEN 'day' ELSE 'night' END AS time_of_day
+FROM events
+ORDER BY event_id
+""",
+    doc="UD3: whole-record enrichment decomposed to native exprs — kinesis_processing_2.py:48-102",
+    headline=True,
+    tags=("reference", "enrich"),
+)
+def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.functions.datetime_ops import (
+        post_age_minutes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    now = F.lit(_FROZEN_NOW).cast("timestamp")
+    k = F.from_json("props", "k INT").getField("k")
+    # M3 post_type analog on events: event_type stands in for thumbnail.
+    ptype = F.when(F.col("event_type") != "click", "media").otherwise("text")
+    return ev.select(
+        "event_id",
+        post_age_minutes(F.col("ts"), now).alias("age_minutes"),
+        popularity_score(F.col("value"), F.col("value") / 1000.0, k).alias(
+            "popularity"
+        ),
+        ptype.alias("post_type"),
+        time_of_day(F.col("ts")).alias("time_of_day"),
+    ).orderBy("event_id")
+
+
+# D5 (intent) — date and time halves of a timestamp (the reference's
+# empty-pattern split bug NB:1820-1821 implemented as intended).
+
+
+@register(
+    "q_date_time_parts",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+       strftime(ts, '%H:%M:%S') AS event_time
+FROM events
+ORDER BY event_id
+""",
+    doc="D5 intent: to_date + HH:mm:ss halves (reference bug NB:1820 fixed)",
+    tags=("reference", "datetime"),
+)
+def q_date_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.functions.datetime_ops import (
+        date_and_time,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d, t = date_and_time(F.col("ts"))
+    # String halves — the reference stored stringly date/time columns
+    # (NB cell 40); also keeps the comparison representation-stable.
+    return ev.select(
+        "event_id", d.cast("string").alias("event_date"), t.alias("event_time")
+    ).orderBy("event_id")
+
+
+# A5 — string-concat aggregate (NB:1865-1881, cell 44), kept DISTRIBUTED
+# and deterministic: sorted collect_list, never collect()[0] to the driver.
+
+
+@register(
+    "q_group_concat_texts",
+    oracle="""
+SELECT lang, string_agg(text, ' ' ORDER BY text) AS corpus
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="A5: concat_ws(collect_list) per group — sorted for determinism, stays distributed",
+    tags=("reference", "agg", "text"),
+)
+def q_group_concat_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("text")), " ").alias("corpus")
+        )
+        .orderBy("lang")
+    )
+
+
+# Exact distinct aggregation (engine completeness; expand/distinct-agg path)
+
+
+@register(
+    "q_distinct_users_by_type",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="COUNT(DISTINCT) per group (two-phase distinct aggregation)",
+    tags=("reference", "agg"),
+)
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ROLLUP — hierarchical subtotals (engine completeness beyond the
+# reference's plain GROUP BY; Catalyst Expand operator).
+
+
+@register(
+    "q_rollup_type_hour",
+    oracle="""
+SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS event_hour,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY ROLLUP(event_type, CAST(date_part('hour', ts) AS INTEGER))
+ORDER BY event_type NULLS FIRST, event_hour NULLS FIRST
+""",
+    doc="GROUP BY ROLLUP: grand total + per-type subtotals + leaf counts",
+    tags=("reference", "agg", "rollup"),
+)
+def q_rollup_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_hour", F.hour("ts"))
+        .rollup("event_type", "event_hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("event_hour").asc_nulls_first(),
+        )
+    )

@@ -73,4 +73,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(os.environ.get("SPARK_LOG_LEVEL", "WARN"))
+    # Python UDFs pickle by module reference; ship the package so
+    # executor workers can import it regardless of driver cwd.
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     return spark

@@ -9,6 +9,9 @@ full Catalyst pushdown (predicate + column pruning reach the scan).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,6 +29,36 @@ TABLES = [
 ]
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    pandas UDFs (stemmer, sentiment, multimodal decoders) pickle BY
+    REFERENCE to their module; workers must be able to import it. When
+    the driver loads __spark_entry__.py by path from an arbitrary cwd,
+    the repo is on the DRIVER's sys.path only — the workers' PYTHONPATH
+    was fixed at JVM launch. addPyFile distributes a zip that workers
+    prepend to sys.path, which works in local and cluster mode alike.
+    """
+    if getattr(spark, "_bde_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"bde_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._bde_pkg_shipped = True
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Set the runtime-settable confs the engine's correctness depends
     on, for sessions we didn't build (the driver passes its own):
@@ -36,6 +69,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_package_on_executors(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

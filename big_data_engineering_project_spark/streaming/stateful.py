@@ -35,6 +35,11 @@ def with_author_activity_count(
     """Stamp a running per-author count on every record of a streaming
     DataFrame. Rows within a batch are stamped in `order_col` order
     (arrival order — the reference stamps in poll-loop order)."""
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(df.sparkSession)
     out_schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
     state_schema = StructType([StructField("total", LongType())])
 

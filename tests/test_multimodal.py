@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: binary round-trip through Parquet,
+Arrow-batched decode, deterministic features, frame-sampling explosion,
+and the NotImplementedError seam for real formats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+
+
+def test_binary_roundtrip_parquet(spark, tmp_path):
+    media = synthetic_media(spark, 12)
+    media.write.mode("overwrite").parquet(str(tmp_path / "media"))
+    back = spark.read.parquet(str(tmp_path / "media"))
+    assert back.schema == MEDIA_SCHEMA
+    a = {r["media_id"]: bytes(r["blob"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["blob"]) for r in back.collect()}
+    assert a == b
+
+
+def test_decode_media_matches_metadata(spark):
+    media = synthetic_media(spark, 30)
+    out = decode_media(media)
+    joined = out.join(
+        media.select("media_id", F.col("width").alias("w"), F.col("height").alias("h")),
+        "media_id",
+    )
+    bad = joined.filter(
+        (F.col("width") != F.col("w"))
+        | (F.col("height") != F.col("h"))
+        | (F.col("n_pixels") != F.col("w") * F.col("h"))
+    )
+    assert bad.count() == 0
+    # blob column dropped from decoded output
+    assert "blob" not in out.columns
+
+
+def test_decode_is_deterministic(spark):
+    m = synthetic_media(spark, 10)
+    a = decode_media(m).orderBy("media_id").collect()
+    b = decode_media(m).orderBy("media_id").collect()
+    assert a == b
+
+
+def test_unknown_format_raises_not_implemented(spark):
+    bad = spark.createDataFrame(
+        [Row(media_id=1, kind="image", width=2, height=2, blob=b"JPEG....")],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        decode_media(bad).collect()
+
+
+def test_features_are_normalized_histograms(spark):
+    feats = extract_features(synthetic_media(spark, 10), bins=16).collect()
+    for r in feats:
+        assert len(r["histogram"]) == 16
+        assert abs(sum(r["histogram"]) - 1.0) < 1e-9
+
+
+def test_frame_sampling_explodes_rows(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, every_n=4)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert frames.count() > n_videos  # multiple frames per video
+    assert frames.select("media_id").distinct().count() == n_videos
+    # deterministic frame means
+    assert frames.orderBy("media_id", "frame_idx").collect() == (
+        sample_frames(media, every_n=4).orderBy("media_id", "frame_idx").collect()
+    )

@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the scale posture is part of correctness.
+
+Each test pins the plan shape Catalyst should pick for an operator —
+filters/pruning reach the Parquet scan, small dims broadcast, top-k
+avoids a global sort, semi/anti stay semi/anti, aggregates partial-
+aggregate. If a refactor regresses one of these, the query still
+returns right answers at sf0.01 but would fall over at 100 TB; these
+tests make that regression visible at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_engineering_project_spark.plans import REGISTRY
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name: str, mode: str = "formatted") -> str:
+        return plan_of(REGISTRY[name].builder(spark, sf_dir), mode)
+
+    return get
+
+
+def test_filter_pushes_down_to_scan(plans):
+    p = plans("q_filter_high_value")
+    assert "PushedFilters" in p
+    assert "GreaterThan(value,190.0)" in p
+
+
+def test_column_pruning_reaches_scan(plans):
+    # A count-by-type query must read ONLY event_type from parquet.
+    p = plans("q_counts_by_type")
+    scan = p[p.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans("q_top10_by_value")
+
+
+def test_dimension_joins_broadcast(plans):
+    p = plans("q_nation_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # lineitem is never shuffled for dims
+
+
+def test_semi_join_stays_semi(plans):
+    assert "LeftSemi" in plans("q_orders_with_heavy_items")
+
+
+def test_anti_join_stays_anti(plans):
+    assert "LeftAnti" in plans("q_customers_without_orders")
+
+
+def test_aggregation_is_partial_then_final(plans):
+    # Two HashAggregates (partial before the exchange, final after) —
+    # the map-side combine that keeps 100 TB shuffles small.
+    p = plans("q_counts_by_type")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_zscore_stats_broadcast_not_window(plans):
+    # The 1-row stats join must be a broadcast nested loop, not a
+    # Window.partitionBy() (which would funnel all rows to one task).
+    p = plans("q_zscore_anomalies")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p
+
+
+def test_serving_is_single_pass(plans):
+    # The bronze here is a derived subquery (CASE over event_id), so
+    # the quality predicates evaluate right above the scan rather than
+    # inside it (on a MATERIALIZED bronze table they'd push down).
+    # What this shape must guarantee: filter before project, and no
+    # shuffle except the final presentation sort.
+    p = plans("q_serving_try_cast", mode="simple")
+    assert "Filter" in p
+    assert p.count("Exchange") <= 1  # only the ORDER BY
+
+
+def test_shipping_priority_broadcasts_customer(plans):
+    # customer (filtered dim) broadcast; orders⋈lineitem can shuffle.
+    p = plans("q_shipping_priority")
+    assert "BroadcastHashJoin" in p
+
+
+def test_entry_flagship_partial_agg(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p
