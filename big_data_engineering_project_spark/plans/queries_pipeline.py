@@ -461,3 +461,62 @@ def q_stemmed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(stem_tokens_udf(toks), "|").alias("stems_joined"),
     ).orderBy("doc_id")
+
+
+# --- LSH-bucketed ANN (the scale path; recall<1 by construction) ---
+
+
+@register(
+    "q_embedding_lsh_topk",
+    oracle=None,  # approximate by design → rows-only check; exactness
+    # is covered by q_embedding_topk (brute force) and the subset/
+    # consistency tests in tests/test_operators.py.
+    doc="Hyperplane-LSH bucketed ANN top-k (scan restricted to query's bucket)",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=6
+    )
+
+
+# --- MinHash signatures exposed (exploded for oracle comparability) ---
+
+
+def _signature_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {P}))"
+        for a, b in MINHASH_SEEDS
+    )
+    return f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+sig AS (SELECT doc, [{sig_items}] AS sig FROM hs)
+SELECT doc AS doc_id, CAST(j AS INTEGER) AS j, sig[j] AS minhash
+FROM sig, range(1, {len(MINHASH_SEEDS) + 1}) r(j)
+ORDER BY doc_id, j
+"""
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=_signature_oracle(),
+    doc=f"MinHash({len(MINHASH_SEEDS)}) signature matrix, exploded to (doc, j, minhash)",
+    tags=("pipeline", "dedup"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    return (
+        sigs.select(
+            F.col("doc").alias("doc_id"),
+            F.posexplode("sig").alias("j0", "minhash"),
+        )
+        .select(
+            "doc_id", (F.col("j0") + 1).cast("int").alias("j"), "minhash"
+        )
+        .orderBy("doc_id", "j")
+    )

@@ -310,3 +310,193 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy(F.desc("n_lineitems"), F.asc("o_custkey"))
     )
+
+
+# --- TPC-H Q6: single-row forecast aggregate (pure scan-filter-agg) ---
+
+
+@register(
+    "q_revenue_forecast",
+    oracle=f"""
+SELECT {sum_dec("l_extendedprice * l_discount", "revenue")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: tight filter → 1-row aggregate, every predicate pushed to scan",
+    tags=("tpch", "agg"),
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# --- TPC-H Q10-ish: returned-item revenue per customer, top-20 ---
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+  {sum_dec("l_extendedprice * (1 - l_discount)", "revenue")},
+  c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue per customer, broadcast dim + top-20",
+    tags=("tpch", "join", "topk"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Shared-dialect SQL entry point: ONE string runs on Spark AND DuckDB ---
+
+_SHARED_CTE_SQL = """
+WITH heavy AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM heavy WHERE heavy.l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_heavy_orders_sql",
+    oracle=_SHARED_CTE_SQL,
+    doc="CTE + HAVING + correlated EXISTS as ONE shared SQL text (Spark SQL ≡ DuckDB)",
+    tags=("tpch", "sql", "semi"),
+)
+def q_heavy_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_CTE_SQL)
+
+
+# --- Analytic window functions: lag / lead / rank / dense_rank ---
+
+
+@register(
+    "q_order_history_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS price_rank,
+  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS prio_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="Analytic windows: lag/lead over order history + rank/dense_rank (W-layer completeness)",
+    tags=("tpch", "window"),
+)
+def q_order_history_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(wr).alias("price_rank"),
+        F.dense_rank().over(wd).alias("prio_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- Frame-based moving aggregate: ROWS BETWEEN 2 PRECEDING AND CURRENT ---
+
+
+@register(
+    "q_moving_avg_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  AVG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="Explicit rowsBetween frame: 3-order moving average per customer",
+    tags=("tpch", "window"),
+)
+def q_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.avg("o_totalprice").over(w).alias("moving_avg"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- Left outer join with COALESCE'd counts (customers incl. zero orders) ---
+
+
+@register(
+    "q_customer_order_counts",
+    oracle="""
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+""",
+    doc="Left outer join: order counts per customer including zeroes",
+    tags=("tpch", "join", "outer"),
+)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,93 @@
+"""Property-based tests (SURVEY.md §5.5) with hypothesis: algebraic
+invariants of the function layer that must hold on arbitrary input,
+not just fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.functions.stemmer import porter_stem
+from big_data_engineering_project_spark.functions.lexicons import STOPWORDS
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+pyspark_settings = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def token_lists(draw):
+    word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
+    return draw(st.lists(word, max_size=15))
+
+
+@given(TEXT)
+@pyspark_settings
+def test_clean_text_idempotent(spark, s):
+    """clean ∘ clean == clean: the chain is a projection."""
+    from big_data_engineering_project_spark.functions.text import clean_text
+
+    df = spark.createDataFrame([(s,)], "s STRING")
+    once, twice = df.select(
+        clean_text(F.col("s")).alias("a"),
+        clean_text(clean_text(F.col("s"))).alias("b"),
+    ).first()
+    assert once == twice
+
+
+@given(TEXT)
+@pyspark_settings
+def test_tokenize_never_yields_empty_tokens(spark, s):
+    from big_data_engineering_project_spark.functions.text import tokenize
+
+    df = spark.createDataFrame([(s,)], "s STRING")
+    toks = df.select(tokenize(F.col("s")).alias("t")).first()["t"]
+    assert all(t != "" for t in toks)
+
+
+@given(token_lists())
+@pyspark_settings
+def test_stopword_filter_idempotent_and_disjoint(spark, tokens):
+    from big_data_engineering_project_spark.functions.text import remove_stopwords
+
+    df = spark.createDataFrame([(tokens,)], "t ARRAY<STRING>")
+    once = df.select(remove_stopwords(F.col("t")).alias("o")).first()["o"]
+    twice_df = spark.createDataFrame([(once,)], "t ARRAY<STRING>")
+    twice = twice_df.select(remove_stopwords(F.col("t")).alias("o")).first()["o"]
+    assert once == twice
+    assert not (set(once) & set(STOPWORDS))
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_porter_stem_fixpoint_and_nonempty(word):
+    """Stemming a stem changes little: stem is near-idempotent (allow
+    one extra contraction step), always non-empty, never grows."""
+    s1 = porter_stem(word)
+    s2 = porter_stem(s1)
+    assert len(s1) >= 1
+    assert len(s1) <= len(word)
+    assert len(s2) <= len(s1)
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=2, max_size=2))
+@pyspark_settings
+def test_sentiment_bounded(spark, _):
+    from big_data_engineering_project_spark.functions.sentiment import sentiment_col
+
+    # random word soup including lexicon words
+    import random
+
+    rng = random.Random(42)
+    words = ["good", "bad", "xyz", "terrible", "love", "zzz"]
+    s = " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+    df = spark.createDataFrame([(s,)], "s STRING")
+    v = df.select(sentiment_col(F.col("s")).alias("v")).first()["v"]
+    assert -1.0 <= v <= 1.0
