@@ -24,7 +24,12 @@ from big_data_engineering_project_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    from pyspark.sql import functions as F
+
     spark = get_spark("bde-bench")
+    # One trivial action so JVM/codegen warm-up isn't charged to the
+    # first measured query (measures the engine, not JIT start-up).
+    spark.range(1000).agg(F.sum("id")).collect()
     timings: dict[str, float] = {}
     headliners = [spec for spec in REGISTRY.values() if spec.headline]
     for spec in headliners:
