@@ -156,3 +156,69 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors into cells, scan only the
+    query's n_probe nearest cells.
+
+    Centroids here are seeded deterministically (the n_cells lowest-id
+    vectors) — at scale they'd come from a KMeans job, but the search
+    plan is identical: cell assignment is an argmax over n_cells fold
+    cosines (pure Catalyst), and at 100 TB the table is WRITTEN
+    partitioned by cell so probing reads ~n_probe/n_cells of the data
+    via partition pruning. Recall < 1 by construction; brute_force_topk
+    is the exact baseline.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    ]
+
+    def cell_col(vec: Column) -> Column:
+        cos = F.array(
+            *[
+                cosine_col(vec, F.array(*[F.lit(c) for c in cvec]))
+                for _cid, cvec in cents
+            ]
+        )
+        return F.array_position(cos, F.array_max(cos)).cast("int")
+
+    v = spread(vectors).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_cell", cell_col(F.col("_v")))
+
+    # Query-side: rank all cells by affinity, probe the best n_probe.
+    import math
+
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(cents)), key=lambda j: -_cos(qvec, cents[j][1])
+    )[:n_probe]
+    probe_cells = [j + 1 for j in ranked]  # array_position is 1-based
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        v.filter(F.col("_cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            cosine_col(F.col("_v"), qlit).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

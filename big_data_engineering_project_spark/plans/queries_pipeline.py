@@ -520,3 +520,19 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "j")
     )
+
+
+@register(
+    "q_embedding_ivf_topk",
+    oracle=None,  # approximate by design (probes 2/8 cells) → rows-only;
+    # exactness of returned cosines + all-cells==brute-force equivalence
+    # are covered in tests/test_operators.py.
+    doc="IVF-style ANN: coarse cells + n_probe nearest-cell scan (scale path)",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_cells=8, n_probe=2
+    )

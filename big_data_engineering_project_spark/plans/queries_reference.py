@@ -664,3 +664,67 @@ def q_rollup_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_hour").asc_nulls_first(),
         )
     )
+
+
+# T7 extension — event-time tumbling window aggregation (ABSENT in the
+# reference, SURVEY.md §2.11: exposed as the idiomatic upgrade of its
+# wall-clock micro-batching; streaming form in streaming/windows.py).
+
+
+@register(
+    "q_tumbling_hourly_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    doc="T7: tumbling 1h event-time window counts (F.window ≡ date_trunc)",
+    tags=("reference", "window", "streaming"),
+)
+def q_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Exact percentiles (engine completeness: ordered-set aggregates).
+
+
+@register(
+    "q_value_percentiles",
+    oracle="""
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Exact linear-interpolated percentiles per group (ordered-set agg)",
+    tags=("reference", "agg"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

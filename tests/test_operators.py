@@ -167,3 +167,30 @@ def test_topk_is_sorted_prefix(spark, sf_dir):
         for r in analytics.top_k(ev, [F.desc("value"), F.asc("event_id")], 10).collect()
     ]
     assert top == full[:10]
+
+
+def test_ivf_topk_recall_and_exact_cosines(spark, sf_dir):
+    """IVF probe results: cosines exact vs brute force; recall@10 is
+    reasonable for 2/8 cells probed; deterministic across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding")
+    brute = [
+        r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    ]
+    brute_cos = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.brute_force_topk(emb, q, k=1000).collect()
+    }
+    ivf1 = similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=2).collect()
+    ivf2 = similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=2).collect()
+    assert ivf1 == ivf2  # deterministic
+    for r in ivf1:
+        assert abs(r["cosine"] - brute_cos[r["vec_id"]]) < 1e-12
+    recall = len({r["vec_id"] for r in ivf1} & set(brute)) / 10
+    assert recall >= 0.2  # 2/8 cells probed on random vectors
+    # probing ALL cells must recover brute force exactly
+    ivf_all = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).collect()
+    ]
+    assert ivf_all == brute

@@ -192,3 +192,56 @@ def test_restart_is_exactly_once_and_state_continues(spark, hot_path_output):
     }
     for r in per_author_late_n:
         assert maxes[r["author"]] > r["count"]
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """T7: watermarked streaming window counts == batch F.window over
+    the same data, for windows the watermark has closed."""
+    import os
+    import time as _time
+
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        enrich_stream,
+        stream_source,
+    )
+    from big_data_engineering_project_spark.streaming.windows import (
+        run_windowed_stream,
+        windowed_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    recs = _gen_records(160)
+    _write_batches(in_dir, recs, batch_size=40)
+
+    stream = enrich_stream(stream_source(spark, in_dir, 2), FROZEN_NOW)
+    q = run_windowed_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "cp"),
+        window="1 hour",
+        watermark="1 minute",
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = windowed_counts(
+        enrich_stream(
+            spark.read.schema(STREAM_SCHEMA).json(in_dir), FROZEN_NOW
+        ),
+        "created_ts",
+        "subreddit",
+        "1 hour",
+    )
+    # Append mode only emits windows the watermark closed; every emitted
+    # window must match the batch count exactly, and most windows close
+    # (records span ~2.7h; only the tail window may be withheld).
+    emitted = {
+        (r["window_start"], r["subreddit"]): r["cnt"] for r in got.collect()
+    }
+    expected = {
+        (r["window_start"], r["subreddit"]): r["cnt"] for r in batch.collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert expected[k] == v, k
