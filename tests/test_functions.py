@@ -137,3 +137,22 @@ def test_sentiment_catalyst_vs_pandas_udf(spark):
         assert r["c"] == r["p"]
     assert got[0]["c"] == 0.25  # (2-1)/4
     assert got[2]["c"] == -1.0
+
+
+def test_from_epoch_seconds(spark):
+    # D1: epoch seconds → UTC timestamp (reddit_kinesis_1.py:32-36).
+    from big_data_engineering_project_spark.functions.datetime_ops import (
+        from_epoch_seconds,
+    )
+
+    out = one(spark, from_epoch_seconds(F.col("e")), e=1704067200)
+    assert out == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_treebank_tokenizer_splits_punct(spark):
+    from big_data_engineering_project_spark.functions.stemmer import (
+        treebank_tokenize,
+    )
+
+    out = one(spark, treebank_tokenize(F.col("s")), s="hello, world!! (ok)")
+    assert out == ["hello", ",", "world", "!!", "(", "ok", ")"]
