@@ -728,3 +728,78 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Pivot — wide-format cross-tab (engine completeness; the notebook's
+# groupby tables are long-format, dashboards want wide).
+
+
+@register(
+    "q_pivot_hour_by_type",
+    oracle="""
+SELECT CAST(date_part('hour', ts) AS INTEGER) AS event_hour,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1
+ORDER BY event_hour
+""",
+    doc="Pivot: hour × event_type cross-tab (groupBy().pivot())",
+    tags=("reference", "agg", "pivot"),
+)
+def q_pivot_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("event_hour", F.hour("ts"))
+        .groupBy("event_hour")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent (hour, type) combos; the oracle's
+    # FILTER count yields 0 — align.
+    return out.select(
+        "event_hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("event_hour")
+
+
+# UD8 as a true Python UDTF (table function): one input row → N output
+# rows. The reference's word_count FreqDist is UDTF-shaped (NB:1917-1920);
+# explode covers it natively (A7) — this exercises the engine's UDTF
+# surface itself.
+
+from pyspark.sql.functions import udtf  # noqa: E402
+
+
+@udtf(returnType="word: string, pos: int")
+class _SplitWordsUDTF:
+    def eval(self, text: str):  # noqa: D102
+        if text:
+            for i, w in enumerate(text.lower().split()):
+                if w:
+                    yield (w, i)
+
+
+@register(
+    "q_udtf_word_positions",
+    oracle="""
+SELECT doc_id,
+       unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word,
+       CAST(unnest(range(0, len(list_filter(string_split(lower(text), ' '), x -> x != '')))) AS INTEGER) AS pos
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id, pos
+""",
+    doc="UD8: Python UDTF (row → word rows with positions) ≡ unnest oracle",
+    tags=("reference", "udf", "udtf"),
+)
+def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.lateralJoin(_SplitWordsUDTF(F.col("text").outer()))
+        .select("doc_id", "word", "pos")
+        .orderBy("doc_id", "pos")
+    )
