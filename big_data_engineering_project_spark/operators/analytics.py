@@ -74,10 +74,12 @@ def word_counts(
     partial-aggregates before the shuffle and never materializes a
     corpus string anywhere.
     """
+    from big_data_engineering_project_spark.sources.catalog import spread
+
     tokens = tokenize(F.lower(F.col(text_col)))
     if drop_stopwords:
         tokens = remove_stopwords(tokens)
-    words = df.select(F.explode(tokens).alias("word"))
+    words = spread(df.select(F.col(text_col))).select(F.explode(tokens).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if k is not None:
         counts = top_k(counts, [F.desc("cnt"), F.asc("word")], k)
@@ -90,8 +92,12 @@ def top_words_per_group(
     """A7 per-group variant: top-k words for every group in one pass
     (the reference re-runs the whole collect pipeline per subreddit ×5,
     NB:1865-1881). One explode + one grouped count + one rank window."""
+    from big_data_engineering_project_spark.sources.catalog import spread
+
     tokens = remove_stopwords(tokenize(F.lower(F.col(text_col))))
-    words = df.select(F.col(group_col), F.explode(tokens).alias("word"))
+    words = spread(df.select(group_col, text_col)).select(
+        F.col(group_col), F.explode(tokens).alias("word")
+    )
     counts = words.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("word"))
     return (

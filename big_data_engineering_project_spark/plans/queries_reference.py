@@ -803,3 +803,76 @@ def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "pos")
         .orderBy("doc_id", "pos")
     )
+
+
+# Sessionization — gap-based session windows (the classic event
+# analytics op; streaming-capable via the same F.session_window).
+
+
+@register(
+    "q_user_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Sessionization: 30-min-gap session windows per user (F.session_window ≡ lag-island oracle)",
+    tags=("reference", "window", "session"),
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# CUBE — all grouping combinations (completes the grouping-set family
+# with q_rollup_type_hour).
+
+
+@register(
+    "q_cube_type_timeofday",
+    oracle="""
+SELECT event_type,
+       CASE WHEN date_part('hour', ts) >= 6 AND date_part('hour', ts) < 18
+            THEN 'day' ELSE 'night' END AS time_of_day,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY CUBE(event_type,
+              CASE WHEN date_part('hour', ts) >= 6 AND date_part('hour', ts) < 18
+                   THEN 'day' ELSE 'night' END)
+ORDER BY event_type NULLS FIRST, time_of_day NULLS FIRST
+""",
+    doc="GROUP BY CUBE: every (type × day/night) grouping combination",
+    tags=("reference", "agg", "cube"),
+)
+def q_cube_type_timeofday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("time_of_day", time_of_day(F.col("ts")))
+        .cube("event_type", "time_of_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("time_of_day").asc_nulls_first(),
+        )
+    )

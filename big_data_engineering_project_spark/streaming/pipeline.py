@@ -161,3 +161,14 @@ def run_hot_path(
         .start()
     )
     query.awaitTermination()
+
+
+def dedup_stream(
+    df: DataFrame, id_col: str = "id", ts_col: str = "created_ts", within: str = "1 hour"
+) -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate record ids
+    arriving within the watermark horizon. The reference's no-checkpoint
+    consumer re-reads and double-writes on crash (T8); a keyed
+    dropDuplicatesWithinWatermark bounds the dedup state while
+    guaranteeing duplicates inside the horizon are removed."""
+    return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark([id_col])

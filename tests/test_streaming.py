@@ -245,3 +245,37 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     assert len(emitted) > 0
     for k, v in emitted.items():
         assert expected[k] == v, k
+
+
+def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
+    """T8 upgrade: duplicate ids re-delivered in later micro-batches
+    (the at-least-once failure mode) are dropped within the watermark."""
+    import os
+
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        dedup_stream,
+        enrich_stream,
+        stream_source,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    recs = _gen_records(80)
+    dupes = [dict(r) for r in recs[20:40]]  # redelivered batch (same ids)
+    _write_batches(in_dir, recs + dupes, batch_size=40)
+
+    stream = dedup_stream(
+        enrich_stream(stream_source(spark, in_dir, 1), FROZEN_NOW)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 80  # 100 deliveries, 80 unique ids
+    assert out.select("id").distinct().count() == 80
