@@ -48,6 +48,38 @@ def with_class_weights(df: DataFrame, label_col: str = "label_str") -> DataFrame
     return df.join(F.broadcast(weights), label_col)
 
 
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering over an embedding column — the backbone of
+    cluster-based dedup / topic balancing in training pipelines
+    (e.g. SemDeDup-style pruning works inside such clusters).
+
+    `pyspark.ml.clustering.KMeans` with a fixed seed: the fit is
+    iterative Lloyd's over a cached feature frame (Spark's design
+    center for iterative ML), assignment is a single broadcast of k
+    centroids + one narrow projection. Returns (id, cluster).
+
+    Deterministic for a fixed (data, k, seed) triple, but the cluster
+    LABELS are an artifact of init order — consumers must treat them
+    as opaque ids (tests assert partition structure, not label values).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), array_to_vector(F.col(emb_col)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    return model.transform(feats).select(
+        F.col(id_col), F.col("prediction").alias("cluster")
+    )
+
+
 def train_event_type_classifier(events: DataFrame, seed: int = 42):
     """Fit the §2.13 pipeline; returns (model, accuracy on a held-out
     30% split). Import of pyspark.ml is local so the core engine has

@@ -1,0 +1,78 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100 TB corpus is never split with `rand()`: the assignment must be
+(a) reproducible across runs, engines and retries, (b) stable under
+re-partitioning, and (c) content-addressed so the same document lands
+in the same split even if the file layout changes. The standard trick
+is a content hash mod N — here the same polynomial hash the dedup
+layer uses (operators/dedup.py), so a DuckDB oracle reproduces every
+assignment bit-for-bit.
+
+Reference parity: the reference has no split logic (its ML slide deck
+PPTX slides 13-16 mentions a train/validation split done in pandas/
+sklearn); this is the scale-native replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+
+N_BUCKETS = 100
+
+
+def hash_bucket_col(text: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Content-addressed bucket in [0, n_buckets): poly-hash mod n.
+    Pure Catalyst arithmetic — no rand(), no monotonically_increasing_id
+    (both are partition-layout-dependent and unreproducible)."""
+    return _char_poly_hash(text) % n_buckets
+
+
+def split_col(
+    bucket: Column, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """Map a [0,100) bucket to 'train' / 'val' / 'test'."""
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def with_split(
+    df: DataFrame,
+    text_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Stamp a deterministic split column. One narrow projection — no
+    shuffle; the split survives any repartition of the input."""
+    bucket = hash_bucket_col(F.col(text_col))
+    return df.withColumn("split", split_col(bucket, train_pct, val_pct))
+
+
+def stratified_sample(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing
+    primitive (e.g. keep 100% of books, 30% of common-crawl). A doc is
+    kept iff hash_bucket(text) < rate*100, so the kept set is stable
+    and nested: lowering a rate keeps a subset of the previous sample.
+
+    Implemented as a single Catalyst filter (rates folded into a CASE
+    chain) — no shuffle, no rand(), fully pushdown-friendly.
+    """
+    bucket = hash_bucket_col(F.col(text_col))
+    threshold: Column = F.lit(float(default_rate) * N_BUCKETS)
+    for stratum, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(float(rate) * N_BUCKETS))
+            .otherwise(threshold)
+        )
+    return df.filter(bucket.cast("double") < threshold)

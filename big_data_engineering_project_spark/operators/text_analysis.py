@@ -73,6 +73,72 @@ def fingerprint_col(text: Column) -> Column:
     return _char_poly_hash(text)
 
 
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - `repeated_token_frac`  — fraction of tokens belonging to a token
+      type that occurs more than once,
+    - `top_2gram_frac`       — share of all 2-grams taken by the single
+      most frequent 2-gram.
+
+    High values flag boilerplate / keyword-stuffed documents that
+    length or stopword heuristics miss (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 repetition filters).
+
+    Scale shape: explode → two keyed aggregations on the doc id. Both
+    groupBys partial-aggregate map-side, and because the exploded frame
+    is hash-partitioned by (doc, token) then re-grouped by doc, the
+    second shuffle carries one row per (doc, distinct token) — bounded
+    by vocabulary, not corpus size. No per-doc quadratic array scans
+    (the array-level alternative, filter-per-distinct-gram, is
+    O(n·distinct) interpreted work per row).
+    """
+    from big_data_engineering_project_spark.operators.dedup import tokens_col
+
+    base = spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    toks = base.select("doc", tokens_col(F.col(text_col)).alias("t")).filter(
+        F.size("t") > 0
+    )
+    # Token-type counts → repeated-token fraction.
+    tok_counts = (
+        toks.select("doc", F.explode("t").alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c").cast("double")
+        ).alias("repeated_token_frac")
+    )
+    # 2-gram counts → top-2-gram fraction (docs need ≥2 tokens).
+    grams = toks.filter(F.size("t") >= 2).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg((F.max("c") / F.sum("c").cast("double")).alias("top_2gram_frac"))
+    )
+    return (
+        tok_stats.join(gram_stats, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "repeated_token_frac",
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stamp all text-analysis features in one projection (single scan)."""
     df = spread(df)

@@ -536,3 +536,205 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") != 0), query, k=10, n_cells=8, n_probe=2
     )
+
+
+# --- deterministic split / data mixing (operators/sampling.py) ----------------
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+SELECT source, split, COUNT(*) AS n_docs
+FROM (
+  SELECT source,
+    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT source, {_POLY.format(s="text")} % 100 AS b FROM documents)
+)
+GROUP BY source, split
+ORDER BY source, split
+""",
+    doc="Content-hash train/val/test split (80/10/10), counts by source — "
+    "reproducible across engines/partitionings, no rand()",
+    tags=("pipeline", "sampling"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import with_split
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        with_split(docs, "text", train_pct=80, val_pct=10)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r * 100.0}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE source {whens} ELSE {_MIX_DEFAULT * 100.0} END"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_kept
+FROM (
+  SELECT source FROM (SELECT source, {_POLY.format(s="text")} % 100 AS b FROM documents)
+  WHERE b < {_mix_case()}
+)
+GROUP BY source
+ORDER BY source
+""",
+    doc="Deterministic per-source downsampling (data mixing): keep iff "
+    "content-hash bucket < rate·100; nested/stable kept-sets",
+    tags=("pipeline", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    kept = stratified_sample(docs, "text", "source", _MIX_RATES, _MIX_DEFAULT)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# --- PII redaction (operators/redaction.py) -----------------------------------
+
+
+def _pii_oracle() -> str:
+    from big_data_engineering_project_spark.operators.redaction import PII_PATTERNS
+
+    aug = (
+        "aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
+        "'@mail.example.com call 555-123-4567 ip 10.0.0.' || (doc_id % 256) "
+        "AS s0 FROM documents)"
+    )
+    ctes, prev = [aug], "aug"
+    for i, (pattern, tag) in enumerate(PII_PATTERNS):
+        carried = "".join(f"c{j}, " for j in range(i))
+        ctes.append(
+            f"r{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(s{i}, '{pattern}')) AS c{i}, "
+            f"regexp_replace(s{i}, '{pattern}', '{tag}', 'g') AS s{i + 1} "
+            f"FROM {prev})"
+        )
+        prev = f"r{i}"
+    n = len(PII_PATTERNS)
+    total = " + ".join(f"c{j}" for j in range(n))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, s{n} AS redacted, "
+        f"CAST({total} AS BIGINT) AS n_pii FROM {prev} "
+        "ORDER BY doc_id"
+    )
+
+
+@register(
+    "q_pii_redaction",
+    oracle=_pii_oracle(),
+    doc="PII scrub (email/phone/IPv4 → tags) + per-doc match count; "
+    "JVM regexp only, patterns restricted to the Java∩RE2 regex subset",
+    tags=("pipeline", "text"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.redaction import (
+        pii_count_col,
+        redact_col,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Synthetic PII appended deterministically (fixture text is clean
+    # word-soup): exercises every pattern on every row, hash-verified.
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call 555-123-4567 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        redact_col(raw).alias("redacted"),
+        pii_count_col(raw).cast("long").alias("n_pii"),
+    ).orderBy("doc_id")
+
+
+# --- repetition quality signals (operators/text_analysis.py) ------------------
+
+
+@register(
+    "q_repetition_scores",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok_counts AS (
+  SELECT doc, tok, COUNT(*) AS c
+  FROM (SELECT doc, unnest(t) AS tok FROM toks WHERE len(t) > 0)
+  GROUP BY doc, tok
+),
+tok_stats AS (
+  SELECT doc,
+    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE)
+      AS repeated_token_frac
+  FROM tok_counts GROUP BY doc
+),
+gram_counts AS (
+  SELECT doc, gram, COUNT(*) AS c
+  FROM (
+    SELECT doc, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks WHERE len(t) >= 2
+  )
+  GROUP BY doc, gram
+),
+gram_stats AS (
+  SELECT doc, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_2gram_frac
+  FROM gram_counts GROUP BY doc
+)
+SELECT t.doc AS doc_id, t.repeated_token_frac,
+       COALESCE(g.top_2gram_frac, 0.0) AS top_2gram_frac
+FROM tok_stats t LEFT JOIN gram_stats g ON t.doc = g.doc
+ORDER BY doc_id
+""",
+    doc="Gopher-style repetition filters: repeated-token fraction + "
+    "top-2-gram share (explode → map-side-combined keyed aggs)",
+    tags=("pipeline", "text"),
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- semantic clustering (ml.kmeans_assignments) ------------------------------
+
+
+@register(
+    "q_embedding_kmeans",
+    oracle=None,  # iterative Lloyd's — not SQL-expressible → rows-only;
+    # determinism + structure are pinned in tests/test_ml.py.
+    doc="KMeans(k=4) semantic clusters over embeddings: cluster sizes "
+    "(SemDeDup-style cluster-then-prune backbone)",
+    tags=("pipeline", "similarity", "ml"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.ml import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assignments(emb, k=4, seed=7)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster")
+    )

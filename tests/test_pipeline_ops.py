@@ -1,0 +1,163 @@
+"""Tests for the round-2 training-pipeline operators: deterministic
+sampling/splits, PII redaction, repetition quality signals, KMeans
+semantic clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators import redaction, sampling
+from big_data_engineering_project_spark.operators.text_analysis import (
+    repetition_scores,
+)
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+
+# --- sampling ----------------------------------------------------------------
+
+
+def test_split_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sampling.with_split(docs, "text").select("doc_id", "split")
+    b = sampling.with_split(docs.repartition(13), "text").select("doc_id", "split")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_split_proportions_roughly_80_10_10(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = dict(
+        sampling.with_split(docs, "text").groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # hash buckets ≈ uniform
+    assert counts["val"] / n < 0.25 and counts["test"] / n < 0.25
+
+
+def test_stratified_sample_nested_and_exact(spark, sf_dir):
+    """Lowering a rate keeps a SUBSET (nested samples), and rate=1/0
+    keep-all/drop-all semantics are exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = sampling.stratified_sample(docs, "text", "source", {}, default_rate=0.5)
+    quarter = sampling.stratified_sample(
+        docs, "text", "source", {}, default_rate=0.25
+    )
+    half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    quarter_ids = {r["doc_id"] for r in quarter.select("doc_id").collect()}
+    assert quarter_ids <= half_ids
+    assert (
+        sampling.stratified_sample(docs, "text", "source", {}, 1.0).count()
+        == docs.count()
+    )
+    assert sampling.stratified_sample(docs, "text", "source", {}, 0.0).count() == 0
+
+
+def test_stratified_per_stratum_rates(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, src="a" if i % 2 else "b", t=f"doc number {i} words") for i in range(200)]
+    )
+    kept = sampling.stratified_sample(df, "t", "src", {"a": 1.0, "b": 0.0})
+    srcs = {r["src"] for r in kept.select("src").distinct().collect()}
+    assert srcs == {"a"}
+    assert kept.count() == df.filter("src = 'a'").count()
+
+
+# --- PII redaction -----------------------------------------------------------
+
+
+def test_redaction_patterns(spark):
+    rows = [
+        Row(id=1, t="mail me at jo.doe+x@corp.example.org today"),
+        Row(id=2, t="call 555-123-4567 or 555.987.6543 now"),
+        Row(id=3, t="server at 192.168.1.254 went down"),
+        Row(id=4, t="clean text with no pii at all"),
+        Row(id=5, t="a@b.co and 1.2.3.4 and 111-222-3333"),
+    ]
+    got = {
+        r["id"]: (r["redacted"], r["n_pii"])
+        for r in redaction.redact(spark.createDataFrame(rows), "t").collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> today", 1)
+    assert got[2] == ("call <PHONE> or <PHONE> now", 2)
+    assert got[3] == ("server at <IP> went down", 1)
+    assert got[4] == ("clean text with no pii at all", 0)
+    assert got[5] == ("<EMAIL> and <IP> and <PHONE>", 3)
+
+
+def test_redaction_email_wins_over_ip_inside_address(spark):
+    # Dotted digits inside an email domain must be consumed by the
+    # EMAIL pattern (application order), not double-redacted as an IP.
+    df = spark.createDataFrame([Row(id=1, t="x user@10.0.0.example.com y")])
+    r = redaction.redact(df, "t").first()
+    assert r["redacted"] == "x <EMAIL> y"
+    assert r["n_pii"] == 1
+
+
+# --- repetition signals ------------------------------------------------------
+
+
+def test_repetition_scores_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            # tokens: a a b → repeated {a:2}/3; 2-grams: "a a","a b" → top 1/2
+            Row(id=1, t="a a b"),
+            # all distinct → 0.0; 2-grams all distinct → 1/3
+            Row(id=2, t="p q r s"),
+            # single token → no 2-grams → top_2gram_frac 0.0
+            Row(id=3, t="solo"),
+            # fully repeated: "x x x" → 3/3; grams "x x"×2 → 1.0
+            Row(id=4, t="x x x"),
+        ]
+    )
+    got = {
+        r["id"]: (r["repeated_token_frac"], r["top_2gram_frac"])
+        for r in repetition_scores(df, "id", "t").collect()
+    }
+    assert got[1] == (2 / 3, 1 / 2)
+    assert got[2] == (0.0, 1 / 3)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (1.0, 1.0)
+
+
+# --- kmeans ------------------------------------------------------------------
+
+
+def test_kmeans_deterministic_and_covering(spark, sf_dir):
+    from big_data_engineering_project_spark.ml import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assignments(emb, k=4, seed=7)
+    b = kmeans_assignments(emb, k=4, seed=7)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert a.count() == emb.count()
+    assert a.select("cluster").distinct().count() == 4
+
+
+def test_kmeans_beats_arbitrary_partition(spark, sf_dir):
+    """Fixture labels are NOT geometric blocks (within-label cosine ≈
+    cross-label), so purity is meaningless; the real invariant is that
+    Lloyd's converged assignment has lower within-cluster SSE than an
+    arbitrary equal-ish partition of the same points (label % k)."""
+    import numpy as np
+
+    from big_data_engineering_project_spark.ml import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    rows = (
+        kmeans_assignments(emb, k=k, seed=7)
+        .join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows])
+
+    def sse(groups: np.ndarray) -> float:
+        return sum(
+            float(((X[groups == g] - X[groups == g].mean(axis=0)) ** 2).sum())
+            for g in np.unique(groups)
+        )
+
+    kmeans_sse = sse(np.array([r["cluster"] for r in rows]))
+    arbitrary_sse = sse(np.array([r["label"] % k for r in rows]))
+    assert kmeans_sse < arbitrary_sse
