@@ -112,6 +112,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     max_bucket_size: int | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
@@ -123,7 +124,8 @@ def ngram_jaccard_pairs(
     # Inverted index over HASHED shingles (8-byte join key instead of a
     # ~20-char string), computed once and cached: the self-join reads it
     # twice and the sizes aggregate a third time.
-    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+    hashed = shingler(df, id_col, text_col, n)
     inv = hashed.select("doc", F.explode("hv").alias("s")).persist()
     # Per-doc set size from the inverted index itself (shingles are
     # distinct per doc) — avoids recomputing the shingle expression a
@@ -157,15 +159,18 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, arrow: bool = False
 ) -> DataFrame:
     """(doc, sig array<long>[K]) — K minhashes over shingle poly-hashes.
 
-    All array-level Catalyst expressions: hash each shingle once, then
-    K (a·h+b) mod P minima — no explode, no shuffle at all for the
-    signature computation itself.
+    Hash each shingle once, then K (a·h+b) mod P minima — no explode,
+    no shuffle for the signature computation itself. Minima are
+    order-independent over the shingle SET, so the arrow fast path
+    (sorted hv) and the Catalyst path (first-occurrence-ordered hv)
+    produce identical signatures.
     """
-    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+    hashed = shingler(df, id_col, text_col, n)
     return with_minhash_signature(hashed).select("doc", "sig")
 
 
@@ -214,6 +219,97 @@ def hashed_shingle_table(
     return base.select("doc", hv.alias("hv")).filter(F.size("hv") > 0)
 
 
+def hashed_shingle_table_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Arrow fast path for `hashed_shingle_table`: identical arithmetic
+    (same tokens, same char poly hash, same 3-window combine, distinct)
+    but computed in a pandas UDF with fully-vectorized numpy — batch
+    chars land in one flat codepoint array, per-token Horner folds
+    become `codes · B^exp` + `np.add.reduceat`, shingle combines and
+    dedup are array slices. No per-char (or even per-token) Python.
+
+    Why it exists: Catalyst higher-order functions are interpreted
+    (outside whole-stage codegen), so the char fold is the hot spot of
+    every shingle-based dedup. Measured at sf0.1/local[32]: the
+    shingler alone is 2-5× faster warm (≈1.8 s vs 4-9 s), but NOT
+    default — cold or in the mixed bench the Python-worker spin-up +
+    Arrow transfer of the text column erases the gain (headline bench
+    total 21.6 s catalyst-default vs 30.5 s arrow-default). It becomes
+    the right choice on long-running jobs over large corpora where
+    workers stay warm and per-doc CPU dominates; flip `arrow=True`
+    there. `tests/test_operators.py` pins bit-equality of both paths;
+    the DuckDB oracles keep validating end results.
+
+    Output hv is SORTED (np.unique) rather than first-occurrence
+    order; every consumer treats hv as a set.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if n != 3:
+        raise NotImplementedError("hashed shingles support n=3 only")
+
+    from big_data_engineering_project_spark.sources.catalog import spread
+
+    # Java regex \s (ASCII-only) — NOT Python str.split(), which also
+    # splits on Unicode whitespace and would diverge from the Catalyst
+    # tokenizer on exotic input.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def batch_hv(texts):  # (pd.Series of str) -> pd.Series of list[int]
+        docs_tokens = [
+            [t for t in ws.split(s.lower()) if t] if s is not None else []
+            for s in texts
+        ]
+        n_docs = len(docs_tokens)
+        n_toks = np.fromiter(
+            (len(ts) for ts in docs_tokens), dtype=np.int64, count=n_docs
+        )
+        flat = [t for ts in docs_tokens for t in ts]
+        empty = pd.Series([[] for _ in range(n_docs)])
+        if not flat:
+            return empty
+        tok_lens = np.fromiter(
+            (len(t) for t in flat), dtype=np.int64, count=len(flat)
+        )
+        codes = np.frombuffer(
+            "".join(flat).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        offsets = np.zeros(len(flat), dtype=np.int64)
+        np.cumsum(tok_lens[:-1], out=offsets[1:])
+        pow_b = np.empty(int(tok_lens.max()), dtype=np.int64)
+        pow_b[0] = 1
+        for i in range(1, len(pow_b)):
+            pow_b[i] = pow_b[i - 1] * HASH_BASE % HASH_PRIME
+        pos = np.arange(len(codes)) - np.repeat(offsets, tok_lens)
+        exp = np.repeat(tok_lens, tok_lens) - 1 - pos
+        # codepoint·B^e < 2^21·2^30 ≪ 2^63; per-token sums of <2^30
+        # terms can't overflow either → one mod at the end ≡ Horner.
+        ht = np.add.reduceat(codes * pow_b[exp] % HASH_PRIME, offsets) % HASH_PRIME
+        doc_of_tok = np.repeat(np.arange(n_docs), n_toks)
+        if len(ht) < 3:
+            return empty
+        sh = ((ht[:-2] * HASH_BASE + ht[1:-1]) % HASH_PRIME * HASH_BASE + ht[2:]) % HASH_PRIME
+        in_doc = doc_of_tok[:-2] == doc_of_tok[2:]
+        sh, sh_doc = sh[in_doc], doc_of_tok[:-2][in_doc]
+        # distinct per doc: P < 2^30 → (doc, hash) packs into one key
+        uniq = np.unique((sh_doc << 31) | sh)
+        per_doc = np.bincount(uniq >> 31, minlength=n_docs)
+        return pd.Series(
+            [a.tolist() for a in np.split(uniq & 0x7FFFFFFF, np.cumsum(per_doc)[:-1])]
+        )
+
+    hv_udf = pandas_udf(batch_hv, "array<long>")
+    base = spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+    return base.select("doc", hv_udf(F.col(text_col)).alias("hv")).filter(
+        F.size("hv") > 0
+    )
+
+
 def with_minhash_signature(hashed: DataFrame) -> DataFrame:
     def min_hash(a: int, b: int) -> Column:
         # NB: factory closure, not default-arg lambda — extra params
@@ -247,6 +343,7 @@ def minhash_lsh_pairs(
     text_col: str,
     threshold: float,
     n: int = 3,
+    arrow: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
@@ -255,7 +352,8 @@ def minhash_lsh_pairs(
     4. exact Jaccard verify on candidates only.
     Output: (doc_a, doc_b, jaccard) for verified pairs, doc_a < doc_b.
     """
-    hashed = hashed_shingle_table(df, id_col, text_col, n)
+    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+    hashed = shingler(df, id_col, text_col, n)
     # One computation feeds signatures AND verification (cached: the
     # char-fold hashing is the expensive step; the frame is compact —
     # one long array per doc).

@@ -63,6 +63,46 @@ def test_minhash_lsh_finds_identical(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
 
 
+def test_hashed_shingle_arrow_matches_catalyst(spark, sf_dir):
+    """The numpy/Arrow shingle-hash fast path is bit-identical (as a
+    SET per doc) to the Catalyst higher-order-function reference on
+    real fixture text, including unicode/punctuation/short docs."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    ref = {
+        r["doc"]: sorted(r["hv"])
+        for r in dedup.hashed_shingle_table(docs, "doc_id", "text").collect()
+    }
+    fast = {
+        r["doc"]: list(r["hv"])  # arrow path emits sorted hv already
+        for r in dedup.hashed_shingle_table_arrow(docs, "doc_id", "text").collect()
+    }
+    assert fast == ref
+
+
+def test_hashed_shingle_arrow_edge_cases(spark):
+    """Nulls, empty strings, unicode whitespace, and <3-token docs all
+    agree between the two shingler implementations."""
+    rows = [
+        Row(id=1, t=None),
+        Row(id=2, t=""),
+        Row(id=3, t="a b"),  # too short → dropped
+        Row(id=4, t="héllo wörld ünïcode test five"),
+        Row(id=5, t="tab\tand\nnewline separated tokens here"),
+        Row(id=6, t="a b c d e"),  # NBSP is NOT a Java \s char
+        Row(id=7, t="MiXeD CaSe TOKENS lower fold"),
+    ]
+    df = spark.createDataFrame(rows)
+    ref = {
+        r["doc"]: sorted(r["hv"])
+        for r in dedup.hashed_shingle_table(df, "id", "t").collect()
+    }
+    fast = {
+        r["doc"]: list(r["hv"])
+        for r in dedup.hashed_shingle_table_arrow(df, "id", "t").collect()
+    }
+    assert fast == ref
+
+
 def test_minhash_lsh_subset_of_ngram(spark, sf_dir):
     """LSH candidates are a subset of the full inverted-index pairs at
     the same threshold (LSH can only lose pairs, never invent them)."""
