@@ -1,0 +1,128 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has no joins at all (SURVEY.md §2.5); these are
+north-star extensions for event/time-series data — the two join shapes
+Spark has no first-class operator for, implemented with the scalable
+composition patterns rather than the naive plans Catalyst would pick:
+
+- **As-of join** (`asof_join_backward`): per left row, the most recent
+  right row at-or-before its timestamp, per key. The naive formulation
+  (equi-join on key + time filter + row_number pick) multiplies rows by
+  the full per-key match count before pruning; the union+window form
+  here is ONE shuffle on the key, no row multiplication, and streams
+  through each key partition in sorted order — the plan survives a
+  100× scale-up as long as single keys fit a partition (salt upstream
+  if not).
+
+- **Banded range join** (`band_join`): interval predicate with NO
+  equality key. Spark plans a raw non-equi join as
+  BroadcastNestedLoopJoin — O(|L|·|R|) and a broadcast of a whole
+  side. Bucketizing time into bands of exactly the window length turns
+  it into an equi-join on the band id: each right interval overlaps at
+  most 2 bands, so the exploded right side is ≤2×|R| rows, and the
+  exact predicate re-filters inside the matched band. Shuffle-hash /
+  sort-merge + AQE apply as with any equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every `left` row, plus `payload_cols` (and
+    `right_time`) from the latest `right` row with the same `key` and
+    `right_time` <= `left_time`; NULLs when no such row exists.
+
+    Contract: `right` must be unique per (key, right_time) — pre-
+    aggregate ties away (the tie order would otherwise be
+    nondeterministic). Inclusive match: a right row AT the left
+    timestamp is visible (right sorts before left on ties).
+
+    Plan: union both sides tagged with a side marker → one window
+    (partitionBy key, orderBy time/side) carrying the last non-null
+    right payload forward → keep left rows. Single exchange, no join.
+    """
+    carried = [right_time, *payload_cols]
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in carried],
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l2.schema["__row"].dataType
+        ).alias("__row"),
+        *[F.col(c).alias(f"__p_{c}") for c in carried],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # last(ignorenulls) over a struct keeps all payload fields from the
+    # SAME right row — per-column last() could mix rows if a payload
+    # column were legitimately NULL.
+    pstruct = F.struct(*[F.col(f"__p_{c}").alias(c) for c in carried])
+    tagged = l2.unionByName(r2).withColumn(
+        "__carried",
+        F.last(F.when(F.col("__side") == 0, pstruct), ignorenulls=True).over(w),
+    )
+    return tagged.filter(F.col("__side") == 1).select(
+        "__row.*", *[F.col(f"__carried.{c}").alias(f"asof_{c}") for c in carried]
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with
+    `right_time <= left_time < right_time + window_seconds`, with no
+    equality key — via time bands of exactly `window_seconds`.
+
+    Each right interval [t, t+W) overlaps at most 2 bands of width W,
+    so the right side explodes to ≤2 rows each; the band equi-join then
+    prunes to same-band pairs and the exact predicate filters within.
+    A left row matches a given right row in exactly one band (the left
+    row's own), so no dedup is needed. Column names must not collide —
+    alias before calling.
+    """
+    band = lambda c: F.floor(F.unix_timestamp(F.col(c)) / window_seconds)  # noqa: E731
+    l2 = left.withColumn("__band", band(left_time))
+    r2 = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                band(right_time),
+                # last instant of the half-open interval is t+W-1s
+                # (second-resolution timestamps) — tight upper band, so
+                # a band-aligned interval explodes to a single row.
+                F.floor(
+                    (F.unix_timestamp(F.col(right_time)) + window_seconds - 1)
+                    / window_seconds
+                ),
+            )
+        ),
+    )
+    # Exact predicate on the raw timestamps (interval arithmetic, not
+    # unix_timestamp — that would truncate sub-second precision).
+    lt, rt = F.col(left_time), F.col(right_time)
+    exact = (lt >= rt) & (lt < rt + F.expr(f"INTERVAL {int(window_seconds)} SECOND"))
+    return l2.join(r2, on="__band").filter(exact).drop("__band")

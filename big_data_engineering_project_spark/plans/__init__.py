@@ -17,5 +17,6 @@ from big_data_engineering_project_spark.plans.registry import (
 from big_data_engineering_project_spark.plans import queries_reference  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_tpch  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E402,F401
+from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "get_queries", "get_oracles"]

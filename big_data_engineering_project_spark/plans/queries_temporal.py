@@ -1,0 +1,102 @@
+"""Temporal join queries (as-of / banded range) over the events fixture.
+
+North-star extensions (the reference is join-free, SURVEY.md §2.5):
+the two time-series join shapes Spark lacks a first-class operator
+for. Both have exact DuckDB oracles — ASOF JOIN is built into DuckDB,
+and the band join's oracle is the plain (IEJoin-planned) inequality
+join, so the bucketized rewrite is verified against the naive
+formulation it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.temporal import (
+    asof_join_backward,
+    band_join,
+)
+from big_data_engineering_project_spark.plans.registry import register
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+_SPIKE_VALUE = 300.0
+_SPIKE_WINDOW_S = 30 * 60
+
+
+@register(
+    "q_asof_last_purchase",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_ts AS asof_purchase_ts, p.purchase_id AS asof_purchase_id
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+ORDER BY c.event_id
+""",
+    doc="As-of join: each click ⟵ the user's most recent purchase at-or-before "
+    "it (union+window form, one shuffle, no row multiplication)",
+    tags=("temporal", "join"),
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique per (user, ts): ties collapse to the max event_id, so the
+    # carried payload is deterministic (asof_join_backward contract)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        payload_cols=["purchase_id"],
+    ).orderBy("event_id")
+
+
+@register(
+    "q_spike_window_counts",
+    oracle=f"""
+WITH spikes AS (
+  SELECT event_id AS spike_id, ts AS spike_ts
+  FROM events WHERE "value" > {_SPIKE_VALUE}
+)
+SELECT spike_id, spike_ts, COUNT(*) AS n_events
+FROM spikes JOIN events e
+  ON e.ts >= spike_ts AND e.ts < spike_ts + INTERVAL {_SPIKE_WINDOW_S} SECOND
+GROUP BY 1, 2
+ORDER BY spike_id
+""",
+    doc="Banded range join (no equality key): events inside the 30-min window "
+    "after each value spike — band equi-join instead of nested-loop",
+    tags=("temporal", "join"),
+)
+def q_spike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spikes = ev.filter(F.col("value") > _SPIKE_VALUE).select(
+        F.col("event_id").alias("spike_id"), F.col("ts").alias("spike_ts")
+    )
+    pairs = band_join(
+        ev.select(F.col("ts")),
+        spikes,
+        left_time="ts",
+        right_time="spike_ts",
+        window_seconds=_SPIKE_WINDOW_S,
+    )
+    return (
+        pairs.groupBy("spike_id", "spike_ts")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("spike_id")
+    )

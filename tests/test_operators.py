@@ -234,3 +234,61 @@ def test_ivf_topk_recall_and_exact_cosines(spark, sf_dir):
         for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).collect()
     ]
     assert ivf_all == brute
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive at-tie match, NULLs when no prior right row, payload
+    fields stay from the same right row."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=t("2024-01-01 09:00:00")),  # before any right
+            Row(id=2, k=1, ts=t("2024-01-01 10:00:00")),  # exact tie → inclusive
+            Row(id=3, k=1, ts=t("2024-01-01 11:30:00")),  # between rights
+            Row(id=4, k=2, ts=t("2024-01-01 12:00:00")),  # key with no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=t("2024-01-01 10:00:00"), pay=100),
+            Row(k=1, rts=t("2024-01-01 11:00:00"), pay=110),
+        ]
+    )
+    got = {
+        r["id"]: (r["asof_rts"], r["asof_pay"])
+        for r in temporal.asof_join_backward(
+            left, right, key="k", left_time="ts", right_time="rts", payload_cols=["pay"]
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (t("2024-01-01 10:00:00"), 100)
+    assert got[3] == (t("2024-01-01 11:00:00"), 110)
+    assert got[4] == (None, None)
+
+
+def test_band_join_equals_naive_and_avoids_nested_loop(spark, sf_dir):
+    """The bucketized band join returns exactly the pairs of the naive
+    non-equi join, and its physical plan is an equi-join (no
+    BroadcastNestedLoopJoin)."""
+    from big_data_engineering_project_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts").limit(500)
+    right = ev.filter(F.col("value") > 200).select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    w = 1800
+    banded = temporal.band_join(left, right, "ts", "r_ts", w)
+    naive = left.join(
+        right,
+        (F.col("ts") >= F.col("r_ts"))
+        & (F.col("ts") < F.col("r_ts") + F.expr(f"INTERVAL {w} SECOND")),
+    )
+    key = lambda r: (r["event_id"], r["r_id"])  # noqa: E731
+    assert sorted(map(key, banded.collect())) == sorted(map(key, naive.collect()))
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
