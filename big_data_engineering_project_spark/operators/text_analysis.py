@@ -153,3 +153,41 @@ def with_text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         q["quality"].alias("quality"),
         fingerprint_col(text).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (linear inverse-frequency
+    variant: score = tf · N / df — no transcendental functions, so the
+    doubles are bit-reproducible across engines for the oracle check).
+
+    Plan: explode → (doc, term) count [partial-agg before the shuffle]
+    → term-level doc frequency from the tf table itself (its rows are
+    already distinct (doc, term) pairs — no count_distinct) → shuffle
+    join tf⋈df on term → per-doc top-k window. The corpus size N joins
+    in as a broadcast 1-row aggregate, keeping the plan fully lazy.
+    Ties break on term ascending for a total order.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n") / F.col("df"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc", "term", "tf", "df", "score")
+    )

@@ -738,3 +738,45 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("cluster")
     )
+
+
+# --- TF-IDF top terms per document -------------------------------------------
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+  FROM documents
+),
+ex AS (SELECT doc, unnest(t) AS term FROM toks),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc, term, tf, df, CAST(tf AS DOUBLE) * n / df AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+ORDER BY doc, score DESC, term
+""",
+    doc="TF-IDF (linear inverse-frequency) top-5 terms per document: "
+    "explode → tf/df aggs → broadcast-N join → per-doc top-k window",
+    tags=("pipeline", "text"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5).orderBy(
+        "doc", F.desc("score"), "term"
+    )

@@ -161,3 +161,33 @@ def test_kmeans_beats_arbitrary_partition(spark, sf_dir):
     kmeans_sse = sse(np.array([r["cluster"] for r in rows]))
     arbitrary_sse = sse(np.array([r["label"] % k for r in rows]))
     assert kmeans_sse < arbitrary_sse
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """3-doc corpus: a corpus-wide term scores tf·N/df = tf·3/3 = tf;
+    a doc-unique term scores tf·3/1 = 3·tf and outranks it."""
+    from pyspark.sql import Row
+
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare rare"),
+            Row(doc_id=2, text="common common shared"),
+            Row(doc_id=3, text="common shared"),
+        ]
+    )
+    got = {
+        (r["doc"], r["term"]): (r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: rare tf=2 df=1 → 2*3/1=6.0 beats common tf=1 df=3 → 1.0
+    assert got[(1, "rare")] == (2, 1, 6.0)
+    assert got[(1, "common")] == (1, 3, 1.0)
+    # doc 2: common tf=2 → 2.0; shared tf=1 df=2 → 1.5
+    assert got[(2, "common")] == (2, 3, 2.0)
+    assert got[(2, "shared")] == (1, 2, 1.5)
+    # k=2 cap holds per doc
+    assert len([k for k in got if k[0] == 3]) == 2
