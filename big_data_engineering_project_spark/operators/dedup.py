@@ -113,19 +113,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_bucket_size: int | None = None,
     arrow: bool = False,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
     Pipeline: shingle sets → inverted index (explode) → self-join on
     shingle (pairs only form inside a bucket) → |A∩B| per pair →
     Jaccard via per-doc set sizes. Output: (doc_a, doc_b, jaccard),
-    doc_a < doc_b.
+    doc_a < doc_b. Pass a prebuilt `hashed` (doc, hv) frame to share
+    the shingle computation across several dedup jobs in one session.
     """
     # Inverted index over HASHED shingles (8-byte join key instead of a
     # ~20-char string), computed once and cached: the self-join reads it
     # twice and the sizes aggregate a third time.
-    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
-    hashed = shingler(df, id_col, text_col, n)
+    if hashed is None:
+        shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+        hashed = shingler(df, id_col, text_col, n)
     inv = hashed.select("doc", F.explode("hv").alias("s")).persist()
     # Per-doc set size from the inverted index itself (shingles are
     # distinct per doc) — avoids recomputing the shingle expression a
@@ -159,7 +162,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, arrow: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    arrow: bool = False,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, sig array<long>[K]) — K minhashes over shingle poly-hashes.
 
@@ -169,8 +177,9 @@ def minhash_signatures(
     (sorted hv) and the Catalyst path (first-occurrence-ordered hv)
     produce identical signatures.
     """
-    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
-    hashed = shingler(df, id_col, text_col, n)
+    if hashed is None:
+        shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+        hashed = shingler(df, id_col, text_col, n)
     return with_minhash_signature(hashed).select("doc", "sig")
 
 
@@ -344,6 +353,7 @@ def minhash_lsh_pairs(
     threshold: float,
     n: int = 3,
     arrow: bool = False,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
@@ -351,13 +361,15 @@ def minhash_lsh_pairs(
     (candidates only — the LSH trick: ~O(n) instead of O(n²)) →
     4. exact Jaccard verify on candidates only.
     Output: (doc_a, doc_b, jaccard) for verified pairs, doc_a < doc_b.
+    Pass a prebuilt (and ideally persisted) `hashed` frame to share the
+    shingle computation across dedup jobs in one session.
     """
-    shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
-    hashed = shingler(df, id_col, text_col, n)
-    # One computation feeds signatures AND verification (cached: the
-    # char-fold hashing is the expensive step; the frame is compact —
-    # one long array per doc).
-    hashed = hashed.persist()
+    if hashed is None:
+        shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
+        # One computation feeds signatures AND verification (cached:
+        # the char-fold hashing is the expensive step; the frame is
+        # compact — one long array per doc).
+        hashed = shingler(df, id_col, text_col, n).persist()
     sigs = with_minhash_signature(hashed).select("doc", "sig")
     buckets = minhash_band_buckets(sigs)
     a = buckets.alias("a")

