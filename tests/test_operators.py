@@ -292,3 +292,39 @@ def test_band_join_equals_naive_and_avoids_nested_loop(spark, sf_dir):
     assert sorted(map(key, banded.collect())) == sorted(map(key, naive.collect()))
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_equals_naive_formulation(spark, sf_dir):
+    """union+window as-of == the naive join→filter→rank-1 formulation
+    (which multiplies rows before pruning) on real fixture events."""
+    from big_data_engineering_project_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    got = {
+        r["event_id"]: (r["asof_pts"], r["asof_pid"])
+        for r in temporal.asof_join_backward(
+            clicks, purch, key="user_id", left_time="ts", right_time="pts",
+            payload_cols=["pid"],
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.desc("pts"))
+    naive_matched = (
+        clicks.join(purch, "user_id")
+        .filter(F.col("pts") <= F.col("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    naive = {r["event_id"]: (r["pts"], r["pid"]) for r in naive_matched.collect()}
+    no_match = {r["event_id"] for r in clicks.collect()} - set(naive)
+    naive.update({eid: (None, None) for eid in no_match})
+    assert got == naive
