@@ -23,7 +23,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_engineering_project_spark.functions.text import remove_stopwords, tokenize
 
 
 def group_count(df: DataFrame, *keys: str, out: str = "cnt") -> DataFrame:
@@ -74,12 +73,19 @@ def word_counts(
     partial-aggregates before the shuffle and never materializes a
     corpus string anywhere.
     """
+    from big_data_engineering_project_spark.functions.lexicons import STOPWORDS
     from big_data_engineering_project_spark.sources.catalog import spread
 
-    tokens = tokenize(F.lower(F.col(text_col)))
+    # Explode FIRST, filter at row level: the split+explode stays in
+    # whole-stage codegen and the stopword test compiles to an InSet
+    # hash probe — a higher-order array filter before the explode would
+    # run interpreted, ~|tokens|·|stopwords| comparisons per doc.
+    words = spread(df.select(F.col(text_col))).select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    )
+    words = words.filter(F.col("word") != "")
     if drop_stopwords:
-        tokens = remove_stopwords(tokens)
-    words = spread(df.select(F.col(text_col))).select(F.explode(tokens).alias("word"))
+        words = words.filter(~F.col("word").isin(*STOPWORDS))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if k is not None:
         counts = top_k(counts, [F.desc("cnt"), F.asc("word")], k)
@@ -92,11 +98,17 @@ def top_words_per_group(
     """A7 per-group variant: top-k words for every group in one pass
     (the reference re-runs the whole collect pipeline per subreddit ×5,
     NB:1865-1881). One explode + one grouped count + one rank window."""
+    from big_data_engineering_project_spark.functions.lexicons import STOPWORDS
     from big_data_engineering_project_spark.sources.catalog import spread
 
-    tokens = remove_stopwords(tokenize(F.lower(F.col(text_col))))
+    # Same explode-then-row-filter shape as word_counts (codegen +
+    # InSet probe instead of an interpreted array lambda).
     words = spread(df.select(group_col, text_col)).select(
-        F.col(group_col), F.explode(tokens).alias("word")
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    words = words.filter(
+        (F.col("word") != "") & ~F.col("word").isin(*STOPWORDS)
     )
     counts = words.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("word"))
