@@ -67,12 +67,20 @@ def stratified_sample(
 
     Implemented as a single Catalyst filter (rates folded into a CASE
     chain) — no shuffle, no rand(), fully pushdown-friendly.
+
+    Thresholds are INTEGER bucket counts (round(rate·N)): comparing the
+    integer bucket against float rate·N would keep an extra bucket
+    whenever the product rounds up in binary (0.07·100 == 7.0000…01
+    ⇒ 8 buckets instead of 7).
     """
     bucket = hash_bucket_col(F.col(text_col))
-    threshold: Column = F.lit(float(default_rate) * N_BUCKETS)
+    threshold: Column = F.lit(int(round(float(default_rate) * N_BUCKETS)))
     for stratum, rate in sorted(rates.items()):
         threshold = (
-            F.when(F.col(strata_col) == stratum, F.lit(float(rate) * N_BUCKETS))
+            F.when(
+                F.col(strata_col) == stratum,
+                F.lit(int(round(float(rate) * N_BUCKETS))),
+            )
             .otherwise(threshold)
         )
-    return df.filter(bucket.cast("double") < threshold)
+    return df.filter(bucket < threshold)

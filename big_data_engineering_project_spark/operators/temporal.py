@@ -111,11 +111,15 @@ def band_join(
         F.explode(
             F.sequence(
                 band(right_time),
-                # last instant of the half-open interval is t+W-1s
-                # (second-resolution timestamps) — tight upper band, so
-                # a band-aligned interval explodes to a single row.
+                # Upper band must cover every left row satisfying the
+                # exact predicate even with SUB-SECOND timestamps: a
+                # left row at t_l < t_r + W has unix_timestamp(t_l)
+                # (truncated) ≤ floor(t_r) + W, so its band is at most
+                # floor((floor(t_r) + W) / W). Costs at most one extra
+                # exploded row vs the tight second-resolution bound
+                # (band-aligned intervals explode to 2 rows, not 1).
                 F.floor(
-                    (F.unix_timestamp(F.col(right_time)) + window_seconds - 1)
+                    (F.unix_timestamp(F.col(right_time)) + window_seconds)
                     / window_seconds
                 ),
             )

@@ -173,9 +173,10 @@ def tfidf_top_terms(
 
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-        ).alias("term"),
+        # Shared tokenizer (\s+, empties dropped) — same term sets as
+        # every other text operator on the corpus; a literal-space
+        # split would keep tabs/newlines embedded in terms.
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -45,7 +45,16 @@ _HASHED_MEMO: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def _shared_hashed(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, n)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from dead sessions so a long-lived process touching
+    # many SparkSessions doesn't accumulate persisted frames (the stale
+    # unpersist is best-effort — the old context may already be gone).
+    for stale in [k for k in _HASHED_MEMO if k[0] != app_id]:
+        try:
+            _HASHED_MEMO.pop(stale).unpersist()
+        except Exception:
+            pass
+    key = (app_id, sf_dir, n)
     if key not in _HASHED_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         _HASHED_MEMO[key] = dedup.hashed_shingle_table(
@@ -53,11 +62,21 @@ def _shared_hashed(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         ).persist()
     return _HASHED_MEMO[key]
 
+
+def clear_hashed_memo() -> None:
+    """Unpersist and drop every memoized shingle table (explicit hook
+    for callers that want the cache gone before session end)."""
+    while _HASHED_MEMO:
+        try:
+            _HASHED_MEMO.popitem()[1].unpersist()
+        except Exception:
+            pass
+
 # Shared DuckDB CTE fragments ------------------------------------------------
 
 _TOKS_CTE = (
     "toks AS (SELECT doc_id AS doc, "
-    "list_filter(string_split(lower(text), ' '), x -> x != '') AS t "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t "
     "FROM documents)"
 )
 
@@ -348,7 +367,7 @@ _SW_ARR = sql_array(STOPWORDS)
         lambda: f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
   FROM documents
 ), scores AS (
   SELECT doc_id, lang,
@@ -427,7 +446,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
   COUNT(*) AS n_docs,
-  CAST(SUM(len(list_filter(string_split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS total_tokens,
+  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
   CAST(SUM(CAST(n_chars AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents
 GROUP BY source
@@ -608,10 +627,14 @@ _MIX_DEFAULT = 0.1
 
 
 def _mix_case() -> str:
+    # Integer thresholds — mirrors stratified_sample's round(rate·N)
+    # exactly (float rate*100 would admit an extra bucket when the
+    # product rounds up in binary, e.g. 0.07*100 == 7.0000…01).
     whens = " ".join(
-        f"WHEN '{s}' THEN {r * 100.0}" for s, r in sorted(_MIX_RATES.items())
+        f"WHEN '{s}' THEN {int(round(r * 100))}"
+        for s, r in sorted(_MIX_RATES.items())
     )
-    return f"CASE source {whens} ELSE {_MIX_DEFAULT * 100.0} END"
+    return f"CASE source {whens} ELSE {int(round(_MIX_DEFAULT * 100))} END"
 
 
 @register(
@@ -782,7 +805,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id AS doc,
-         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
   FROM documents
 ),
 ex AS (SELECT doc, unnest(t) AS term FROM toks),

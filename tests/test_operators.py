@@ -294,6 +294,39 @@ def test_band_join_equals_naive_and_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_band_join_subsecond_timestamps(spark):
+    """Regression: bands derive from truncated unix_timestamp, so the
+    right side's upper band must extend one band past the truncated
+    endpoint — with right_time=10:00:00.5 and W=1800, a left row at
+    10:30:00.2 satisfies the exact predicate but lives in the band the
+    tight (t+W-1)/W bound never exploded to."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, ts=t("2024-01-01 10:30:00.200")),  # in window, next band
+            Row(lid=2, ts=t("2024-01-01 10:30:00.600")),  # past window end
+            Row(lid=3, ts=t("2024-01-01 10:00:00.700")),  # just after start
+            Row(lid=4, ts=t("2024-01-01 10:00:00.300")),  # BEFORE r_ts → no match
+        ]
+    )
+    right = spark.createDataFrame([Row(rid=7, r_ts=t("2024-01-01 10:00:00.500"))])
+    w = 1800
+    banded = temporal.band_join(left, right, "ts", "r_ts", w)
+    naive = left.join(
+        right,
+        (F.col("ts") >= F.col("r_ts"))
+        & (F.col("ts") < F.col("r_ts") + F.expr(f"INTERVAL {w} SECOND")),
+    )
+    key = lambda r: (r["lid"], r["rid"])  # noqa: E731
+    got = sorted(map(key, banded.collect()))
+    assert got == sorted(map(key, naive.collect()))
+    assert got == [(1, 7), (3, 7)]
+
+
 def test_asof_join_equals_naive_formulation(spark, sf_dir):
     """union+window as-of == the naive join→filter→rank-1 formulation
     (which multiplies rows before pruning) on real fixture events."""

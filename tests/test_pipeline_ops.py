@@ -53,6 +53,20 @@ def test_stratified_sample_nested_and_exact(spark, sf_dir):
     assert sampling.stratified_sample(docs, "text", "source", {}, 0.0).count() == 0
 
 
+def test_stratified_rate_threshold_is_integer(spark):
+    """rate=0.07 keeps buckets 0..6 exactly — the float product
+    0.07*100 == 7.000000000000001 would admit bucket 7 (8% kept)."""
+    df = spark.createDataFrame([Row(id=i, src="a", t=f"uniq {i}") for i in range(3000)])
+    kept = sampling.stratified_sample(df, "t", "src", {"a": 0.07})
+    kept_buckets = {
+        r["b"]
+        for r in kept.select(
+            sampling.hash_bucket_col(F.col("t")).alias("b")
+        ).distinct().collect()
+    }
+    assert kept_buckets == set(range(7))
+
+
 def test_stratified_per_stratum_rates(spark):
     df = spark.createDataFrame(
         [Row(id=i, src="a" if i % 2 else "b", t=f"doc number {i} words") for i in range(200)]
