@@ -137,11 +137,22 @@ def ngram_jaccard_pairs(
     if max_bucket_size is not None:
         # Drop shingles shared by too many docs: they explode the
         # bucket join quadratically and carry no dedup signal (the
-        # high-DF cut every production dedup pipeline applies).
-        df_counts = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_bucket_size)), "s"
-        ).drop("df")
+        # high-DF cut every production dedup pipeline applies). Note
+        # Jaccard is computed with the FULL set sizes but the CUT
+        # intersection, so scores of pairs sharing a hot shingle are
+        # slight underestimates — the standard trade.
+        #
+        # Broadcast the HOT set (df > cut) and anti-join: the stop-
+        # shingle list is tiny by construction (few shingles can exceed
+        # the cut), whereas the kept set is ~the whole vocabulary —
+        # broadcasting that would OOM the driver at corpus scale.
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_size)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

@@ -99,6 +99,14 @@ _HV_CTE = (
 JACCARD_THRESHOLD = 0.5
 NGRAM_N = 3
 
+# High-DF shingle cut: a shingle appearing in more than this many docs
+# is dropped from the inverted index BEFORE the bucket self-join (its
+# bucket would otherwise grow quadratically, and a near-universal
+# shingle carries no dedup signal). Production pipelines scale this
+# with corpus size (e.g. 0.1–1% of |docs|); the constant here is ~20%
+# of the sf0.01 fixture so the oracle can embed the same literal.
+MAX_SHINGLE_DF = 100
+
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -153,7 +161,9 @@ WITH {_TOKS_CTE},
 {_HT_CTE},
 {_HV_CTE},
 sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
-inv AS (SELECT doc, unnest(hv) AS s FROM hs),
+inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
+hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc < b.doc
@@ -179,6 +189,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=JACCARD_THRESHOLD,
         n=NGRAM_N,
+        max_bucket_size=MAX_SHINGLE_DF,
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     ).orderBy("doc_a", "doc_b")
 

@@ -51,6 +51,41 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (got[0]["doc_a"], got[0]["doc_b"], got[0]["jaccard"]) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_high_df_cut_bounds_skewed_bucket(spark):
+    """One stop-shingle shared by EVERY doc (>20% of the corpus —
+    the classic skew hazard): with the DF cut, docs related only
+    through the hot shingle never pair (its quadratic bucket is never
+    joined), while genuine near-dups sharing rare shingles are still
+    found. Without the cut, the hot bucket alone yields all O(n²)
+    pairs."""
+    n = 30
+    rows = [
+        # every doc starts with the same 3 tokens → one shingle with
+        # DF = 30; the tail tokens are unique per doc.
+        Row(id=i, t=f"common stop shingle u{i}a u{i}b u{i}c u{i}d")
+        for i in range(n)
+    ]
+    # a planted near-dup pair sharing a long rare tail
+    rows += [
+        Row(id=100, t="common stop shingle same rare tail tokens here alpha"),
+        Row(id=101, t="common stop shingle same rare tail tokens here omega"),
+    ]
+    df = spark.createDataFrame(rows)
+    # threshold low enough that even 1-shingle overlaps would surface
+    uncut = dedup.ngram_jaccard_pairs(df, "id", "t", threshold=0.01)
+    cut = dedup.ngram_jaccard_pairs(
+        df, "id", "t", threshold=0.01, max_bucket_size=10
+    )
+    # hot bucket alone: every pair of the 32 docs shares ≥1 shingle
+    assert uncut.count() == 32 * 31 // 2
+    got = [(r["doc_a"], r["doc_b"]) for r in cut.collect()]
+    assert got == [(100, 101)]  # only the genuine near-dup survives
+    # and its jaccard uses FULL sizes with the cut intersection:
+    # docs 100/101 share shingles only in the rare tail
+    jac = cut.first()["jaccard"]
+    assert 0 < jac < 1
+
+
 def test_minhash_lsh_finds_identical(spark):
     df = spark.createDataFrame(
         [
