@@ -341,7 +341,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_TAU = 0.6
+# τ sits below the fixture's max within-block cosine (≈0.475 at
+# sf0.01) so the oracle compares real pairs (26 at sf0.01) — a τ above
+# the max would hash-match an empty result, proving nothing.
+_NEARDUP_TAU = 0.35
 
 
 @register(
