@@ -123,17 +123,19 @@ def ngram_jaccard_pairs(
     doc_a < doc_b. Pass a prebuilt `hashed` (doc, hv) frame to share
     the shingle computation across several dedup jobs in one session.
     """
-    # Inverted index over HASHED shingles (8-byte join key instead of a
-    # ~20-char string), computed once and cached: the self-join reads it
-    # twice and the sizes aggregate a third time.
+    # Persist the (doc, hv) shingle table — the char-hash fold is the
+    # expensive expression; everything downstream (inverted index, set
+    # sizes, DF cut) re-derives from it with narrow ops. The exploded
+    # index itself is NOT persisted: re-exploding a cached array column
+    # is a streamed narrow pass, cheaper than a persist round-trip, and
+    # an un-unpersisted cache would leak across calls.
     if hashed is None:
         shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
-        hashed = shingler(df, id_col, text_col, n)
-    inv = hashed.select("doc", F.explode("hv").alias("s")).persist()
-    # Per-doc set size from the inverted index itself (shingles are
-    # distinct per doc) — avoids recomputing the shingle expression a
-    # second time for a separate sizes frame.
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        hashed = shingler(df, id_col, text_col, n).persist()
+    inv = hashed.select("doc", F.explode("hv").alias("s"))
+    # Per-doc set size straight off the array column (shingles are
+    # distinct per doc) — no aggregation over the exploded index.
+    sizes = hashed.select("doc", F.size("hv").cast("long").alias("n_sh"))
     if max_bucket_size is not None:
         # Drop shingles shared by too many docs: they explode the
         # bucket join quadratically and carry no dedup signal (the
@@ -414,28 +416,99 @@ def minhash_lsh_pairs(
 
 
 def simhash_col(tokens: Column, bits: int = 32) -> Column:
-    """32-bit SimHash: per-token poly hash; fingerprint bit i is the
-    sign of Σ_tokens (±1 by token-hash bit i). Array-level Catalyst —
-    the bit loop unrolls into the plan, one pass over tokens."""
+    """SimHash: per-token poly hash; fingerprint bit i is the sign of
+    Σ_tokens (±1 by token-hash bit i).
+
+    ONE fold over the token hashes, accumulating a `bits`-element count
+    array, with the sign→bit combine in the aggregate's finish lambda.
+    The obvious per-bit formulation (`bits` separate aggregates each
+    referencing the token-hash transform) lets projection collapse
+    inline — and thus recompute — the expensive char-level hash fold
+    once PER BIT; here the hash array is referenced exactly once, and
+    the finish lambda reads the accumulator variable (free), not a
+    re-evaluated expression."""
     hs = F.transform(tokens, lambda t: _char_poly_hash(t))
 
-    def bit_sum(mask: int) -> Column:
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+    def step(acc: Column, h: Column) -> Column:
+        signs = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
         )
+        return F.zip_with(acc, signs, lambda a, b: a + b)
 
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(bit_sum(1 << i) >= 0, F.lit(1 << i)).otherwise(0)
-    return fp
+    def finish(acc: Column) -> Column:
+        fp = F.lit(0).cast("long")
+        for i in range(bits):
+            fp = fp + F.when(F.element_at(acc, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        return fp
+
+    return F.aggregate(
+        hs, F.array_repeat(F.lit(0).cast("long"), bits), step, finish
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Doc pairs whose simhash fingerprints differ in ≤ `max_hamming`
+    bits — real simhash dedup, not just identical-fingerprint buckets.
+
+    Scale shape: each doc emits Σ_{j≤k} C(bits, j) variant keys (its
+    fingerprint XOR every bit-flip mask of weight ≤ k); a pair at
+    Hamming distance d ≤ k matches on EXACTLY one mask (the unique
+    weight-d mask equal to h_a XOR h_b), so the equi-join needs no
+    dedup pass. Linear in |docs|·V (V = 17 for 16 bits, k=1), never
+    all-pairs; the join ships 8-byte longs.
+    """
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, max_hamming + 1):
+        masks += [
+            sum(1 << i for i in idxs) for idxs in combinations(range(bits), k)
+        ]
+    fp = df.select(
+        F.col(id_col).alias("doc"),
+        simhash_col(tokens_col(F.col(text_col)), bits=bits).alias("simhash"),
+    )
+    variants = fp.select(
+        "doc",
+        "simhash",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
+    ).select(
+        F.col("doc"),
+        F.col("simhash"),
+        F.col("simhash").bitwiseXOR(F.col("__m")).alias("__v"),
+    )
+    a, b = variants.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__v") == F.col("b.simhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+    )
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical 32-bit simhash (bucket groupBy — the
-    scale path; Hamming-distance-1 would union 32 bit-flip buckets)."""
+    scale path; `simhash_neardup_pairs` generalizes to Hamming ≤ k via
+    bit-flip variant keys)."""
     with_fp = df.select(
         F.col(id_col).alias("doc"),
         simhash_col(tokens_col(F.col(text_col))).alias("simhash"),

@@ -284,6 +284,7 @@ ORDER BY simhash
     "q_simhash_buckets",
     oracle=_simhash_oracle(),
     doc=f"SimHash({_SIMHASH_BITS}-bit sign-sum) duplicate buckets",
+    headline=True,
     tags=("pipeline", "dedup"),
 )
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +301,40 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
     )
+
+
+def _simhash_neardup_oracle() -> str:
+    bit_terms = " + ".join(
+        "(CASE WHEN COALESCE(list_sum(list_transform(hv, "
+        f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+hs AS (SELECT doc, list_transform(t, s -> {_POLY.format(s="s")}) AS hv FROM toks),
+sh AS (SELECT doc, ({bit_terms})::BIGINT AS simhash FROM hs)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_simhash_neardups",
+    oracle=_simhash_neardup_oracle(),
+    doc=f"SimHash({_SIMHASH_BITS}-bit) Hamming-≤1 near-dup pairs via "
+    "bit-flip variant keys (each pair matches exactly one flip mask — "
+    "linear in |docs|·(bits+1), never all-pairs; oracle IS all-pairs)",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_neardup_pairs(
+        docs, "doc_id", "text", bits=_SIMHASH_BITS, max_hamming=1
+    ).orderBy("doc_a", "doc_b")
 
 
 # --- embedding similarity ------------------------------------------------------
@@ -715,6 +750,7 @@ def _pii_oracle() -> str:
     oracle=_pii_oracle(),
     doc="PII scrub (email/phone/IPv4 → tags) + per-doc match count; "
     "JVM regexp only, patterns restricted to the Java∩RE2 regex subset",
+    headline=True,
     tags=("pipeline", "text"),
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +876,7 @@ ORDER BY doc, score DESC, term
 """,
     doc="TF-IDF (linear inverse-frequency) top-5 terms per document: "
     "explode → tf/df aggs → broadcast-N join → per-doc top-k window",
+    headline=True,
     tags=("pipeline", "text"),
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ ORDER BY c.event_id
 """,
     doc="As-of join: each click ⟵ the user's most recent purchase at-or-before "
     "it (union+window form, one shuffle, no row multiplication)",
+    headline=True,
     tags=("temporal", "join"),
 )
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

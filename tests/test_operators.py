@@ -98,6 +98,38 @@ def test_minhash_lsh_finds_identical(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
 
 
+def test_simhash_neardups_equal_brute_force_all_pairs(spark, sf_dir):
+    """The bit-flip variant-key join finds EXACTLY the pairs an
+    all-pairs Hamming filter finds (each pair once), for k=1 and k=2."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    fp = docs.select(
+        F.col("doc_id").alias("doc"),
+        dedup.simhash_col(dedup.tokens_col(F.col("text")), bits=16).alias("h"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    for k in (1, 2):
+        brute = sorted(
+            (r["da"], r["db"], r["hm"])
+            for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+            .filter(ham <= k)
+            .select(
+                F.col("a.doc").alias("da"),
+                F.col("b.doc").alias("db"),
+                ham.cast("long").alias("hm"),
+            )
+            .collect()
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.simhash_neardup_pairs(
+                docs, "doc_id", "text", bits=16, max_hamming=k
+            ).collect()
+        )
+        assert got == brute
+        assert len(got) == len(set(got))  # each pair exactly once
+
+
 def test_hashed_shingle_arrow_matches_catalyst(spark, sf_dir):
     """The numpy/Arrow shingle-hash fast path is bit-identical (as a
     SET per doc) to the Catalyst higher-order-function reference on
