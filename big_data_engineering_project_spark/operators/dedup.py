@@ -415,6 +415,59 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _simhash_mix_consts(bits: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine-map constants for mixed simhash
+    bits — a fixed LCG walk, so the Spark expression and the DuckDB
+    oracle embed identical literals. Needed because the token poly-hash
+    is < P ≈ 2^30: its raw bits ≥ 30 are constant-zero, so a >30-bit
+    fingerprint must derive each bit from an independent mix of the
+    hash, not from the hash's own bit i."""
+    consts, x = [], 42
+    for _ in range(bits):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % (HASH_PRIME - 2) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % HASH_PRIME
+        consts.append((a, b))
+    return consts
+
+
+def simhash_mixed_col(tokens: Column, bits: int) -> Column:
+    """Wide simhash: fingerprint bit i is the sign of
+    Σ_tokens (±1 by parity of (a_i·h + b_i) mod P) — every bit draws on
+    the full token hash, so widths beyond the hash's 30 bits stay
+    discriminative (16-bit `simhash_col` saturates on large corpora:
+    only 65 536 buckets). Same single-fold shape as `simhash_col`:
+    the token-hash array is referenced exactly once, the per-bit
+    count array rides in the fold accumulator. bits ≤ 62 (signed-long
+    fingerprint, no sign-bit games in either engine)."""
+    if not 1 <= bits <= 62:
+        raise ValueError("simhash_mixed_col supports 1..62 bits")
+    consts = _simhash_mix_consts(bits)
+    hs = F.transform(tokens, lambda t: _char_poly_hash(t))
+
+    def step(acc: Column, h: Column) -> Column:
+        signs = F.array(
+            *[
+                F.when(((h * F.lit(a) + F.lit(b)) % HASH_PRIME) % 2 == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for a, b in consts
+            ]
+        )
+        return F.zip_with(acc, signs, lambda x, y: x + y)
+
+    def finish(acc: Column) -> Column:
+        fp = F.lit(0).cast("long")
+        for i in range(bits):
+            fp = fp + F.when(F.element_at(acc, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        return fp
+
+    return F.aggregate(
+        hs, F.array_repeat(F.lit(0).cast("long"), bits), step, finish
+    )
+
+
 def simhash_col(tokens: Column, bits: int = 32) -> Column:
     """SimHash: per-token poly hash; fingerprint bit i is the sign of
     Σ_tokens (±1 by token-hash bit i).
@@ -455,54 +508,108 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
-    max_hamming: int = 1,
+    bits: int = 60,
+    max_hamming: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Doc pairs whose simhash fingerprints differ in ≤ `max_hamming`
     bits — real simhash dedup, not just identical-fingerprint buckets.
+    Fingerprints are `simhash_mixed_col` for bits > 30 (the raw token
+    hash only carries ~30 bits of signal), `simhash_col` otherwise.
 
-    Scale shape: each doc emits Σ_{j≤k} C(bits, j) variant keys (its
-    fingerprint XOR every bit-flip mask of weight ≤ k); a pair at
-    Hamming distance d ≤ k matches on EXACTLY one mask (the unique
-    weight-d mask equal to h_a XOR h_b), so the equi-join needs no
-    dedup pass. Linear in |docs|·V (V = 17 for 16 bits, k=1), never
-    all-pairs; the join ships 8-byte longs.
+    Two candidate strategies, both linear in |docs| (never all-pairs),
+    both shipping 8-byte longs through the join:
+
+    - 'variants': each doc emits Σ_{j≤k} C(bits, j) bit-flip variant
+      keys; a pair at Hamming distance d ≤ k matches on EXACTLY one
+      mask, so the equi-join needs no dedup pass. Right when the mask
+      count is small (k ≤ 1: bits+1 variants).
+    - 'bands': pigeonhole — split the fingerprint into k+1 disjoint
+      bands; ≤ k differing bits leave at least one band identical, so
+      candidates are pairs matching on (band_idx, band_value), then
+      verified with popcount(xor) ≤ k. Pair may match several bands →
+      distinct before verify. Right for wide fingerprints / larger k
+      (bits=60, k=3: 4 keys per doc vs 34 281 flip masks).
+
+    'auto' picks variants for k ≤ 1, bands otherwise.
     """
-    from itertools import combinations
+    simhash = (
+        simhash_mixed_col(tokens_col(F.col(text_col)), bits=bits)
+        if bits > 30
+        else simhash_col(tokens_col(F.col(text_col)), bits=bits)
+    )
+    fp = df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
+    if strategy == "auto":
+        strategy = "variants" if max_hamming <= 1 else "bands"
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
 
-    masks = [0]
-    for k in range(1, max_hamming + 1):
-        masks += [
-            sum(1 << i for i in idxs) for idxs in combinations(range(bits), k)
-        ]
-    fp = df.select(
-        F.col(id_col).alias("doc"),
-        simhash_col(tokens_col(F.col(text_col)), bits=bits).alias("simhash"),
-    )
-    variants = fp.select(
-        "doc",
-        "simhash",
-        F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
-    ).select(
-        F.col("doc"),
-        F.col("simhash"),
-        F.col("simhash").bitwiseXOR(F.col("__m")).alias("__v"),
-    )
-    a, b = variants.alias("a"), fp.alias("b")
-    return (
+    if strategy == "variants":
+        from itertools import combinations
+
+        masks = [0]
+        for k in range(1, max_hamming + 1):
+            masks += [
+                sum(1 << i for i in idxs) for idxs in combinations(range(bits), k)
+            ]
+        variants = fp.select(
+            "doc",
+            "simhash",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
+        ).select(
+            F.col("doc"),
+            F.col("simhash"),
+            F.col("simhash").bitwiseXOR(F.col("__m")).alias("__v"),
+        )
+        a, b = variants.alias("a"), fp.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.__v") == F.col("b.simhash"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+        )
+
+    if strategy != "bands":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    n_bands = max_hamming + 1
+    width = bits // n_bands  # trailing band absorbs the remainder bits
+    keys = []
+    for band in range(n_bands):
+        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
+        keys.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), width * band)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+    banded = fp.select(
+        "doc", "simhash", F.explode(F.array(*keys)).alias("bk")
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
         a.join(
             b,
-            (F.col("a.__v") == F.col("b.simhash"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
+            hamming.alias("hamming"),
         )
+        .distinct()
     )
+    return cands.filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

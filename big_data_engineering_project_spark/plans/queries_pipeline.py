@@ -303,12 +303,22 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wide fingerprint for the near-dup operator: 16 bits has only 65 536
+# buckets (at 500 fixture docs it already matched 4 669 of 124 750
+# possible pairs — no discrimination at corpus scale); 60 mixed bits
+# put random pairs at expected Hamming ≈ 30, so Hamming ≤ 3 selects
+# genuine near-dups only.
+_NEARDUP_BITS = 60
+_NEARDUP_MAX_HAMMING = 3
+
+
 def _simhash_neardup_oracle() -> str:
+    consts = dedup._simhash_mix_consts(_NEARDUP_BITS)
     bit_terms = " + ".join(
         "(CASE WHEN COALESCE(list_sum(list_transform(hv, "
-        f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"h -> CASE WHEN ((h * {a} + {b}) % {P}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(_SIMHASH_BITS)
+        for i, (a, b) in enumerate(consts)
     )
     return f"""
 WITH {_TOKS_CTE},
@@ -317,7 +327,7 @@ sh AS (SELECT doc, ({bit_terms})::BIGINT AS simhash FROM hs)
 SELECT a.doc AS doc_a, b.doc AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_NEARDUP_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
 
@@ -325,15 +335,21 @@ ORDER BY doc_a, doc_b
 @register(
     "q_simhash_neardups",
     oracle=_simhash_neardup_oracle(),
-    doc=f"SimHash({_SIMHASH_BITS}-bit) Hamming-≤1 near-dup pairs via "
-    "bit-flip variant keys (each pair matches exactly one flip mask — "
-    "linear in |docs|·(bits+1), never all-pairs; oracle IS all-pairs)",
+    doc=f"SimHash({_NEARDUP_BITS}-bit mixed) Hamming-≤{_NEARDUP_MAX_HAMMING} "
+    "near-dup pairs via pigeonhole banding (4 disjoint 15-bit bands: a "
+    "pair within Hamming ≤ 3 matches ≥ 1 band exactly — linear "
+    "|docs|·4 keys, never all-pairs; oracle IS all-pairs)",
     tags=("pipeline", "dedup"),
 )
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_neardup_pairs(
-        docs, "doc_id", "text", bits=_SIMHASH_BITS, max_hamming=1
+        docs,
+        "doc_id",
+        "text",
+        bits=_NEARDUP_BITS,
+        max_hamming=_NEARDUP_MAX_HAMMING,
+        strategy="bands",
     ).orderBy("doc_a", "doc_b")
 
 

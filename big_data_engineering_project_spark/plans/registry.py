@@ -65,15 +65,8 @@ def register(
     return wrap
 
 
-def get_queries() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
-
-
-def get_oracles() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
-    }
-
+# NOTE: get_queries/get_oracles live in plans/__init__.py — the export
+# order there is the driver-gate priority order, not registration order.
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (dialect subset valid in BOTH Spark SQL & DuckDB

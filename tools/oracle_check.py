@@ -5,11 +5,16 @@ at the given SF dir, then compares row count, column names, and
 order-insensitive values (exact equality after column-name sort + row
 sort). Prints a per-query verdict and a summary.
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query_name ...]
+
+With --json, also writes a driver-shaped artifact: one object per query
+with rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err (rows-only queries get {"rows_only": true, "spark_rows": N}).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -73,8 +78,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -84,6 +94,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_skip = 0
+    report: dict[str, dict] = {}
     for name, builder in queries.items():
         if only and name not in only:
             continue
@@ -93,19 +104,39 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {traceback.format_exc(limit=1)}",
+            }
             continue
         if name not in oracles:
             print(f"skip  {name}: no oracle (rows-only) rows={len(sdf)}")
             n_skip += 1
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb: {traceback.format_exc(limit=1)}",
+            }
             continue
         problems = compare(name, sdf, ddf)
         dt = time.time() - t0
+        report[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": not any(p.startswith("columns") for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(problems) or None,
+            "sec": round(dt, 2),
+        }
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
@@ -113,6 +144,10 @@ def main() -> int:
             print(f"pass  {name} ({dt:.1f}s) rows={len(sdf)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
