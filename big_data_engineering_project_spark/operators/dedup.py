@@ -45,6 +45,30 @@ MINHASH_K = len(MINHASH_SEEDS)
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
+# Shingle frames persisted INTERNALLY (caller passed hashed=None) are
+# tracked here so long-lived sessions can reclaim executor memory —
+# the operators return lazy DataFrames, so they cannot unpersist their
+# own input. Callers that pass their own `hashed` frame own its
+# lifecycle (see plans/queries_pipeline.py's memo for the session-
+# shared variant).
+_OWNED_PERSISTS: list[DataFrame] = []
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist every shingle frame the dedup operators persisted
+    internally (hashed=None calls). Safe to call anytime — subsequent
+    queries recompute; results are unaffected."""
+    while _OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _persist_owned(df: DataFrame) -> DataFrame:
+    _OWNED_PERSISTS.append(df.persist())
+    return df
+
 
 def _char_poly_hash(s: Column) -> Column:
     """Deterministic polynomial hash of a string:
@@ -112,6 +136,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     max_bucket_size: int | None = None,
+    max_bucket_frac: float | None = None,
     arrow: bool = False,
     hashed: DataFrame | None = None,
 ) -> DataFrame:
@@ -121,39 +146,52 @@ def ngram_jaccard_pairs(
     shingle (pairs only form inside a bucket) → |A∩B| per pair →
     Jaccard via per-doc set sizes. Output: (doc_a, doc_b, jaccard),
     doc_a < doc_b. Pass a prebuilt `hashed` (doc, hv) frame to share
-    the shingle computation across several dedup jobs in one session.
+    the shingle computation across several dedup jobs in one session;
+    internally-built frames are persisted and tracked — reclaim with
+    `clear_dedup_caches()`.
+
+    High-DF cut: `max_bucket_size` is an absolute document-frequency
+    floor; `max_bucket_frac` scales the cut with corpus size (cut =
+    GREATEST(max_bucket_size, FLOOR(frac · n_docs)), n_docs resolved
+    at run time from the shingle table itself) — a fixed constant
+    tuned on a small fixture would silently drop most of the
+    vocabulary at 1000× the corpus.
     """
-    # Persist the (doc, hv) shingle table — the char-hash fold is the
-    # expensive expression; everything downstream (inverted index, set
-    # sizes, DF cut) re-derives from it with narrow ops. The exploded
-    # index itself is NOT persisted: re-exploding a cached array column
-    # is a streamed narrow pass, cheaper than a persist round-trip, and
-    # an un-unpersisted cache would leak across calls.
     if hashed is None:
+        # Persist the (doc, hv) shingle table — the char-hash fold is
+        # the expensive expression; everything downstream (inverted
+        # index, set sizes, DF cut) re-derives from it with narrow ops.
+        # The exploded index itself is NOT persisted: re-exploding a
+        # cached array column is a streamed narrow pass, cheaper than a
+        # persist round-trip.
         shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
-        hashed = shingler(df, id_col, text_col, n).persist()
+        hashed = _persist_owned(shingler(df, id_col, text_col, n))
     inv = hashed.select("doc", F.explode("hv").alias("s"))
     # Per-doc set size straight off the array column (shingles are
     # distinct per doc) — no aggregation over the exploded index.
     sizes = hashed.select("doc", F.size("hv").cast("long").alias("n_sh"))
-    if max_bucket_size is not None:
+    if max_bucket_size is not None or max_bucket_frac is not None:
         # Drop shingles shared by too many docs: they explode the
         # bucket join quadratically and carry no dedup signal (the
         # high-DF cut every production dedup pipeline applies). Note
         # Jaccard is computed with the FULL set sizes but the CUT
         # intersection, so scores of pairs sharing a hot shingle are
         # slight underestimates — the standard trade.
-        #
+        cut = F.lit(max_bucket_size if max_bucket_size is not None else 0).cast("long")
+        counts = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        if max_bucket_frac is not None:
+            # Corpus size resolved at run time as a broadcast 1-row
+            # scalar (never a driver-side action at plan-build time).
+            tot = hashed.agg(F.count(F.lit(1)).alias("__n_docs"))
+            counts = counts.crossJoin(F.broadcast(tot))
+            cut = F.greatest(
+                cut, F.floor(F.lit(float(max_bucket_frac)) * F.col("__n_docs"))
+            )
         # Broadcast the HOT set (df > cut) and anti-join: the stop-
         # shingle list is tiny by construction (few shingles can exceed
         # the cut), whereas the kept set is ~the whole vocabulary —
         # broadcasting that would OOM the driver at corpus scale.
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_bucket_size)
-            .select("s")
-        )
+        hot = counts.filter(F.col("df") > cut).select("s")
         inv = inv.join(F.broadcast(hot), "s", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
@@ -381,8 +419,9 @@ def minhash_lsh_pairs(
         shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
         # One computation feeds signatures AND verification (cached:
         # the char-fold hashing is the expensive step; the frame is
-        # compact — one long array per doc).
-        hashed = shingler(df, id_col, text_col, n).persist()
+        # compact — one long array per doc). Tracked for
+        # clear_dedup_caches() — the lazy return can't unpersist itself.
+        hashed = _persist_owned(shingler(df, id_col, text_col, n))
     sigs = with_minhash_signature(hashed).select("doc", "sig")
     buckets = minhash_band_buckets(sigs)
     a = buckets.alias("a")

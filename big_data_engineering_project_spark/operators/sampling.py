@@ -71,16 +71,23 @@ def stratified_sample(
     Thresholds are INTEGER bucket counts (round(rate·N)): comparing the
     integer bucket against float rate·N would keep an extra bucket
     whenever the product rounds up in binary (0.07·100 == 7.0000…01
-    ⇒ 8 buckets instead of 7).
+    ⇒ 8 buckets instead of 7). Granularity is therefore 1/N_BUCKETS;
+    a NONZERO rate below that is clamped UP to one bucket — banker's
+    rounding would otherwise quantize e.g. 0.005 to zero buckets and a
+    requested 0.5% sample would silently keep nothing.
     """
     bucket = hash_bucket_col(F.col(text_col))
-    threshold: Column = F.lit(int(round(float(default_rate) * N_BUCKETS)))
+
+    def n_kept_buckets(rate: float) -> int:
+        r = float(rate)
+        if r < 0.0 or r > 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {r}")
+        return max(1, int(round(r * N_BUCKETS))) if r > 0.0 else 0
+
+    threshold: Column = F.lit(n_kept_buckets(default_rate))
     for stratum, rate in sorted(rates.items()):
         threshold = (
-            F.when(
-                F.col(strata_col) == stratum,
-                F.lit(int(round(float(rate) * N_BUCKETS))),
-            )
+            F.when(F.col(strata_col) == stratum, F.lit(n_kept_buckets(rate)))
             .otherwise(threshold)
         )
     return df.filter(bucket < threshold)

@@ -127,28 +127,47 @@ def lsh_topk(
     k: int,
     n_planes: int = 8,
     dims: int = 64,
+    n_probe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: scan only vectors in the query's LSH bucket.
+    """Approximate top-k: scan only vectors in the query's LSH bucket —
+    MULTI-PROBE: also buckets within Hamming ≤ `n_probe_bits` of it
+    (a true neighbor that falls just across one hyperplane lands in an
+    adjacent bucket; probing adjacent buckets is how LSH trades scan
+    fraction for recall without re-hashing).
 
     At 100 TB: vectors are WRITTEN partitioned by bucket, so this scan
-    is a partition-pruned read of ~1/2^n_planes of the data; here we
-    compute the bucket on the fly (same plan shape, no pre-partitioned
-    table in the fixture). Recall < 1.0 by construction — this is the
-    scale path; `brute_force_topk` is the exact baseline.
+    is a partition-pruned read of Σ C(n_planes, j≤m) / 2^n_planes of
+    the data (7/64 for 6 planes, m=1); here we compute the bucket on
+    the fly (same plan shape, no pre-partitioned table in the fixture).
+    The probe expansion happens on the QUERY side (1 row → a few dozen
+    bucket keys, broadcast) — the vector table is never exploded.
+    Recall < 1.0 by construction — this is the scale path;
+    `brute_force_topk` is the exact baseline.
     """
+    from itertools import combinations
+
     planes = [_pseudo_hyperplane(p, dims) for p in range(n_planes)]
     v = vectors.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
+    masks = [0]
+    for m in range(1, n_probe_bits + 1):
+        masks += [
+            sum(1 << i for i in idxs)
+            for idxs in combinations(range(n_planes), m)
+        ]
     q = (
         query_df.select(as_double(F.col(vec_col)).alias("_q"))
         .withColumn("_qbucket", lsh_bucket_col(F.col("_q"), planes))
+        .withColumn("_m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("_probe", F.col("_qbucket").bitwiseXOR(F.col("_m")))
+        .select("_q", "_probe")
     )
     return (
-        v.join(F.broadcast(q), v["_bucket"] == q["_qbucket"])
+        v.join(F.broadcast(q), v["_bucket"] == q["_probe"])
         .select(
             F.col(id_col),
             cosine_col(F.col("_v"), F.col("_q")).alias("cosine"),

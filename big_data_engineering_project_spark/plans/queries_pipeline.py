@@ -99,13 +99,17 @@ _HV_CTE = (
 JACCARD_THRESHOLD = 0.5
 NGRAM_N = 3
 
-# High-DF shingle cut: a shingle appearing in more than this many docs
-# is dropped from the inverted index BEFORE the bucket self-join (its
+# High-DF shingle cut: a shingle appearing in more than `cut` docs is
+# dropped from the inverted index BEFORE the bucket self-join (its
 # bucket would otherwise grow quadratically, and a near-universal
-# shingle carries no dedup signal). Production pipelines scale this
-# with corpus size (e.g. 0.1–1% of |docs|); the constant here is ~20%
-# of the sf0.01 fixture so the oracle can embed the same literal.
-MAX_SHINGLE_DF = 100
+# shingle carries no dedup signal). The cut SCALES WITH CORPUS SIZE —
+# cut = GREATEST(floor, FLOOR(frac · n_docs)), n_docs resolved at run
+# time — because a constant tuned on a 500-doc fixture would drop most
+# of the vocabulary at sf1+ and silently depress Jaccard scores. The
+# floor keeps tiny fixtures uncut; 20% matches the prior fixture-tuned
+# constant (100 of 500 docs), so scores are unchanged at sf0.01.
+MIN_SHINGLE_DF_CUT = 100
+MAX_SHINGLE_DF_FRAC = 0.2
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -162,7 +166,9 @@ WITH {_TOKS_CTE},
 {_HV_CTE},
 sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
 inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
-hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+hot AS (SELECT s FROM inv0 GROUP BY s
+        HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
+          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
 inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
@@ -189,7 +195,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=JACCARD_THRESHOLD,
         n=NGRAM_N,
-        max_bucket_size=MAX_SHINGLE_DF,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     ).orderBy("doc_a", "doc_b")
 
@@ -692,14 +699,17 @@ _MIX_DEFAULT = 0.1
 
 
 def _mix_case() -> str:
-    # Integer thresholds — mirrors stratified_sample's round(rate·N)
-    # exactly (float rate*100 would admit an extra bucket when the
-    # product rounds up in binary, e.g. 0.07*100 == 7.0000…01).
+    # Integer thresholds — mirrors stratified_sample's clamped
+    # round(rate·N) exactly (float rate*100 would admit an extra bucket
+    # when the product rounds up in binary, e.g. 0.07*100 == 7.0000…01;
+    # nonzero rates below one bucket clamp UP to 1, never to 0).
+    def buckets(r: float) -> int:
+        return max(1, int(round(r * 100))) if r > 0 else 0
+
     whens = " ".join(
-        f"WHEN '{s}' THEN {int(round(r * 100))}"
-        for s, r in sorted(_MIX_RATES.items())
+        f"WHEN '{s}' THEN {buckets(r)}" for s, r in sorted(_MIX_RATES.items())
     )
-    return f"CASE source {whens} ELSE {int(round(_MIX_DEFAULT * 100))} END"
+    return f"CASE source {whens} ELSE {buckets(_MIX_DEFAULT)} END"
 
 
 @register(

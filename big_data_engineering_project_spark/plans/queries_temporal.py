@@ -82,6 +82,7 @@ ORDER BY spike_id
 """,
     doc="Banded range join (no equality key): events inside the 30-min window "
     "after each value spike — band equi-join instead of nested-loop",
+    headline=True,
     tags=("temporal", "join"),
 )
 def q_spike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

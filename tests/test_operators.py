@@ -272,6 +272,101 @@ def test_lsh_topk_recall(spark, sf_dir):
             assert math.isclose(r["cosine"], brute[r["vec_id"]], rel_tol=1e-12)
 
 
+def test_ann_recall_floors_on_fixture(spark, sf_dir):
+    """Quantitative recall@10 floors vs brute force on the fixture.
+
+    The fixture vectors are near-orthogonal (top-10 cosines 0.28-0.37
+    against a 0.01 median at sf0.01), which is the WORST regime for
+    hyperplane LSH — per-plane agreement for cos≈0.37 is only ~0.62,
+    so these floors are what the data supports at the documented scan
+    fractions, pinned so they cannot silently regress. The planted-
+    neighbor tests below cover the high-similarity regime ANN dedup
+    actually targets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"] for r in similarity.brute_force_topk(base, q, k=10).collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            base, q, k=10, n_planes=6, n_probe_bits=1
+        ).collect()
+    }
+    # ~11% of buckets scanned; 0.3/0.4 measured at sf0.001/sf0.01 —
+    # data-bound, see docstring
+    assert len(lsh & exact) / 10 >= 0.3
+    ivf2 = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(base, q, k=10, n_cells=8, n_probe=2).collect()
+    }
+    assert len(ivf2 & exact) / 10 >= 0.6  # 2/8 cells
+    ivf4 = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(base, q, k=10, n_cells=8, n_probe=4).collect()
+    }
+    assert len(ivf4 & exact) / 10 >= 0.8  # 4/8 cells
+
+
+def _planted_embeddings(spark, dims=16, n_planted=10, n_background=300):
+    """Deterministic corpus with true near-neighbors: vec 0 is the
+    query; 1..n_planted are tiny perturbations of it (cosine ≥ 0.95);
+    the rest are LCG pseudo-random background (near-orthogonal)."""
+    x = 123456789
+    def nxt():
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x / (1 << 31) - 0.5
+    qv = [nxt() for _ in range(dims)]
+    rows = [Row(vec_id=0, embedding=[float(c) for c in qv])]
+    for i in range(1, n_planted + 1):
+        rows.append(Row(
+            vec_id=i,
+            embedding=[float(c + 0.03 * nxt()) for c in qv],
+        ))
+    for i in range(n_planted + 1, n_planted + 1 + n_background):
+        rows.append(Row(vec_id=i, embedding=[float(nxt()) for _ in range(dims)]))
+    return spark.createDataFrame(rows)
+
+
+def test_lsh_topk_high_recall_on_planted_neighbors(spark):
+    """In the regime ANN dedup targets (planted near-dups, cosine
+    ≥ 0.95), multi-probe LSH recall@10 must be ≥ 0.9: per-plane
+    agreement ≈ 0.9 ⇒ the true neighbors concentrate within Hamming
+    ≤ 1 of the query's bucket."""
+    emb = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"] for r in similarity.brute_force_topk(base, q, k=10).collect()
+    }
+    assert exact == set(range(1, 11))  # brute force finds the planted set
+    lsh = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            base, q, k=10, n_planes=6, dims=16, n_probe_bits=1
+        ).collect()
+    }
+    assert len(lsh & exact) / 10 >= 0.9
+
+
+def test_ivf_topk_high_recall_on_planted_neighbors(spark):
+    """IVF with 2/8 probes must recover ≥ 0.9 of planted near-dups —
+    a tight cluster lands in one or two cells by construction."""
+    emb = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"] for r in similarity.brute_force_topk(base, q, k=10).collect()
+    }
+    ivf = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(base, q, k=10, n_cells=8, n_probe=2).collect()
+    }
+    assert len(ivf & exact) / 10 >= 0.9
+
+
 def test_zscore_constant_column_no_anomaly(spark):
     df = spark.createDataFrame([Row(v=5.0)] * 10)
     # std == 0 → z NULL → no anomalies (pandas NaN semantics).

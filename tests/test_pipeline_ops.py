@@ -67,6 +67,22 @@ def test_stratified_rate_threshold_is_integer(spark):
     assert kept_buckets == set(range(7))
 
 
+def test_stratified_tiny_nonzero_rate_keeps_one_bucket(spark):
+    """A nonzero rate below the 1/N_BUCKETS granularity clamps UP to
+    one bucket — banker's rounding would quantize 0.005 to ZERO
+    buckets and a requested 0.5% sample would silently keep nothing."""
+    df = spark.createDataFrame([Row(id=i, src="a", t=f"uniq {i}") for i in range(3000)])
+    kept = sampling.stratified_sample(df, "t", "src", {"a": 0.005})
+    kept_buckets = {
+        r["b"]
+        for r in kept.select(
+            sampling.hash_bucket_col(F.col("t")).alias("b")
+        ).distinct().collect()
+    }
+    assert kept_buckets == {0}  # exactly one bucket (~1%), never empty
+    assert sampling.stratified_sample(df, "t", "src", {"a": 0.0}).count() == 0
+
+
 def test_stratified_per_stratum_rates(spark):
     df = spark.createDataFrame(
         [Row(id=i, src="a" if i % 2 else "b", t=f"doc number {i} words") for i in range(200)]

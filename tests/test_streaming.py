@@ -279,3 +279,41 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 80  # 100 deliveries, 80 unique ids
     assert out.select("id").distinct().count() == 80
+
+
+def test_rate_source_trigger_semantics_no_files(spark):
+    """T1/T2 trigger semantics without any tmp files: the built-in
+    rate source emits a monotonically increasing `value` at a capped
+    rows-per-second; across several processing-time micro-batches the
+    union of batches must be gapless and duplicate-free (the same
+    exactly-once contract the file-source tests pin, but driven purely
+    by trigger timing)."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .withColumn("author", (F.col("value") % 3).cast("string"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            if n_batches >= 3:
+                break
+            time.sleep(0.3)
+        assert n_batches >= 3, "expected several non-empty micro-batches"
+    finally:
+        q.stop()
+    out = spark.sql("SELECT value FROM rate_sink").collect()
+    vals = sorted(r["value"] for r in out)
+    assert len(vals) > 0
+    assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless, no dupes
