@@ -6,6 +6,8 @@ dedup.py; no engine-native hash functions anywhere).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,9 +59,17 @@ def _shared_hashed(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     key = (app_id, sf_dir, n)
     if key not in _HASHED_MEMO:
         docs = load_table(spark, sf_dir, "documents")
-        _HASHED_MEMO[key] = dedup.hashed_shingle_table(
-            docs, "doc_id", "text", n
-        ).persist()
+        # Arrow/numpy shingler is opt-in (SPARK_GRAFT_ARROW_SHINGLES=1):
+        # bit-equal to the Catalyst path (pinned by test), 2-5x faster
+        # warm, but loses cold (Python-worker spin-up + Arrow transfer
+        # of the text column). A/B'd at sf0.1 under the warm bench
+        # protocol — see bench notes in SCALING.md.
+        shingler = (
+            dedup.hashed_shingle_table_arrow
+            if os.environ.get("SPARK_GRAFT_ARROW_SHINGLES") == "1"
+            else dedup.hashed_shingle_table
+        )
+        _HASHED_MEMO[key] = shingler(docs, "doc_id", "text", n).persist()
     return _HASHED_MEMO[key]
 
 
