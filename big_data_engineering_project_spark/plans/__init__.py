@@ -57,9 +57,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_repetition_scores",
     "q_tfidf_top_terms",
     "q_pii_redaction",
-    # LLM-pipeline: sampling / mixing
+    # LLM-pipeline: sampling / mixing + composed curation pass
     "q_hash_split",
     "q_stratified_sample",
+    "q_curation_pipeline",
     # Temporal joins
     "q_asof_last_purchase",
     "q_spike_window_counts",
@@ -90,7 +91,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_shipping_priority",
     "q_nation_revenue",
     "q_orders_with_heavy_items",
-    "q_heavy_orders_sql",
 )
 
 

@@ -883,6 +883,127 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end curation pipeline ---------------------------------------------
+
+_CURATION_MIN_QUALITY = 0.5
+
+
+def _curation_oracle() -> str:
+    lang_counts = ", ".join(
+        f"len(list_filter(t, x -> list_contains({sql_array(m)}, x))) AS c_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    lang_case = """CASE
+    WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+    WHEN c_de >= c_fr THEN 'de'
+    ELSE 'fr'
+  END"""
+    quality = (
+        "0.5 * LEAST(1.0, CAST(n AS DOUBLE) / 100.0) + 0.5 * (1.0 - swr)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, text, len(t) AS n,
+    len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
+      / CAST(GREATEST(len(t), 1) AS DOUBLE) AS swr,
+    {lang_counts}
+  FROM base
+),
+kept AS (
+  SELECT doc_id, source, text, n
+  FROM (SELECT *, {lang_case} AS lang FROM feats)
+  WHERE ({quality}) >= {_CURATION_MIN_QUALITY} AND lang = 'en'
+),
+fp AS (
+  SELECT doc_id, source, n, {_POLY.format(s="text")} AS f, text FROM kept
+),
+uniq AS (
+  SELECT doc_id, source, n, text
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS keeper FROM fp)
+  WHERE doc_id = keeper
+),
+split AS (
+  SELECT source, n,
+    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT source, n, {_POLY.format(s="text")} % 100 AS b FROM uniq)
+)
+SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM split
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="End-to-end training-data curation pass: quality gate → lang-id "
+    "filter (en) → exact dedup on content fingerprint → deterministic "
+    "hash split → corpus accounting by (split, source). One row-local "
+    "projection chain + two keyed shuffles (fingerprint window, final "
+    "agg) — the composition a 100 TB curation job runs nightly",
+    headline=True,
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_engineering_project_spark.operators.sampling import with_split
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_cols,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = quality_score_cols(F.col("text"))
+    kept = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            q["n_tokens"].cast("long").alias("n_tokens"),
+            q["quality"].alias("quality"),
+            lang_id_col(dedup.tokens_col(F.col("text"))).alias("pred_lang"),
+        )
+        .filter(
+            (F.col("quality") >= _CURATION_MIN_QUALITY)
+            & (F.col("pred_lang") == "en")
+        )
+        .drop("quality", "pred_lang")
+    )
+    # Split assignment is content-hashed, so it commutes with dedup —
+    # stamp it BEFORE the fingerprint shuffle and drop the text body:
+    # the shuffle then ships (ids, 8-byte fingerprint, split, counts),
+    # never document text.
+    stamped = with_split(kept, "text").select(
+        "doc_id", "source", "split", "n_tokens",
+        fingerprint_col(F.col("text")).alias("f"),
+    )
+    # Exact dedup on the content fingerprint: one keyed shuffle,
+    # min-id keeper per group.
+    w = Window.partitionBy("f")
+    uniq = (
+        stamped.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    return (
+        uniq.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 # --- TF-IDF top terms per document -------------------------------------------
 
 

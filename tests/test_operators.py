@@ -311,8 +311,13 @@ def test_ann_recall_floors_on_fixture(spark, sf_dir):
 
 def _planted_embeddings(spark, dims=16, n_planted=10, n_background=300):
     """Deterministic corpus with true near-neighbors: vec 0 is the
-    query; 1..n_planted are tiny perturbations of it (cosine ≥ 0.95);
-    the rest are LCG pseudo-random background (near-orthogonal)."""
+    query; the HIGHEST ids are tiny perturbations of it (cosine ≥
+    0.95); low ids are LCG pseudo-random background. Planted ids sit
+    at the top on purpose: ivf_topk seeds its coarse centroids from
+    the lowest ids, and seeding 8 near-identical centroids from the
+    planted cluster itself would make cell argmax a float-noise
+    lottery (and is not the regime IVF runs in — centroids come from
+    a KMeans over the full corpus)."""
     x = 123456789
     def nxt():
         nonlocal x
@@ -320,14 +325,15 @@ def _planted_embeddings(spark, dims=16, n_planted=10, n_background=300):
         return x / (1 << 31) - 0.5
     qv = [nxt() for _ in range(dims)]
     rows = [Row(vec_id=0, embedding=[float(c) for c in qv])]
-    for i in range(1, n_planted + 1):
+    for i in range(1, n_background + 1):
+        rows.append(Row(vec_id=i, embedding=[float(nxt()) for _ in range(dims)]))
+    planted_ids = list(range(n_background + 1, n_background + 1 + n_planted))
+    for i in planted_ids:
         rows.append(Row(
             vec_id=i,
             embedding=[float(c + 0.03 * nxt()) for c in qv],
         ))
-    for i in range(n_planted + 1, n_planted + 1 + n_background):
-        rows.append(Row(vec_id=i, embedding=[float(nxt()) for _ in range(dims)]))
-    return spark.createDataFrame(rows)
+    return spark.createDataFrame(rows), set(planted_ids)
 
 
 def test_lsh_topk_high_recall_on_planted_neighbors(spark):
@@ -335,13 +341,13 @@ def test_lsh_topk_high_recall_on_planted_neighbors(spark):
     ≥ 0.95), multi-probe LSH recall@10 must be ≥ 0.9: per-plane
     agreement ≈ 0.9 ⇒ the true neighbors concentrate within Hamming
     ≤ 1 of the query's bucket."""
-    emb = _planted_embeddings(spark)
+    emb, planted = _planted_embeddings(spark)
     q = emb.filter(F.col("vec_id") == 0).select("embedding")
     base = emb.filter(F.col("vec_id") != 0)
     exact = {
         r["vec_id"] for r in similarity.brute_force_topk(base, q, k=10).collect()
     }
-    assert exact == set(range(1, 11))  # brute force finds the planted set
+    assert exact == planted  # brute force finds the planted set
     lsh = {
         r["vec_id"]
         for r in similarity.lsh_topk(
@@ -354,7 +360,7 @@ def test_lsh_topk_high_recall_on_planted_neighbors(spark):
 def test_ivf_topk_high_recall_on_planted_neighbors(spark):
     """IVF with 2/8 probes must recover ≥ 0.9 of planted near-dups —
     a tight cluster lands in one or two cells by construction."""
-    emb = _planted_embeddings(spark)
+    emb, _planted = _planted_embeddings(spark)
     q = emb.filter(F.col("vec_id") == 0).select("embedding")
     base = emb.filter(F.col("vec_id") != 0)
     exact = {
