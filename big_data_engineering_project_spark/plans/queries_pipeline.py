@@ -1004,6 +1004,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup-style semantic dedup --------------------------------------------
+
+
+@register(
+    "q_semantic_dedup_pairs",
+    oracle=None,  # KMeans clustering is iterative (not SQL-expressible)
+    # → rows-only; pair correctness is pinned in tests/test_operators.py
+    # (every returned pair is a true τ-pair, cosines exact vs the fold).
+    doc="SemDeDup backbone: KMeans(k=4) clusters over embeddings, then "
+    "embedding near-dup pairs INSIDE each cluster (cosine ≥ τ) — "
+    "cluster-then-prune bounds the quadratic term per cluster without "
+    "any ground-truth blocking label; at corpus scale the cluster "
+    "assignment is a written partition column and pruning reads one "
+    "cluster at a time",
+    tags=("pipeline", "similarity", "dedup", "ml"),
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.ml import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=4, seed=7)
+    clustered = emb.join(assign, "vec_id")
+    return (
+        similarity.blocked_neardup_pairs(clustered, "cluster", _NEARDUP_TAU)
+        .select("id_a", "id_b", "cosine")  # cluster ids are an init-order
+        # artifact — expose only the stable pair structure
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- TF-IDF top terms per document -------------------------------------------
 
 

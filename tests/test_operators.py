@@ -373,6 +373,38 @@ def test_ivf_topk_high_recall_on_planted_neighbors(spark):
     assert len(ivf & exact) / 10 >= 0.9
 
 
+def test_semantic_dedup_pairs_are_true_tau_pairs(spark, sf_dir):
+    """Every pair q_semantic_dedup_pairs returns is a genuine τ-pair
+    (cosine exact vs the global all-pairs computation) and the result
+    is deterministic across runs — clustering only PARTITIONS the
+    search space, it must never invent pairs."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    b = REGISTRY["q_semantic_dedup_pairs"].builder
+    got1 = [(r["id_a"], r["id_b"], r["cosine"]) for r in b(spark, sf_dir).collect()]
+    got2 = [(r["id_a"], r["id_b"], r["cosine"]) for r in b(spark, sf_dir).collect()]
+    assert got1 == got2  # deterministic (fixed KMeans seed)
+    assert len(got1) > 0
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("_v")
+    )
+    a, bb = emb.alias("a"), emb.alias("b")
+    true_pairs = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a.join(bb, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            similarity.cosine_col(F.col("a._v"), F.col("b._v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.35)
+        .collect()
+    }
+    for ia, ib, c in got1:
+        assert (ia, ib) in true_pairs
+        assert abs(c - true_pairs[(ia, ib)]) < 1e-12
+
+
 def test_zscore_constant_column_no_anomaly(spark):
     df = spark.createDataFrame([Row(v=5.0)] * 10)
     # std == 0 → z NULL → no anomalies (pandas NaN semantics).

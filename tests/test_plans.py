@@ -102,3 +102,18 @@ def test_entry_flagship_partial_agg(spark):
     p = plan_of(df)
     assert p.count("HashAggregate") >= 2
     assert "PushedFilters" in p
+
+
+def test_curation_pipeline_never_shuffles_text(plans):
+    """The curation pass stamps split + fingerprint BEFORE its keyed
+    shuffles, so no Exchange ships the document body — at 100 TB the
+    fingerprint window and final agg move 8-byte keys and counters,
+    not text."""
+    p = plans("q_curation_pipeline")
+    # Every KEYED Exchange (hash/range) must not carry the text col.
+    # The round-robin spread() right after the scan is exempt: it is
+    # the fixture-width work-distribution crutch (a real corpus scan
+    # is already wide), not part of the query's shuffle structure.
+    for block in p.split("\n\n"):
+        if "Exchange" in block.split("\n")[0] and "RoundRobinPartitioning" not in block:
+            assert "text#" not in block, f"text column crosses a keyed shuffle:\n{block}"
