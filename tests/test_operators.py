@@ -98,6 +98,28 @@ def test_minhash_lsh_finds_identical(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
 
 
+def test_minhash_lsh_pairs_equal_exact_ngram_pairs_on_fixture(spark, sf_dir):
+    """Cross-operator consistency: on the fixture, MinHash+LSH's
+    verified pairs must EQUAL the exact inverted-index Jaccard pairs —
+    the fixture's true near-dups sit well above the 0.5 threshold, so
+    the 4×4 band S-curve gives candidate recall ≈ 1 there, and both
+    paths verify with the same exact Jaccard on hashed shingles.
+    (The high-DF cut can only shave borderline scores, hence compare
+    the UNCUT exact pairs against LSH.)"""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    exact = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in REGISTRY["q_dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in REGISTRY["q_dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert len(lsh) > 0
+
+
 def test_simhash_neardups_equal_brute_force_all_pairs(spark, sf_dir):
     """The bit-flip variant-key join finds EXACTLY the pairs an
     all-pairs Hamming filter finds (each pair once), for k=1 and k=2."""
