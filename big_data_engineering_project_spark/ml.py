@@ -80,6 +80,24 @@ def kmeans_assignments(
     )
 
 
+def kmeans_centers(
+    emb: DataFrame,
+    k: int = 8,
+    seed: int = 7,
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Fitted KMeans cluster centers as plain vectors — the coarse
+    quantizer a production IVF index trains offline (the centers are
+    k small vectors: driver-side by nature, broadcast into the search
+    plan as literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col(emb_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def train_event_type_classifier(events: DataFrame, seed: int = 42):
     """Fit the §2.13 pipeline; returns (model, accuracy on a held-out
     30% split). Import of pyspark.ml is local so the core engine has

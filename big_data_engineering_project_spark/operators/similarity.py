@@ -185,22 +185,29 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into cells, scan only the
     query's n_probe nearest cells.
 
-    Centroids here are seeded deterministically (the n_cells lowest-id
-    vectors) — at scale they'd come from a KMeans job, but the search
+    Pass `centroids` (e.g. `ml.kmeans_centers`) for the production
+    shape — the coarse quantizer an IVF index trains offline; without
+    it, cells are seeded deterministically from the n_cells lowest-id
+    vectors (fixture fallback, weaker recall). Either way the search
     plan is identical: cell assignment is an argmax over n_cells fold
     cosines (pure Catalyst), and at 100 TB the table is WRITTEN
     partitioned by cell so probing reads ~n_probe/n_cells of the data
     via partition pruning. Recall < 1 by construction; brute_force_topk
     is the exact baseline.
     """
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
-    ]
+    if centroids is not None:
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        n_cells = len(cents)
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+        ]
 
     def cell_col(vec: Column) -> Column:
         cos = F.array(

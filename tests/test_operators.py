@@ -395,6 +395,33 @@ def test_ivf_topk_high_recall_on_planted_neighbors(spark):
     assert len(ivf & exact) / 10 >= 0.9
 
 
+def test_ivf_with_kmeans_centroids_probe_all_equals_brute_force(spark, sf_dir):
+    """The production IVF shape (offline-trained KMeans coarse
+    quantizer via `centroids=`) partitions the space completely:
+    probing ALL cells must recover brute force exactly, whatever the
+    quantizer quality. (On this near-random fixture KMeans centroids
+    measure no better than the seeded fallback — 0.4 vs 0.6 recall@10
+    at sf0.01, 2/8 probes — because balanced cells scatter noise-level
+    neighbors; the registered query therefore keeps the seeded path,
+    and this test pins the `centroids=` API.)"""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    brute = [
+        r["vec_id"] for r in similarity.brute_force_topk(base, q, k=10).collect()
+    ]
+    cents = kmeans_centers(base, k=8, seed=7)
+    ivf_all = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            base, q, k=10, n_probe=len(cents), centroids=cents
+        ).collect()
+    ]
+    assert ivf_all == brute
+
+
 def test_semantic_dedup_pairs_are_true_tau_pairs(spark, sf_dir):
     """Every pair q_semantic_dedup_pairs returns is a genuine τ-pair
     (cosine exact vs the global all-pairs computation) and the result
