@@ -91,3 +91,28 @@ def batch_event_layer(
         "warehouse_rows": spark.read.parquet(warehouse_path).count(),
         "artifact_rows": spark.read.option("header", "true").csv(artifact_path).count(),
     }
+
+
+def write_curated_corpus(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> dict[str, int]:
+    """North-star curation job end-to-end: quality gate → lang filter →
+    hash split → fingerprint dedup (plans.queries_pipeline.
+    curate_documents, the same transform the q_curation_pipeline
+    accounting query verifies against its DuckDB oracle) → curated
+    corpus WRITTEN partitioned by split, so downstream training reads
+    train/val/test via partition pruning instead of re-filtering 100 TB.
+    Returns per-split row counts (read back from the written table —
+    counts what actually landed, not what the plan promised)."""
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        curate_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(docs, keep_text=True)
+    write_parquet_table(curated, out_path, partition_by=["split"])
+    written = spark.read.parquet(out_path)
+    return {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

@@ -941,18 +941,18 @@ ORDER BY split, source
 """
 
 
-@register(
-    "q_curation_pipeline",
-    oracle=_curation_oracle(),
-    doc="End-to-end training-data curation pass: quality gate → lang-id "
-    "filter (en) → exact dedup on content fingerprint → deterministic "
-    "hash split → corpus accounting by (split, source). One row-local "
-    "projection chain + two keyed shuffles (fingerprint window, final "
-    "agg) — the composition a 100 TB curation job runs nightly",
-    headline=True,
-    tags=("pipeline", "text", "dedup", "sampling"),
-)
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_documents(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """The curation pass as a reusable frame transform: quality gate →
+    lang-id filter (en) → deterministic hash split → exact dedup on the
+    content fingerprint (min-id keeper). Returns one row per surviving
+    document: (doc_id, source, split, n_tokens[, text]).
+
+    Split stamping is content-hashed, so it commutes with dedup — it
+    happens BEFORE the fingerprint shuffle, and unless `keep_text` the
+    text body is dropped there too: the shuffle ships (ids, 8-byte
+    fingerprint, split, counters), never document text. `keep_text` is
+    for the corpus-write job, where the surviving text IS the output.
+    """
     from pyspark.sql import Window
 
     from big_data_engineering_project_spark.operators.sampling import with_split
@@ -962,7 +962,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_cols,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     q = quality_score_cols(F.col("text"))
     kept = (
         docs.select(
@@ -979,23 +978,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("quality", "pred_lang")
     )
-    # Split assignment is content-hashed, so it commutes with dedup —
-    # stamp it BEFORE the fingerprint shuffle and drop the text body:
-    # the shuffle then ships (ids, 8-byte fingerprint, split, counts),
-    # never document text.
-    stamped = with_split(kept, "text").select(
-        "doc_id", "source", "split", "n_tokens",
-        fingerprint_col(F.col("text")).alias("f"),
+    carry = ["doc_id", "source", "split", "n_tokens"] + (
+        ["text"] if keep_text else []
     )
-    # Exact dedup on the content fingerprint: one keyed shuffle,
-    # min-id keeper per group.
+    stamped = with_split(kept, "text").select(
+        *carry, fingerprint_col(F.col("text")).alias("f")
+    )
     w = Window.partitionBy("f")
-    uniq = (
+    return (
         stamped.withColumn("keeper", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper", "f")
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="End-to-end training-data curation pass: quality gate → lang-id "
+    "filter (en) → exact dedup on content fingerprint → deterministic "
+    "hash split → corpus accounting by (split, source). One row-local "
+    "projection chain + two keyed shuffles (fingerprint window, final "
+    "agg) — the composition a 100 TB curation job runs nightly",
+    headline=True,
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
-        uniq.groupBy("split", "source")
+        curate_documents(docs)
+        .groupBy("split", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),

@@ -41,3 +41,29 @@ def test_enrich_documents_columns(spark, sf_dir):
     assert -1.0 <= row["sentiment"] <= 1.0
     sw = out.filter(F.array_contains("tokens", "the")).count()
     assert sw == 0  # no stopwords survive
+
+
+def test_write_curated_corpus_partitions_and_counts(spark, sf_dir, tmp_path):
+    """The curated-corpus write lands partitioned by split, and the
+    per-split counts read back from disk equal the oracle-verified
+    accounting query's totals — the written artifact IS the audited
+    corpus, not a divergent re-computation."""
+    import os
+
+    from big_data_engineering_project_spark.pipelines import write_curated_corpus
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    out = str(tmp_path / "curated")
+    counts = write_curated_corpus(spark, sf_dir, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {f"split={s}" for s in counts}
+    audited = {
+        (r["split"], r["source"]): r["n_docs"]
+        for r in REGISTRY["q_curation_pipeline"].builder(spark, sf_dir).collect()
+    }
+    per_split: dict[str, int] = {}
+    for (s, _src), n in audited.items():
+        per_split[s] = per_split.get(s, 0) + n
+    assert counts == per_split
+    # text survives into the corpus (the write job's whole point)
+    assert "text" in spark.read.parquet(out).columns
