@@ -21,6 +21,90 @@ from big_data_engineering_project_spark.operators.dedup import (
 from big_data_engineering_project_spark.sources.catalog import spread
 
 
+def text_profile_col(text: Column) -> Column:
+    """Every token-derived signal in ONE pass: a single `F.aggregate`
+    over the tokenizer output whose finish lambda derives all final
+    metrics from the accumulator (accumulator references are free —
+    it's a lambda variable, not a re-evaluated expression tree).
+
+    Why: Catalyst collapses projections and inlines column references,
+    so a query touching n_tokens + stopword ratio + quality + language
+    as separate expressions re-runs the regex tokenizer ~10× per row
+    (the same hazard documented for the shingle fold,
+    operators/dedup.py). Here each *evaluation* costs exactly one
+    split + one token pass; consumers that reference k fields still
+    pay ≤ k evaluations instead of k · (their own subtree count).
+
+    Returns struct(n_tokens long, mean_token_len double,
+    stopword_ratio double, quality double, lang string) — arithmetic
+    identical to `quality_score_cols` + `lang_id_col`, so the DuckDB
+    oracles are unchanged.
+
+    When to use (measured, sf0.1 local[32]): wins when a consumer
+    needs quality AND lang AND counts together — the curation pass
+    dropped 2.05 s → 1.73 s. LOSES when only 1-4 fields are consumed
+    (q_lang_id 0.66 s → 0.86 s, q_quality_scores 0.48 s → 0.63 s):
+    every field reference re-evaluates the fold, and the per-token
+    7-field struct rebuild costs more than the leaner per-feature
+    passes. Rule: fuse when the filter/projection touches the whole
+    profile; stay per-feature otherwise.
+    """
+    toks = tokens_col(text)
+    langs = list(LANG_MARKERS)  # insertion order: en, es, de, fr
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("sw"),
+        F.lit(0).cast("long").alias("chars"),
+        *[F.lit(0).cast("long").alias(f"c_{lang}") for lang in langs],
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["sw"] + F.when(t.isin(*STOPWORDS), one).otherwise(zero)).alias("sw"),
+            (acc["chars"] + F.length(t)).alias("chars"),
+            *[
+                (
+                    acc[f"c_{lang}"]
+                    + F.when(t.isin(*LANG_MARKERS[lang]), one).otherwise(zero)
+                ).alias(f"c_{lang}")
+                for lang in langs
+            ],
+        )
+
+    def finish(acc: Column) -> Column:
+        n = acc["n"]
+        denom = F.greatest(n, F.lit(1)).cast("double")
+        swr = acc["sw"] / denom
+        c = {lang: acc[f"c_{lang}"] for lang in langs}
+        all_zero = (c["en"] == 0) & (c["es"] == 0) & (c["de"] == 0) & (c["fr"] == 0)
+        lang = (
+            F.when(all_zero, F.lit("unknown"))
+            .when(
+                (c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]),
+                "en",
+            )
+            .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+            .when(c["de"] >= c["fr"], "de")
+            .otherwise("fr")
+        )
+        quality = F.lit(0.5) * F.least(
+            F.lit(1.0), n / F.lit(100.0)
+        ) + F.lit(0.5) * (F.lit(1.0) - swr)
+        return F.struct(
+            n.alias("n_tokens"),
+            (acc["chars"] / denom).alias("mean_token_len"),
+            swr.alias("stopword_ratio"),
+            quality.alias("quality"),
+            lang.alias("lang"),
+        )
+
+    return F.aggregate(toks, init, step, finish)
+
+
 def lang_id_col(tokens: Column) -> Column:
     """Marker-word language heuristic: count per-language marker hits,
     argmax with fixed priority order (en > es > de > fr) on ties; zero

@@ -474,6 +474,10 @@ ORDER BY lang, pred_lang
     tags=("pipeline", "text"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language filter counts, NOT the fused text_profile_col: with
+    # only the lang field consumed, the fold's per-token struct rebuild
+    # costs more than the extra tokenizer evaluations (measured at
+    # sf0.1: 0.66 s this form vs 0.86 s fused).
     from big_data_engineering_project_spark.operators.text_analysis import lang_id_col
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -508,6 +512,10 @@ ORDER BY doc_id
     tags=("pipeline", "text"),
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Separate feature expressions, NOT the fused text_profile_col:
+    # four struct-field consumers mean four fold evaluations, and the
+    # per-token struct rebuild loses to the leaner per-feature passes
+    # (measured at sf0.1: 0.48 s this form vs 0.63 s fused).
     from big_data_engineering_project_spark.operators.text_analysis import (
         quality_score_cols,
     )
@@ -958,25 +966,25 @@ def curate_documents(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     from big_data_engineering_project_spark.operators.sampling import with_split
     from big_data_engineering_project_spark.operators.text_analysis import (
         fingerprint_col,
-        lang_id_col,
-        quality_score_cols,
+        text_profile_col,
     )
 
-    q = quality_score_cols(F.col("text"))
+    # Single-pass token profile (one split + one fold per evaluation;
+    # separate quality/lang/count expressions would re-tokenize ~10×
+    # per row after projection collapse — see text_profile_col).
+    prof = text_profile_col(F.col("text"))
     kept = (
-        docs.select(
+        docs.select("doc_id", "source", "text", prof.alias("_prof"))
+        .filter(
+            (F.col("_prof.quality") >= _CURATION_MIN_QUALITY)
+            & (F.col("_prof.lang") == "en")
+        )
+        .select(
             "doc_id",
             "source",
             "text",
-            q["n_tokens"].cast("long").alias("n_tokens"),
-            q["quality"].alias("quality"),
-            lang_id_col(dedup.tokens_col(F.col("text"))).alias("pred_lang"),
+            F.col("_prof.n_tokens").alias("n_tokens"),
         )
-        .filter(
-            (F.col("quality") >= _CURATION_MIN_QUALITY)
-            & (F.col("pred_lang") == "en")
-        )
-        .drop("quality", "pred_lang")
     )
     carry = ["doc_id", "source", "split", "n_tokens"] + (
         ["text"] if keep_text else []
