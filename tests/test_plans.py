@@ -117,3 +117,21 @@ def test_curation_pipeline_never_shuffles_text(plans):
     for block in p.split("\n\n"):
         if "Exchange" in block.split("\n")[0] and "RoundRobinPartitioning" not in block:
             assert "text#" not in block, f"text column crosses a keyed shuffle:\n{block}"
+
+
+def test_ann_plans_broadcast_query_never_shuffle_vectors(plans):
+    """ANN scale posture: the (tiny, ≤ a few dozen rows) query/probe
+    side broadcasts; the vector table itself never crosses a
+    hash-partitioned Exchange — at 100 TB the only acceptable plan is
+    scan → narrow cosine projection → TakeOrdered (brute force) or
+    bucket-pruned scan → same (LSH multi-probe)."""
+    for name in ("q_embedding_topk", "q_embedding_lsh_topk"):
+        p = plans(name)
+        assert "BroadcastExchange" in p, name
+        for block in p.split("\n\n"):
+            head = block.split("\n")[0]
+            if "Exchange" in head and "Broadcast" not in head:
+                assert "hashpartitioning" not in block, (
+                    f"{name}: vector table crosses a keyed shuffle:\n{block}"
+                )
+        assert "TakeOrderedAndProject" in p, name
