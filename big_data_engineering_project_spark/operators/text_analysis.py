@@ -150,6 +150,25 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     }
 
 
+# BPE-ish tokenization regex: letter runs, single digits, single
+# non-alphanumeric marks — the pre-tokenization shape GPT-2-family BPE
+# applies before merges (digits split one-per-token, punctuation
+# separates). Restricted to the Java ∩ RE2 regex subset (explicit
+# classes, no lookarounds, no \s shorthand — Java and RE2 disagree on
+# its exact membership) so Spark and the DuckDB oracle count the same
+# matches on any input.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: matches of BPE_TOKEN_PATTERN (JVM regexp,
+    whole-stage codegen — no Python). The whitespace token count
+    (`tokens_col` + size) underestimates what a subword tokenizer
+    bills for punctuation-heavy or numeric text; corpus accounting in
+    token-budget terms wants this variant."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: polynomial rolling hash of the full text
     mod P (content-addressable id; at 100 TB exact dedup groups on

@@ -531,6 +531,51 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_oracle() -> str:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS BIGINT) AS total_ws_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q_bpe_token_counts",
+    oracle=_bpe_oracle(),
+    doc="Token-budget accounting per source under BOTH counters: "
+    "whitespace tokens and BPE-ish regex tokens (letter runs / single "
+    "digits / punctuation marks — the GPT-2-style pre-tokenization "
+    "shape; JVM regexp, Java∩RE2 pattern subset)",
+    tags=("pipeline", "text"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count_col(F.col("text"))).alias("total_bpe_tokens"),
+            F.sum(F.size(dedup.tokens_col(F.col("text"))).cast("long")).alias(
+                "total_ws_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "q_token_stats_by_source",
     oracle="""

@@ -221,3 +221,43 @@ def test_tfidf_top_terms_hand_checked(spark):
     assert got[(2, "shared")] == (1, 2, 1.5)
     # k=2 cap holds per doc
     assert len([k for k in got if k[0] == 3]) == 2
+
+
+def test_bpe_token_count_split_semantics(spark):
+    """BPE-ish counting: letter runs are one token, each digit is its
+    own token, punctuation marks count individually, whitespace never
+    counts — the GPT-2-style pre-tokenization billing shape."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_token_count_col,
+    )
+
+    rows = [
+        Row(t="hello world", want=2),        # two letter runs
+        Row(t="abc123", want=4),             # run + 3 digit tokens
+        Row(t="a-b.c", want=5),              # letters + 2 marks... a,-,b,.,c
+        Row(t="", want=0),
+        Row(t="  \t\n", want=0),             # whitespace only
+        Row(t="price: $9.99!", want=8),      # price,:,$,9,.,9,9,!
+    ]
+    df = spark.createDataFrame(rows)
+    got = df.select(
+        "want", bpe_token_count_col(F.col("t")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
+
+
+def test_bpe_counts_at_least_whitespace_counts(spark, sf_dir):
+    """On any corpus the BPE-ish count ≥ the whitespace count per doc
+    (splitting only refines): pinned on the fixture."""
+    from big_data_engineering_project_spark.operators.dedup import tokens_col
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.select(
+        bpe_token_count_col(F.col("text")).alias("bpe"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("ws"),
+    ).filter(F.col("bpe") < F.col("ws"))
+    assert bad.count() == 0
