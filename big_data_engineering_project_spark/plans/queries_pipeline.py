@@ -1140,3 +1140,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=5).orderBy(
         "doc", F.desc("score"), "term"
     )
+
+
+# --- KMV distinct-count sketch -------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    poly_user = _POLY.format(s="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {poly_user} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = {_KMV_K}),
+exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY 1)
+SELECT e.event_type, e.exact_distinct,
+       COALESCE(CAST({_KMV_K - 1} AS DOUBLE) * {P} / k.hk,
+                CAST(e.exact_distinct AS DOUBLE)) AS kmv_estimate
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY e.event_type
+"""
+
+
+@register(
+    "q_kmv_distinct_users",
+    oracle=_kmv_oracle(),
+    doc=f"KMV (k-minimum-values, k={_KMV_K}) distinct-user sketch per "
+    "event type, next to the exact count: estimate = (k-1)·P / h_(k) "
+    "over the deterministic poly-hash, so unlike HLL the sketch has an "
+    "EXACT cross-engine oracle. Scale path: KMV sketches merge by "
+    "keeping the k smallest of a union — partial-aggregatable across "
+    "partitions/days like any counter; the rank-window form here is "
+    "the fixture-size formulation",
+    tags=("pipeline", "sketch"),
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        _char_poly_hash(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.coalesce(
+        F.lit(float(_KMV_K - 1)) * F.lit(P) / F.col("hk"),
+        F.col("exact_distinct").cast("double"),
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select("event_type", "exact_distinct", est.alias("kmv_estimate"))
+        .orderBy("event_type")
+    )

@@ -102,3 +102,71 @@ def q_spike_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("spike_id")
     )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle="""
+SELECT 'minute' AS granularity,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour',
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'),
+       COUNT(*),
+       CAST(SUM(CAST("value" AS DECIMAL(18, 6))) AS DOUBLE)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day',
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M'),
+       COUNT(*),
+       CAST(SUM(CAST("value" AS DECIMAL(18, 6))) AS DOUBLE)
+FROM events GROUP BY 2
+ORDER BY granularity, bucket_start
+""",
+    doc="Multi-resolution rollup cascade (continuous-aggregate pattern): "
+    "minute partials computed ONCE from raw events; hour derives from "
+    "minute partials, day from hour — coarser levels re-aggregate "
+    "counters instead of re-scanning the fact table (at 100 TB the "
+    "minute partials are the only full scan; the oracle computes each "
+    "level directly, proving cascade ≡ direct). Decimal-stabilized "
+    "value sums keep every level combine-order-independent",
+    tags=("temporal", "rollup"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").alias("sum_dec"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").alias("sum_dec"),
+    )
+
+    def present(df: "DataFrame", gran: str) -> "DataFrame":
+        return df.select(
+            F.lit(gran).alias("granularity"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    return (
+        present(minute, "minute")
+        .unionAll(present(hour, "hour"))
+        .unionAll(present(day, "day"))
+        .orderBy("granularity", "bucket_start")
+    )
