@@ -665,3 +665,62 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("simhash", "keeper_id", "n_docs")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components of the
+    pair graph, each doc labeled with the MIN doc id of its component
+    (the keeper a dedup pass retains). Input: (doc_a, doc_b[, ...]),
+    doc_a < doc_b. Output: (doc, keeper) for every doc in ≥ 1 pair.
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    ≤ graph-diameter rounds (near-dup components are tiny and dense —
+    single digits in practice). Each round is one shuffle over the
+    EDGE list only — at corpus scale the pair graph is orders of
+    magnitude smaller than the corpus, and this is exactly how
+    production dedup (e.g. the standard MinHash → CC pipeline) computes
+    keeper sets. Driver-side loop with a per-round convergence count —
+    iterative like KMeans, but with an EXACT oracle (recursive CTE).
+    """
+    edges_fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges_fwd.unionAll(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc")).distinct()
+        .withColumn("label", F.col("doc"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges["src"] == labels["doc"])
+                .groupBy(F.col("dst").alias("doc2"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["doc"] == nbr["doc2"], "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(f"CC did not converge in {max_iters} rounds")
+        return labels.select("doc", F.col("label").alias("keeper"))
+    finally:
+        edges.unpersist()

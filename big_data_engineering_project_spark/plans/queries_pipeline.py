@@ -1208,3 +1208,69 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_distinct", est.alias("kmv_estimate"))
         .orderBy("event_type")
     )
+
+
+# --- duplicate clusters (pairs → connected components) -------------------------
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
+inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
+hot AS (SELECT s FROM inv0 GROUP BY s
+        HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
+          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
+inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
+cand AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+walk AS (
+  SELECT doc, doc AS label FROM nodes
+  UNION
+  SELECT e.dst AS doc, w.label FROM walk w JOIN edges e ON e.src = w.doc
+)
+SELECT doc, MIN(label) AS keeper FROM walk GROUP BY doc ORDER BY doc
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Near-dup pairs → duplicate CLUSTERS: connected components of "
+    "the n-gram-Jaccard pair graph, min-id keeper per component "
+    "(Pregel-style min-label propagation over the edge list — the "
+    "pairs→keeper step every production dedup runs after candidate "
+    "verification; oracle is an exact recursive-CTE reachability)",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+    )
+    return dedup.duplicate_clusters(pairs).orderBy("doc")

@@ -655,3 +655,24 @@ def test_asof_join_equals_naive_formulation(spark, sf_dir):
     no_match = {r["event_id"] for r in clicks.collect()} - set(naive)
     naive.update({eid: (None, None) for eid in no_match})
     assert got == naive
+
+
+def test_duplicate_clusters_known_graph(spark):
+    """CC keeper labels on a known graph: a 3-chain (transitive dup
+    via a middle doc), a triangle, and a disjoint pair — every member
+    gets the component's min id, chains collapse transitively."""
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),   # 1-2-3 chain
+            Row(doc_a=5, doc_b=6),   # pair
+            Row(doc_a=8, doc_b=9),
+            Row(doc_a=9, doc_b=10),
+            Row(doc_a=8, doc_b=10),  # triangle
+        ]
+    )
+    got = {
+        r["doc"]: r["keeper"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
