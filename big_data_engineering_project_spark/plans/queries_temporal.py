@@ -136,37 +136,48 @@ ORDER BY granularity, bucket_start
     tags=("temporal", "rollup"),
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan, one fact-table shuffle: minute partials first, then
+    # each partial EXPLODES into its (minute, hour, day) bucket labels
+    # and a single re-aggregation over the (tiny) partial rows builds
+    # every level. A naive union of three per-level aggregations plans
+    # three scans (ReuseExchange does not fire across the branches —
+    # verified on the physical plan); this form is structurally
+    # single-scan. test_plans pins it.
     ev = load_table(spark, sf_dir, "events")
     minute = ev.groupBy(
-        F.date_trunc("minute", F.col("ts")).alias("bucket")
+        F.date_trunc("minute", F.col("ts")).alias("m")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
     )
-    hour = minute.groupBy(
-        F.date_trunc("hour", F.col("bucket")).alias("bucket")
-    ).agg(
-        F.sum("n_events").alias("n_events"),
-        F.sum("sum_dec").alias("sum_dec"),
+    levels = F.array(
+        F.struct(F.lit("minute").alias("granularity"), F.col("m").alias("bucket")),
+        F.struct(
+            F.lit("hour").alias("granularity"),
+            F.date_trunc("hour", F.col("m")).alias("bucket"),
+        ),
+        F.struct(
+            F.lit("day").alias("granularity"),
+            F.date_trunc("day", F.col("m")).alias("bucket"),
+        ),
     )
-    day = hour.groupBy(
-        F.date_trunc("day", F.col("bucket")).alias("bucket")
-    ).agg(
-        F.sum("n_events").alias("n_events"),
-        F.sum("sum_dec").alias("sum_dec"),
-    )
-
-    def present(df: "DataFrame", gran: str) -> "DataFrame":
-        return df.select(
-            F.lit(gran).alias("granularity"),
+    return (
+        minute.select(
+            F.explode(levels).alias("lv"), "n_events", "sum_dec"
+        )
+        .groupBy(
+            F.col("lv.granularity").alias("granularity"),
+            F.col("lv.bucket").alias("bucket"),
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+        .select(
+            "granularity",
             F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket_start"),
-            F.col("n_events").cast("long").alias("n_events"),
+            "n_events",
             F.col("sum_dec").cast("double").alias("sum_value"),
         )
-
-    return (
-        present(minute, "minute")
-        .unionAll(present(hour, "hour"))
-        .unionAll(present(day, "day"))
         .orderBy("granularity", "bucket_start")
     )

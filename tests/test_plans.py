@@ -135,3 +135,11 @@ def test_ann_plans_broadcast_query_never_shuffle_vectors(plans):
                     f"{name}: vector table crosses a keyed shuffle:\n{block}"
                 )
         assert "TakeOrderedAndProject" in p, name
+
+
+def test_rollup_cascade_single_scan(plans):
+    """The multi-resolution rollup must scan the fact table ONCE —
+    minute partials explode into per-level labels and re-aggregate;
+    a per-level union would scan three times."""
+    p = plans("q_rollup_cascade")
+    assert p.count("Scan parquet") == 2  # formatted mode: tree + detail
