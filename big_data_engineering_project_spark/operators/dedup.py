@@ -667,6 +667,70 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hashed_train: DataFrame | None = None,
+    hashed_eval: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: for each TRAIN doc, how much n-gram
+    overlap it has with the EVAL set. Output: (doc, n_shared_shingles,
+    n_eval_docs) — train docs with ≥ 1 shingle also present in any
+    eval doc, the count of distinct such shingles, and how many
+    distinct eval docs they touch. Downstream, a pipeline drops (or
+    flags) train docs above an overlap threshold so benchmark text
+    never leaks into training data.
+
+    Plan shape (the scale path): both sides shingle to hashed longs
+    (`hashed_shingle_table`), the EVAL inverted index — benchmarks are
+    a few MB against a 100 TB corpus — is BROADCAST, so the train side
+    is a single scan + broadcast-hash-join with no shuffle of the
+    corpus; the per-doc aggregation shuffles only the matched rows
+    (contaminated docs are a sliver of the corpus). Join fanout per
+    train occurrence is bounded by the eval document frequency of the
+    shingle; shingles are distinct per doc, so that bound is the eval
+    corpus size, not eval token count. Pass prebuilt (doc, hv) frames
+    to reuse shared shingle tables.
+    """
+    if hashed_train is None:
+        hashed_train = hashed_shingle_table(train, id_col, text_col, n)
+    if hashed_eval is None:
+        hashed_eval = hashed_shingle_table(eval_df, id_col, text_col, n)
+    # Carry the per-doc set size through the inverted index (constant
+    # within a doc's group) instead of joining a corpus-wide sizes
+    # frame back onto the small report — one broadcast join + one
+    # aggregation total, no extra shuffle of the corpus.
+    train_inv = hashed_train.select(
+        "doc", F.size("hv").cast("long").alias("n_sh"), F.explode("hv").alias("s")
+    )
+    eval_inv = hashed_eval.select(
+        F.col("doc").alias("eval_doc"), F.explode("hv").alias("s")
+    )
+    # contaminated_frac — share of the doc's own shingles found in the
+    # eval set; the drop/flag criterion (an absolute shingle count is
+    # length-biased). One exact int/int division — bit-reproducible.
+    return (
+        train_inv.join(F.broadcast(eval_inv), "s")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .select(
+            "doc",
+            "n_shared_shingles",
+            "n_eval_docs",
+            (F.col("n_shared_shingles") / F.col("n_sh").cast("double")).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components of the
     pair graph, each doc labeled with the MIN doc id of its component

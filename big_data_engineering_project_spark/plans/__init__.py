@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: sampling / mixing + composed curation pass
     "q_hash_split",
     "q_stratified_sample",
+    "q_decontaminate_train",
     "q_curation_pipeline",
     # Temporal joins
     "q_asof_last_purchase",
@@ -80,7 +81,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top10_by_value",
     "q_union_slices",
     "q_filter_high_value",
-    "q_json_extract",
     "q_time_of_day",
     "q_zscore_anomalies",
     "q_clean_text",

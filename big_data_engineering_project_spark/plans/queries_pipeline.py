@@ -804,6 +804,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- benchmark decontamination ------------------------------------------------
+
+# Flag threshold: a train doc is contaminated when ≥ 20% of its own
+# 3-gram shingles also appear in the eval split. Chosen on the fixture
+# distribution (two cross-split near-dups sit at ~0.99; background
+# vocabulary overlap tops out near 0.29) — discriminative, non-vacuous.
+DECONTAM_TAU = 0.2
+
+
+@register(
+    "q_decontaminate_train",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+sp AS (SELECT doc_id AS doc,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id, {_POLY.format(s="text")} % 100 AS b FROM documents)),
+tr AS (SELECT hs.doc AS doc, len(hv) AS n_sh, unnest(hv) AS s
+       FROM hs JOIN sp USING (doc) WHERE sp.split = 'train'),
+ev AS (SELECT hs.doc AS eval_doc, unnest(hv) AS s
+       FROM hs JOIN sp USING (doc) WHERE sp.split = 'test'),
+rep AS (
+  SELECT tr.doc AS doc,
+         COUNT(DISTINCT tr.s) AS n_shared_shingles,
+         COUNT(DISTINCT eval_doc) AS n_eval_docs,
+         MIN(n_sh) AS n_sh
+  FROM tr JOIN ev ON tr.s = ev.s
+  GROUP BY tr.doc)
+SELECT doc, n_shared_shingles, n_eval_docs,
+       n_shared_shingles / CAST(n_sh AS DOUBLE) AS contaminated_frac
+FROM rep
+WHERE n_shared_shingles / CAST(n_sh AS DOUBLE) >= {DECONTAM_TAU}
+ORDER BY doc
+""",
+    doc="Benchmark decontamination: train docs whose 3-gram shingles "
+    "overlap the content-hash test split above tau — eval index "
+    "broadcast, corpus never shuffled",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import with_split
+
+    docs = with_split(
+        spread(load_table(spark, sf_dir, "documents")), "text"
+    )
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "test")
+    return (
+        dedup.contamination_report(train, ev, "doc_id", "text", NGRAM_N)
+        .filter(F.col("contaminated_frac") >= DECONTAM_TAU)
+        .orderBy("doc")
+    )
+
+
 # --- PII redaction (operators/redaction.py) -----------------------------------
 
 

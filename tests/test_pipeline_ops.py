@@ -261,3 +261,56 @@ def test_bpe_counts_at_least_whitespace_counts(spark, sf_dir):
         F.size(tokens_col(F.col("text"))).cast("long").alias("ws"),
     ).filter(F.col("bpe") < F.col("ws"))
     assert bad.count() == 0
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def test_contamination_report_hand_checked(spark):
+    """T1 shares {“a b c”} with E1 (1 of its 2 shingles, frac 0.5);
+    T2 shares shingles with BOTH eval docs and every one of its 3
+    shingles is contaminated (frac 1.0); T3 overlaps nothing and must
+    be absent from the report."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c x"),
+            Row(doc_id=2, text="a b c d e"),
+            Row(doc_id=3, text="z z z z"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="a b c d"), Row(doc_id=101, text="c d e f")]
+    )
+    rep = {
+        r["doc"]: r
+        for r in contamination_report(train, ev, "doc_id", "text").collect()
+    }
+    assert set(rep) == {1, 2}
+    assert rep[1]["n_shared_shingles"] == 1
+    assert rep[1]["n_eval_docs"] == 1
+    assert rep[1]["contaminated_frac"] == 0.5
+    # T2: shingles {abc, bcd, cde}; E1 holds {abc, bcd}, E2 holds {cde}.
+    assert rep[2]["n_shared_shingles"] == 3
+    assert rep[2]["n_eval_docs"] == 2
+    assert rep[2]["contaminated_frac"] == 1.0
+
+
+def test_contamination_plan_broadcasts_eval_side(spark, sf_dir):
+    """The eval inverted index must be on the broadcast side — the
+    corpus scan joins it without a shuffle of the train side."""
+    from big_data_engineering_project_spark.operators import dedup as dd
+    from big_data_engineering_project_spark.operators.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"), "text")
+    rep = dd.contamination_report(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
