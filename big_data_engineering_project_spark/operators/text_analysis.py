@@ -295,3 +295,123 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select("doc", "term", "tf", "df", "score")
     )
+
+
+def mean_token_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc mean CORPUS frequency of its tokens — the cheap unigram
+    language-model proxy quality pipelines use to flag gibberish and
+    off-distribution docs (a doc of common words scores high; typos,
+    code noise and foreign-vocab docs score low, no trained LM needed).
+
+    score = (Σ_occurrences corpus_count(token)) / (n_toks · N_total)
+    — the arithmetic mean of count(w)/N over the doc's token
+    OCCURRENCES. Numerator and both denominator factors are exact
+    integers, so the score is ONE double division: bit-reproducible
+    across engines (same reason tfidf uses the linear variant — no
+    transcendental functions in oracle-checked output).
+
+    Plan: per-(doc, term) tf first (partial-agg before any shuffle),
+    then ONE join of the tf table against term totals — the tf table is
+    orders of magnitude smaller than the exploded occurrence stream,
+    and the occurrence-weighted sum is Σ tf·count. The corpus token
+    total rides in as a broadcast 1-row aggregate.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n_total = totals.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tf.join(totals, "term")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("sum_freq"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc",
+            "n_toks",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / (F.col("n_toks") * F.col("n_total"))
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
+def collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by LIFT — the monotone core
+    of PMI: lift(a,b) = P(ab) / (P(a)·P(b)) with unigram probabilities
+    c/W (W = corpus token total) and bigram probability c_ab/B (B =
+    corpus bigram total). Ranking by lift ≡ ranking by PMI = ln(lift),
+    without the cross-engine ln. `min_count` drops one-off pairs
+    (classic PMI pathology: hapax pairs of hapax words score highest).
+
+    Plan: one explode pass builds bigrams via arrays_zip of the token
+    array with itself shifted (no self-join of the token stream);
+    unigram and bigram counts are map-side-combined aggs; the unigram
+    count table joins onto the (already min_count-filtered, so tiny)
+    bigram table twice; W and B ride in as broadcast 1-row aggregates.
+    Output total-ordered by (lift DESC, term_a, term_b).
+    """
+    toks = df.select(tokens_col(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("t"), 1, F.size("t") - 1),
+                        F.slice(F.col("t"), 2, F.size("t") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("term_a"), b.alias("term_b")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<term_a:string,term_b:string>>"))
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    w_tot = uni.agg(F.sum("cnt").alias("w"))
+    b_tot = (
+        toks.select(
+            F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("nb")
+        )
+        .agg(F.sum("nb").alias("b"))
+    )
+    ca = uni.select(F.col("term").alias("term_a"), F.col("cnt").alias("c_a"))
+    cb = uni.select(F.col("term").alias("term_b"), F.col("cnt").alias("c_b"))
+    # lift written as ONE left-to-right double chain — both engines
+    # evaluate the identical IEEE op sequence: ((((ab/B)·W)/ca)·W)/cb.
+    lift = (
+        F.col("n_ab").cast("double")
+        / F.col("b")
+        * F.col("w")
+        / F.col("c_a")
+        * F.col("w")
+        / F.col("c_b")
+    )
+    return (
+        big.join(ca, "term_a")
+        .join(cb, "term_b")
+        .crossJoin(F.broadcast(w_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .withColumn("lift", lift)
+        .orderBy(F.desc("lift"), "term_a", "term_b")
+        .limit(k)
+        .select("term_a", "term_b", "n_ab", "c_a", "c_b", "lift")
+    )

@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stemmed_docs",
     "q_repetition_scores",
     "q_tfidf_top_terms",
+    "q_mean_token_freq",
+    "q_collocations",
     "q_pii_redaction",
     # LLM-pipeline: sampling / mixing + composed curation pass
     "q_hash_split",
@@ -78,8 +80,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_counts_by_type",
     "q_counts_by_type_hour",
     "q_peak_hour_per_type",
-    "q_top10_by_value",
-    "q_union_slices",
     "q_filter_high_value",
     "q_time_of_day",
     "q_zscore_anomalies",

@@ -1197,6 +1197,88 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram-LM quality proxy -------------------------------------------------
+
+
+@register(
+    "q_mean_token_freq",
+    oracle=f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc, unnest(t) AS term FROM toks),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+tot AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tot),
+agg AS (
+  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_toks,
+         CAST(SUM(tf * cnt) AS BIGINT) AS sum_freq
+  FROM tf JOIN tot USING (term) GROUP BY doc
+)
+SELECT doc, n_toks, sum_freq,
+       CAST(sum_freq AS DOUBLE) / (n_toks * n_total) AS mean_token_freq
+FROM agg CROSS JOIN n
+ORDER BY doc
+""",
+    doc="Unigram-LM quality proxy: per-doc mean corpus frequency of its "
+    "tokens — integer-exact arithmetic, one double division (no ln)",
+    tags=("pipeline", "text"),
+)
+def q_mean_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        mean_token_freq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mean_token_freq(docs, "doc_id", "text").orderBy("doc")
+
+
+# --- collocation mining (PMI-by-lift) ------------------------------------------
+
+_COLLOC_MIN_COUNT = 5
+_COLLOC_K = 20
+
+
+@register(
+    "q_collocations",
+    oracle=f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT unnest(t) AS term FROM toks),
+uni AS (SELECT term, COUNT(*) AS cnt FROM ex GROUP BY 1),
+big AS (
+  SELECT t[i] AS term_a, t[i + 1] AS term_b, COUNT(*) AS n_ab
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}
+),
+w AS (SELECT CAST(SUM(cnt) AS BIGINT) AS w FROM uni),
+b AS (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS b FROM toks)
+SELECT term_a, term_b, n_ab, c_a, c_b,
+       CAST(n_ab AS DOUBLE) / b * w / c_a * w / c_b AS lift
+FROM (
+  SELECT big.*, ua.cnt AS c_a, ub.cnt AS c_b
+  FROM big
+  JOIN uni ua ON big.term_a = ua.term
+  JOIN uni ub ON big.term_b = ub.term
+) CROSS JOIN w CROSS JOIN b
+ORDER BY lift DESC, term_a, term_b
+LIMIT {_COLLOC_K}
+""",
+    doc="Collocation mining: top-20 adjacent bigrams by lift (the "
+    "monotone core of PMI — no cross-engine ln), min-count floor "
+    "against the hapax-pair pathology",
+    tags=("pipeline", "text"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The operator's orderBy+limit already selects the total-ordered
+    # top-k; re-sort is a no-op for the driver's sorted compare.
+    return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
+
+
 # --- KMV distinct-count sketch -------------------------------------------------
 
 _KMV_K = 64

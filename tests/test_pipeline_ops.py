@@ -314,3 +314,57 @@ def test_contamination_plan_broadcasts_eval_side(spark, sf_dir):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- corpus statistics (unigram-LM proxy, collocations) -----------------------
+
+
+def test_mean_token_freq_hand_checked(spark):
+    """Corpus: d1='a a b', d2='b c' → counts a=2 b=2 c=1, N=5.
+    d1 occurrences (a,a,b) → sum_freq 6, mean 6/(3·5)=0.4;
+    d2 (b,c) → sum_freq 3, mean 3/(2·5)=0.3."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        mean_token_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="b c")]
+    )
+    rep = {r["doc"]: r for r in mean_token_freq(docs, "doc_id", "text").collect()}
+    assert rep[1]["n_toks"] == 3 and rep[1]["sum_freq"] == 6
+    assert rep[1]["mean_token_freq"] == 0.4
+    assert rep[2]["n_toks"] == 2 and rep[2]["sum_freq"] == 3
+    assert rep[2]["mean_token_freq"] == 0.3
+
+
+def test_collocations_hand_checked(spark):
+    """'x y x y x y' → bigrams xy=3, yx=2; W=6, B=5, c_x=c_y=3.
+    lift(xy) = 3/5 · 6/3 · 6/3 = 2.4; yx = 2/5 · 2 · 2 = 1.6."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x y x y x y")])
+    rows = collocations(docs, "text", min_count=2, k=5).collect()
+    by_pair = {(r["term_a"], r["term_b"]): r for r in rows}
+    assert by_pair[("x", "y")]["n_ab"] == 3
+    assert abs(by_pair[("x", "y")]["lift"] - 2.4) < 1e-12
+    assert by_pair[("y", "x")]["n_ab"] == 2
+    assert abs(by_pair[("y", "x")]["lift"] - 1.6) < 1e-12
+    # ranked by lift: xy first
+    assert rows[0]["term_a"] == "x"
+
+
+def test_collocations_min_count_floor(spark):
+    """A pair appearing once (hapax pathology) is dropped."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="p q p q rare pair")])
+    pairs = {
+        (r["term_a"], r["term_b"])
+        for r in collocations(docs, "text", min_count=2, k=10).collect()
+    }
+    assert ("rare", "pair") not in pairs
+    assert ("p", "q") in pairs
