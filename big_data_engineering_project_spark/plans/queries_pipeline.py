@@ -842,6 +842,7 @@ ORDER BY doc
     doc="Benchmark decontamination: train docs whose 3-gram shingles "
     "overlap the content-hash test split above tau — eval index "
     "broadcast, corpus never shuffled",
+    headline=True,
     tags=("pipeline", "dedup", "sampling"),
 )
 def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,6 +1267,7 @@ LIMIT {_COLLOC_K}
     doc="Collocation mining: top-20 adjacent bigrams by lift (the "
     "monotone core of PMI — no cross-engine ln), min-count floor "
     "against the hapax-pair pathology",
+    headline=True,
     tags=("pipeline", "text"),
 )
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
