@@ -2,7 +2,13 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., "protocol": {...}, "queries_detail": {...}}
+ "sf": ..., "protocol": {...}}
+
+The stdout line is deliberately COMPACT: the driver captures only the
+tail of the process output and parses the last JSON line, so a long
+line gets truncated and records `"parsed": null` (this is exactly what
+happened to BENCH_r03.json when per-run detail was embedded). Per-run
+detail now goes to stderr and to BENCH_DETAIL.json next to this file.
 
 Measurement protocol (pinned; r1/r2 used a single cold run per query,
 which made the numbers hostage to JVM warm-up and run-to-run noise —
@@ -66,24 +72,29 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "protocol": {
-                    "warmups_per_query": warmups,
-                    "reps_per_query": reps,
-                    "stat": "median",
-                    "session_warmup": True,
-                },
-                "queries_detail": detail,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": {
+            "warmups_per_query": warmups,
+            "reps_per_query": reps,
+            "stat": "median",
+            "session_warmup": True,
+        },
+    }
+    # Per-run detail: side file + stderr, never the parsed stdout line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**payload, "queries_detail": detail}, fh, indent=1)
+    except OSError as exc:  # read-only checkout: detail is best-effort
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 

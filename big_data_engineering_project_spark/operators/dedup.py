@@ -184,8 +184,13 @@ def ngram_jaccard_pairs(
             # scalar (never a driver-side action at plan-build time).
             tot = hashed.agg(F.count(F.lit(1)).alias("__n_docs"))
             counts = counts.crossJoin(F.broadcast(tot))
+            # Clamp to >= 1: on a corpus where floor(frac*n_docs) == 0
+            # a zero cut marks EVERY shingle hot (df > 0) and the
+            # result silently empties.
             cut = F.greatest(
-                cut, F.floor(F.lit(float(max_bucket_frac)) * F.col("__n_docs"))
+                cut,
+                F.floor(F.lit(float(max_bucket_frac)) * F.col("__n_docs")),
+                F.lit(1).cast("long"),
             )
         # Broadcast the HOT set (df > cut) and anti-join: the stop-
         # shingle list is tiny by construction (few shingles can exceed
@@ -578,6 +583,13 @@ def simhash_neardup_pairs(
         else simhash_col(tokens_col(F.col(text_col)), bits=bits)
     )
     fp = df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
+    if max_hamming + 1 > bits:
+        # With fewer bits than bands the leading bands would be
+        # zero-width (constant key 0) and the "candidate" join would
+        # degenerate into an all-pairs cross join per band.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs max_hamming+1 <= bits={bits}"
+        )
     if strategy == "auto":
         strategy = "variants" if max_hamming <= 1 else "bands"
     hamming = F.bit_count(
@@ -785,6 +797,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 break
         else:
             raise RuntimeError(f"CC did not converge in {max_iters} rounds")
+        # The final labels frame stays persisted (it backs the returned
+        # plan) but is tracked so clear_dedup_caches() can reclaim it —
+        # otherwise each call leaks one cached frame in a long session.
+        _OWNED_PERSISTS.append(labels)
         return labels.select("doc", F.col("label").alias("keeper"))
+    except BaseException:
+        labels.unpersist()
+        raise
     finally:
         edges.unpersist()

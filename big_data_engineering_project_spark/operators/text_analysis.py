@@ -337,7 +337,11 @@ def mean_token_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "sum_freq",
             (
                 F.col("sum_freq").cast("double")
-                / (F.col("n_toks") * F.col("n_total"))
+                # Each factor cast to double BEFORE multiplying: at a
+                # ~1e13-token corpus a ~1e6-token doc makes the
+                # long*long product overflow int64, and non-ANSI Spark
+                # wraps silently instead of erroring.
+                / (F.col("n_toks").cast("double") * F.col("n_total").cast("double"))
             ).alias("mean_token_freq"),
         )
     )

@@ -1215,7 +1215,8 @@ agg AS (
   FROM tf JOIN tot USING (term) GROUP BY doc
 )
 SELECT doc, n_toks, sum_freq,
-       CAST(sum_freq AS DOUBLE) / (n_toks * n_total) AS mean_token_freq
+       CAST(sum_freq AS DOUBLE)
+         / (CAST(n_toks AS DOUBLE) * CAST(n_total AS DOUBLE)) AS mean_token_freq
 FROM agg CROSS JOIN n
 ORDER BY doc
 """,

@@ -85,11 +85,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is timestamp[ns] in the parquet; Spark reads it as long
-        # (session conf spark.sql.legacy.parquet.nanosAsLong). Convert
-        # to a proper µs timestamp with INTEGER division (a double
-        # division would lose precision at 1.7e18 ns magnitudes).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Normalize ts to a session-TZ (UTC-pinned) TIMESTAMP whatever
+        # the physical parquet type — the generator has shipped both:
+        #   - timestamp[ns]: Spark reads it as long under the
+        #     nanosAsLong conf → integer-divide to µs (a double
+        #     division would lose precision at 1.7e18 ns magnitudes);
+        #   - timestamp[us] (isAdjustedToUTC=false): Spark reads
+        #     TIMESTAMP_NTZ → reinterpret in the UTC session TZ, a
+        #     value-level no-op that restores the type every downstream
+        #     query was built against.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
