@@ -1,0 +1,218 @@
+"""User-behavior analytics over the event stream: gap sessionization,
+funnel conversion, transition matrices, rolling per-key aggregates,
+exact grouped quantiles.
+
+North-star extensions (the reference's per-author running counts,
+`S/kinesis_processing_2.py:93-99`, are the seed idea — these are the
+standard large-scale generalizations every event warehouse runs).
+All pure Catalyst; every operator is one shuffle on its natural key.
+
+Scale posture (100 TB events):
+- Every window here partitions by user_id — the natural high-
+  cardinality key, so partitions are balanced by construction (no
+  single user holds a meaningful fraction of a 100 TB stream; if one
+  did, per-user history is still bounded by time retention).
+- sessionize / transitions / rolling share ONE Window spec per
+  operator: lag + running-sum over the same (partition, order) spec
+  plan into a single Exchange + Sort (Catalyst reuses the child), so
+  session assignment costs exactly one shuffle of the events.
+- funnel reduces each side to per-user scalars BEFORE joining
+  (partial-agg pushes the heavy reduction map-side); the join ships
+  two (user_id, ts) tables, never raw events.
+- grouped_quantiles uses exact percentile (sort-based agg) — right for
+  bounded group counts; at 100 TB with high-cardinality groups the
+  scale path is approx_percentile (t-digest sketch, map-side
+  combinable), same call shape, documented at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _event_order(ts_col: str, tiebreak_col: str):
+    # Total order inside a user: ts then the unique event id — windows
+    # over a non-total order are engine/partition-order dependent.
+    return [F.col(ts_col), F.col(tiebreak_col)]
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session indexes: a new session starts when the
+    user's inter-event gap exceeds `gap_seconds` (the classic web-
+    analytics sessionization every warehouse implements).
+
+    Adds `session_idx` (0-based per user, ordered). Arithmetic is on
+    integer epoch-µs (unix_micros) — exact, no float timestamps.
+    One shuffle: lag and the running sum share the same window spec.
+    """
+    w = Window.partitionBy(user_col).orderBy(*_event_order(ts_col, tiebreak_col))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    brk = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_idx", F.sum(brk).over(wsum) - F.lit(1))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-session summary: start/end, event count, exact µs duration.
+
+    groupBy lands on the keys the sessionize window already
+    partitioned by, so the aggregation after the window is shuffle-
+    free in practice (AQE reuses the exchange; worst case it's a
+    partial-agg of already-clustered rows).
+    """
+    sess = sessionize(df, user_col, ts_col, gap_seconds, tiebreak_col)
+    return sess.groupBy(
+        F.col(user_col), F.col("session_idx").cast("long").alias("session_idx")
+    ).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("duration_us"),
+    )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Per-user funnel: first `from_type` event, then the earliest
+    `to_type` event at-or-after it; converted iff within the window.
+
+    Both sides collapse to per-user scalars before the join (map-side
+    partial agg does the heavy lifting); the conditional min over the
+    joined frame resolves "earliest B after A" without a window.
+    """
+    a = (
+        df.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("entered_ts"))
+    )
+    b = df.filter(F.col(type_col) == to_type).select(
+        user_col, F.col(ts_col).alias("b_ts")
+    )
+    entered_us = F.unix_micros(F.col("entered_ts"))
+    conv = (
+        a.join(b, user_col, "left")
+        .groupBy(user_col, "entered_ts")
+        .agg(
+            F.min(
+                F.when(F.col("b_ts") >= F.col("entered_ts"), F.col("b_ts"))
+            ).alias("converted_ts")
+        )
+    )
+    return conv.select(
+        user_col,
+        "entered_ts",
+        "converted_ts",
+        F.when(
+            F.col("converted_ts").isNotNull()
+            & (
+                F.unix_micros(F.col("converted_ts")) - entered_us
+                <= within_seconds * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts: consecutive (type → next type) pairs
+    within each user's totally-ordered event stream. The output is at
+    most |types|² rows — the window shuffle dominates, the count agg
+    is map-side-combined down to almost nothing.
+    """
+    w = Window.partitionBy(user_col).orderBy(*_event_order(ts_col, tiebreak_col))
+    nxt = F.lead(F.col(type_col)).over(w)
+    return (
+        df.withColumn("__next", nxt)
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rolling sum/mean of the trailing `n_rows` events per key
+    (ROWS frame — count-based, not time-based). The sum is decimal-
+    stabilized (exact, order-independent adds) so partial-window
+    evaluation order can never change the reported double.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*_event_order(ts_col, tiebreak_col))
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    roll_sum = F.sum(dec).over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    return df.select(
+        tiebreak_col,
+        key_col,
+        ts_col,
+        roll_sum.cast("double").alias("roll_sum"),
+        roll_n.alias("roll_n"),
+        (roll_sum.cast("double") / roll_n).alias("roll_avg"),
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column.
+
+    exact=True → `percentile` (sort-based, linear interpolation):
+    right when the group count is bounded (dashboards, per-type
+    distributions). exact=False → `approx_percentile` (t-digest
+    sketch, map-side combinable, bounded memory): the 100 TB path for
+    high-cardinality groups, at the cost of oracle-exactness.
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = [
+        fn(F.col(value_col), F.lit(q)).alias(f"p{int(q * 100):02d}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)

@@ -419,3 +419,62 @@ def collocations(
         .limit(k)
         .select("term_a", "term_b", "n_ab", "c_a", "c_b", "lift")
     )
+
+
+def segments_col(tokens: Column, seg_tokens: int) -> Column:
+    """Non-overlapping `seg_tokens`-token segments of a token array,
+    each rejoined with single spaces — the unit of line/paragraph-
+    level dedup (C4 dedups lines, RefinedWeb paragraphs; the synthetic
+    corpus has no newlines, so fixed-width token segments stand in as
+    the configurable segmenter).
+
+    Guard: sequence(1, 0) DESCENDS in Spark, so empty token arrays
+    must short-circuit to an empty segment array.
+    """
+    n_segs = F.ceil(F.size(tokens) / F.lit(seg_tokens)).cast("int")
+    seg = lambda i: F.array_join(  # noqa: E731
+        F.slice(tokens, (i - F.lit(1)) * seg_tokens + F.lit(1), seg_tokens), " "
+    )
+    return F.when(
+        F.size(tokens) > 0, F.transform(F.sequence(F.lit(1), n_segs), seg)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_segment_fraction(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """Per-doc fraction of segments that occur (verbatim) more than
+    once in the WHOLE corpus — the C4/RefinedWeb line-dedup signal:
+    docs dominated by corpus-repeated segments are boilerplate.
+
+    Plan: explode segments once, count global occurrences (map-side-
+    combined string groupBy — same shape as word counts), join the
+    counts back to the instances, re-aggregate per doc. The join key
+    is the segment string here because the DuckDB oracle must form the
+    identical key; at 100 TB the key would be xxhash64(segment) — an
+    8-byte shuffle instead of shipping every segment twice — with an
+    identical plan shape.
+    """
+    segs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(segments_col(tokens_col(F.col(text_col)), seg_tokens)).alias(
+            "seg"
+        ),
+    )
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_segs"),
+        )
+        .select(
+            "doc",
+            "n_segs",
+            "n_dup_segs",
+            (F.col("n_dup_segs").cast("double") / F.col("n_segs")).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -27,6 +27,7 @@ from big_data_engineering_project_spark.plans import queries_reference  # noqa: 
 from big_data_engineering_project_spark.plans import queries_tpch  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
+from big_data_engineering_project_spark.plans import queries_behavior  # noqa: E402,F401
 
 # First-50 gate priority: every query family gets at least one slot.
 # The names NOT listed here (and therefore exported last) are exactly
@@ -70,26 +71,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_decontaminate_train",
     "q_curation_pipeline",
+    # LLM-pipeline: segment-level (line-style) dedup signal
+    "q_dup_segment_fraction",
     # Temporal joins
     "q_asof_last_purchase",
     "q_spike_window_counts",
     # Sketches / hierarchical rollup
     "q_kmv_distinct_users",
     "q_rollup_cascade",
-    # Reference operators (one slot per family)
+    # Behavior analytics (round 4)
+    "q_session_stats",
+    "q_funnel_conversion",
+    "q_event_transitions",
+    "q_user_rolling_avg",
+    "q_value_quantiles_by_type",
+    # Reference operators (one slot per family; the names demoted to
+    # make room for round-4 queries — q_counts_by_type_hour,
+    # q_filter_high_value, q_time_of_day, q_clean_text, q_sentiment,
+    # q_udtf_word_positions — all hold driver-green rows in the
+    # committed r01/r02/r03 artifacts)
     "q_counts_by_type",
-    "q_counts_by_type_hour",
     "q_peak_hour_per_type",
-    "q_filter_high_value",
-    "q_time_of_day",
     "q_zscore_anomalies",
-    "q_clean_text",
     "q_word_counts_top15",
-    "q_sentiment",
     "q_serving_try_cast",
     "q_enrich_events",
     "q_tumbling_hourly_counts",
-    "q_udtf_word_positions",
     # TPC-H joins / SQL surface
     "q_pricing_summary",
     "q_shipping_priority",

@@ -1,0 +1,213 @@
+"""Behavior-analytics queries over the events fixture: sessionization,
+funnel conversion, transition matrix, rolling aggregates, grouped
+quantiles — plus segment-level (line-style) dedup on documents.
+
+North-star extensions generalizing the reference's per-author running
+counts (`S/kinesis_processing_2.py:93-99`) to the standard event-
+warehouse operator set. Every query has an exact DuckDB oracle; the
+window specs use a TOTAL order (ts, event_id) per user so the result
+is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.behavior import (
+    event_transitions,
+    funnel_conversion,
+    grouped_quantiles,
+    rolling_agg,
+    session_stats,
+)
+from big_data_engineering_project_spark.operators.text_analysis import (
+    dup_segment_fraction,
+)
+from big_data_engineering_project_spark.plans.registry import register
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+_SESSION_GAP_S = 86_400  # 1 day: the fixture's median per-user gap is ~7 h
+_FUNNEL_WINDOW_S = 7 * 86_400
+_ROLL_N = 7
+_SEG_TOKENS = 10
+
+_ORDERED_CTE = """
+ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+"""
+
+
+@register(
+    "q_session_stats",
+    oracle=f"""
+WITH {_ORDERED_CTE},
+brk AS (
+  SELECT user_id, event_id, ts, us,
+         CASE WHEN prev_us IS NULL
+                   OR us - prev_us > {_SESSION_GAP_S} * 1000000::BIGINT
+              THEN 1 ELSE 0 END AS b
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_idx
+  FROM brk
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx
+""",
+    doc="Gap-based sessionization (24 h inactivity gap): per-session "
+    "start/end/count/exact-µs duration — one shuffle on user_id. "
+    "Complements q_user_sessions (F.session_window per-user counts): "
+    "this is the lag-island form exposing session identity and exact "
+    "durations",
+    headline=True,
+    tags=("behavior", "window"),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", _SESSION_GAP_S).orderBy(
+        "user_id", "session_idx"
+    )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id, MIN(ts) AS entered_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+j AS (
+  SELECT a.user_id, a.entered_ts,
+         MIN(CASE WHEN e.ts >= a.entered_ts THEN e.ts END) AS converted_ts
+  FROM a LEFT JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT user_id, entered_ts, converted_ts,
+       CASE WHEN converted_ts IS NOT NULL
+                 AND epoch_us(converted_ts) - epoch_us(entered_ts)
+                     <= {_FUNNEL_WINDOW_S} * 1000000::BIGINT
+            THEN 1 ELSE 0 END AS converted
+FROM j ORDER BY user_id
+""",
+    doc="Funnel: first signup → earliest purchase at-or-after it, converted "
+    "iff within 7 days; per-user scalars reduced before the join",
+    tags=("behavior",),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, "user_id", "ts", "event_type", "signup", "purchase", _FUNNEL_WINDOW_S
+    ).orderBy("user_id")
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_type, to_type
+""",
+    doc="Markov transition counts over each user's totally-ordered event "
+    "stream (lead window + map-side-combined count)",
+    tags=("behavior", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type").orderBy(
+        "from_type", "to_type"
+    )
+
+
+@register(
+    "q_user_rolling_avg",
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+       COUNT(*) OVER w AS roll_n,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    doc="Trailing-7-event rolling sum/mean per user — decimal-stabilized "
+    "sum so window evaluation order can't change the double",
+    tags=("behavior", "window"),
+)
+def q_user_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_agg(ev, "user_id", "ts", "value", _ROLL_N).orderBy("event_id")
+
+
+@register(
+    "q_value_quantiles_by_type",
+    oracle="""
+SELECT event_type,
+       quantile_cont("value", 0.25) AS p25,
+       quantile_cont("value", 0.50) AS p50,
+       quantile_cont("value", 0.75) AS p75,
+       quantile_cont("value", 0.95) AS p95
+FROM events GROUP BY 1 ORDER BY event_type
+""",
+    doc="Exact interpolated quantiles of value per event type (sort-based "
+    "percentile; approx_percentile t-digest is the high-cardinality path)",
+    tags=("behavior", "agg"),
+)
+def q_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_quantiles(
+        ev, "event_type", "value", (0.25, 0.50, 0.75, 0.95)
+    ).orderBy("event_type")
+
+
+@register(
+    "q_dup_segment_fraction",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc,
+         unnest([array_to_string(t[(i-1)*{_SEG_TOKENS}+1:i*{_SEG_TOKENS}], ' ')
+                 FOR i IN generate_series(
+                   1, CAST(ceil(len(t)/{_SEG_TOKENS}.0) AS BIGINT))]) AS seg
+  FROM toks
+),
+cnt AS (SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY 1)
+SELECT doc, COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM segs JOIN cnt USING (seg)
+GROUP BY doc ORDER BY doc
+""",
+    doc="C4/RefinedWeb-style segment dedup signal: per-doc fraction of "
+    "10-token segments repeated verbatim anywhere in the corpus",
+    headline=True,
+    tags=("pipeline", "dedup"),
+)
+def q_dup_segment_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_segment_fraction(docs, "doc_id", "text", _SEG_TOKENS).orderBy("doc")

@@ -1,0 +1,179 @@
+"""Tests for behavior-analytics operators (sessions, funnel,
+transitions, rolling windows, quantiles) and segment-level dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.behavior import (
+    event_transitions,
+    funnel_conversion,
+    grouped_quantiles,
+    rolling_agg,
+    session_stats,
+    sessionize,
+)
+from big_data_engineering_project_spark.operators.text_analysis import (
+    dup_segment_fraction,
+)
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=t, event_type=ty, value=v)
+         for i, (u, t, ty, v) in enumerate(rows)]
+    )
+
+
+def test_sessionize_breaks_on_gap(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(0), "view", 1.0),
+            (1, _ts(0, 30), "click", 1.0),   # same session (30 min gap)
+            (1, _ts(3), "view", 1.0),        # > 1h gap -> new session
+            (2, _ts(0), "view", 1.0),        # other user: own session 0
+        ],
+    )
+    out = sessionize(ev, "user_id", "ts", gap_seconds=3600)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in out.collect()
+    }
+    assert got == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (2, 3): 0}
+
+
+def test_session_stats_duration_exact_us(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(0), "view", 1.0),
+            (1, _ts(0, 45), "click", 1.0),
+            (1, _ts(12), "view", 1.0),
+        ],
+    )
+    out = session_stats(ev, "user_id", "ts", gap_seconds=3600).collect()
+    by_idx = {r["session_idx"]: r for r in out}
+    assert by_idx[0]["n_events"] == 2
+    assert by_idx[0]["duration_us"] == 45 * 60 * 1_000_000
+    assert by_idx[1]["n_events"] == 1
+    assert by_idx[1]["duration_us"] == 0
+
+
+def test_funnel_conversion_window_edge(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: purchase exactly at the window edge -> converted
+            (1, _ts(0), "signup", 1.0),
+            (1, _ts(1), "purchase", 1.0),
+            # user 2: purchase BEFORE signup only -> not converted
+            (2, _ts(0), "purchase", 1.0),
+            (2, _ts(1), "signup", 1.0),
+            # user 3: purchase after the window -> entered, not converted
+            (3, _ts(0), "signup", 1.0),
+            (3, _ts(3), "purchase", 1.0),
+            # user 4: no signup -> absent from output
+            (4, _ts(0), "purchase", 1.0),
+        ],
+    )
+    out = funnel_conversion(
+        ev, "user_id", "ts", "event_type", "signup", "purchase",
+        within_seconds=3600,
+    )
+    got = {r["user_id"]: r["converted"] for r in out.collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
+    # earliest purchase at-or-after signup is carried even if late
+    late = {r["user_id"]: r["converted_ts"] for r in out.collect()}
+    assert late[3] == _ts(3)
+
+
+def test_event_transitions_counts(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(0), "a", 1.0),
+            (1, _ts(1), "b", 1.0),
+            (1, _ts(2), "a", 1.0),
+            (2, _ts(0), "a", 1.0),
+            (2, _ts(1), "b", 1.0),
+        ],
+    )
+    out = event_transitions(ev, "user_id", "ts", "event_type")
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in out.collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_rolling_agg_matches_manual_frame(spark):
+    vals = [2.0, 4.0, 8.0, 16.0]
+    ev = _events(
+        spark, [(1, _ts(h), "x", v) for h, v in enumerate(vals)]
+    )
+    out = rolling_agg(ev, "user_id", "ts", "value", n_rows=2).orderBy("event_id")
+    rows = out.collect()
+    assert [r["roll_sum"] for r in rows] == [2.0, 6.0, 12.0, 24.0]
+    assert [r["roll_n"] for r in rows] == [1, 2, 2, 2]
+    assert rows[-1]["roll_avg"] == 12.0
+
+
+def test_grouped_quantiles_exact_median(spark):
+    ev = _events(
+        spark,
+        [(1, _ts(i), "t", v) for i, v in enumerate([1.0, 2.0, 3.0, 100.0])],
+    )
+    out = grouped_quantiles(ev, "event_type", "value", (0.5,)).collect()
+    assert out[0]["p50"] == 2.5  # interpolated midpoint, not nearest-rank
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    from big_data_engineering_project_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = grouped_quantiles(ev, "event_type", "value", (0.5,), exact=True)
+    approx = grouped_quantiles(ev, "event_type", "value", (0.5,), exact=False)
+    e = {r["event_type"]: r["p50"] for r in exact.collect()}
+    a = {r["event_type"]: r["p50"] for r in approx.collect()}
+    for k in e:
+        assert abs(a[k] - e[k]) / max(abs(e[k]), 1e-9) < 0.05
+
+
+def test_dup_segment_fraction_known_corpus(spark):
+    # 4-token docs with seg_tokens=2 -> 2 segments each.
+    # "a b" appears in docs 1 and 2 (duplicated); every other segment
+    # is unique.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),
+            Row(doc_id=2, text="a b e f"),
+            Row(doc_id=3, text="g h i j"),
+        ]
+    )
+    out = dup_segment_fraction(docs, "doc_id", "text", seg_tokens=2)
+    got = {r["doc"]: (r["n_segs"], r["n_dup_segs"], r["dup_frac"]) for r in out.collect()}
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_dup_segment_ragged_tail_segment(spark):
+    # 5 tokens, seg_tokens=2 -> 3 segments, last is the 1-token tail
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    out = dup_segment_fraction(docs, "doc_id", "text", seg_tokens=2).collect()
+    assert out[0]["n_segs"] == 3
+
+
+def test_session_window_plan_single_exchange(spark, sf_dir):
+    """lag + running-sum + per-session agg reuse ONE hash exchange:
+    the only other exchange is the presentation orderBy's range
+    partitioning."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    df = REGISTRY["q_session_stats"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
