@@ -64,3 +64,73 @@ def with_author_activity_count(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def with_session_idx(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_col: str = "seq",
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Streaming gap-based sessionization: stamp every record with its
+    user's session index, continuing across micro-batches.
+
+    Exact streaming counterpart of `operators.behavior.sessionize`
+    (tested stream ≡ batch): per-user state is (last event epoch-µs,
+    sessions started so far); each batch the group's rows are walked
+    in arrival order and a new session starts when the gap from the
+    previous event exceeds `gap_seconds`. State is partitioned by the
+    shuffle and checkpointed with the query — unbounded users scale
+    horizontally, unlike F.session_window which only yields session
+    AGGREGATES (this yields per-record stamps, which window-aggregate
+    streaming cannot express).
+
+    At 100 TB-scale streams the state per user is two longs — the
+    state store stays tiny no matter the event volume.
+    """
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("n_sessions", LongType())]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def stamp(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_us, n_sessions = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            idxs = []
+            # normalize to ns before the int cast: Arrow may hand the
+            # column over as datetime64[us], where astype(int64) would
+            # yield µs and the //1000 below would silently produce ms
+            for us in (
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            ).tolist():
+                if last_us is None or us - last_us > gap_us:
+                    n_sessions += 1
+                idxs.append(n_sessions - 1)
+                last_us = us
+            pdf[out_col] = idxs
+            yield pdf
+        state.update((last_us, n_sessions))
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        stamp,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -317,3 +317,80 @@ def test_rate_source_trigger_semantics_no_files(spark):
     vals = sorted(r["value"] for r in out)
     assert len(vals) > 0
     assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless, no dupes
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Streaming gap sessionization (applyInPandasWithState) must equal
+    the batch lag-island formulation (operators.behavior.sessionize)
+    over the same records — including sessions that SPAN micro-batch
+    boundaries (per-user state carries last_ts across batches)."""
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from big_data_engineering_project_spark.operators.behavior import sessionize
+    from big_data_engineering_project_spark.streaming.stateful import (
+        with_session_idx,
+    )
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 15, 0, 0, 0)
+    recs, t = [], {u: base for u in range(4)}
+    for i in range(120):
+        u = rng.randrange(4)
+        # gaps straddle the 1h session threshold in both directions
+        t[u] += dt.timedelta(minutes=rng.choice([5, 20, 90, 200]))
+        recs.append(
+            {"event_id": i, "user_id": u,
+             "ts": t[u].strftime("%Y-%m-%d %H:%M:%S")}
+        )
+    # arrival order == event_id order == per-user ts order (file mtimes
+    # strictly increasing, 30 records per file)
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=30)
+
+    schema = StructType(
+        [
+            StructField("event_id", IntegerType()),
+            StructField("user_id", IntegerType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    parsed = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        with_session_idx(
+            parsed(stream), "user_id", "ts", gap_seconds=3600,
+            order_col="event_id",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"]): r["session_idx"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = sessionize(
+        parsed(spark.read.schema(schema).json(in_dir)),
+        "user_id", "ts", gap_seconds=3600, tiebreak_col="event_id",
+    )
+    want = {r["event_id"]: r["session_idx"] for r in batch.collect()}
+    assert got == want and len(got) == 120
