@@ -91,3 +91,86 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.filter(bucket < threshold)
+
+
+def mixing_weights(
+    df: DataFrame,
+    strata_col: str,
+    n_tokens_col: str,
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights per stratum (the mT5/
+    multilingual-sampling scheme): with p_s = token share of stratum s,
+    sample with w_s ∝ p_s^α. α = 0.5 here — written as sqrt, which
+    (unlike pow) is IEEE-correctly-rounded in every engine, so the
+    weights are bit-reproducible cross-engine. The normalizer is a
+    decimal-stabilized sum over the (tiny) strata table, so combine
+    order can't change the reported doubles.
+
+    Input column `n_tokens_col` is a per-doc token count; the stratum
+    reduction is map-side combined — one shuffle of |strata| partial
+    rows, never the docs.
+    """
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(n_tokens_col)).cast("long").alias("n_toks"),
+    )
+    tot = per.agg(F.sum("n_toks").cast("long").alias("n_total"))
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "scaled", F.sqrt(F.col("n_toks") / F.col("n_total").cast("double"))
+    )
+    norm = scored.agg(
+        F.sum(F.col("scaled").cast("decimal(18,12)")).alias("z")
+    )
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_toks",
+            (F.col("scaled") / F.col("z").cast("double")).alias("weight"),
+        )
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_cols: tuple[str, ...],
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): within each shard, documents are concatenated in `id_col`
+    order and the token stream is cut every `budget` tokens. Each doc's
+    placement is pure integer arithmetic over the exclusive running
+    token count:
+
+        start_pack   = floor(cum_before / budget)
+        start_offset = cum_before % budget
+        end_pack     = floor((cum_before + n_toks - 1) / budget)
+
+    Packing WITHIN shards (not globally) is the scale posture: a global
+    running sum is a single-partition window — serial however big the
+    cluster — while per-shard prefix sums parallelize across shards and
+    are exactly how production packers shard their writers. One window
+    shuffle on the shard key, everything else narrow.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w).cast("long")
+    before = cum - F.col(n_tokens_col)
+    return df.select(
+        *shard_cols,
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("n_toks"),
+        F.floor(before / budget).cast("long").alias("start_pack"),
+        (before % budget).cast("long").alias("start_offset"),
+        F.floor(
+            (before + F.col(n_tokens_col) - 1) / budget
+        ).cast("long").alias("end_pack"),
+    )

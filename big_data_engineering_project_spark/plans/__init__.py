@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: sampling / mixing + composed curation pass
     "q_hash_split",
     "q_stratified_sample",
+    "q_mixing_weights",
+    "q_pack_sequences",
     "q_decontaminate_train",
     "q_curation_pipeline",
     # LLM-pipeline: segment-level (line-style) dedup signal
@@ -97,11 +99,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_serving_try_cast",
     "q_enrich_events",
     "q_tumbling_hourly_counts",
-    # TPC-H joins / SQL surface
+    # TPC-H joins / SQL surface (q_shipping_priority and
+    # q_orders_with_heavy_items demoted for round-4 mixing/packing —
+    # both driver-green in r01/r02/r03)
     "q_pricing_summary",
-    "q_shipping_priority",
     "q_nation_revenue",
-    "q_orders_with_heavy_items",
 )
 
 

@@ -81,6 +81,43 @@ def clear_hashed_memo() -> None:
             _HASHED_MEMO.popitem()[1].unpersist()
         except Exception:
             pass
+    while _SPLIT_MEMO:
+        try:
+            _SPLIT_MEMO.popitem()[1].unpersist()
+        except Exception:
+            pass
+
+
+# Shared split-assignment frame ----------------------------------------------
+#
+# (doc, split) from the content-hash splitter — the other frame several
+# pipeline queries re-derive from raw text (the split poly-hash is a
+# full char fold per doc, nearly as expensive as shingling). Production
+# stores the split as a column at corpus-write time; the per-session
+# memo is the in-process equivalent. Tiny: two narrow columns.
+
+_SPLIT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import with_split
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _SPLIT_MEMO if k[0] != app_id]:
+        try:
+            _SPLIT_MEMO.pop(stale).unpersist()
+        except Exception:
+            pass
+    key = (app_id, sf_dir)
+    if key not in _SPLIT_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _SPLIT_MEMO[key] = (
+            with_split(docs, "text")
+            .select(F.col("doc_id").alias("doc"), "split")
+            .persist()
+        )
+    return _SPLIT_MEMO[key]
+
 
 # Shared DuckDB CTE fragments ------------------------------------------------
 
@@ -804,6 +841,90 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature mixing weights -----------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q_mixing_weights",
+    oracle=f"""
+WITH {_TOKS_CTE},
+n AS (SELECT doc, len(t) AS n_toks FROM toks),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks
+  FROM documents d JOIN n ON n.doc = d.doc_id GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS n_total FROM per),
+sc AS (
+  SELECT source, n_docs, n_toks,
+         sqrt(n_toks / CAST(n_total AS DOUBLE)) AS scaled
+  FROM per CROSS JOIN tot
+),
+z AS (SELECT SUM(CAST(scaled AS DECIMAL(18,12))) AS z FROM sc)
+SELECT source, n_docs, n_toks, scaled / CAST(z AS DOUBLE) AS weight
+FROM sc CROSS JOIN z ORDER BY source
+""",
+    doc="Temperature-scaled (α=0.5) data-mixing weights per source — "
+    "sqrt not pow for cross-engine bit-reproducibility; decimal-"
+    "stabilized normalizer",
+    tags=("pipeline", "sampling"),
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        mixing_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks_doc", F.size(dedup.tokens_col(F.col("text"))).cast("long")
+    )
+    return mixing_weights(docs, "source", "n_toks_doc").orderBy("source")
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+WITH {_TOKS_CTE},
+n AS (SELECT doc, len(t) AS n_toks FROM toks),
+j AS (
+  SELECT source, doc_id, n_toks
+  FROM documents d JOIN n ON n.doc = d.doc_id WHERE n_toks > 0
+),
+c AS (
+  SELECT source, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM j
+)
+SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(floor((cum - n_toks) / {_PACK_BUDGET}) AS BIGINT) AS start_pack,
+       CAST((cum - n_toks) % {_PACK_BUDGET} AS BIGINT) AS start_offset,
+       CAST(floor((cum - 1) / {_PACK_BUDGET}) AS BIGINT) AS end_pack
+FROM c ORDER BY source, doc_id
+""",
+    doc="Concat-and-chunk sequence packing (budget 2048) within source "
+    "shards: per-doc (start_pack, start_offset, end_pack) via one "
+    "per-shard window cumsum — parallel across shards, never a global "
+    "single-partition running sum",
+    tags=("pipeline", "sampling"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        pack_assignments,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "n_toks_doc", F.size(dedup.tokens_col(F.col("text"))).cast("long")
+        )
+        .filter(F.col("n_toks_doc") > 0)
+    )
+    return pack_assignments(
+        docs, "doc_id", "n_toks_doc", _PACK_BUDGET, ("source",)
+    ).orderBy("source", "doc_id")
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 # Flag threshold: a train doc is contaminated when ≥ 20% of its own
@@ -846,15 +967,23 @@ ORDER BY doc
     tags=("pipeline", "dedup", "sampling"),
 )
 def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_engineering_project_spark.operators.sampling import with_split
-
-    docs = with_split(
-        spread(load_table(spark, sf_dir, "documents")), "text"
+    # Reuse the session-shared frames instead of re-shingling 90% of
+    # the corpus from raw text: the hashed shingle table (warm after
+    # any dedup query) joined with the persisted split assignment. The
+    # doc-keyed join of two cached narrow frames is the in-session
+    # stand-in for what production stores as one table (shingles +
+    # split columns written together).
+    docs = load_table(spark, sf_dir, "documents")
+    joined = _shared_hashed(spark, sf_dir, NGRAM_N).join(
+        _shared_splits(spark, sf_dir), "doc"
     )
-    train = docs.filter(F.col("split") == "train")
-    ev = docs.filter(F.col("split") == "test")
+    htrain = joined.filter(F.col("split") == "train").select("doc", "hv")
+    heval = joined.filter(F.col("split") == "test").select("doc", "hv")
     return (
-        dedup.contamination_report(train, ev, "doc_id", "text", NGRAM_N)
+        dedup.contamination_report(
+            docs, docs, "doc_id", "text", NGRAM_N,
+            hashed_train=htrain, hashed_eval=heval,
+        )
         .filter(F.col("contaminated_frac") >= DECONTAM_TAU)
         .orderBy("doc")
     )

@@ -368,3 +368,57 @@ def test_collocations_min_count_floor(spark):
     }
     assert ("rare", "pair") not in pairs
     assert ("p", "q") in pairs
+
+
+# --- mixing weights / sequence packing ---------------------------------------
+
+
+def test_mixing_weights_sum_to_one_and_flatten(spark):
+    rows = [Row(src="big", n=900), Row(src="small", n=100)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["src"]: r for r in sampling.mixing_weights(df, "src", "n").collect()
+    }
+    total = out["big"]["weight"] + out["small"]["weight"]
+    assert abs(total - 1.0) < 1e-12
+    # α=0.5 tempering: the small stratum is upweighted vs its raw share
+    assert out["small"]["weight"] > 0.1
+    assert out["big"]["weight"] < 0.9
+    # exact: w_small = sqrt(.1)/(sqrt(.9)+sqrt(.1))
+    import math
+    expect = math.sqrt(0.1) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert abs(out["small"]["weight"] - expect) < 1e-12
+
+
+def test_pack_assignments_spans(spark):
+    rows = [
+        Row(shard="a", doc_id=1, n=100),
+        Row(shard="a", doc_id=2, n=28),     # fills pack 0 exactly
+        Row(shard="a", doc_id=3, n=130),    # spans packs 1-2
+        Row(shard="b", doc_id=1, n=5),      # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["shard"], r["doc_id"]): (r["start_pack"], r["start_offset"], r["end_pack"])
+        for r in sampling.pack_assignments(
+            df, "doc_id", "n", budget=128, shard_cols=("shard",)
+        ).collect()
+    }
+    assert out[("a", 1)] == (0, 0, 0)
+    assert out[("a", 2)] == (0, 100, 0)     # 100+28 = 128, ends at budget edge
+    assert out[("a", 3)] == (1, 0, 2)       # starts clean on pack 1, spans 2
+    assert out[("b", 1)] == (0, 0, 0)
+
+
+def test_pack_budget_edge_no_empty_straddle(spark):
+    # doc ending exactly at a pack boundary must NOT claim the next pack
+    rows = [Row(shard="a", doc_id=1, n=128), Row(shard="a", doc_id=2, n=1)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: (r["start_pack"], r["end_pack"])
+        for r in sampling.pack_assignments(
+            df, "doc_id", "n", budget=128, shard_cols=("shard",)
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 1)
