@@ -407,6 +407,83 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# --- edit-distance verified near-dups -----------------------------------------
+
+# Levenshtein threshold separating true near-dups from bucket noise on
+# the fixture: candidate pairs split 15 at dist ≤ 10, none in (10, 50],
+# background starts at 51 — τ=50 sits in the empty gap.
+_EDITDIST_TAU = 50
+
+
+def _editdist_oracle() -> str:
+    bit_terms = " + ".join(
+        "(CASE WHEN COALESCE(list_sum(list_transform(hv, "
+        f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+hs AS (SELECT doc, list_transform(t, s -> {_POLY.format(s="s")}) AS hv FROM toks),
+fp AS (SELECT doc, ({bit_terms})::BIGINT AS simhash FROM hs),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc < b.doc
+)
+SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+WHERE abs(length(da.text) - length(db.text)) <= {_EDITDIST_TAU}
+  AND levenshtein(da.text, db.text) <= {_EDITDIST_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_editdist_neardups",
+    oracle=_editdist_oracle(),
+    doc=f"Candidate-verify with a string metric: simhash-bucket pairs "
+    f"confirmed by levenshtein ≤ {_EDITDIST_TAU}. Length-difference "
+    "prefilter (|len_a−len_b| ≤ τ implies nothing is lost: the length "
+    "gap lower-bounds edit distance) skips the O(n·m) DP for most "
+    "candidates; Spark additionally passes the threshold to "
+    "levenshtein for the banded early-exit DP",
+    tags=("pipeline", "dedup"),
+)
+def q_editdist_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.col("text"),
+        F.length("text").alias("len"),
+        dedup.simhash_col(
+            dedup.tokens_col(F.col("text")), bits=_SIMHASH_BITS
+        ).alias("simhash"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    # threshold-bounded levenshtein: returns -1 above τ (banded DP,
+    # O(τ·n) instead of O(n·m)); the ≥ 0 filter therefore encodes ≤ τ
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), _EDITDIST_TAU)
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(
+            F.abs(F.col("a.len") - F.col("b.len")) <= _EDITDIST_TAU
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- embedding similarity ------------------------------------------------------
 
 _DIMS = 64
@@ -472,6 +549,37 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.blocked_neardup_pairs(emb, "label", _NEARDUP_TAU)
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12)))
+            AS DOUBLE) / COUNT(*) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2 ORDER BY label, dim
+""",
+    doc="Per-label centroid components: posexplode the vector column, "
+    "decimal-stabilized per-(label, dim) mean — the distributed form of "
+    "class centroids (explode + map-side-combined agg, one shuffle of "
+    "|labels|·dims partials, never the vectors)",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    dec = F.col("val").cast("double").cast("decimal(18,12)")
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("centroid"),
+        )
+        .orderBy("label", "dim")
     )
 
 
