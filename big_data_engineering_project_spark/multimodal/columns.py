@@ -132,6 +132,10 @@ def decode_media(media: DataFrame) -> DataFrame:
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
+        # exact integer bin counts beside the normalized histogram:
+        # corpus-level aggregates sum `counts` (LONG, order-independent,
+        # cross-engine exact) instead of the normalized doubles
+        StructField("counts", ArrayType(LongType())),
         StructField("histogram", ArrayType(DoubleType())),
     ]
 )
@@ -150,15 +154,22 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hists = []
+            all_counts, hists = [], []
             for blob in pdf["blob"]:
                 payload = blob[8:]
                 counts = [0] * bins
                 for b in payload:
                     counts[b * bins // 256] += 1
                 total = max(len(payload), 1)
+                all_counts.append(counts)
                 hists.append([c / total for c in counts])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "histogram": hists})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "counts": all_counts,
+                    "histogram": hists,
+                }
+            )
 
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 

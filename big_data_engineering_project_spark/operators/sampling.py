@@ -154,9 +154,15 @@ def pack_assignments(
     cluster — while per-shard prefix sums parallelize across shards and
     are exactly how production packers shard their writers. One window
     shuffle on the shard key, everything else narrow.
+
+    Zero-token docs are dropped here (not left to the caller): for
+    n_toks = 0 the placement arithmetic degenerates (end_pack =
+    floor((before-1)/budget) < start_pack, and -1 at a shard start) —
+    an empty doc occupies no tokens and so has no coherent placement.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(n_tokens_col) > 0)
     w = (
         Window.partitionBy(*shard_cols)
         .orderBy(F.col(id_col))

@@ -28,6 +28,7 @@ from big_data_engineering_project_spark.plans import queries_tpch  # noqa: E402,
 from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_behavior  # noqa: E402,F401
+from big_data_engineering_project_spark.plans import queries_multimodal  # noqa: E402,F401
 
 # First-50 gate priority: every query family gets at least one slot.
 # The names NOT listed here (and therefore exported last) are exactly
@@ -43,23 +44,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_fingerprint",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
-    "q_minhash_signatures",
-    "q_simhash_buckets",
     "q_simhash_neardups",
     "q_dedup_clusters",
     "q_semantic_dedup_pairs",
+    # Round-5 rotation: q_editdist_neardups + q_embedding_centroids
+    # (registered last round with no driver row — one was red until
+    # this round's quantization fix) and the two new multimodal
+    # queries take the slots of q_minhash_signatures, q_simhash_buckets,
+    # q_tokenized_docs, q_counts_by_type — all four driver-green in the
+    # committed r04 gate (and earlier artifacts).
+    "q_editdist_neardups",
     # LLM-pipeline: similarity / ANN
     "q_embedding_topk",
     "q_embedding_neardup_pairs",
+    "q_embedding_centroids",
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
     "q_embedding_kmeans",
+    # Multimodal (round 5: driver-facing decode + histogram)
+    "q_media_decode_stats",
+    "q_media_histogram_topk",
     # LLM-pipeline: text analysis
     "q_lang_id",
     "q_quality_scores",
     "q_token_stats_by_source",
     "q_bpe_token_counts",
-    "q_tokenized_docs",
     "q_stemmed_docs",
     "q_repetition_scores",
     "q_tfidf_top_terms",
@@ -91,8 +100,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # make room for round-4 queries — q_counts_by_type_hour,
     # q_filter_high_value, q_time_of_day, q_clean_text, q_sentiment,
     # q_udtf_word_positions — all hold driver-green rows in the
-    # committed r01/r02/r03 artifacts)
-    "q_counts_by_type",
+    # committed r01/r02/r03 artifacts; q_counts_by_type demoted round 5,
+    # green r01-r04)
     "q_peak_hour_per_type",
     "q_zscore_anomalies",
     "q_word_counts_top15",

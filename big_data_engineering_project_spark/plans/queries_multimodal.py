@@ -1,0 +1,115 @@
+"""Multimodal queries — the driver-facing surface of
+`multimodal/columns.py` (decode + feature-extract over binary media
+columns via mapInPandas).
+
+The testdata directory has no media table, so both queries run over
+the deterministic BDE1 fixture (`synthetic_media`, seeded purely by
+media_id — no RNG, no wall clock). Because every blob byte is the
+closed-form `(media_id + i*31) % 256`, an EXACT DuckDB oracle exists:
+the oracle recomputes the decode from the same integer formulas with
+`generate_series`, so the comparison checks the whole mapInPandas
+decode path (Arrow batching, schema, per-blob arithmetic) against an
+independent derivation. `sf_dir` is accepted (driver contract) and
+ignored; the fixture size is fixed at N_MEDIA.
+
+Scale posture: the fixture is driver-built (tiny), but `decode_media`
+and `extract_features` themselves are partition-parallel mapInPandas
+over whatever media DataFrame they're given — at 100 TB the same
+plans run over a parquet scan whose metadata columns prune without
+touching blob bytes (see multimodal/columns.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.multimodal.columns import (
+    decode_media,
+    extract_features,
+    synthetic_media,
+)
+from big_data_engineering_project_spark.plans.registry import register
+
+N_MEDIA = 256
+_BINS = 16
+
+# DuckDB mirror of the synthetic_media fixture (multimodal/columns.py:
+# kind = [image,audio,video][i%3], w = 8+(i%5)*4, h = 8+(i%3)*4).
+_FIXTURE_CTE = f"""m AS (
+  SELECT i AS media_id,
+         ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
+         8 + (i % 5) * 4 AS width,
+         8 + (i % 3) * 4 AS height
+  FROM range({N_MEDIA}) t(i)
+)"""
+
+
+@register(
+    "q_media_decode_stats",
+    oracle=f"""
+WITH {_FIXTURE_CTE}
+SELECT media_id, kind, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(SUM((media_id + (j - 1) * 31) % 256) AS DOUBLE)
+         / (width * height) AS mean_intensity
+FROM m, unnest(generate_series(1, width * height)) AS t(j)
+GROUP BY media_id, kind, width, height
+ORDER BY media_id
+""",
+    doc="Per-media decode over binary blobs (mapInPandas, Arrow "
+    "batches): width/height/n_pixels/mean_intensity per blob, checked "
+    "against a closed-form integer oracle. mean_intensity is one "
+    "int-sum / int-len division per media — no double accumulation, "
+    "so the comparison is exact.",
+    tags=("multimodal",),
+)
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, N_MEDIA)
+    return decode_media(media).orderBy("media_id")
+
+
+@register(
+    "q_media_histogram_topk",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+b AS (
+  SELECT kind,
+         ((media_id + (j - 1) * 31) % 256) * {_BINS} // 256 AS bin
+  FROM m, unnest(generate_series(1, width * height)) AS t(j)
+),
+tot AS (SELECT kind, bin, COUNT(*) AS total FROM b GROUP BY 1, 2),
+r AS (
+  SELECT kind, bin, total,
+         ROW_NUMBER() OVER (PARTITION BY kind
+                            ORDER BY total DESC, bin) AS rank
+  FROM tot
+)
+SELECT kind, CAST(bin AS BIGINT) AS bin, CAST(total AS BIGINT) AS total,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY kind, rank
+""",
+    doc="Corpus-level byte-histogram analysis: extract_features "
+    "(mapInPandas) emits exact integer bin counts per blob; the "
+    "per-kind totals sum LONGs (combine-order independent), and the "
+    "top-3 bins per kind use a total order (total DESC, bin ASC). "
+    "The metadata join never ships blob bytes.",
+    tags=("multimodal",),
+)
+def q_media_histogram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, N_MEDIA)
+    feats = extract_features(media, bins=_BINS)
+    kinds = media.select("media_id", "kind")
+    ex = feats.join(F.broadcast(kinds), "media_id").select(
+        "kind", F.posexplode("counts").alias("bin", "cnt")
+    )
+    tot = ex.groupBy("kind", F.col("bin").cast("long").alias("bin")).agg(
+        F.sum("cnt").alias("total")
+    )
+    w = Window.partitionBy("kind").orderBy(F.desc("total"), F.asc("bin"))
+    return (
+        tot.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("kind", "rank")
+    )

@@ -49,8 +49,14 @@ def with_author_activity_count(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         total = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # Materialize the whole group before sorting: Arrow hands one
+        # group's micro-batch over as MULTIPLE chunks (default 10k rows
+        # each) in shuffle-arrival order, so per-chunk sorts would stamp
+        # large batches out of order. One user's rows in one micro-batch
+        # is the memory bound — the per-trigger cap governs it.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(order_col)
             n = len(pdf)
             pdf[out_col] = range(total + 1, total + n + 1)
             total += n
@@ -107,8 +113,13 @@ def with_session_idx(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         last_us, n_sessions = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # Concat-then-sort (not per-chunk): Arrow may split one group's
+        # micro-batch into multiple chunks in shuffle-arrival order;
+        # cross-chunk ordering must be restored before gap detection or
+        # session indexes go wrong for >10k-row user batches.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(order_col)
             idxs = []
             # normalize to ns before the int cast: Arrow may hand the
             # column over as datetime64[us], where astype(int64) would

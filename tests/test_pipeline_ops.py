@@ -422,3 +422,77 @@ def test_pack_budget_edge_no_empty_straddle(spark):
     }
     assert out[1] == (0, 0)
     assert out[2] == (1, 1)
+
+
+def test_pack_assignments_drops_zero_token_docs(spark):
+    # n_toks = 0 has no coherent placement (end_pack < start_pack, -1 at
+    # shard start) — the operator drops such docs instead of emitting
+    # negative pack indexes, and neighbors pack as if they were absent.
+    rows = [
+        Row(shard="a", doc_id=1, n=0),
+        Row(shard="a", doc_id=2, n=100),
+        Row(shard="a", doc_id=3, n=0),
+        Row(shard="a", doc_id=4, n=30),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: (r["start_pack"], r["start_offset"], r["end_pack"])
+        for r in sampling.pack_assignments(
+            df, "doc_id", "n", budget=128, shard_cols=("shard",)
+        ).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2] == (0, 0, 0)
+    assert out[4] == (0, 100, 1)
+
+
+def test_editdist_threshold_banded_contract(spark):
+    # The -1-above-τ contract q_editdist_neardups relies on: with the
+    # threshold argument, levenshtein runs the banded DP and returns -1
+    # for any pair strictly above τ, the exact distance otherwise.
+    tau = 2
+    df = spark.createDataFrame(
+        [
+            ("kitten", "kitten", 0),
+            ("kitten", "sitten", 1),
+            ("kitten", "sittin", 2),      # == τ: kept, exact value
+            ("kitten", "sitting", -1),    # τ+1: banded DP bails to -1
+        ],
+        "a string, b string, expect int",
+    )
+    got = df.select(
+        "expect", F.levenshtein("a", "b", tau).alias("d")
+    ).collect()
+    for r in got:
+        assert r["d"] == r["expect"], (r["d"], r["expect"])
+
+
+def test_editdist_neardups_planted_pair(spark, tmp_path):
+    # End-to-end through the registered query: identical docs (distance
+    # 0, same simhash bucket) are reported; a doc τ' > τ edits away from
+    # everything reports nothing. The filler docs give the bucket join
+    # negatives to reject.
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        q_editdist_neardups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="s", n_chars=len(base)),
+        Row(doc_id=2, text=base, lang="en", source="s", n_chars=len(base)),
+        Row(
+            doc_id=3,
+            text="completely different content about spark query engines",
+            lang="en",
+            source="s",
+            n_chars=54,
+        ),
+    ]
+    spark.createDataFrame(rows).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in q_editdist_neardups(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 0}
