@@ -133,6 +133,7 @@ ORDER BY granularity, bucket_start
     "minute partials are the only full scan; the oracle computes each "
     "level directly, proving cascade ≡ direct). Decimal-stabilized "
     "value sums keep every level combine-order-independent",
+    headline=True,  # r5: the single-scan cascade claim gets timed
     tags=("temporal", "rollup"),
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:

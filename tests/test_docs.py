@@ -1,0 +1,38 @@
+"""Docs-vs-code drift guards: the README's contract-surface counts
+must match the live registry (two consecutive rounds shipped stale
+counts before this test existed)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from big_data_engineering_project_spark.plans import REGISTRY
+
+README = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+
+
+def test_readme_counts_match_registry():
+    text = open(README).read()
+    m = re.search(
+        r"(\d+) registered\s+queries, (\d+) with exact oracles", text
+    )
+    assert m, "README correctness-count sentence not found"
+    n_total, n_oracle = int(m.group(1)), int(m.group(2))
+    assert n_total == len(REGISTRY), (n_total, len(REGISTRY))
+    actual_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    assert n_oracle == actual_oracle, (n_oracle, actual_oracle)
+
+
+def test_every_query_has_oracle_or_known_rows_only():
+    # Rows-only is an explicit, bounded list — new queries must ship an
+    # oracle unless genuinely non-SQL-expressible AND added here.
+    known_rows_only = {
+        "q_semantic_dedup_pairs",  # iterative KMeans clustering bound
+        "q_embedding_lsh_topk",  # approximate (recall-floor pytest)
+        "q_embedding_ivf_topk",  # approximate (recall/planted pytest)
+        "q_embedding_kmeans",  # iterative (SSE pytest)
+        "q_stemmed_docs",  # Porter stemmer (unit-vector pytest)
+    }
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert rows_only == known_rows_only, rows_only ^ known_rows_only
