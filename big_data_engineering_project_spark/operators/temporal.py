@@ -86,6 +86,128 @@ def asof_join_backward(
     )
 
 
+def asof_join_backward_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """`asof_join_backward` for SKEWED keys: identical contract and
+    output, but the big shuffle partitions by (key, time-bucket) so no
+    single key's history ever has to fit one partition — this is the
+    "salt upstream" path SCALING.md names for hot keys at 100 TB.
+
+    Exact two-pass algorithm (no approximation):
+
+    1. Per-(key, bucket) right-side summary: the latest right row of
+       each bucket (map-side-combined `max_by`, one small shuffle of
+       |key·bucket| rows).
+    2. Per-key carry: for every bucket either side touches, the latest
+       summary from STRICTLY EARLIER buckets (a window over the
+       summaries table — rows = touched buckets, not events, so a
+       hot key with a billion events but a bounded time range stays a
+       few thousand summary rows).
+    3. The union+window sweep of `asof_join_backward`, now partitioned
+       by (key, bucket), with the carry injected at each bucket's floor
+       timestamp (side −1 sorts before any real event in the bucket,
+       so a right row AT the boundary overrides it).
+
+    Trade-off vs the unsalted form: two extra small shuffles buy
+    unbounded per-key parallelism. Pick `bucket_seconds` so a hot
+    key's densest bucket fits a partition.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    carried = [right_time, *payload_cols]
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(F.col(c)) / bucket_seconds
+    )
+    p_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in carried]
+    )
+    pstruct = F.struct(*[F.col(c).alias(c) for c in carried])
+
+    # Pass 1: latest right row per (key, bucket). Right is unique per
+    # (key, right_time) by contract, so max_by has no ties.
+    summaries = right.groupBy(
+        F.col(key).alias("__k"), bucket(right_time).alias("__b")
+    ).agg(F.max_by(pstruct, F.col(right_time)).alias("__summary"))
+
+    # Pass 2: carry-in per touched (key, bucket) — the latest summary
+    # among strictly earlier buckets. Window is over summary rows
+    # (buckets, not events): tiny by construction.
+    dom = (
+        left.select(F.col(key).alias("__k"), bucket(left_time).alias("__b"))
+        .distinct()
+        .unionByName(summaries.select("__k", "__b"))
+        .distinct()
+        .join(summaries, ["__k", "__b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        dom.withColumn(
+            "__p", F.last("__summary", ignorenulls=True).over(w_carry)
+        )
+        .filter(F.col("__p").isNotNull())
+        .select(
+            "__k",
+            "__b",
+            # bucket floor ≤ every event time in the bucket; side −1
+            # loses ties to a right row exactly at the boundary
+            F.timestamp_seconds(F.col("__b") * bucket_seconds).alias("__t"),
+            F.lit(-1).alias("__side"),
+            F.col("__p"),
+        )
+    )
+
+    # Pass 3: the union+window sweep, partitioned by (key, bucket).
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        bucket(left_time).alias("__b"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast(p_type).alias("__p"),
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        bucket(right_time).alias("__b"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        pstruct.alias("__p"),
+    )
+    c2 = carry.select(
+        "__k",
+        "__b",
+        "__t",
+        "__side",
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        "__p",
+    )
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        l2.unionByName(r2)
+        .unionByName(c2)
+        .withColumn("__carried", F.last("__p", ignorenulls=True).over(w))
+    )
+    return tagged.filter(F.col("__side") == 1).select(
+        "__row.*",
+        *[F.col(f"__carried.{c}").alias(f"asof_{c}") for c in carried],
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

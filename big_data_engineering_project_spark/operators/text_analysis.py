@@ -347,6 +347,120 @@ def mean_token_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_min_prob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Weakest-link bigram score per doc: the MINIMUM corpus conditional
+    probability P(w2|w1) = c(w1 w2) / c(w1 ·) over the doc's adjacent
+    token pairs — the bigram-LM sibling of `mean_token_freq`'s unigram
+    proxy. One surprising transition (a typo, glued words, boilerplate
+    junk spliced mid-sentence) drags the score down even when the doc's
+    average looks fine; real quality pipelines use exactly this
+    weakest-link signal to catch locally-corrupted text.
+
+    Every P is a ratio of exact integer counts evaluated as ONE double
+    division, and MIN is order-independent — bit-reproducible across
+    engines without any transcendental function (same design rule as
+    tfidf/lift). Docs with < 2 tokens have no bigrams and are absent
+    from the output.
+
+    Plan: bigrams come from zip_with of the token array with itself
+    shifted (array-local — the token stream is never self-joined);
+    bigram and first-word counts are map-side-combined aggs; the per-doc
+    DISTINCT bigram table (min doesn't need multiplicity) joins the
+    count tables on the bigram key, then one agg by doc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("term_a"), b.alias("term_b")),
+            )
+        ).alias("p"),
+    ).select("doc", "p.term_a", "p.term_b")
+    cnt = bg.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    fst = cnt.groupBy("term_a").agg(F.sum("c_ab").alias("c_first"))
+    db = bg.distinct()
+    p = (
+        db.join(cnt, ["term_a", "term_b"])
+        .join(fst, "term_a")
+        .withColumn("p", F.col("c_ab").cast("double") / F.col("c_first"))
+    )
+    return p.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.min("p").alias("min_bigram_p"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+) -> DataFrame:
+    """DSIR-flavored importance weights, linear variant: score each doc
+    by how much its token distribution resembles a TARGET subcorpus
+    (rows where boolean `target_col` is true) relative to the whole
+    corpus. Data-selection pipelines (DSIR, DoReMi-style resampling)
+    rank the raw pool by exactly this kind of weight and sample
+    proportionally.
+
+        dot_target = Σ_occurrences c_target(token)
+        dot_all    = Σ_occurrences c_all(token)
+        weight     = (dot_target / N_target) / (dot_all / N_all)
+
+    — the ratio of the doc's average token frequency under the target
+    distribution vs the overall distribution; > 1 means target-like.
+    The log-likelihood-ratio form of DSIR needs ln (not cross-engine
+    bit-stable); this linear inner-product form keeps every numerator/
+    denominator an exact integer and the weight two divisions in a
+    pinned operand order — exactly oracle-checkable.
+
+    Plan: one explode pass feeds BOTH count tables (per-term c_all and
+    c_target in a single agg); per-(doc, term) tf is map-side combined;
+    one shuffle join tf⋈counts on term; corpus totals ride in as a
+    broadcast 1-row aggregate. Docs with zero tokens are absent.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(target_col).alias("__tgt"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    agg = (
+        tf.join(counts, "term")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            # exact long sums (cf. mean_token_freq): int64 holds up to
+            # ~9e18 — at larger corpus·doc scales, pre-bucket or move
+            # the products to decimal(38,0)
+            F.sum(F.col("tf") * F.col("c_tgt")).alias("dot_target"),
+            F.sum(F.col("tf") * F.col("c_all")).alias("dot_all"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "doc",
+        "n_toks",
+        "dot_target",
+        "dot_all",
+        (
+            (F.col("dot_target").cast("double") / F.col("n_tgt").cast("double"))
+            / (F.col("dot_all").cast("double") / F.col("n_all").cast("double"))
+        ).alias("weight"),
+    )
+
+
 def collocations(
     df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
 ) -> DataFrame:

@@ -1539,6 +1539,96 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
 
 
+# --- bigram-LM weakest link + importance weights -------------------------------
+
+
+@register(
+    "q_bigram_min_prob",
+    oracle=f"""
+WITH {_TOKS_CTE},
+t2 AS (SELECT doc, t FROM toks WHERE len(t) >= 2),
+bg AS (
+  SELECT doc, t[i] AS term_a, t[i + 1] AS term_b
+  FROM t2, unnest(generate_series(1, len(t) - 1)) AS s(i)
+),
+cnt AS (SELECT term_a, term_b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+fst AS (SELECT term_a, SUM(c_ab) AS c_first FROM cnt GROUP BY 1),
+db AS (SELECT DISTINCT doc, term_a, term_b FROM bg),
+p AS (
+  SELECT doc, CAST(c_ab AS DOUBLE) / c_first AS p
+  FROM db JOIN cnt USING (term_a, term_b) JOIN fst USING (term_a)
+)
+SELECT doc, COUNT(*) AS n_distinct_bigrams, MIN(p) AS min_bigram_p
+FROM p GROUP BY doc ORDER BY doc
+""",
+    doc="Weakest-link bigram score: per doc, MIN over adjacent pairs of "
+    "the corpus conditional probability P(w2|w1) — the bigram-LM "
+    "gibberish detector (one bad transition sinks the score). Exact "
+    "integer ratios + order-independent MIN: no transcendental, no "
+    "double accumulation",
+    tags=("pipeline", "text"),
+)
+def q_bigram_min_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bigram_min_prob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_min_prob(docs, "doc_id", "text").orderBy("doc")
+
+
+@register(
+    "q_importance_weights",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tgt AS (SELECT doc_id AS doc, (lang = 'en') AS is_t FROM documents),
+exf AS (
+  SELECT toks.doc, unnest(t) AS term, is_t
+  FROM toks JOIN tgt ON toks.doc = tgt.doc
+),
+counts AS (
+  SELECT term, COUNT(*) AS c_all,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+  FROM exf GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+         CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+  FROM counts
+),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM exf GROUP BY 1, 2),
+agg AS (
+  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_toks,
+         CAST(SUM(tf * c_tgt) AS BIGINT) AS dot_target,
+         CAST(SUM(tf * c_all) AS BIGINT) AS dot_all
+  FROM tf JOIN counts USING (term) GROUP BY doc
+)
+SELECT doc, n_toks, dot_target, dot_all,
+       (CAST(dot_target AS DOUBLE) / CAST(n_tgt AS DOUBLE))
+         / (CAST(dot_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS weight
+FROM agg CROSS JOIN tot ORDER BY doc
+""",
+    doc="DSIR-flavored data-selection weights (linear variant): rank "
+    "every doc by target-likeness — (doc·target freq / N_target) / "
+    "(doc·corpus freq / N_all) with lang='en' as the target subcorpus. "
+    "All inner products are exact integer sums; the weight is two "
+    "divisions in pinned operand order (the ln-based LLR form is not "
+    "cross-engine bit-stable; this monotone linear form is)",
+    tags=("pipeline", "sampling"),
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return importance_weights(docs, "doc_id", "text", "is_target").orderBy(
+        "doc"
+    )
+
+
 # --- KMV distinct-count sketch -------------------------------------------------
 
 _KMV_K = 64

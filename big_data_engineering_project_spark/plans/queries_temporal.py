@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from big_data_engineering_project_spark.operators.temporal import (
     asof_join_backward,
+    asof_join_backward_salted,
     band_join,
 )
 from big_data_engineering_project_spark.plans.registry import register
@@ -64,6 +65,50 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="purchase_ts",
         payload_cols=["purchase_id"],
+    ).orderBy("event_id")
+
+
+@register(
+    "q_asof_salted",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_ts AS asof_purchase_ts, p.purchase_id AS asof_purchase_id
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+ORDER BY c.event_id
+""",
+    doc="Skew-safe as-of join: the same result as q_asof_last_purchase "
+    "through the (key, time-bucket)-partitioned two-pass form "
+    "(asof_join_backward_salted, 6 h buckets) — the oracle is the "
+    "direct ASOF JOIN, so the gate proves salted ≡ unsalted. At 100 TB "
+    "this is the plan for hot keys whose history exceeds one partition",
+    tags=("temporal", "join"),
+)
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_backward_salted(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        payload_cols=["purchase_id"],
+        bucket_seconds=6 * 3600,
     ).orderBy("event_id")
 
 

@@ -676,3 +676,75 @@ def test_duplicate_clusters_known_graph(spark):
         for r in dedup.duplicate_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_asof_salted_equals_unsalted(spark, sf_dir):
+    """The (key, bucket)-partitioned two-pass as-of returns EXACTLY the
+    unsalted result on fixture events, at a bucket width small enough
+    that carries cross many bucket boundaries."""
+    from big_data_engineering_project_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    kwargs = dict(
+        key="user_id", left_time="ts", right_time="pts", payload_cols=["pid"]
+    )
+    plain = {
+        r["event_id"]: (r["asof_pts"], r["asof_pid"])
+        for r in temporal.asof_join_backward(clicks, purch, **kwargs).collect()
+    }
+    salted = {
+        r["event_id"]: (r["asof_pts"], r["asof_pid"])
+        for r in temporal.asof_join_backward_salted(
+            clicks, purch, bucket_seconds=3600, **kwargs
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_salted_bucket_boundary_semantics(spark):
+    """Carry vs boundary rows: a right row exactly AT a bucket floor
+    overrides the carry from earlier buckets; carries survive across
+    empty buckets; keys with no right rows yield NULLs."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=t("2024-01-01 00:30:00")),  # before any right
+            Row(id=2, k=1, ts=t("2024-01-01 01:30:00")),  # same bucket as r1
+            Row(id=3, k=1, ts=t("2024-01-01 05:30:00")),  # carry across empty buckets
+            Row(id=4, k=1, ts=t("2024-01-01 06:00:00")),  # tie with boundary right
+            Row(id=5, k=1, ts=t("2024-01-01 06:10:00")),  # after boundary right
+            Row(id=6, k=2, ts=t("2024-01-01 03:00:00")),  # key with no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=t("2024-01-01 01:00:00"), pay=100),
+            # exactly at the 06:00 bucket floor (bucket_seconds=3600)
+            Row(k=1, rts=t("2024-01-01 06:00:00"), pay=600),
+        ]
+    )
+    got = {
+        r["id"]: (r["asof_rts"], r["asof_pay"])
+        for r in temporal.asof_join_backward_salted(
+            left, right, key="k", left_time="ts", right_time="rts",
+            payload_cols=["pay"], bucket_seconds=3600,
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (t("2024-01-01 01:00:00"), 100)
+    assert got[3] == (t("2024-01-01 01:00:00"), 100)
+    assert got[4] == (t("2024-01-01 06:00:00"), 600)  # boundary right wins
+    assert got[5] == (t("2024-01-01 06:00:00"), 600)
+    assert got[6] == (None, None)

@@ -496,3 +496,47 @@ def test_editdist_neardups_planted_pair(spark, tmp_path):
         for r in q_editdist_neardups(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2): 0}
+
+
+def test_bigram_min_prob_hand_checked(spark):
+    # Corpus: "a b", "a b", "a c d" →
+    # bigrams: (a,b)×2, (a,c)×1, (c,d)×1; c(a·)=3, c(c·)=1
+    # P(b|a)=2/3, P(c|a)=1/3, P(d|c)=1
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bigram_min_prob,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=1, txt="a b"), Row(i=2, txt="a b"), Row(i=3, txt="a c d"),
+         Row(i=4, txt="solo")],  # <2 tokens: absent from output
+    )
+    got = {
+        r["doc"]: (r["n_distinct_bigrams"], r["min_bigram_p"])
+        for r in bigram_min_prob(df, "i", "txt").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (1, 2 / 3)
+    assert got[2] == (1, 2 / 3)
+    assert got[3] == (2, 1 / 3)  # min(P(c|a)=1/3, P(d|c)=1)
+
+
+def test_importance_weights_hand_checked(spark):
+    # target: doc 1 ("x x y"); corpus adds doc 2 ("y z").
+    # c_all: x=2, y=2, z=1 (N_all=5); c_tgt: x=2, y=1, z=0 (N_tgt=3)
+    # doc1: dot_t = 2·2+1·1 = 5, dot_all = 2·2+1·2 = 6
+    #   weight = (5/3)/(6/5) = 25/18
+    # doc2: dot_t = 1·1+1·0 = 1, dot_all = 1·2+1·1 = 3
+    #   weight = (1/3)/(3/5) = 5/9
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=1, txt="x x y", tgt=True), Row(i=2, txt="y z", tgt=False)]
+    )
+    got = {
+        r["doc"]: (r["n_toks"], r["dot_target"], r["dot_all"], r["weight"])
+        for r in importance_weights(df, "i", "txt", "tgt").collect()
+    }
+    assert got[1] == (3, 5, 6, (5 / 3) / (6 / 5))
+    assert got[2] == (2, 1, 3, (1 / 3) / (3 / 5))
