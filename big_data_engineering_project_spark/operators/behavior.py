@@ -216,3 +216,80 @@ def grouped_quantiles(
         for q in quantiles
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Cohort retention table: users grouped by first-active date, and
+    for each (cohort, day-offset) the count of cohort members active
+    that day plus the retention ratio — the standard product-analytics
+    triangle chart.
+
+    Plan: ONE heavy reduction — distinct (user, date) — collapses the
+    event stream to at most |users|·|days| rows map-side; the per-user
+    cohort date is a min-window over that small table (reusing its
+    user partitioning), and the final (cohort, offset) agg is tiny.
+    Raw events shuffle once, as date-collapsed pairs.
+
+    The ratio is one double division of exact counts (cross-engine
+    bit-stable); cohort dates format as strings so both engines ship
+    an identical sortable column type.
+    """
+    act = df.select(
+        F.col(user_col).alias("user"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user")
+    with_cohort = act.withColumn("cohort_d", F.min("d").over(w))
+    ret = (
+        with_cohort.groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_d").cast("long").alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = ret.filter(F.col("offset_days") == 0).select(
+        "cohort_date", F.col("n_active").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(base), "cohort_date").select(
+        "cohort_date",
+        "offset_days",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Trailing `window_days`-day distinct active users per observed
+    day (the WAU/MAU family) — EXACT windowed count-distinct, which no
+    single window function expresses.
+
+    Plan: the event stream collapses to distinct (user, day) pairs
+    (the only heavy shuffle, map-side combined); each pair then
+    explodes into the ≤`window_days` window-end days it contributes
+    to — a bounded ×W blow-up of the ALREADY-COLLAPSED table, not of
+    raw events — and a count-distinct per day finishes. Days with no
+    events inside the trailing window of an observed day still count
+    only observed days (semi join on the day domain).
+    """
+    act = df.select(
+        F.col(user_col).alias("user"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    days = act.select("d").distinct().select(F.col("d").alias("day"))
+    contrib = act.select(
+        "user",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("off"),
+        "d",
+    ).select("user", F.date_add("d", F.col("off")).alias("day"))
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user").alias("active_users"))
+    )

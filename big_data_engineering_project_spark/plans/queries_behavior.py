@@ -211,3 +211,72 @@ GROUP BY doc ORDER BY doc
 def q_dup_segment_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dup_segment_fraction(docs, "doc_id", "text", _SEG_TOKENS).orderBy("doc")
+
+
+# --- cohort retention + rolling actives ----------------------------------------
+
+_WAU_DAYS = 7
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+coh AS (SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY 1),
+r AS (
+  SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+         datediff('day', cohort_d, d) AS offset_days,
+         COUNT(*) AS n_active
+  FROM act JOIN coh USING (user_id) GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_date, n_active AS cohort_size FROM r WHERE offset_days = 0
+)
+SELECT cohort_date, offset_days, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / cohort_size AS retention
+FROM r JOIN base USING (cohort_date)
+ORDER BY cohort_date, offset_days
+""",
+    doc="Cohort retention triangle: users bucketed by first-active "
+    "date; per (cohort, day-offset) active count + retention ratio. "
+    "Events shuffle ONCE as distinct (user, date) pairs; everything "
+    "downstream operates on the collapsed table",
+    tags=("behavior",),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts").orderBy(
+        "cohort_date", "offset_days"
+    )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle=f"""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d AS day FROM act),
+contrib AS (
+  SELECT user_id, d + CAST(s.i AS INT) AS day
+  FROM act, unnest(generate_series(0, {_WAU_DAYS} - 1)) AS s(i)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS active_users
+FROM contrib SEMI JOIN days USING (day)
+GROUP BY 1 ORDER BY 1
+""",
+    doc=f"Trailing {_WAU_DAYS}-day distinct active users per observed "
+    "day (WAU): exact windowed count-distinct via bounded explode of "
+    "the date-collapsed activity table — never of raw events",
+    tags=("behavior",),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", _WAU_DAYS).orderBy("day")
