@@ -143,3 +143,46 @@ def test_rollup_cascade_single_scan(plans):
     a per-level union would scan three times."""
     p = plans("q_rollup_cascade")
     assert p.count("Scan parquet") == 2  # formatted mode: tree + detail
+
+
+def test_dup_segment_single_tokenize_pass(plans):
+    """r5 regression guard: the join formulation made Catalyst re-scan
+    and re-tokenize the corpus for the counts branch (2 scans, ~1.7x
+    slower); the window form must keep exactly one parquet scan."""
+    p = plans("q_dup_segment_fraction")
+    assert p.count("Scan parquet") == 2  # formatted mode: tree + detail
+
+
+def test_asof_salted_partitions_by_key_and_bucket(plans):
+    """The salted as-of's big window must partition by (key, bucket) —
+    that's the whole point. A plain per-key partitioning would regress
+    to the hot-key-in-one-partition plan it exists to avoid. (The tiny
+    per-key carry window over bucket SUMMARIES is allowed.)"""
+    import re
+
+    p = plans("q_asof_salted")
+    assert re.search(r"hashpartitioning\(__k#\d+L?, __b#\d+L?", p), (
+        "no (key, bucket) exchange found in salted as-of plan"
+    )
+
+
+def test_media_histogram_never_shuffles_blobs(plans):
+    """Multimodal scale posture: blob bytes feed mapInPandas and stop
+    there — histogram aggregation shuffles (kind, bin, count) longs,
+    and the metadata join broadcasts."""
+    p = plans("q_media_histogram_topk")
+    for block in p.split("\n\n"):
+        head = block.split("\n")[0]
+        if "Exchange" in head and "Broadcast" not in head:
+            assert "blob#" not in block, (
+                f"blob bytes cross a keyed shuffle:\n{block}"
+            )
+
+
+def test_cohort_and_wau_collapse_before_shuffle(plans):
+    """Both cohort retention and rolling actives must partial-agg the
+    distinct (user, date) collapse map-side — raw events may not reach
+    an exchange uncombined."""
+    for name in ("q_cohort_retention", "q_rolling_active_users"):
+        p = plans(name)
+        assert p.count("HashAggregate") >= 2, name
