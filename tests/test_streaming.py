@@ -394,3 +394,86 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     want = {r["event_id"]: r["session_idx"] for r in batch.collect()}
     assert got == want and len(got) == 120
+
+
+def test_stateful_sessionize_multichunk_arrow_batches(spark, tmp_path):
+    """Regression (r5 advice): applyInPandasWithState hands ONE group's
+    micro-batch over as MULTIPLE Arrow chunks in shuffle-arrival order;
+    the per-chunk sort mis-stamped any batch larger than one chunk.
+    Force 5-record chunks and scrambled arrival so a single user's 90
+    rows span ~18 chunks — stream must still equal batch exactly."""
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_engineering_project_spark.operators.behavior import sessionize
+    from big_data_engineering_project_spark.streaming.stateful import (
+        with_session_idx,
+    )
+
+    rng = random.Random(11)
+    base = dt.datetime(2026, 2, 1, 0, 0, 0)
+    recs, t = [], base
+    for i in range(90):
+        t += dt.timedelta(minutes=rng.choice([5, 20, 90, 200]))
+        recs.append(
+            {"event_id": i, "user_id": 1,
+             "ts": t.strftime("%Y-%m-%d %H:%M:%S")}
+        )
+    scrambled = recs[:]
+    rng.shuffle(scrambled)  # arrival order != event order inside the batch
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    _write_batches(in_dir, scrambled, batch_size=90)  # one micro-batch
+
+    schema = StructType(
+        [
+            StructField("event_id", IntegerType()),
+            StructField("user_id", IntegerType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    parsed = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+        )
+        out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        q = (
+            with_session_idx(
+                parsed(stream), "user_id", "ts", gap_seconds=3600,
+                order_col="event_id",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = sessionize(
+        parsed(spark.read.schema(schema).json(in_dir)),
+        "user_id", "ts", gap_seconds=3600, tiebreak_col="event_id",
+    )
+    want = {r["event_id"]: r["session_idx"] for r in batch.collect()}
+    assert got == want and len(got) == 90
