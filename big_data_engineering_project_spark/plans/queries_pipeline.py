@@ -1697,6 +1697,134 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_setops_oracle() -> str:
+    poly_user = _POLY.format(s="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {poly_user} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+m AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT {_KMV_K}),
+flags AS (
+  SELECT h,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM sk GROUP BY 1
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_size,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+         MAX(m.h) AS hk
+  FROM m JOIN flags USING (h)
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS union_exact,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter_exact
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+  )
+)
+SELECT union_exact, inter_exact, m_size, n_both,
+       CASE WHEN m_size < {_KMV_K} THEN CAST(m_size AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * {P} / hk END AS kmv_union_est,
+       (CAST(n_both AS DOUBLE) / m_size)
+         * CASE WHEN m_size < {_KMV_K} THEN CAST(m_size AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE) * {P} / hk END
+         AS kmv_inter_est
+FROM st CROSS JOIN ex
+"""
+
+
+@register(
+    "q_kmv_set_ops",
+    oracle=_kmv_setops_oracle(),
+    doc=f"KMV sketch ALGEBRA (k={_KMV_K}): distinct-user estimates for "
+    "the UNION and INTERSECTION of the click and purchase populations "
+    "from the two per-type sketches alone — merge = k smallest of the "
+    "hash union, intersection via the ratio |M ∩ A ∩ B| / |M| "
+    "(Beyer et al.). Exact counts sit beside the estimates. This is "
+    "why KMV over a deterministic hash beats HLL here: set-operation "
+    "results stay EXACTLY reproducible cross-engine, so even the "
+    "estimator has a value-hash oracle. At 100 TB sketches merge "
+    "per-partition/per-day like any partial aggregate; only 2k hashes "
+    "ever reach the driver-side algebra",
+    tags=("pipeline", "sketch"),
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+
+    a_type, b_type = "click", "purchase"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(a_type, b_type)
+    )
+    h = ev.select(
+        "event_type",
+        _char_poly_hash(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    m = sk.select("h").distinct().orderBy("h").limit(_KMV_K)
+    flags = sk.groupBy("h").agg(
+        F.max(F.when(F.col("event_type") == a_type, 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("event_type") == b_type, 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    st = (
+        m.join(flags, "h")
+        .agg(
+            F.count(F.lit(1)).alias("m_size"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+            F.max("h").alias("hk"),
+        )
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == a_type, 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("event_type") == b_type, 1).otherwise(0)).alias("b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("union_exact"),
+            F.sum(
+                F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+            ).alias("inter_exact"),
+        )
+    )
+    union_est = F.when(
+        F.col("m_size") < _KMV_K, F.col("m_size").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(P) / F.col("hk"))
+    return st.crossJoin(F.broadcast(ex)).select(
+        "union_exact",
+        "inter_exact",
+        "m_size",
+        "n_both",
+        union_est.alias("kmv_union_est"),
+        ((F.col("n_both").cast("double") / F.col("m_size")) * union_est).alias(
+            "kmv_inter_est"
+        ),
+    )
+
+
 # --- duplicate clusters (pairs → connected components) -------------------------
 
 
