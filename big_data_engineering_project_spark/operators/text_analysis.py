@@ -535,6 +535,58 @@ def collocations(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Overlapping fixed-width token chunks per document — the RAG /
+    long-context preprocessing step (embed-and-index chunks, train on
+    windows). Chunk i covers tokens [i·stride, i·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap_tokens; the last chunk may be
+    short; empty docs yield no chunks.
+
+    All row-local (transform + slice on the token array, then one
+    explode): no shuffle at all — at 100 TB this pipelines straight
+    from the scan into whatever keyed stage follows (embedding UDF,
+    dedup, index write). Offsets/lengths are exact integers and chunk
+    text is a deterministic rejoin, so the op is oracle-exact.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    t = tokens_col(F.col(text_col))
+    mk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        (i * stride).alias("start_tok"),
+        F.slice(t, i * stride + 1, chunk_tokens).alias("_ts"),
+    )
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(t) - 1) / stride).cast("int")
+            ),
+            mk,
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<chunk_idx:int,start_tok:int,_ts:array<string>>>"
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(chunks).alias("c")
+    ).select(
+        "doc",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.size("c._ts").cast("long").alias("n_toks_chunk"),
+        F.array_join("c._ts", " ").alias("chunk_text"),
+    )
+
+
 def segments_col(tokens: Column, seg_tokens: int) -> Column:
     """Non-overlapping `seg_tokens`-token segments of a token array,
     each rejoined with single spaces — the unit of line/paragraph-

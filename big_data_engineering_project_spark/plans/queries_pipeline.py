@@ -1539,6 +1539,46 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
 
 
+# --- RAG chunking ---------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+WITH {_TOKS_CTE},
+t2 AS (SELECT doc, t FROM toks WHERE len(t) > 0)
+SELECT doc, i AS chunk_idx, i * {_CHUNK_STRIDE} AS start_tok,
+       CAST(len(t[i * {_CHUNK_STRIDE} + 1 :
+                  i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}]) AS BIGINT)
+         AS n_toks_chunk,
+       array_to_string(t[i * {_CHUNK_STRIDE} + 1 :
+                         i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM t2, unnest(generate_series(0, (len(t) - 1) // {_CHUNK_STRIDE})) AS s(i)
+ORDER BY doc, chunk_idx
+""",
+    doc=f"RAG chunking: overlapping {_CHUNK_TOKENS}-token windows "
+    f"(stride {_CHUNK_STRIDE}) per document with exact offsets — fully "
+    "row-local (transform + slice + one explode, zero shuffle); the "
+    "preprocessing step every embed-and-index / long-context pipeline "
+    "runs before its embedding UDF",
+    tags=("pipeline", "text"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP
+    ).orderBy("doc", "chunk_idx")
+
+
 # --- bigram-LM weakest link + importance weights -------------------------------
 
 

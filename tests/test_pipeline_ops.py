@@ -540,3 +540,29 @@ def test_importance_weights_hand_checked(spark):
     }
     assert got[1] == (3, 5, 6, (5 / 3) / (6 / 5))
     assert got[2] == (2, 1, 3, (1 / 3) / (3 / 5))
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6,9
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    txt = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([Row(i=1, txt=txt), Row(i=2, txt="a"),
+                                Row(i=3, txt="   ")])  # doc 3: no tokens
+    got = {
+        (r["doc"], r["chunk_idx"]): (
+            r["start_tok"], r["n_toks_chunk"], r["chunk_text"]
+        )
+        for r in chunk_documents(df, "i", "txt", 4, 1).collect()
+    }
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert got[(1, 3)] == (9, 1, "t9")        # short last chunk
+    assert got[(2, 0)] == (0, 1, "a")
+    assert {d for d, _ in got} == {1, 2}       # empty doc absent
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "i", "txt", 4, 4)
