@@ -84,34 +84,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_curation_pipeline",
     # LLM-pipeline: segment-level (line-style) dedup signal
     "q_dup_segment_fraction",
-    # Temporal joins
+    # Temporal joins (q_spike_window_counts demoted r5, driver-green
+    # r03+r04; the salted as-of takes its slot — its oracle is the
+    # direct ASOF JOIN, so the gate proves salted ≡ unsalted each round)
     "q_asof_last_purchase",
-    "q_spike_window_counts",
-    # Sketches / hierarchical rollup
+    "q_asof_salted",
+    # Sketches / hierarchical rollup + set algebra
     "q_kmv_distinct_users",
+    "q_kmv_set_ops",
     "q_rollup_cascade",
-    # Behavior analytics (round 4)
+    # Behavior analytics (round 4 + round-5 cohort/WAU)
     "q_session_stats",
     "q_funnel_conversion",
     "q_event_transitions",
     "q_user_rolling_avg",
     "q_value_quantiles_by_type",
-    # Reference operators (one slot per family; the names demoted to
-    # make room for round-4 queries — q_counts_by_type_hour,
-    # q_filter_high_value, q_time_of_day, q_clean_text, q_sentiment,
-    # q_udtf_word_positions — all hold driver-green rows in the
-    # committed r01/r02/r03 artifacts; q_counts_by_type demoted round 5,
-    # green r01-r04)
-    "q_peak_hour_per_type",
-    "q_zscore_anomalies",
-    "q_word_counts_top15",
+    "q_cohort_retention",
+    "q_rolling_active_users",
+    # Round-5 text/sampling additions
+    "q_bigram_min_prob",
+    "q_importance_weights",
+    "q_chunk_documents",
+    # Reference operators (one slot per family; every name demoted over
+    # rounds 4-5 — q_counts_by_type_hour, q_filter_high_value,
+    # q_time_of_day, q_clean_text, q_sentiment, q_udtf_word_positions,
+    # q_counts_by_type, q_peak_hour_per_type, q_zscore_anomalies,
+    # q_word_counts_top15, q_enrich_events, q_tumbling_hourly_counts,
+    # q_pricing_summary — holds driver-green rows in two or more
+    # committed artifacts)
     "q_serving_try_cast",
-    "q_enrich_events",
-    "q_tumbling_hourly_counts",
-    # TPC-H joins / SQL surface (q_shipping_priority and
-    # q_orders_with_heavy_items demoted for round-4 mixing/packing —
-    # both driver-green in r01/r02/r03)
-    "q_pricing_summary",
+    # TPC-H joins / SQL surface
     "q_nation_revenue",
 )
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from big_data_engineering_project_spark.multimodal.columns import (
     decode_media,
     extract_features,
+    sample_frames,
     synthetic_media,
 )
 from big_data_engineering_project_spark.plans.registry import register
@@ -112,4 +113,43 @@ def q_media_histogram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .orderBy("kind", "rank")
+    )
+
+
+_FRAME_STEP = 4
+
+
+@register(
+    "q_media_frame_means",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+v AS (SELECT media_id, width, height FROM m WHERE kind = 'video'),
+f AS (
+  SELECT media_id, width, i AS frame_idx
+  FROM v, unnest(generate_series(0, height - 1, {_FRAME_STEP})) AS s(i)
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(SUM((media_id + (frame_idx * width + (c - 1)) * 31) % 256)
+            AS DOUBLE) / width AS frame_mean
+FROM f, unnest(generate_series(1, width)) AS t(c)
+GROUP BY media_id, frame_idx, width
+ORDER BY media_id, frame_idx
+""",
+    doc=f"Video frame sampling (every {_FRAME_STEP}th frame) through "
+    "the mapInPandas frame decoder: per-frame mean intensity vs the "
+    "closed-form byte oracle. The row-explosion (one row per sampled "
+    "frame) happens JVM-side before the Python decode — the plumbing "
+    "a real ffmpeg frame extractor would use.",
+    tags=("multimodal",),
+)
+def q_media_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, N_MEDIA)
+    return (
+        sample_frames(media, every_n=_FRAME_STEP)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "frame_mean",
+        )
+        .orderBy("media_id", "frame_idx")
     )
