@@ -14,10 +14,10 @@ Dict order is GATE-PRIORITY order (plans.DRIVER_PRIORITY): a harness
 that verifies only a prefix of `queries()` reaches every operator
 family — LLM-pipeline ops (dedup, ANN, text analysis, sampling, PII,
 temporal joins) lead, reference/TPC-H families each hold a slot in the
-first 50, and the remainder (all driver-green in the committed
-CORRECTNESS_r01/r02 artifacts) follow. tools/oracle_check.py runs the
+first 50, and the remainder (all driver-green in committed
+CORRECTNESS_r0*.json artifacts) follow. tools/oracle_check.py runs the
 FULL registry; its committed full-sweep artifact is
-CORRECTNESS_FULL_r03.json.
+CORRECTNESS_FULL_r05.json.
 """
 
 from __future__ import annotations
