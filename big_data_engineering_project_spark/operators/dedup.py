@@ -156,6 +156,15 @@ def ngram_jaccard_pairs(
     at run time from the shingle table itself) — a fixed constant
     tuned on a small fixture would silently drop most of the
     vocabulary at 1000× the corpus.
+
+    Size prefilter (the PPJoin length filter; r5, 0.57× at sf0.1):
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so candidate rows with
+    min < τ·max can never pass and are dropped INSIDE the join
+    condition — before the per-pair groupBy, which otherwise
+    aggregates ~all bucket-mates (1.27 M candidate rows → 256 final
+    pairs on the sf0.1 fixture). The bound carries a −1 slack so
+    float wobble in τ·max can never drop a true boundary pair;
+    correctness is unchanged (verified result-identical).
     """
     if hashed is None:
         # Persist the (doc, hv) shingle table — the char-hash fold is
@@ -166,7 +175,13 @@ def ngram_jaccard_pairs(
         # persist round-trip.
         shingler = hashed_shingle_table_arrow if arrow else hashed_shingle_table
         hashed = _persist_owned(shingler(df, id_col, text_col, n))
-    inv = hashed.select("doc", F.explode("hv").alias("s"))
+    # n_sh rides along each index row (8 bytes) so the size prefilter
+    # can run inside the join condition.
+    inv = hashed.select(
+        "doc",
+        F.explode("hv").alias("s"),
+        F.size("hv").cast("long").alias("n_sh"),
+    )
     # Per-doc set size straight off the array column (shingles are
     # distinct per doc) — no aggregation over the exploded index.
     sizes = hashed.select("doc", F.size("hv").cast("long").alias("n_sh"))
@@ -200,8 +215,19 @@ def ngram_jaccard_pairs(
         inv = inv.join(F.broadcast(hot), "s", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= F.lit(float(threshold))
+        * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        - F.lit(1.0)
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & size_ok,
+        )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
