@@ -157,14 +157,18 @@ def ngram_jaccard_pairs(
     tuned on a small fixture would silently drop most of the
     vocabulary at 1000× the corpus.
 
-    Size prefilter (the PPJoin length filter; r5, 0.57× at sf0.1):
-    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so candidate rows with
-    min < τ·max can never pass and are dropped INSIDE the join
-    condition — before the per-pair groupBy, which otherwise
-    aggregates ~all bucket-mates (1.27 M candidate rows → 256 final
-    pairs on the sf0.1 fixture). The bound carries a −1 slack so
-    float wobble in τ·max can never drop a true boundary pair;
-    correctness is unchanged (verified result-identical).
+    Size prefilter (the PPJoin length filter): J(A,B) ≤
+    min(|A|,|B|)/max(|A|,|B|), so candidate rows with min < τ·max can
+    never pass and are dropped INSIDE the join condition — before the
+    per-pair groupBy (1.27 M candidate rows → 256 final pairs on the
+    sf0.1 fixture; the filter removes ~90 % of them). Honest local
+    measurement: at sf0.1 the candidate join is BROADCAST, so the
+    dropped rows never crossed a wire and interleaved A/B shows the
+    filter is wall-clock neutral here; it pays at real scale, where
+    the per-pair aggregation is a true shuffle whose volume it cuts
+    ~10×. The bound carries a −1 slack so float wobble in τ·max can
+    never drop a true boundary pair; correctness is unchanged
+    (verified result-identical at sf0.1).
     """
     if hashed is None:
         # Persist the (doc, hv) shingle table — the char-hash fold is
