@@ -748,3 +748,46 @@ def test_asof_salted_bucket_boundary_semantics(spark):
     assert got[4] == (t("2024-01-01 06:00:00"), 600)  # boundary right wins
     assert got[5] == (t("2024-01-01 06:00:00"), 600)
     assert got[6] == (None, None)
+
+
+def test_asof_salted_equals_unsalted_randomized(spark):
+    """Salted ≡ unsalted over randomized event sets and several bucket
+    widths — boundary collisions, sparse keys, carries across many
+    empty buckets all land by construction of the random draw."""
+    import datetime as dt
+    import random
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    for seed, bucket_s in [(3, 3600), (4, 900), (5, 7200)]:
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 6, 1)
+        lrows = [
+            Row(id=i, k=rng.randrange(4),
+                ts=base + dt.timedelta(seconds=rng.randrange(0, 86400)))
+            for i in range(120)
+        ]
+        rts = set()
+        rrows = []
+        for j in range(40):
+            k = rng.randrange(4)
+            # quantize so some right rows land EXACTLY on bucket floors
+            t = base + dt.timedelta(seconds=rng.randrange(0, 96) * 900)
+            if (k, t) not in rts:  # unique per (key, time) contract
+                rts.add((k, t))
+                rrows.append(Row(k=k, rts=t, pay=j))
+        left = spark.createDataFrame(lrows)
+        right = spark.createDataFrame(rrows)
+        kwargs = dict(key="k", left_time="ts", right_time="rts",
+                      payload_cols=["pay"])
+        plain = {
+            r["id"]: (r["asof_rts"], r["asof_pay"])
+            for r in temporal.asof_join_backward(left, right, **kwargs).collect()
+        }
+        salted = {
+            r["id"]: (r["asof_rts"], r["asof_pay"])
+            for r in temporal.asof_join_backward_salted(
+                left, right, bucket_seconds=bucket_s, **kwargs
+            ).collect()
+        }
+        assert salted == plain, f"seed={seed} bucket={bucket_s}"

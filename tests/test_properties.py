@@ -91,3 +91,33 @@ def test_sentiment_bounded(spark, _):
     df = spark.createDataFrame([(s,)], "s STRING")
     v = df.select(sentiment_col(F.col("s")).alias("v")).first()["v"]
     assert -1.0 <= v <= 1.0
+
+
+@given(token_lists(), st.integers(min_value=2, max_value=6), st.integers(min_value=0, max_value=4))
+@pyspark_settings
+def test_chunking_reconstructs_token_stream(spark, tokens, chunk, overlap):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating reconstructs the original token stream exactly —
+    the invariant that makes overlapped chunks trainable without
+    duplicating content unboundedly."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        return
+    df = spark.createDataFrame([(1, " ".join(tokens))], "i LONG, txt STRING")
+    rows = sorted(
+        chunk_documents(df, "i", "txt", chunk, overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+    assert rebuilt == tokens
+    # offsets are stride-spaced and sizes bounded by the chunk width
+    stride = chunk - overlap
+    for r in rows:
+        assert r["start_tok"] == r["chunk_idx"] * stride
+        assert 1 <= r["n_toks_chunk"] <= chunk
