@@ -61,15 +61,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
     "q_embedding_kmeans",
-    # Multimodal (round 5: driver-facing decode + histogram)
+    # Multimodal (round 5: driver-facing decode + histogram + frames;
+    # q_media_frame_means takes q_stemmed_docs' slot — frame means has
+    # an EXACT oracle where stemmed_docs is rows-only, so the slot buys
+    # a strictly stronger check; stemmed_docs keeps pytest unit-vector
+    # coverage + full-sweep rows-only evidence)
     "q_media_decode_stats",
     "q_media_histogram_topk",
+    "q_media_frame_means",
     # LLM-pipeline: text analysis
     "q_lang_id",
     "q_quality_scores",
     "q_token_stats_by_source",
     "q_bpe_token_counts",
-    "q_stemmed_docs",
     "q_repetition_scores",
     "q_tfidf_top_terms",
     "q_mean_token_freq",
