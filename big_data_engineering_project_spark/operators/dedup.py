@@ -22,7 +22,7 @@ super-common shingles the way real pipelines drop high-DF shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Polynomial-hash constants shared with the DuckDB oracle SQL
@@ -244,6 +244,89 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sliding_dup_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022 style): per doc,
+    the fraction of token POSITIONS covered by some k-gram that occurs
+    more than once in the corpus. Unlike fixed-segment dedup
+    (`dup_segment_fraction`), the k-grams SLIDE — a duplicated passage
+    is caught at any offset, not only when it aligns to segment
+    boundaries.
+
+    Position coverage is an interval union: a repeated gram at start s
+    covers [s, s+k); overlapping grams must not double-count. The
+    union length is computed with integer window arithmetic — for
+    starts in order, contribution = (s+k) − max(s, running_max(s+k)
+    over earlier starts) — so the score is exact (no double sums) and
+    oracle-checkable.
+
+    Plan (one scan, the dup_segment lesson applied from the start):
+    per-token char hashes once, k-gram hashes by arithmetic fold over
+    a slice (no string rejoin per gram), occurrence counts via ONE
+    window over the gram hash (never a join back that would re-scan),
+    then the per-doc interval-union window. Shuffles carry 8-byte
+    hashes and integer offsets only. Docs with < k tokens are absent
+    (no grams); docs with no repeated gram report coverage 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= k)
+    ht = toks.select(
+        "doc",
+        F.size("t").cast("long").alias("n_toks"),
+        F.transform("t", _char_poly_hash).alias("ht"),
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("ht") - k + 1),
+        lambda i: F.aggregate(
+            F.slice(F.col("ht"), i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_PRIME,
+        ),
+    )
+    ex = ht.select("doc", "n_toks", F.posexplode(gram).alias("s", "g"))
+    occ = ex.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    rep = occ.filter(F.col("n_occ") > 1)
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("s") + k).over(w_prev)
+    covered = (F.col("s") + k) - F.greatest(
+        F.col("s"), F.coalesce(prev_end, F.col("s"))
+    )
+    agg = (
+        rep.withColumn("cov", covered)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("cov").alias("n_covered"),
+        )
+    )
+    return (
+        ht.select("doc", "n_toks")
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            "n_toks",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias(
+                "n_covered"
+            ),
+            (
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_toks")
+            ).alias("dup_coverage"),
+        )
     )
 
 

@@ -1539,6 +1539,57 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
 
 
+# --- sliding-window exact-substring dedup signal --------------------------------
+
+_SLIDE_K = 8
+
+
+@register(
+    "q_sliding_dup_coverage",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+tk AS (SELECT doc, ht, len(ht) AS n FROM ht WHERE len(ht) >= {_SLIDE_K}),
+g AS (
+  SELECT doc, n, i - 1 AS s,
+         list_reduce([0::BIGINT] + ht[i : i + {_SLIDE_K - 1}],
+                     (acc, x) -> (acc * {B} + x) % {P}) AS g
+  FROM tk, unnest(generate_series(1, n - {_SLIDE_K} + 1)) AS u(i)
+),
+occ AS (SELECT doc, s, COUNT(*) OVER (PARTITION BY g) AS n_occ FROM g),
+rep AS (SELECT doc, s FROM occ WHERE n_occ > 1),
+cov AS (
+  SELECT doc, s,
+         (s + {_SLIDE_K}) - GREATEST(s,
+           COALESCE(MAX(s + {_SLIDE_K}) OVER (PARTITION BY doc ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s)) AS covered
+  FROM rep
+),
+agg AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(covered) AS BIGINT) AS n_covered
+  FROM cov GROUP BY doc
+)
+SELECT tk.doc AS doc, CAST(n AS BIGINT) AS n_toks,
+       COALESCE(agg.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(agg.n_covered, 0) AS n_covered,
+       CAST(COALESCE(agg.n_covered, 0) AS DOUBLE) / n AS dup_coverage
+FROM tk LEFT JOIN agg ON tk.doc = agg.doc ORDER BY tk.doc
+""",
+    doc=f"Exact-substring dedup signal (Lee et al. style): fraction of "
+    f"token positions covered by a corpus-repeated {_SLIDE_K}-gram — "
+    "SLIDING grams catch duplicated passages at any offset, unlike "
+    "fixed segments. Interval-union coverage via integer window "
+    "arithmetic (no double accumulation); one scan, hash-only shuffles",
+    tags=("pipeline", "dedup"),
+)
+def q_sliding_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sliding_dup_coverage(
+        docs, "doc_id", "text", _SLIDE_K
+    ).orderBy("doc")
+
+
 # --- RAG chunking ---------------------------------------------------------------
 
 _CHUNK_TOKENS = 64

@@ -566,3 +566,36 @@ def test_chunk_documents_offsets_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, "i", "txt", 4, 4)
+
+
+def test_sliding_dup_coverage_shifted_duplicate(spark):
+    # Doc A: w0..w19 (20 tokens). Doc B embeds A's tokens w2..w11 at a
+    # DIFFERENT offset (after 3 junk tokens). With k=8, the shared
+    # 10-token run yields repeated grams starting at A-positions 2,3,4
+    # → interval union [2, 12) → 10 covered positions → coverage 0.5.
+    # Fixed 10-token segments would MISS this (different alignment).
+    from big_data_engineering_project_spark.operators.dedup import (
+        sliding_dup_coverage,
+    )
+
+    a_toks = [f"w{i}" for i in range(20)]
+    shared = a_toks[2:12]
+    b_toks = ["x1", "x2", "x3"] + shared + ["y1", "y2"]
+    df = spark.createDataFrame(
+        [
+            Row(i=1, txt=" ".join(a_toks)),
+            Row(i=2, txt=" ".join(b_toks)),
+            Row(i=3, txt="unique tokens only here nothing repeats at all ever"),
+            Row(i=4, txt="too short"),  # < k tokens: absent
+        ]
+    )
+    got = {
+        r["doc"]: (r["n_toks"], r["n_dup_grams"], r["n_covered"],
+                   r["dup_coverage"])
+        for r in sliding_dup_coverage(df, "i", "txt", k=8).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (20, 3, 10, 0.5)
+    # B: 15 tokens, repeated grams start at 3,4,5 → union [3, 13) = 10
+    assert got[2] == (15, 3, 10, 10 / 15)
+    assert got[3] == (9, 0, 0, 0.0)
