@@ -1539,6 +1539,26 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
 
 
+@register(
+    "q_compression_ratio",
+    oracle=None,  # zlib is a real external codec no SQL engine mirrors
+    # → rows-only; determinism + repetitive<prose ordering pinned in
+    # tests/test_pipeline_ops.py
+    doc="DEFLATE compression ratio per doc (Gopher/MassiveText "
+    "redundancy filter): Arrow-batched pandas UDF over the text "
+    "column, pure map (no shuffle). Catches long-range/structural "
+    "redundancy that token-level repetition heuristics miss",
+    tags=("pipeline", "text"),
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return compression_ratio(docs, "doc_id", "text").orderBy("doc")
+
+
 # --- sliding-window exact-substring dedup signal --------------------------------
 
 _SLIDE_K = 8

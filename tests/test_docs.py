@@ -33,6 +33,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_embedding_ivf_topk",  # approximate (recall/planted pytest)
         "q_embedding_kmeans",  # iterative (SSE pytest)
         "q_stemmed_docs",  # Porter stemmer (unit-vector pytest)
+        "q_compression_ratio",  # zlib codec (determinism/ordering pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only

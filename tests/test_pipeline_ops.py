@@ -599,3 +599,30 @@ def test_sliding_dup_coverage_shifted_duplicate(spark):
     # B: 15 tokens, repeated grams start at 3,4,5 → union [3, 13) = 10
     assert got[2] == (15, 3, 10, 10 / 15)
     assert got[3] == (9, 0, 0, 0.0)
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    rep = "spam " * 200
+    prose = (
+        "the quick brown fox jumps over one lazy dog while seventeen "
+        "curious zebras wander across quiet meadows under amber skies "
+        "gathering scattered acorns beside forgotten wooden fences near "
+        "winding rivers that murmur softly through ancient mossy valleys"
+    )
+    df = spark.createDataFrame(
+        [Row(i=1, txt=rep), Row(i=2, txt=prose), Row(i=3, txt=""),
+         Row(i=4, txt=None)]
+    )
+    got = {r["doc"]: r["compression_ratio"]
+           for r in compression_ratio(df, "i", "txt").collect()}
+    # repetitive text compresses far below prose; empty/null → NULL
+    assert got[1] < 0.1 < got[2] < 1.0
+    assert got[3] is None and got[4] is None
+    # deterministic: identical input → identical output across runs
+    again = {r["doc"]: r["compression_ratio"]
+             for r in compression_ratio(df, "i", "txt").collect()}
+    assert got == again
