@@ -1539,6 +1539,71 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "text", _COLLOC_MIN_COUNT, _COLLOC_K)
 
 
+_VOCAB_NS = (10, 100, 1000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT term, COUNT(*) AS c FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM cnt
+)
+SELECT n, CAST(SUM(c) AS BIGINT) AS covered_occurrences,
+       total AS total_occurrences,
+       CAST(SUM(c) AS DOUBLE) / total AS coverage
+FROM ranked CROSS JOIN tot, unnest({list(_VOCAB_NS)}) AS u(n)
+WHERE rn <= n
+GROUP BY n, total ORDER BY n
+""",
+    doc="Vocabulary coverage curve: share of all token occurrences "
+    "covered by the top-N most frequent terms (N = 10/100/1000) — the "
+    "Zipf/tokenizer-planning diagnostic. Scale-correct selection: the "
+    "top-1000 terms come from TakeOrdered (distributed top-k, total "
+    "order c DESC/term ASC), never a global rank window over the "
+    "vocabulary; the cumulative sums run on the 1000-row result",
+    tags=("pipeline", "text"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(dedup.tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    top = cnt.orderBy(F.desc("c"), F.asc("term")).limit(max(_VOCAB_NS))
+    from pyspark.sql import Window
+
+    # rank over the k-row top frame (bounded by the constant k, not the
+    # vocabulary) — single-partition is fine and deterministic here
+    ranked = top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("term"))
+        ),
+    )
+    ns = spark.createDataFrame([(n,) for n in _VOCAB_NS], "n INT")
+    return (
+        ranked.crossJoin(F.broadcast(ns))
+        .filter(F.col("rn") <= F.col("n"))
+        .groupBy(F.col("n").cast("long").alias("n"))
+        .agg(F.sum("c").cast("long").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            (
+                F.col("covered_occurrences").cast("double") / F.col("total")
+            ).alias("coverage"),
+        )
+        .orderBy("n")
+    )
+
+
 @register(
     "q_compression_ratio",
     oracle=None,  # zlib is a real external codec no SQL engine mirrors
