@@ -172,3 +172,83 @@ def dedup_stream(
     dropDuplicatesWithinWatermark bounds the dedup state while
     guaranteeing duplicates inside the horizon are removed."""
     return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark([id_col])
+
+
+# --- streaming curation (incremental training-data ingest) ---------------------
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    quality_min: float,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """The batch curation pass (`plans.queries_pipeline.curate_documents`)
+    as an INCREMENTAL ingest stream — how a production corpus actually
+    arrives: quality/lang gate → content-hash split stamp →
+    fingerprint → cross-batch exact dedup → parquet sink.
+
+    Stream ≡ batch by construction (tested): the gate, split and
+    fingerprint are the identical column expressions, and streaming
+    `dropDuplicates` keeps the FIRST arrival per fingerprint — equal to
+    the batch min-doc_id keeper whenever arrival order follows doc_id
+    (an ingest log's natural order).
+
+    State posture: the fingerprint dedup state is one 8-byte hash per
+    UNIQUE document ever seen — the smallest possible exact-dedup
+    state, checkpointed with the query. For bounded-state deployments
+    swap in `dropDuplicatesWithinWatermark` (accepting horizon-limited
+    dedup, cf. `dedup_stream`).
+    """
+    from big_data_engineering_project_spark.operators.sampling import with_split
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+        text_profile_col,
+    )
+
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    prof = text_profile_col(F.col("text"))
+    kept = (
+        src.select("doc_id", "source", "text", prof.alias("_prof"))
+        .filter(
+            (F.col("_prof.quality") >= quality_min)
+            & (F.col("_prof.lang") == "en")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.col("_prof.n_tokens").alias("n_tokens"),
+        )
+    )
+    stamped = with_split(kept, "text").select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        fingerprint_col(F.col("text")).alias("f"),
+    )
+    deduped = stamped.dropDuplicates(["f"]).drop("f")
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -626,3 +626,25 @@ def test_compression_ratio_orders_redundancy(spark):
     again = {r["doc"]: r["compression_ratio"]
              for r in compression_ratio(df, "i", "txt").collect()}
     assert got == again
+
+
+def test_sliding_dup_coverage_identical_docs_fully_covered(spark):
+    # Two identical docs: every gram repeats, coverage exactly 1.0;
+    # coverage is always within [0, 1] on mixed corpora.
+    from big_data_engineering_project_spark.operators.dedup import (
+        sliding_dup_coverage,
+    )
+
+    same = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [Row(i=1, txt=same), Row(i=2, txt=same),
+         Row(i=3, txt="some entirely different and unrepeated sentence "
+                      "with many fresh tokens")]
+    )
+    got = {r["doc"]: r for r in
+           sliding_dup_coverage(df, "i", "txt", k=8).collect()}
+    assert got[1]["dup_coverage"] == 1.0 and got[2]["dup_coverage"] == 1.0
+    assert got[1]["n_covered"] == 12
+    for r in got.values():
+        assert 0.0 <= r["dup_coverage"] <= 1.0
+        assert r["n_covered"] <= r["n_toks"]

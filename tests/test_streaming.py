@@ -477,3 +477,83 @@ def test_stateful_sessionize_multichunk_arrow_batches(spark, tmp_path):
     )
     want = {r["event_id"]: r["session_idx"] for r in batch.collect()}
     assert got == want and len(got) == 90
+
+
+def test_curation_stream_matches_batch(spark, tmp_path):
+    """Incremental curation ≡ batch curation: the same gate/split/
+    fingerprint expressions run as a 3-micro-batch stream with
+    cross-batch dedup state; output must equal curate_documents over
+    the union (arrival order follows doc_id, so first-arrival ==
+    min-doc_id keeper)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        _CURATION_MIN_QUALITY,
+        curate_documents,
+    )
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        run_curation_stream,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog and then walks "
+          "slowly home through the quiet evening streets with a friend "
+          "while the city lights come on one after another and people "
+          "gather in small groups near the old market square to share "
+          "stories about the long day that is finally winding down now")
+    en2 = ("a completely different english paragraph about data engines "
+           "that should also survive the quality gate and the language "
+           "gate without any trouble because it keeps a natural mix of "
+           "common words and longer phrases the way ordinary writing "
+           "does when someone simply explains their work to a colleague "
+           "over coffee in the late afternoon light of the office")
+    junk = "zzzz qqqq xxxx vvvv"  # fails the gate in both paths
+    batches = [
+        # batch 0: two keepers + an exact redelivery of doc 1 (same id)
+        [
+            {"doc_id": 1, "text": en, "lang": "en", "source": "s"},
+            {"doc_id": 1, "text": en, "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": en2, "lang": "en", "source": "s"},
+        ],
+        # batch 1: cross-batch duplicate of doc 1 under a NEW id + junk
+        [
+            {"doc_id": 3, "text": en, "lang": "en", "source": "s"},
+            {"doc_id": 4, "text": junk, "lang": "en", "source": "s"},
+        ],
+        # batch 2: another cross-batch duplicate + a fresh keeper
+        [
+            {"doc_id": 5, "text": en2, "lang": "en", "source": "s"},
+            {"doc_id": 6, "text": en + " extended with unique suffix",
+             "lang": "en", "source": "s"},
+        ],
+    ]
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    for i, recs in enumerate(batches):
+        with open(os.path.join(in_dir, f"b{i}.json"), "w") as fh:
+            for r in recs:
+                fh.write(_json.dumps(r) + "\n")
+        _time.sleep(0.05)  # strictly increasing mtimes → arrival order
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run_curation_stream(
+        spark, in_dir, out, cp, quality_min=_CURATION_MIN_QUALITY
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["split"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    flat = [r for b in batches for r in b]
+    from pyspark.sql import Row as _Row
+
+    batch_df = spark.createDataFrame(
+        [_Row(**r) for r in flat]
+    ).dropDuplicates(["doc_id"])
+    want = {
+        r["doc_id"]: (r["source"], r["split"], r["n_tokens"])
+        for r in curate_documents(batch_df).collect()
+    }
+    assert got == want
+    assert 1 in got and 2 in got and 6 in got  # keepers survive
+    assert 3 not in got and 5 not in got      # cross-batch dups dropped
+    assert 4 not in got                        # junk gated out
