@@ -241,6 +241,7 @@ ORDER BY cohort_date, offset_days
     "date; per (cohort, day-offset) active count + retention ratio. "
     "Events shuffle ONCE as distinct (user, date) pairs; everything "
     "downstream operates on the collapsed table",
+    headline=True,  # r5: the cohort collapse plan gets timed
     tags=("behavior",),
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1666,6 +1666,7 @@ FROM tk LEFT JOIN agg ON tk.doc = agg.doc ORDER BY tk.doc
     "SLIDING grams catch duplicated passages at any offset, unlike "
     "fixed segments. Interval-union coverage via integer window "
     "arithmetic (no double accumulation); one scan, hash-only shuffles",
+    headline=True,  # r5: the heaviest new operator gets timed
     tags=("pipeline", "dedup"),
 )
 def q_sliding_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,6 +89,7 @@ ORDER BY c.event_id
     "(asof_join_backward_salted, 6 h buckets) — the oracle is the "
     "direct ASOF JOIN, so the gate proves salted ≡ unsalted. At 100 TB "
     "this is the plan for hot keys whose history exceeds one partition",
+    headline=True,  # r5: timed beside the unsalted form it must match
     tags=("temporal", "join"),
 )
 def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
