@@ -86,6 +86,62 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: every `left` row, plus payload from the EARLIEST
+    `right` row with the same key and `right_time` >= `left_time` —
+    the "next event after" join (next restock after a stock-out, next
+    deploy after an alert). Same contract as the backward form:
+    `right` unique per (key, right_time), inclusive at ties, NULLs
+    when nothing follows.
+
+    Identical one-shuffle union+window plan, with the window ordered
+    DESCENDING — the last non-null right payload over the reversed
+    stream is exactly the nearest following right row.
+    """
+    carried = [right_time, *payload_cols]
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__row"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+            for c in carried
+        ],
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__p_{c}") for c in carried],
+    )
+    # DESC by time; within a tie the right row must still be VISIBLE to
+    # the left row (inclusive >=), so right sorts first here as well —
+    # __side ASC keeps 0 (right) before 1 (left) at equal __t.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pstruct = F.struct(*[F.col(f"__p_{c}").alias(c) for c in carried])
+    tagged = l2.unionByName(r2).withColumn(
+        "__carried",
+        F.last(F.when(F.col("__side") == 0, pstruct), ignorenulls=True).over(w),
+    )
+    return tagged.filter(F.col("__side") == 1).select(
+        "__row.*",
+        *[F.col(f"__carried.{c}").alias(f"asof_{c}") for c in carried],
+    )
+
+
 def asof_join_backward_salted(
     left: DataFrame,
     right: DataFrame,

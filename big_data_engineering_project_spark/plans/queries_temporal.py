@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from big_data_engineering_project_spark.operators.temporal import (
     asof_join_backward,
     asof_join_backward_salted,
+    asof_join_forward,
     band_join,
 )
 from big_data_engineering_project_spark.plans.registry import register
@@ -110,6 +111,48 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="purchase_ts",
         payload_cols=["purchase_id"],
         bucket_seconds=6 * 3600,
+    ).orderBy("event_id")
+
+
+@register(
+    "q_asof_next_purchase",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_ts AS asof_purchase_ts, p.purchase_id AS asof_purchase_id
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+ORDER BY c.event_id
+""",
+    doc="FORWARD as-of join: each click ⟶ the user's next purchase "
+    "at-or-after it (the time-reversed union+window form, one shuffle; "
+    "oracle is DuckDB's native forward ASOF) — the conversion-lag "
+    "primitive the backward form can't express",
+    tags=("temporal", "join"),
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        payload_cols=["purchase_id"],
     ).orderBy("event_id")
 
 

@@ -791,3 +791,40 @@ def test_asof_salted_equals_unsalted_randomized(spark):
             ).collect()
         }
         assert salted == plain, f"seed={seed} bucket={bucket_s}"
+
+
+def test_asof_forward_semantics(spark):
+    """Inclusive at-tie, NULLs when nothing follows, nearest (not any)
+    following right row."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=t("2024-01-01 09:00:00")),  # before both rights
+            Row(id=2, k=1, ts=t("2024-01-01 10:00:00")),  # exact tie → inclusive
+            Row(id=3, k=1, ts=t("2024-01-01 10:30:00")),  # between rights
+            Row(id=4, k=1, ts=t("2024-01-01 12:00:00")),  # after all rights
+            Row(id=5, k=2, ts=t("2024-01-01 12:00:00")),  # key with no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=t("2024-01-01 10:00:00"), pay=100),
+            Row(k=1, rts=t("2024-01-01 11:00:00"), pay=110),
+        ]
+    )
+    got = {
+        r["id"]: (r["asof_rts"], r["asof_pay"])
+        for r in temporal.asof_join_forward(
+            left, right, key="k", left_time="ts", right_time="rts",
+            payload_cols=["pay"],
+        ).collect()
+    }
+    assert got[1] == (t("2024-01-01 10:00:00"), 100)  # nearest, not latest
+    assert got[2] == (t("2024-01-01 10:00:00"), 100)  # inclusive tie
+    assert got[3] == (t("2024-01-01 11:00:00"), 110)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
