@@ -177,3 +177,47 @@ def test_session_window_plan_single_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, plan
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset 0 is the cohort itself (retention exactly 1.0); no offset
+    can exceed the cohort size; offsets are non-negative."""
+    from big_data_engineering_project_spark.operators.behavior import (
+        cohort_retention,
+    )
+    from big_data_engineering_project_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = cohort_retention(ev, "user_id", "ts").collect()
+    assert rows
+    for r in rows:
+        assert r["offset_days"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["offset_days"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention"] == 1.0
+
+
+def test_rolling_active_users_dominates_daily_actives(spark, sf_dir):
+    """A trailing-7-day distinct count can never be below that day's
+    own distinct actives, and never above the total user count."""
+    from big_data_engineering_project_spark.operators.behavior import (
+        rolling_active_users,
+    )
+    from big_data_engineering_project_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wau = {
+        r["day"]: r["active_users"]
+        for r in rolling_active_users(ev, "user_id", "ts", 7).collect()
+    }
+    daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    total_users = ev.select("user_id").distinct().count()
+    assert set(daily) == set(wau)
+    for day, n in daily.items():
+        assert n <= wau[day] <= total_users
