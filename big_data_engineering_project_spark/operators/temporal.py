@@ -264,6 +264,111 @@ def asof_join_backward_salted(
     )
 
 
+def asof_join_forward_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """`asof_join_forward` for skewed keys — the time-mirror of
+    `asof_join_backward_salted`: per-(key, bucket) EARLIEST-right
+    summaries (`min_by`), a per-key carry from STRICTLY LATER buckets
+    (window ordered by bucket DESC over summary rows), and the sweep
+    window ordered by time DESC within each (key, bucket). The carry
+    injects at the bucket's END timestamp (the next bucket's floor) —
+    in the descending sweep it sorts first, and a real right row at
+    that exact boundary lives in the NEXT bucket, so it is already part
+    of the carry; no tie to lose.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    carried = [right_time, *payload_cols]
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(F.col(c)) / bucket_seconds
+    )
+    p_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in carried]
+    )
+    pstruct = F.struct(*[F.col(c).alias(c) for c in carried])
+
+    summaries = right.groupBy(
+        F.col(key).alias("__k"), bucket(right_time).alias("__b")
+    ).agg(F.min_by(pstruct, F.col(right_time)).alias("__summary"))
+
+    dom = (
+        left.select(F.col(key).alias("__k"), bucket(left_time).alias("__b"))
+        .distinct()
+        .unionByName(summaries.select("__k", "__b"))
+        .distinct()
+        .join(summaries, ["__k", "__b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        dom.withColumn(
+            "__p", F.last("__summary", ignorenulls=True).over(w_carry)
+        )
+        .filter(F.col("__p").isNotNull())
+        .select(
+            "__k",
+            "__b",
+            F.timestamp_seconds((F.col("__b") + 1) * bucket_seconds).alias(
+                "__t"
+            ),
+            F.lit(-1).alias("__side"),
+            F.col("__p"),
+        )
+    )
+
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        bucket(left_time).alias("__b"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast(p_type).alias("__p"),
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        bucket(right_time).alias("__b"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        pstruct.alias("__p"),
+    )
+    c2 = carry.select(
+        "__k",
+        "__b",
+        "__t",
+        "__side",
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        "__p",
+    )
+    # DESC sweep; at equal __t the right row (side 0) must stay visible
+    # to the left row (side 1) — side ASC keeps 0 before 1, and the
+    # carry (side −1, stamped at the bucket end) leads the bucket.
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        l2.unionByName(r2)
+        .unionByName(c2)
+        .withColumn("__carried", F.last("__p", ignorenulls=True).over(w))
+    )
+    return tagged.filter(F.col("__side") == 1).select(
+        "__row.*",
+        *[F.col(f"__carried.{c}").alias(f"asof_{c}") for c in carried],
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

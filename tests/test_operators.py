@@ -828,3 +828,69 @@ def test_asof_forward_semantics(spark):
     assert got[3] == (t("2024-01-01 11:00:00"), 110)
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+
+
+def test_asof_forward_salted_equals_unsalted(spark, sf_dir):
+    from big_data_engineering_project_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    kwargs = dict(
+        key="user_id", left_time="ts", right_time="pts", payload_cols=["pid"]
+    )
+    plain = {
+        r["event_id"]: (r["asof_pts"], r["asof_pid"])
+        for r in temporal.asof_join_forward(clicks, purch, **kwargs).collect()
+    }
+    salted = {
+        r["event_id"]: (r["asof_pts"], r["asof_pid"])
+        for r in temporal.asof_join_forward_salted(
+            clicks, purch, bucket_seconds=3600, **kwargs
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_forward_salted_boundary_semantics(spark):
+    """A right row exactly at a bucket floor belongs to that bucket and
+    must still be found by left rows in EARLIER buckets (via carry) and
+    by a left row at the same instant (inclusive)."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=t("2024-01-01 03:30:00")),  # carry across empties
+            Row(id=2, k=1, ts=t("2024-01-01 06:00:00")),  # tie at bucket floor
+            Row(id=3, k=1, ts=t("2024-01-01 06:30:00")),  # after boundary right
+            Row(id=4, k=1, ts=t("2024-01-01 09:00:00")),  # nothing follows
+            Row(id=5, k=2, ts=t("2024-01-01 01:00:00")),  # key with no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=t("2024-01-01 06:00:00"), pay=600),  # at bucket floor
+            Row(k=1, rts=t("2024-01-01 07:15:00"), pay=715),
+        ]
+    )
+    got = {
+        r["id"]: (r["asof_rts"], r["asof_pay"])
+        for r in temporal.asof_join_forward_salted(
+            left, right, key="k", left_time="ts", right_time="rts",
+            payload_cols=["pay"], bucket_seconds=3600,
+        ).collect()
+    }
+    assert got[1] == (t("2024-01-01 06:00:00"), 600)
+    assert got[2] == (t("2024-01-01 06:00:00"), 600)  # inclusive tie
+    assert got[3] == (t("2024-01-01 07:15:00"), 715)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
