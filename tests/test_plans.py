@@ -186,3 +186,12 @@ def test_cohort_and_wau_collapse_before_shuffle(plans):
     for name in ("q_cohort_retention", "q_rolling_active_users"):
         p = plans(name)
         assert p.count("HashAggregate") >= 2, name
+
+
+def test_asof_forward_is_single_exchange_no_join(plans):
+    """The forward as-of must keep the union+window shape: ONE keyed
+    exchange on the key, no join operator — a naive join→filter→rank
+    formulation would multiply rows before pruning."""
+    p = plans("q_asof_next_purchase", mode="simple")
+    assert "Join" not in p.replace("union", "")  # no physical join node
+    assert "Window" in p
