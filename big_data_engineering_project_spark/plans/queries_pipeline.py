@@ -1810,9 +1810,30 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_K = 64
 
+# KMV requires UNIFORM hashes, and the raw char-poly hash is NOT
+# uniform for structured keys: sequential user-id strings share a long
+# prefix, so their hashes land in a band a few thousand wide out of
+# P ≈ 1e9 (measured: 150 fixture users → h values within 0.0009 % of
+# each other → estimate 3.65e7, off by 5 orders of magnitude, and the
+# self-consistent oracle could not see it). The fix is an affine
+# scramble h' = (A·h + B) mod P: it maps the clustered band onto a
+# low-discrepancy spread of [0, P) (equidistribution of {k·α}), is
+# int64-safe (h·A < 8e17), and stays bit-identical cross-engine.
+# tests/test_operators.py pins the estimator within ±40 % on seeded
+# sequential populations — the failure mode that exposed this.
+_KMV_A = 736_338_717
+_KMV_B = 384_829_501
+
+
+def _kmv_mix(h: F.Column) -> F.Column:
+    return (h * _KMV_A + _KMV_B) % P
+
+
+_KMV_MIX_SQL = f"(({{h}}) * {_KMV_A} + {_KMV_B}) % {P}"
+
 
 def _kmv_oracle() -> str:
-    poly_user = _POLY.format(s="CAST(user_id AS VARCHAR)")
+    poly_user = _KMV_MIX_SQL.format(h=_POLY.format(s="CAST(user_id AS VARCHAR)"))
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type, {poly_user} AS h FROM events
@@ -1837,11 +1858,12 @@ ORDER BY e.event_type
     oracle=_kmv_oracle(),
     doc=f"KMV (k-minimum-values, k={_KMV_K}) distinct-user sketch per "
     "event type, next to the exact count: estimate = (k-1)·P / h_(k) "
-    "over the deterministic poly-hash, so unlike HLL the sketch has an "
-    "EXACT cross-engine oracle. Scale path: KMV sketches merge by "
-    "keeping the k smallest of a union — partial-aggregatable across "
-    "partitions/days like any counter; the rank-window form here is "
-    "the fixture-size formulation",
+    "over the affine-scrambled deterministic poly-hash (see _KMV_A — "
+    "the raw poly hash clusters on sequential keys and wrecked the "
+    "estimate), so unlike HLL the sketch has an EXACT cross-engine "
+    "oracle. Scale path: KMV sketches merge by keeping the k smallest "
+    "of a union — partial-aggregatable across partitions/days like any "
+    "counter; the rank-window form here is the fixture-size formulation",
     tags=("pipeline", "sketch"),
 )
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,7 +1874,7 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(
         "event_type",
-        _char_poly_hash(F.col("user_id").cast("string")).alias("h"),
+        _kmv_mix(_char_poly_hash(F.col("user_id").cast("string"))).alias("h"),
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     kth = (
@@ -1875,7 +1897,7 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_setops_oracle() -> str:
-    poly_user = _POLY.format(s="CAST(user_id AS VARCHAR)")
+    poly_user = _KMV_MIX_SQL.format(h=_POLY.format(s="CAST(user_id AS VARCHAR)"))
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type, {poly_user} AS h
@@ -1949,7 +1971,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = ev.select(
         "event_type",
-        _char_poly_hash(F.col("user_id").cast("string")).alias("h"),
+        _kmv_mix(_char_poly_hash(F.col("user_id").cast("string"))).alias("h"),
     ).distinct()
     wk = Window.partitionBy("event_type").orderBy("h")
     sk = (

@@ -894,3 +894,41 @@ def test_asof_forward_salted_boundary_semantics(spark):
     assert got[3] == (t("2024-01-01 07:15:00"), 715)
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+
+
+def test_kmv_estimator_statistical_sanity(spark):
+    """The KMV estimate (k−1)·P/h_(k) with k=64 has ~1/√k ≈ 12.5%
+    relative error; on three seeded populations well above k the
+    estimate must land within 3σ (±40%) of the true distinct count —
+    a statistical sanity net under the exact-oracle check, guarding
+    against e.g. an off-by-one in the k-th order statistic that the
+    (self-consistent) oracle mirror could mask."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        _char_poly_hash,
+    )
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        P,
+        _kmv_mix,
+    )
+
+    from pyspark.sql import Window
+
+    k = 64
+    for seed, n_users in [(1, 1000), (2, 3000), (3, 8000)]:
+        ids = [(seed * 1_000_000 + i,) for i in range(n_users)]
+        df = spark.createDataFrame(ids, "user_id LONG")
+        h = df.select(
+            _kmv_mix(
+                _char_poly_hash(F.col("user_id").cast("string"))
+            ).alias("h")
+        ).distinct()
+        kth = (
+            h.withColumn(
+                "rn", F.row_number().over(Window.orderBy("h"))
+            )
+            .filter(F.col("rn") == k)
+            .select("h")
+            .first()
+        )
+        est = (k - 1) * P / kth["h"]
+        assert 0.6 * n_users < est < 1.4 * n_users, (seed, n_users, est)
