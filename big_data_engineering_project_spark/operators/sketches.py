@@ -1,0 +1,90 @@
+"""Distinct-count sketches as PARTIAL-AGGREGATABLE plans.
+
+KMV (k-minimum-values, Bar-Yossef et al. 2002 / Beyer et al. 2007):
+the k smallest values of a uniform hash over a set determine a
+distinct-count estimate (k-1)·P / h_(k), and two sketches merge by
+keeping the k smallest of their union — so a KMV sketch composes like
+any partial aggregate (across partitions, days, event types).
+
+The point of this module is that the PLAN matches that algebra. The
+naive formulation — `row_number().over(Window.partitionBy(key)
+.orderBy(h))` then `rn <= k` — is correct but sorts EVERY distinct
+hash of a key inside one window partition: at 1e9 distinct users per
+key that is a single-task global sort, the classic skewed-key
+scale-killer. Here the kth-smallest is found with two bounded
+hash aggregations and no window:
+
+  level 1: groupBy(key, h % n_shards) → the k smallest distinct
+           hashes per shard (collect_set dedupes inside the shard —
+           duplicates of a hash always land in the same shard, so no
+           separate distinct() exchange is needed; partial/map-side
+           collect runs before the exchange like any aggregate);
+  level 2: groupBy(key) over the ≤ n_shards·k survivors → flatten,
+           re-sort, keep the k smallest = the sketch.
+
+Level-2 input is bounded (n_shards·k rows per key, e.g. 32·64 = 2048
+longs); level-1 group state is the shard's distinct-hash set,
+N_distinct/n_shards per group — `n_shards` is the knob that caps it,
+and unlike the window sort the shards of one key spread across the
+cluster. No reference analog: the reference keeps exact running
+counters in driver memory (`S/kinesis_processing_2.py:42-43`); this
+is the engine-side bounded-memory version of the same question.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.dedup import HASH_PRIME
+
+DEFAULT_K = 64
+DEFAULT_SHARDS = 32
+
+
+def kmv_sketch_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_col: str,
+    k: int = DEFAULT_K,
+    n_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Per-key KMV sketch: one row per distinct `key_cols`, with
+    `kmv_sketch` = ascending array of the key's k smallest DISTINCT
+    `hash_col` values (shorter than k when the key has fewer distinct
+    hashes). `hash_col` must already be a uniform hash (see
+    `plans.queries_pipeline._kmv_mix`); duplicates are fine — each
+    shard dedupes them with collect_set.
+
+    Two bounded aggregations, no window, no global sort (plan pinned
+    by tests/test_plans.py::test_kmv_no_global_sort_window). Sketches
+    for a finer partitioning (e.g. per day) merge to a coarser one
+    with `kmv_merge_expr` — the same k-smallest-of-union algebra that
+    level 2 applies here.
+    """
+    shard = F.pmod(F.col(hash_col), F.lit(n_shards)).alias("__shard")
+    lvl1 = df.groupBy(*key_cols, shard).agg(
+        F.slice(F.sort_array(F.collect_set(hash_col)), 1, k).alias("__mins")
+    )
+    return lvl1.groupBy(*key_cols).agg(
+        kmv_merge_expr(F.collect_list("__mins"), k).alias("kmv_sketch")
+    )
+
+
+def kmv_merge_expr(sketches: Column, k: int = DEFAULT_K) -> Column:
+    """Merge an array of KMV sketch arrays: k smallest distinct values
+    of the union. Usable as a re-aggregation expression (day → month
+    rollups of sketch tables) — KMV's whole point is that this is
+    exact sketch algebra, not an approximation of one."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(sketches))), 1, k)
+
+
+def kmv_estimate_expr(
+    sketch: Column, k: int = DEFAULT_K, prime: int = HASH_PRIME
+) -> Column:
+    """Distinct-count estimate from a sketch: (k-1)·P / h_(k), or the
+    exact size when the sketch holds fewer than k values (the set was
+    small enough to enumerate — the estimate IS the count)."""
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(prime) / F.get(sketch, k - 1))

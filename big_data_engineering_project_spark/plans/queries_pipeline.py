@@ -1861,37 +1861,41 @@ ORDER BY e.event_type
     "over the affine-scrambled deterministic poly-hash (see _KMV_A — "
     "the raw poly hash clusters on sequential keys and wrecked the "
     "estimate), so unlike HLL the sketch has an EXACT cross-engine "
-    "oracle. Scale path: KMV sketches merge by keeping the k smallest "
-    "of a union — partial-aggregatable across partitions/days like any "
-    "counter; the rank-window form here is the fixture-size formulation",
+    "oracle. The plan IS the sketch algebra (operators/sketches.py): "
+    "two bounded hash aggregations (per-shard k-smallest, then merge "
+    "= k smallest of the union), no window, no per-key global sort — "
+    "partial-aggregatable across partitions/days like any counter "
+    "(the r5 rank-window form sorted every distinct hash of a type in "
+    "one task; plan-shape-tested gone)",
     tags=("pipeline", "sketch"),
 )
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_estimate_expr,
+        kmv_sketch_agg,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(
         "event_type",
         _kmv_mix(_char_poly_hash(F.col("user_id").cast("string"))).alias("h"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    kth = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _KMV_K)
-        .select("event_type", F.col("h").alias("hk"))
     )
+    sk = kmv_sketch_agg(h, ["event_type"], "h", k=_KMV_K)
+    # exact count: two-phase distinct aggregation (partial dedup
+    # map-side), NOT a pre-distinct()ed frame — one exchange fewer.
     exact = h.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_distinct")
-    )
-    est = F.coalesce(
-        F.lit(float(_KMV_K - 1)) * F.lit(P) / F.col("hk"),
-        F.col("exact_distinct").cast("double"),
+        F.count_distinct("h").alias("exact_distinct")
     )
     return (
-        exact.join(kth, "event_type", "left")
-        .select("event_type", "exact_distinct", est.alias("kmv_estimate"))
+        exact.join(sk, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            kmv_estimate_expr(F.col("kmv_sketch"), k=_KMV_K, prime=P).alias(
+                "kmv_estimate"
+            ),
+        )
         .orderBy("event_type")
     )
 
@@ -1955,15 +1959,19 @@ FROM st CROSS JOIN ex
     "(Beyer et al.). Exact counts sit beside the estimates. This is "
     "why KMV over a deterministic hash beats HLL here: set-operation "
     "results stay EXACTLY reproducible cross-engine, so even the "
-    "estimator has a value-hash oracle. At 100 TB sketches merge "
-    "per-partition/per-day like any partial aggregate; only 2k hashes "
-    "ever reach the driver-side algebra",
+    "estimator has a value-hash oracle. The per-type sketches come "
+    "from the bounded two-level kmv_sketch_agg (no window, no per-key "
+    "global sort) and the union sketch is kmv_merge_expr — the merge "
+    "the docstrings promise is literally the registered plan; only 2k "
+    "hashes feed the set algebra",
     tags=("pipeline", "sketch"),
 )
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_merge_expr,
+        kmv_sketch_agg,
+    )
 
     a_type, b_type = "click", "purchase"
     ev = load_table(spark, sf_dir, "events").filter(
@@ -1972,14 +1980,16 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select(
         "event_type",
         _kmv_mix(_char_poly_hash(F.col("user_id").cast("string"))).alias("h"),
-    ).distinct()
-    wk = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        h.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
     )
-    m = sk.select("h").distinct().orderBy("h").limit(_KMV_K)
+    # Per-type sketches via the bounded two-level aggregation; all set
+    # algebra below runs over the ≤ 2k exploded sketch values.
+    sk_arr = kmv_sketch_agg(h, ["event_type"], "h", k=_KMV_K)
+    sk = sk_arr.select("event_type", F.explode("kmv_sketch").alias("h"))
+    # m = the merged sketch: k smallest of the union of the two
+    # sketches — kmv_merge_expr IS the sketch-algebra merge.
+    m = sk_arr.agg(
+        kmv_merge_expr(F.collect_list("kmv_sketch"), k=_KMV_K).alias("__m")
+    ).select(F.explode("__m").alias("h"))
     flags = sk.groupBy("h").agg(
         F.max(F.when(F.col("event_type") == a_type, 1).otherwise(0)).alias(
             "in_a"

@@ -932,3 +932,65 @@ def test_kmv_estimator_statistical_sanity(spark):
         )
         est = (k - 1) * P / kth["h"]
         assert 0.6 * n_users < est < 1.4 * n_users, (seed, n_users, est)
+
+
+def test_kmv_sketch_agg_equals_bruteforce_and_merges(spark):
+    """kmv_sketch_agg (two bounded aggregations, no window) must
+    produce EXACTLY the k smallest distinct hashes per key — same
+    values a brute-force sort would pick — with duplicates in the
+    input and for several shard counts; and kmv_merge_expr over
+    per-day sketches must equal the sketch of the unioned data (the
+    partial-aggregation algebra the operator exists for)."""
+    import random
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_estimate_expr,
+        kmv_merge_expr,
+        kmv_sketch_agg,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    per_key = {"a": 500, "b": 40, "c": 120}  # b is below k → short sketch
+    for key, n in per_key.items():
+        pop = rng.sample(range(1, 10_000_000), n)
+        for v in pop:
+            for _ in range(rng.randint(1, 3)):  # duplicates
+                rows.append((key, rng.randint(0, 1), v))
+    df = spark.createDataFrame(rows, "key STRING, day INT, h LONG")
+    k = 64
+    expected = {
+        key: sorted({v for kk, _d, v in rows if kk == key})[:k]
+        for key in per_key
+    }
+    for n_shards in (1, 8, 32):
+        got = {
+            r["key"]: r["kmv_sketch"]
+            for r in kmv_sketch_agg(
+                df, ["key"], "h", k=k, n_shards=n_shards
+            ).collect()
+        }
+        assert got == expected, f"n_shards={n_shards}"
+
+    # merge algebra: day-level sketches re-aggregate to the key level
+    daily = kmv_sketch_agg(df, ["key", "day"], "h", k=k)
+    merged = {
+        r["key"]: r["m"]
+        for r in daily.groupBy("key")
+        .agg(kmv_merge_expr(F.collect_list("kmv_sketch"), k=k).alias("m"))
+        .collect()
+    }
+    assert merged == expected
+
+    # estimate: short sketch reports the exact size; full sketch the
+    # (k-1)·P/h_(k) formula
+    from big_data_engineering_project_spark.operators.dedup import HASH_PRIME
+
+    est = {
+        r["key"]: r["e"]
+        for r in kmv_sketch_agg(df, ["key"], "h", k=k)
+        .select("key", kmv_estimate_expr(F.col("kmv_sketch"), k=k).alias("e"))
+        .collect()
+    }
+    assert est["b"] == float(per_key["b"])
+    assert est["a"] == (k - 1) * HASH_PRIME / expected["a"][k - 1]

@@ -195,3 +195,14 @@ def test_asof_forward_is_single_exchange_no_join(plans):
     p = plans("q_asof_next_purchase", mode="simple")
     assert "Join" not in p.replace("union", "")  # no physical join node
     assert "Window" in p
+
+
+def test_kmv_no_global_sort_window(plans):
+    """The KMV sketch plan must BE the sketch algebra: two bounded
+    hash aggregations (per-shard k-smallest via collect_set, then
+    merge), never a row_number window that sorts every distinct hash
+    of a key in one task — the r5 formulation this replaced."""
+    for name in ("q_kmv_distinct_users", "q_kmv_set_ops"):
+        p = plans(name)
+        assert "Window" not in p, f"{name}: per-key sort window in plan"
+        assert "collect_set" in p, f"{name}: shard-level collect_set missing"
