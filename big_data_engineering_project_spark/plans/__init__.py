@@ -71,7 +71,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_media_frame_means",
     # LLM-pipeline: text analysis
     "q_lang_id",
-    "q_quality_scores",
     "q_token_stats_by_source",
     "q_bpe_token_counts",
     "q_repetition_scores",
@@ -93,6 +92,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # direct ASOF JOIN, so the gate proves salted ≡ unsalted each round)
     "q_asof_last_purchase",
     "q_asof_salted",
+    # Round-6 rotation: the salted-FORWARD as-of completes the
+    # {backward, forward} × {unsalted, salted} matrix under the gate;
+    # q_quality_scores demoted (driver-green in the committed r04 AND
+    # r05 gates; the text-analysis family keeps 7 other slots).
+    "q_asof_forward_salted",
     # Sketches / hierarchical rollup + set algebra
     "q_kmv_distinct_users",
     "q_kmv_set_ops",

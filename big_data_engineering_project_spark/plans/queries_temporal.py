@@ -157,6 +157,56 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_forward_salted",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_ts AS asof_purchase_ts, p.purchase_id AS asof_purchase_id
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+ORDER BY c.event_id
+""",
+    doc="Skew-safe FORWARD as-of join — the fourth cell of the "
+    "temporal-join matrix {backward, forward} × {unsalted, salted}: "
+    "the same result as q_asof_next_purchase through the (key, "
+    "time-bucket)-partitioned two-pass form (asof_join_forward_salted, "
+    "6 h buckets, carry from strictly LATER buckets). The oracle is "
+    "DuckDB's native forward ASOF, so the gate proves salted-forward ≡ "
+    "unsalted-forward every round, like the backward pair",
+    tags=("temporal", "join"),
+)
+def q_asof_forward_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        asof_join_forward_salted,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_forward_salted(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        payload_cols=["purchase_id"],
+        bucket_seconds=6 * 3600,
+    ).orderBy("event_id")
+
+
+@register(
     "q_spike_window_counts",
     oracle=f"""
 WITH spikes AS (

@@ -994,3 +994,77 @@ def test_kmv_sketch_agg_equals_bruteforce_and_merges(spark):
     }
     assert est["b"] == float(per_key["b"])
     assert est["a"] == (k - 1) * HASH_PRIME / expected["a"][k - 1]
+
+
+def test_asof_salted_spreads_planted_hot_key(spark):
+    """Planted ~50%-skew stress: one key owns half of all rows. Proves
+    BOTH halves of the salted as-of's contract: (a) salted ≡ unsalted
+    on the skewed data (backward AND forward forms), and (b) the salt
+    actually spreads the hot key — the max window-partition row count
+    under the salted (key, bucket) partitioning is many times smaller
+    than the hot key's single partition under the unsalted per-key
+    partitioning (not merely equal results on an already-uniform
+    fixture, which the gate already proves)."""
+    import datetime as dt
+    import random
+
+    from big_data_engineering_project_spark.operators import temporal
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 3, 1)
+    span_s = 10 * 24 * 3600  # 10 days
+    bucket_s = 6 * 3600
+
+    def draw_key(i):
+        return "hot" if i % 2 == 0 else f"u{rng.randrange(100)}"
+
+    left_rows = [
+        Row(id=i, k=draw_key(i), ts=base + dt.timedelta(seconds=rng.randrange(span_s)))
+        for i in range(4000)
+    ]
+    right_rows = {}
+    for i in range(2000):
+        k = draw_key(i)
+        ts = base + dt.timedelta(seconds=rng.randrange(span_s))
+        right_rows[(k, ts)] = i  # unique per (key, ts): operator contract
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(
+        [Row(k=k, rts=ts, pay=v) for (k, ts), v in right_rows.items()]
+    )
+    kwargs = dict(key="k", left_time="ts", right_time="rts", payload_cols=["pay"])
+
+    for plain_fn, salted_fn in [
+        (temporal.asof_join_backward, temporal.asof_join_backward_salted),
+        (temporal.asof_join_forward, temporal.asof_join_forward_salted),
+    ]:
+        plain = {
+            r["id"]: (r["asof_rts"], r["asof_pay"])
+            for r in plain_fn(left, right, **kwargs).collect()
+        }
+        salted = {
+            r["id"]: (r["asof_rts"], r["asof_pay"])
+            for r in salted_fn(left, right, bucket_seconds=bucket_s, **kwargs).collect()
+        }
+        assert salted == plain, plain_fn.__name__
+
+    # (b) spread proof: per-partition row counts of the sweep window's
+    # input (left ∪ right tagged rows) under each partitioning scheme.
+    bucket = (F.unix_timestamp("t") / bucket_s).cast("long")
+    combined = left.select(F.col("k"), F.col("ts").alias("t")).unionByName(
+        right.select(F.col("k"), F.col("rts").alias("t"))
+    )
+    unsalted_max = (
+        combined.groupBy("k").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        combined.groupBy("k", bucket.alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    n_buckets = span_s // bucket_s  # 40
+    assert unsalted_max >= 3000  # the planted hot key really is hot
+    # the hot key's rows spread across ~40 buckets; demand at least a
+    # 10x reduction (loose vs the ~40x expectation, safe against draw
+    # variance)
+    assert salted_max * 10 <= unsalted_max, (salted_max, unsalted_max)
