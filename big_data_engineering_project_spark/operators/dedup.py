@@ -271,6 +271,18 @@ def sliding_dup_coverage(
     then the per-doc interval-union window. Shuffles carry 8-byte
     hashes and integer offsets only. Docs with < k tokens are absent
     (no grams); docs with no repeated gram report coverage 0.
+
+    Scale hazard (same class as dup_segment_fraction's high-DF note):
+    the per-gram occurrence window is UNBOUNDED over the gram hash, so
+    a pathologically hot k-gram — boilerplate repeated corpus-wide —
+    concentrates all its occurrences in one window partition. At 100 TB
+    mitigate by pre-dropping grams above a corpus-fraction ceiling
+    (they are trivially "covered"; treating them as such changes no
+    doc's score, so add them back as always-covered intervals), or
+    swap the window for a groupBy(g).count + join-back, whose map-side
+    partial aggregation collapses hot grams before the exchange at the
+    cost of recomputing the gram explode for the second branch (cf.
+    the Catalyst branch-re-execution note in dup_segment_fraction).
     """
     toks = df.select(
         F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")

@@ -497,9 +497,14 @@ def importance_weights(
         "n_toks",
         "dot_target",
         "dot_all",
-        (
+        # Degenerate empty-target guard: with n_tgt = 0 Spark's
+        # non-ANSI double division yields NULL but IEEE engines
+        # (DuckDB) yield inf — pin the cross-engine contract by making
+        # the weight explicitly NULL (mirrored as CASE in the oracle).
+        F.when(
+            F.col("n_tgt") > 0,
             (F.col("dot_target").cast("double") / F.col("n_tgt").cast("double"))
-            / (F.col("dot_all").cast("double") / F.col("n_all").cast("double"))
+            / (F.col("dot_all").cast("double") / F.col("n_all").cast("double")),
         ).alias("weight"),
     )
 

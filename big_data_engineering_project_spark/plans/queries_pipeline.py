@@ -1781,8 +1781,10 @@ agg AS (
   FROM tf JOIN counts USING (term) GROUP BY doc
 )
 SELECT doc, n_toks, dot_target, dot_all,
-       (CAST(dot_target AS DOUBLE) / CAST(n_tgt AS DOUBLE))
-         / (CAST(dot_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS weight
+       CASE WHEN n_tgt > 0 THEN
+         (CAST(dot_target AS DOUBLE) / CAST(n_tgt AS DOUBLE))
+           / (CAST(dot_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       ELSE NULL END AS weight
 FROM agg CROSS JOIN tot ORDER BY doc
 """,
     doc="DSIR-flavored data-selection weights (linear variant): rank "

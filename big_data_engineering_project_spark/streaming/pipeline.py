@@ -199,11 +199,18 @@ def run_curation_stream(
     arrives: quality/lang gate → content-hash split stamp →
     fingerprint → cross-batch exact dedup → parquet sink.
 
-    Stream ≡ batch by construction (tested): the gate, split and
-    fingerprint are the identical column expressions, and streaming
-    `dropDuplicates` keeps the FIRST arrival per fingerprint — equal to
-    the batch min-doc_id keeper whenever arrival order follows doc_id
-    (an ingest log's natural order).
+    Stream ≡ batch by construction (tested) for the gate, split and
+    fingerprint columns — identical expressions on both paths. Dedup
+    keeper semantics are slightly weaker: streaming `dropDuplicates`
+    keeps the first MICRO-BATCH's row per fingerprint, but within a
+    single micro-batch row order is undefined, so when two
+    different-id duplicates land in the SAME batch the survivor is
+    arbitrary (the batch pass keeps min doc_id). Stream ≡ batch on
+    doc_id therefore holds when duplicates arrive in doc_id-ordered
+    batches — an ingest log's natural order, and what the equivalence
+    test replays; id-exact parity under arbitrary batching would need
+    a per-batch min_by collapse via foreachBatch at the cost of the
+    operator-level state store.
 
     State posture: the fingerprint dedup state is one 8-byte hash per
     UNIQUE document ever seen — the smallest possible exact-dedup

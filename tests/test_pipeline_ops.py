@@ -542,6 +542,24 @@ def test_importance_weights_hand_checked(spark):
     assert got[2] == (2, 1, 3, (1 / 3) / (3 / 5))
 
 
+def test_importance_weights_empty_target_yields_null(spark):
+    """Degenerate input guard: with NO target rows (n_tgt = 0) the
+    weight must be NULL on both engines — Spark's non-ANSI division
+    would return NULL while DuckDB returns inf, so an explicit
+    CASE/when pins the cross-engine contract (ADVICE r5)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=1, txt="x x y", tgt=False), Row(i=2, txt="y z", tgt=False)]
+    )
+    rows = importance_weights(df, "i", "txt", "tgt").collect()
+    assert len(rows) == 2
+    assert all(r["weight"] is None for r in rows)
+    assert all(r["dot_target"] == 0 for r in rows)
+
+
 def test_chunk_documents_offsets_and_overlap(spark):
     # 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6,9
     from big_data_engineering_project_spark.operators.text_analysis import (
