@@ -86,6 +86,62 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_fixture_n(spark: SparkSession, sf_dir: str) -> int:
+    """SF-scaled fixture size, derived from the events table so the
+    DuckDB oracle can derive the SAME number without seeing `sf_dir`:
+    n = count(events) // 40 (events is exactly sf-linear: 1 000 rows at
+    sf0.001 → 25 media, 250 at sf0.01, 2 500 at sf0.1)."""
+    from big_data_engineering_project_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "events").count() // 40
+
+
+def media_fixture_path(sf_dir: str) -> str:
+    """Writable per-SF parquet location for the media fixture (the
+    testdata dir is read-only; content is deterministic, so a shared
+    temp-dir cache is safe to reuse across sessions)."""
+    import os
+    import tempfile
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "bde_media_fixtures", f"{sf_name}"
+    )
+
+
+def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media table AS A PARQUET SCAN, sized to the SF: builds the
+    deterministic fixture once per (machine, SF) and reads it back, so
+    media queries exercise the real path — a binary-column parquet
+    scan, partitioned by `kind` for partition pruning (a kind='video'
+    filter never opens image/audio files, and metadata-only queries
+    never read the blob column; cf. module docstring)."""
+    import os
+
+    path = media_fixture_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        n = media_fixture_n(spark, sf_dir)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        (
+            synthetic_media(spark, n)
+            .repartition(max(spark.sparkContext.defaultParallelism // 4, 1))
+            .write.mode("overwrite")
+            .partitionBy("kind")
+            .parquet(tmp)
+        )
+        import shutil
+
+        if os.path.exists(path):  # stale partial write (no _SUCCESS)
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a build race: another session won; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path).select(
+        "media_id", "kind", "width", "height", "blob"
+    )
+
+
 def _decode_one(blob: bytes) -> tuple[int, int, int, float]:
     if blob[:4] != MAGIC:
         # The production seam: plug PIL/soundfile/ffmpeg in here.

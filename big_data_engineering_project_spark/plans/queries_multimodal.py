@@ -2,21 +2,26 @@
 `multimodal/columns.py` (decode + feature-extract over binary media
 columns via mapInPandas).
 
-The testdata directory has no media table, so both queries run over
-the deterministic BDE1 fixture (`synthetic_media`, seeded purely by
-media_id — no RNG, no wall clock). Because every blob byte is the
-closed-form `(media_id + i*31) % 256`, an EXACT DuckDB oracle exists:
-the oracle recomputes the decode from the same integer formulas with
-`generate_series`, so the comparison checks the whole mapInPandas
-decode path (Arrow batching, schema, per-blob arithmetic) against an
-independent derivation. `sf_dir` is accepted (driver contract) and
-ignored; the fixture size is fixed at N_MEDIA.
+The testdata directory has no media table, so the queries run over the
+deterministic BDE1 fixture — written ONCE per SF as a parquet table
+(partitioned by `kind`) and read back, so every query exercises the
+real production path: a binary-column parquet scan whose metadata
+prunes without touching blob bytes, sized to `sf_dir` (25 / 250 /
+2 500 blobs at sf0.001/0.01/0.1; `media_fixture_n` = count(events)//40
+so the oracle derives the SAME size from the events view without
+seeing sf_dir). Because every blob byte is the closed-form
+`(media_id + i*31) % 256`, an EXACT DuckDB oracle exists: it
+recomputes the decode from the same integer formulas with
+`generate_series`, so the comparison checks the whole scan →
+mapInPandas decode path (Arrow batching, schema, per-blob arithmetic)
+against an independent derivation — at every SF the sweeps run.
 
-Scale posture: the fixture is driver-built (tiny), but `decode_media`
-and `extract_features` themselves are partition-parallel mapInPandas
-over whatever media DataFrame they're given — at 100 TB the same
-plans run over a parquet scan whose metadata columns prune without
-touching blob bytes (see multimodal/columns.py module docstring).
+Scale posture: `decode_media` and `extract_features` are
+partition-parallel mapInPandas over whatever media DataFrame they're
+given — at 100 TB the same plans run over a bigger version of exactly
+this scan (see multimodal/columns.py module docstring); the
+kind='video' frame query prunes to the video partition before any
+byte is read (plan-asserted).
 """
 
 from __future__ import annotations
@@ -27,22 +32,24 @@ from pyspark.sql import functions as F
 from big_data_engineering_project_spark.multimodal.columns import (
     decode_media,
     extract_features,
+    load_media,
     sample_frames,
-    synthetic_media,
 )
 from big_data_engineering_project_spark.plans.registry import register
 
-N_MEDIA = 256
 _BINS = 16
 
 # DuckDB mirror of the synthetic_media fixture (multimodal/columns.py:
-# kind = [image,audio,video][i%3], w = 8+(i%5)*4, h = 8+(i%3)*4).
-_FIXTURE_CTE = f"""m AS (
-  SELECT i AS media_id,
-         ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
-         8 + (i % 5) * 4 AS width,
-         8 + (i % 3) * 4 AS height
-  FROM range({N_MEDIA}) t(i)
+# kind = [image,audio,video][i%3], w = 8+(i%5)*4, h = 8+(i%3)*4),
+# sized like media_fixture_n: count(events) // 40 — row_number over
+# events stands in for range(n), which DuckDB won't take a subquery in.
+_FIXTURE_CTE = """m AS (
+  SELECT rn - 1 AS media_id,
+         ['image', 'audio', 'video'][CAST((rn - 1) % 3 AS INT) + 1] AS kind,
+         8 + ((rn - 1) % 5) * 4 AS width,
+         8 + ((rn - 1) % 3) * 4 AS height
+  FROM (SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events)
+  WHERE rn <= (SELECT COUNT(*) // 40 FROM events)
 )"""
 
 
@@ -67,7 +74,7 @@ ORDER BY media_id
     tags=("multimodal",),
 )
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthetic_media(spark, N_MEDIA)
+    media = load_media(spark, sf_dir)
     return decode_media(media).orderBy("media_id")
 
 
@@ -95,11 +102,13 @@ FROM r WHERE rank <= 3 ORDER BY kind, rank
     "(mapInPandas) emits exact integer bin counts per blob; the "
     "per-kind totals sum LONGs (combine-order independent), and the "
     "top-3 bins per kind use a total order (total DESC, bin ASC). "
-    "The metadata join never ships blob bytes.",
+    "The metadata join never ships blob bytes. Headline-benched over "
+    "the sf-scaled parquet fixture (2 500 blobs at sf0.1).",
+    headline=True,
     tags=("multimodal",),
 )
 def q_media_histogram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthetic_media(spark, N_MEDIA)
+    media = load_media(spark, sf_dir)
     feats = extract_features(media, bins=_BINS)
     kinds = media.select("media_id", "kind")
     ex = feats.join(F.broadcast(kinds), "media_id").select(
@@ -143,7 +152,7 @@ ORDER BY media_id, frame_idx
     tags=("multimodal",),
 )
 def q_media_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthetic_media(spark, N_MEDIA)
+    media = load_media(spark, sf_dir)
     return (
         sample_frames(media, every_n=_FRAME_STEP)
         .select(

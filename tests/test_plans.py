@@ -206,3 +206,15 @@ def test_kmv_no_global_sort_window(plans):
         p = plans(name)
         assert "Window" not in p, f"{name}: per-key sort window in plan"
         assert "collect_set" in p, f"{name}: shard-level collect_set missing"
+
+
+def test_media_frame_query_prunes_to_video_partition(plans):
+    """The sf-scaled media fixture is parquet partitioned by kind; the
+    frame query's kind='video' filter must become a PartitionFilter
+    (image/audio files never opened) and the scan must not read
+    width — only the columns the frame decoder needs."""
+    p = plans("q_media_frame_means")
+    assert "PartitionFilters" in p and "kind" in p.split("PartitionFilters", 1)[1].split("\n")[0]
+    scan = p[p.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
+    assert "blob" in read_schema and "width" not in read_schema
