@@ -1563,7 +1563,10 @@ GROUP BY n, total ORDER BY n
     "Zipf/tokenizer-planning diagnostic. Scale-correct selection: the "
     "top-1000 terms come from TakeOrdered (distributed top-k, total "
     "order c DESC/term ASC), never a global rank window over the "
-    "vocabulary; the cumulative sums run on the 1000-row result",
+    "vocabulary; the cumulative sums run on the 1000-row result. "
+    "Headline-benched (r6): the only text-family two-phase "
+    "top-k-then-bounded-rank shape in the timed set",
+    headline=True,
     tags=("pipeline", "text"),
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,6 +2036,37 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_both").cast("double") / F.col("m_size")) * union_est).alias(
             "kmv_inter_est"
         ),
+    )
+
+
+@register(
+    "q_hll_distinct_users",
+    oracle=None,
+    doc="HyperLogLog++ distinct-user estimate per event type "
+    "(Spark's built-in approx_count_distinct, rsd=5%) beside the "
+    "exact count — the engine-native sketch documented NEXT TO the "
+    "exact-reproducible KMV pair (q_kmv_distinct_users): HLL is "
+    "cheaper (dense ~kB registers, pure partial aggregate, no "
+    "per-value set state) but its register layout is "
+    "engine-internal, so no cross-engine value oracle can exist — "
+    "rows-only here by nature, with a pytest pinning the relative "
+    "error against the exact count at two SFs. Use HLL for "
+    "monitoring-grade counts; use KMV when estimates must be "
+    "bit-reproducible across engines or sketches need exact set "
+    "algebra (union/intersection)",
+    tags=("pipeline", "sketch"),
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias(
+                "hll_estimate"
+            ),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -666,3 +666,19 @@ def test_sliding_dup_coverage_identical_docs_fully_covered(spark):
     for r in got.values():
         assert 0.0 <= r["dup_coverage"] <= 1.0
         assert r["n_covered"] <= r["n_toks"]
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """q_hll_distinct_users is rows-only (HLL register layouts are
+    engine-internal); this pins its accuracy instead: at rsd=5% the
+    estimate must land within ±20% (4σ) of the exact distinct count
+    for every event type, at two SFs."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = REGISTRY["q_hll_distinct_users"].builder(spark, sf).collect()
+        assert len(rows) >= 3
+        for r in rows:
+            exact, est = r["exact_distinct"], r["hll_estimate"]
+            assert exact > 0
+            assert abs(est - exact) / exact <= 0.20, (sf, r)
