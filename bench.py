@@ -53,6 +53,169 @@ from big_data_engineering_project_spark.plans import REGISTRY  # noqa: E402
 from big_data_engineering_project_spark.session import get_spark  # noqa: E402
 
 
+def _gen_stream_records(n: int):
+    """Deterministic hot-path records (FIXTURES.md §2 shape, seed=42)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(42)
+    authors = [f"user{i}" for i in range(64)]
+    base = dt.datetime(2026, 1, 15)
+    for i in range(n):
+        yield {
+            "seq": i,
+            "id": f"post{i:06d}",
+            "author": rng.choice(authors),
+            "title": rng.choice(
+                [
+                    "Good news everyone today",
+                    "bad terrible day at work!!",
+                    "Just a question about pipelines?",
+                    "lessons learned from a failed deploy",
+                ]
+            ),
+            "subreddit": rng.choice(["jobs", "college", "data"]),
+            "created_time": (base + dt.timedelta(seconds=i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "score": rng.randint(0, 10_000),
+            "num_comments": rng.randint(0, 200),
+            "is_self_post": bool(rng.getrandbits(1)),
+            "flair_text": rng.choice(["Help", "Meta", None]),
+            "upvote_ratio": round(rng.random(), 2),
+            "edited": "False",
+            "over_18": False,
+            "thumbnail": rng.choice(["self", "http://img/x.jpg"]),
+            "stickied": False,
+        }
+
+
+def bench_streaming(spark, reps: int) -> dict:
+    """Streaming throughput (rows/sec) through the two stateful
+    pipelines, so state-store/enrichment regressions show up
+    round-over-round like any batch number:
+
+    - hot_path: enrichment + applyInPandasWithState author counts +
+      foreachBatch dual sink (run_hot_path), N_ROWS over N_FILES
+      micro-batches;
+    - curation: quality gate + split stamp + cross-batch fingerprint
+      dedup state + parquet sink (run_curation_stream).
+
+    Each rep replays the same deterministic input from fresh
+    checkpoint/output dirs (a streaming run IS first-touch: state-store
+    init and per-micro-batch planning are the costs being measured);
+    reported figure is the median rep. Micro-batch count is part of
+    the protocol — per-batch overhead dominates at small batch sizes,
+    so compare rounds only at identical (rows, files) settings.
+    """
+    import datetime as dt
+    import json as _json
+    import shutil
+    import statistics as _stats
+    import tempfile
+    import time as _time
+
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        run_curation_stream,
+        run_hot_path,
+    )
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "4000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+    per_file = n_rows // n_files
+    out: dict[str, dict] = {}
+
+    root = tempfile.mkdtemp(prefix="bde_stream_bench_")
+    try:
+        # -- hot path input
+        hot_in = os.path.join(root, "hot_in")
+        os.makedirs(hot_in)
+        recs = list(_gen_stream_records(n_rows))
+        for b in range(n_files):
+            with open(os.path.join(hot_in, f"{b:04d}.json"), "w") as fh:
+                for r in recs[b * per_file : (b + 1) * per_file]:
+                    fh.write(_json.dumps(r) + "\n")
+        runs = []
+        for rep in range(reps):
+            rd = os.path.join(root, f"hot_{rep}")
+            t0 = _time.perf_counter()
+            run_hot_path(
+                spark,
+                hot_in,
+                table_path=os.path.join(rd, "table"),
+                anomaly_path=os.path.join(rd, "anom"),
+                checkpoint_dir=os.path.join(rd, "ckpt"),
+                now=dt.datetime(2026, 1, 16),
+                max_files_per_trigger=1,
+            )
+            runs.append(round(_time.perf_counter() - t0, 3))
+        sec = _stats.median(runs)
+        out["hot_path"] = {
+            "rows": n_rows,
+            "micro_batches": n_files,
+            "sec": sec,
+            "rows_per_sec": round(n_rows / sec, 1),
+        }
+        print(f"# streaming hot_path: runs={runs}", file=sys.stderr)
+
+        # -- curation input (doc stream; ~1/8 duplicate texts exercise
+        # the cross-batch dedup state)
+        cur_in = os.path.join(root, "cur_in")
+        os.makedirs(cur_in)
+        import random as _random
+
+        rng = _random.Random(7)
+        words = [f"w{i}" for i in range(500)]
+        markers = ["the", "and", "of", "to", "in"]  # keep lang-ID = en
+        texts = [
+            " ".join(
+                rng.choice(markers) if t % 5 == 0 else rng.choice(words)
+                for t in range(30)
+            )
+            for _ in range(n_rows)
+        ]
+        for i in range(0, n_rows, 8):  # plant cross-batch duplicates
+            texts[i] = texts[i - per_file] if i >= per_file else texts[i]
+        for b in range(n_files):
+            with open(os.path.join(cur_in, f"{b:04d}.json"), "w") as fh:
+                for i in range(b * per_file, (b + 1) * per_file):
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": i,
+                                "text": texts[i],
+                                "lang": "en",
+                                "source": f"s{i % 4}",
+                            }
+                        )
+                        + "\n"
+                    )
+        runs = []
+        for rep in range(reps):
+            rd = os.path.join(root, f"cur_{rep}")
+            t0 = _time.perf_counter()
+            run_curation_stream(
+                spark,
+                cur_in,
+                out_path=os.path.join(rd, "out"),
+                checkpoint_dir=os.path.join(rd, "ckpt"),
+                quality_min=0.0,
+                max_files_per_trigger=1,
+            )
+            runs.append(round(_time.perf_counter() - t0, 3))
+        sec = _stats.median(runs)
+        out["curation"] = {
+            "rows": n_rows,
+            "micro_batches": n_files,
+            "sec": sec,
+            "rows_per_sec": round(n_rows / sec, 1),
+        }
+        print(f"# streaming curation: runs={runs}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -88,11 +251,14 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2"))
+    streaming = bench_streaming(spark, reps=stream_reps)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": {
             "warmups_per_query": warmups,

@@ -1,14 +1,17 @@
 #!/usr/bin/env bash
-# Pre-snapshot gate: nothing ships without (1) a green full test run
-# and (2) a green FULL-registry oracle sweep at sf0.01 written to a
-# committed artifact. Round 4 registered two queries in the final
-# commit with neither — one was wrong; this script is the mechanical
-# fix. Usage: tools/snapshot_check.sh [round_number]
+# Pre-snapshot gate: nothing ships without (1) a green full test run,
+# (2) a green FULL-registry oracle sweep at sf0.01, and (3) the same
+# sweep at sf0.1 — both written to committed artifacts. Round 4
+# registered two queries in the final commit with neither (one was
+# wrong); round 5 ran the sf0.1 sweep ad hoc and it is exactly the
+# scale class that exposed the r4 centroid rounding bug, so it is now
+# part of the mechanical gate. Usage: tools/snapshot_check.sh [round]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-ROUND="${1:-5}"
+ROUND="${1:-6}"
 ARTIFACT="CORRECTNESS_FULL_r0${ROUND}.json"
+ARTIFACT_SF01="CORRECTNESS_FULL_r0${ROUND}_sf0.1.json"
 
 echo "== pytest (full suite, includes full-registry oracle check at sf0.001)"
 python -m pytest tests/ -x -q
@@ -16,4 +19,7 @@ python -m pytest tests/ -x -q
 echo "== full-registry oracle sweep at sf0.01 -> ${ARTIFACT}"
 python tools/oracle_check.py --json "${ARTIFACT}" /root/testdata/sf0.01
 
-echo "== snapshot gate green: commit ${ARTIFACT} with the snapshot"
+echo "== full-registry oracle sweep at sf0.1 -> ${ARTIFACT_SF01}"
+python tools/oracle_check.py --json "${ARTIFACT_SF01}" /root/testdata/sf0.1
+
+echo "== snapshot gate green: commit ${ARTIFACT} + ${ARTIFACT_SF01}"
