@@ -2039,6 +2039,85 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_daily_merge_oracle() -> str:
+    poly_user = _KMV_MIX_SQL.format(h=_POLY.format(s="CAST(user_id AS VARCHAR)"))
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {poly_user} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+kth AS (SELECT event_type, h AS hk FROM ranked WHERE rn = {_KMV_K}),
+exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY 1),
+days AS (
+  SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, d.n_days, e.exact_distinct,
+       COALESCE(CAST({_KMV_K - 1} AS DOUBLE) * {P} / k.hk,
+                CAST(e.exact_distinct AS DOUBLE)) AS kmv_estimate
+FROM exact e
+JOIN days d ON e.event_type = d.event_type
+LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY e.event_type
+"""
+
+
+@register(
+    "q_kmv_daily_merge",
+    oracle=_kmv_daily_merge_oracle(),
+    doc=f"KMV sketch ROLLUP (k={_KMV_K}): per-(event_type, day) "
+    "sketches re-aggregated to a whole-range distinct-user estimate "
+    "per type with kmv_merge_expr — the day→range merge the sketch "
+    "table of a real deployment performs (store daily sketches, "
+    "answer arbitrary-range distinct queries without rescanning "
+    "events). KMV's merge is EXACT algebra — the k smallest of the "
+    "union of per-day k-smallest IS the k smallest of the union — so "
+    "the oracle simply computes the direct whole-range sketch: the "
+    "gate proves merged ≡ direct every round. Scale: the daily sketch "
+    "table is tiny (≤ k longs per (type, day)); the merge shuffles "
+    "only sketch arrays, never user hashes",
+    tags=("pipeline", "sketch"),
+)
+def q_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_estimate_expr,
+        kmv_merge_expr,
+        kmv_sketch_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        _kmv_mix(_char_poly_hash(F.col("user_id").cast("string"))).alias("h"),
+    )
+    daily = kmv_sketch_agg(h, ["event_type", "day"], "h", k=_KMV_K)
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        kmv_merge_expr(F.collect_list("kmv_sketch"), k=_KMV_K).alias("__sk"),
+    )
+    exact = h.groupBy("event_type").agg(
+        F.count_distinct("h").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            "exact_distinct",
+            kmv_estimate_expr(F.col("__sk"), k=_KMV_K, prime=P).alias(
+                "kmv_estimate"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "q_hll_distinct_users",
     oracle=None,
