@@ -37,6 +37,12 @@ Noise ledger (committed attributions for round-over-round deltas):
   per-run spread +/- 0.2 s.
 - Machine-load hazard: a concurrent process (even a small pytest)
   inflates the heavier queries up to ~2.5x — bench on an idle machine.
+- r6 flags (operator bodies untouched this round per git log; noise):
+  q_dedup_minhash_lsh 1.33x (last-rep spike [0.851, 0.872, 1.195] —
+  1.4x intra-run spread), q_simhash_buckets 1.23x (first-rep warm-up
+  slope [1.084, 0.744, 0.691]), q_embedding_topk 1.23x (flat profile
+  [0.359, 0.367, 0.326], +66 ms absolute on a 0.3 s query). 26-query
+  common total r5->r6: 12.404 -> 12.623 s (1.02x, flat).
 """
 
 from __future__ import annotations
