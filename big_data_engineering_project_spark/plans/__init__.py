@@ -25,6 +25,7 @@ from big_data_engineering_project_spark.plans.registry import (
 # within-module display order used by bench.py and docs).
 from big_data_engineering_project_spark.plans import queries_reference  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_tpch  # noqa: E402,F401
+from big_data_engineering_project_spark.plans import queries_tpch2  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_behavior  # noqa: E402,F401
