@@ -88,3 +88,106 @@ def kmv_estimate_expr(
     return F.when(
         F.size(sketch) < k, F.size(sketch).cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(prime) / F.get(sketch, k - 1))
+
+
+# --- Count-min sketch (Cormode & Muthukrishnan 2005) --------------------------
+#
+# Frequency estimation in sublinear space: d hash rows × w counters;
+# est(x) = min_i counters[i][h_i(x)] ≥ true count, with the
+# overestimate bounded by (n/w) per row w.h.p. Like KMV (and unlike
+# HLL's engine-internal registers) the counters here are plain
+# integers over a portable hash, so estimates are bit-identical
+# cross-engine and the sketch has an EXACT DuckDB oracle.
+#
+# Scale shape: building the counters is ONE aggregation over rows
+# exploded ×d — partial (map-side) aggregation collapses every
+# partition's contribution to ≤ d·w groups before the exchange, so the
+# shuffle carries at most d·w longs per partition REGARDLESS of row
+# count; the counter table itself is d·w rows total. No per-item state
+# anywhere — that is the whole point of the sketch. Reference anchor:
+# the engine-side bounded-memory analog of the reference's driver-held
+# exact counters (S/kinesis_processing_2.py:42-43), same family as
+# kmv_sketch_agg above.
+
+CM_DEPTH = 3
+CM_WIDTH = 64
+# Per-row affine scramble constants (seed i → (A_i·h + B_i) mod P, then
+# mod width). Distinct odd multipliers far from P's structure; the same
+# pairs are frozen into the oracle SQL.
+CM_ROWS: tuple[tuple[int, int], ...] = (
+    (736_338_717, 384_829_501),
+    (528_914_083, 117_438_691),
+    (943_717_261, 659_283_139),
+)
+
+
+def cm_counters(
+    df: DataFrame,
+    hash_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build count-min counters over `hash_col` (a pre-hashed long,
+    e.g. dedup._char_poly_hash output): one row per (seed, bucket)
+    with its count. Input rows explode ×depth, but map-side combine
+    bounds the exchange at depth·width groups per partition."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for i, (a, b) in enumerate(CM_ROWS[:depth])
+        ]
+    )
+    ex = df.select(F.col(hash_col).alias("__h"), F.explode(rows).alias("s"))
+    bucket = F.pmod(
+        (F.col("__h") * F.col("s.a") + F.col("s.b")) % HASH_PRIME, F.lit(width)
+    )
+    return ex.groupBy(
+        F.col("s.seed").alias("seed"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    hash_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each row of `items` (which carries
+    `hash_col`): adds a `cm_estimate` column = min over the d counter
+    rows. The counter table (d·w rows) broadcasts; items are never
+    shuffled. Estimates are exact integers: cm_estimate ≥ true count
+    always (CM never underestimates)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for i, (a, b) in enumerate(CM_ROWS[:depth])
+        ]
+    )
+    probed = items.select(
+        "*", F.explode(rows).alias("__s")
+    ).withColumn(
+        "__bucket",
+        F.pmod(
+            (F.col(hash_col) * F.col("__s.a") + F.col("__s.b")) % HASH_PRIME,
+            F.lit(width),
+        ),
+    )
+    group_cols = [c for c in items.columns]
+    return (
+        probed.join(
+            F.broadcast(counters),
+            (F.col("__s.seed") == F.col("seed"))
+            & (F.col("__bucket") == F.col("bucket")),
+        )
+        .groupBy(*group_cols)
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )

@@ -2213,3 +2213,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     )
     return dedup.duplicate_clusters(pairs).orderBy("doc")
+
+
+# --- Count-min sketch: heavy-hitter frequency estimates ------------------------
+
+_CM_T = 70  # heavy-hitter cutoff (exact count)
+
+
+def _cm_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sketches import (
+        CM_ROWS,
+        CM_WIDTH,
+    )
+
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CM_ROWS))
+    poly_user = _POLY.format(s="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH seeds(seed, a, b) AS (VALUES {seeds}),
+hp AS (SELECT {poly_user} AS h FROM events),
+counters AS (
+  SELECT seed, ((h * a + b) % {P}) % {CM_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hp CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+heavy AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+         {poly_user} AS h
+  FROM events
+  GROUP BY user_id
+  HAVING COUNT(*) >= {_CM_T}
+)
+SELECT e.user_id, e.exact_cnt, MIN(c.cnt) AS cm_estimate
+FROM heavy e
+CROSS JOIN seeds s
+JOIN counters c
+  ON c.seed = s.seed AND c.bucket = ((e.h * s.a + s.b) % {P}) % {CM_WIDTH}
+GROUP BY e.user_id, e.exact_cnt
+ORDER BY e.user_id
+"""
+
+
+@register(
+    "q_cm_heavy_hitters",
+    oracle=_cm_oracle(),
+    doc="Count-min sketch (depth 3 × width 64, deliberately narrow so "
+    "collisions are EXERCISED, not dodged) frequency estimates for "
+    f"heavy users (exact count ≥ {_CM_T}), next to the exact counts. "
+    "Counters are integer sums over the portable affine-scrambled "
+    "poly-hash, so unlike HLL the estimates are bit-identical "
+    "cross-engine and the gate proves the whole estimator. Plan = the "
+    "sketch algebra (operators/sketches.cm_counters): rows explode ×3 "
+    "but map-side combine caps the exchange at depth·width groups per "
+    "partition; the 192-row counter table broadcasts back for the "
+    "point queries. pytest pins the one-sided error (estimate ≥ exact "
+    "always; bounded overestimate)",
+    tags=("pipeline", "sketch"),
+)
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.dedup import _char_poly_hash
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+        cm_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", _char_poly_hash(F.col("user_id").cast("string")).alias("h")
+    )
+    counters = cm_counters(ev, "h")
+    heavy = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).filter(F.col("exact_cnt") >= _CM_T)
+    return (
+        cm_estimate(counters, heavy, "h")
+        .select("user_id", "exact_cnt", "cm_estimate")
+        .orderBy("user_id")
+    )

@@ -1068,3 +1068,45 @@ def test_asof_salted_spreads_planted_hot_key(spark):
     # 10x reduction (loose vs the ~40x expectation, safe against draw
     # variance)
     assert salted_max * 10 <= unsalted_max, (salted_max, unsalted_max)
+
+
+def test_cm_sketch_one_sided_error_and_collisions(spark):
+    """Count-min invariants on a seeded skewed population: the
+    estimate NEVER underestimates (min over d counters ≥ true count),
+    every point query hits d counter rows, and at the deliberately
+    narrow registered width the overestimate stays within the classic
+    e·n/w bound while at least one item actually collides (so the
+    oracle check exercises the interesting path, not a trivially
+    collision-free table)."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        _char_poly_hash,
+    )
+    from big_data_engineering_project_spark.operators.sketches import (
+        CM_WIDTH,
+        cm_counters,
+        cm_estimate,
+    )
+
+    # Zipf-ish: item i appears ~ 600 // (i + 1) times, 120 items.
+    rows = [(f"item_{i}",) for i in range(120) for _ in range(600 // (i + 1))]
+    df = spark.createDataFrame(rows, "item STRING").select(
+        "item", _char_poly_hash(F.col("item")).alias("h")
+    )
+    n_total = len(rows)
+    counters = cm_counters(df, "h")
+    exact = df.groupBy("item", "h").agg(F.count(F.lit(1)).alias("exact"))
+    got = {
+        r["item"]: (r["exact"], r["cm_estimate"])
+        for r in cm_estimate(counters, exact, "h").collect()
+    }
+    assert len(got) == 120
+    import math
+
+    bound = math.e * n_total / CM_WIDTH
+    over = 0
+    for item, (exact_cnt, est) in got.items():
+        assert est >= exact_cnt, (item, exact_cnt, est)
+        assert est - exact_cnt <= bound, (item, exact_cnt, est, bound)
+        if est > exact_cnt:
+            over += 1
+    assert over > 0, "width too wide to exercise collisions"
