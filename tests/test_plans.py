@@ -218,3 +218,47 @@ def test_media_frame_query_prunes_to_video_partition(plans):
     scan = p[p.index("Scan parquet"):]
     read_schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
     assert "blob" in read_schema and "width" not in read_schema
+
+
+def test_tpch2_dims_broadcast_facts_never_shuffle_for_dims(plans):
+    """Suite-completion queries: every dimension join (part, supplier,
+    nation-derived maps, scalar thresholds) must be a broadcast join —
+    no SortMergeJoin on a dim key anywhere in these plans."""
+    for name in ("q_product_profit", "q_promo_revenue", "q_disjunctive_revenue",
+                 "q_part_supplier_variety"):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name  # no fact-fact join in these
+
+
+def test_tpch2_scalar_subqueries_broadcast_not_collect(plans):
+    """Q11/Q15/Q22 thresholds: the 1-row aggregate joins via
+    BroadcastNestedLoopJoin/BroadcastHashJoin — never a driver-side
+    collect (no CollectLimit) and never a shuffled cross join."""
+    for name in ("q_important_parts", "q_top_supplier", "q_wealthy_inactive"):
+        p = plans(name)
+        assert "Broadcast" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_q21_windows_share_one_exchange_over_collapsed_frame(plans):
+    """q_blocking_suppliers: lineitem collapses to (order, supplier)
+    rows in a partial-aggregated pass FIRST; both per-order windows
+    then run over that bounded frame sharing a single exchange+sort.
+    Exactly two exchanges may precede the windows (partial-agg
+    exchange + window repartition), and both windows reuse one Sort."""
+    p = plans("q_blocking_suppliers")
+    tree = p[: p.index("(1) Scan parquet")]
+    section = tree[tree.index("Window") : tree.index("Scan parquet")]
+    assert section.count("Window") == 2
+    assert section.count("Sort") == 1  # one sort feeds both windows
+    assert section.count("Exchange") == 2  # partial-agg + window repartition
+    assert "SortMergeJoin" not in p  # join-free lateness analysis
+
+
+def test_q22_anti_join_stays_anti_with_pushed_date_filter(plans):
+    p = plans("q_wealthy_inactive")
+    assert "LeftAnti" in p
+    # The recency predicate must reach the orders scan, not sit above
+    # the anti join.
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
