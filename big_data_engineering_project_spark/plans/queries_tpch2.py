@@ -842,3 +842,46 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
         .orderBy("p_partkey")
     )
+
+
+# --- Bloom-pruned semi join (explicit runtime-filter pattern) -----------------
+
+
+@register(
+    "q_bloom_semi_orders",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 49
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Bloom-pruned semi join ≡ plain semi join (the oracle is the "
+    "unpruned EXISTS): the heavy-lineitem orderkey set compresses to "
+    "an 8-KiB broadcast bitmap that drops non-matching orders BEFORE "
+    "the exact semi-join exchange; false positives die in the exact "
+    "join, false negatives cannot exist, so the gate proves the "
+    "whole operator every round (operators/bloom.py — the explicit, "
+    "storable form of engine-injected runtime filters)",
+    tags=("tpch", "join", "semi", "sketch"),
+)
+def q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    return (
+        bloom_semi_join(orders, heavy, "o_orderkey", "bk")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -1110,3 +1110,58 @@ def test_cm_sketch_one_sided_error_and_collisions(spark):
         if est > exact_cnt:
             over += 1
     assert over > 0, "width too wide to exercise collisions"
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """bloom_build/might_contain: every true member passes (no false
+    negatives — the property the exactness proof rests on), and on a
+    1000-key build vs 20k disjoint probes the 64-Kib bitmap keeps the
+    false-positive rate near the analytic (1-e^{-kn/w})^k bound — the
+    prefilter must actually PRUNE, not just preserve equality."""
+    from big_data_engineering_project_spark.operators.bloom import (
+        DEFAULT_K,
+        DEFAULT_WIDTH_BITS,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(1000).select((F.col("id") * 7 + 3).alias("h"))
+    bloom = bloom_build(members, "h")
+    kept_members = (
+        members.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("bloom"), F.col("h")))
+        .count()
+    )
+    assert kept_members == 1000  # no false negatives, ever
+
+    outsiders = spark.range(20_000).select(
+        (F.col("id") * 7 + 3 + 1_000_000_000).alias("h")
+    )
+    fp = (
+        outsiders.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("bloom"), F.col("h")))
+        .count()
+    )
+    import math
+
+    n, w, k = 1000, DEFAULT_WIDTH_BITS, DEFAULT_K
+    bound = (1 - math.exp(-k * n / w)) ** k  # ≈ 0.09% at these params
+    assert fp / 20_000 < 5 * bound, (fp, bound)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """Exactness on overlapping sets, including hash collisions in the
+    probe: bloom_semi_join == plain left_semi, row for row."""
+    from big_data_engineering_project_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    probe = spark.range(5000).select(F.col("id").alias("pk"), (F.col("id") % 97).alias("tag"))
+    build = spark.range(800).select((F.col("id") * 5).alias("bk"))
+    got = bloom_semi_join(probe, build, "pk", "bk")
+    want = probe.join(
+        build.distinct(), probe["pk"] == F.col("bk"), "left_semi"
+    )
+    assert sorted(r["pk"] for r in got.collect()) == sorted(
+        r["pk"] for r in want.collect()
+    )

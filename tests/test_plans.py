@@ -262,3 +262,14 @@ def test_q22_anti_join_stays_anti_with_pushed_date_filter(plans):
     # The recency predicate must reach the orders scan, not sit above
     # the anti join.
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_bloom_semi_join_broadcasts_bitmap_and_stays_semi(plans):
+    """q_bloom_semi_orders: the bitmap is a broadcast (never a
+    shuffle), the probe-side Filter carries the getbit tests BELOW the
+    exact join, and the exact join stays LeftSemi."""
+    p = plans("q_bloom_semi_orders")
+    assert "LeftSemi" in p
+    assert "getbit" in p
+    # the bitmap row reaches the probe via broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
