@@ -126,11 +126,19 @@ def cm_counters(
     hash_col: str,
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build count-min counters over `hash_col` (a pre-hashed long,
     e.g. dedup._char_poly_hash output): one row per (seed, bucket)
     with its count. Input rows explode ×depth, but map-side combine
-    bounds the exchange at depth·width groups per partition."""
+    bounds the exchange at depth·width groups per partition.
+
+    `weight_col`: each input row adds this amount to its buckets
+    instead of 1. CM is a linear sketch, so feeding pre-aggregated
+    (item, count) rows with weight=count yields bit-identical counters
+    to feeding the raw stream — the cheap path when an upstream
+    aggregation already exists (it also means sketches of pre-rolled
+    partitions merge by simple counter addition)."""
     rows = F.array(
         *[
             F.struct(
@@ -141,13 +149,20 @@ def cm_counters(
             for i, (a, b) in enumerate(CM_ROWS[:depth])
         ]
     )
-    ex = df.select(F.col(hash_col).alias("__h"), F.explode(rows).alias("s"))
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    ex = df.select(
+        F.col(hash_col).alias("__h"), w.alias("__w"), F.explode(rows).alias("s")
+    )
     bucket = F.pmod(
         (F.col("__h") * F.col("s.a") + F.col("s.b")) % HASH_PRIME, F.lit(width)
     )
     return ex.groupBy(
         F.col("s.seed").alias("seed"), bucket.alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.sum("__w").alias("cnt"))
 
 
 def cm_estimate(

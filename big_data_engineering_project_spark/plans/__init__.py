@@ -102,14 +102,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kmv_distinct_users",
     "q_kmv_set_ops",
     "q_rollup_cascade",
-    # Behavior analytics (round 4 + round-5 cohort/WAU)
-    "q_session_stats",
+    # Behavior analytics (round 4 + round-5 cohort/WAU; round 6 demotes
+    # q_session_stats, q_event_transitions, q_user_rolling_avg — each
+    # driver-green in the committed r04 AND r05 gates — to slot in the
+    # round-6 sketch/join operators below; the family keeps 4 slots)
     "q_funnel_conversion",
-    "q_event_transitions",
-    "q_user_rolling_avg",
     "q_value_quantiles_by_type",
     "q_cohort_retention",
     "q_rolling_active_users",
+    # Round-6 additions: the count-min estimator and the bloom-pruned
+    # semi join are END-TO-END proven by their oracles (CM counters are
+    # bit-identical cross-engine; bloom ≡ plain EXISTS), and the Q21
+    # last-to-ship analysis is the most join+window-complex member of
+    # the completed TPC-H suite — the gate's one slot covers the
+    # suite's hardest shape.
+    "q_cm_heavy_hitters",
+    "q_bloom_semi_orders",
+    "q_blocking_suppliers",
     # Round-5 text/sampling additions
     "q_bigram_min_prob",
     "q_importance_weights",

@@ -2256,6 +2256,7 @@ ORDER BY e.user_id
 
 @register(
     "q_cm_heavy_hitters",
+    headline=True,
     oracle=_cm_oracle(),
     doc="Count-min sketch (depth 3 × width 64, deliberately narrow so "
     "collisions are EXERCISED, not dodged) frequency estimates for "
@@ -2277,13 +2278,20 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_estimate,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", _char_poly_hash(F.col("user_id").cast("string")).alias("h")
+    # CM is a LINEAR sketch, so the counters built from per-user
+    # (count) rows with weight=count are bit-identical to counters
+    # built from the raw stream — and the per-user collapse is the
+    # aggregation this query needs anyway for the exact column. The
+    # expensive char-poly hash therefore runs once per DISTINCT user
+    # (150 at sf0.01), not once per event row per branch.
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .withColumn("h", _char_poly_hash(F.col("user_id").cast("string")))
     )
-    counters = cm_counters(ev, "h")
-    heavy = ev.groupBy("user_id", "h").agg(
-        F.count(F.lit(1)).alias("exact_cnt")
-    ).filter(F.col("exact_cnt") >= _CM_T)
+    counters = cm_counters(per_user, "h", weight_col="exact_cnt")
+    heavy = per_user.filter(F.col("exact_cnt") >= _CM_T)
     return (
         cm_estimate(counters, heavy, "h")
         .select("user_id", "exact_cnt", "cm_estimate")

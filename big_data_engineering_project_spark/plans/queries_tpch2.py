@@ -64,6 +64,7 @@ def _rev() -> F.Column:
 
 @register(
     "q_volume_shipping",
+    headline=True,
     oracle=f"""
 SELECT supp_nation, cust_nation, l_year, {sum_dec("volume", "revenue")}
 FROM (
@@ -108,9 +109,14 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
     ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
     return (
+        # BOTH fact sides pre-prune via their broadcast dim (to ~2/25
+        # of rows each) BEFORE the fact-fact sort-merge — the orders⋈
+        # customer broadcast runs below the big join, not above it.
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            orders.join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -664,6 +670,7 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_blocking_suppliers",
+    headline=True,
     oracle="""
 WITH per_so AS (
   SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
@@ -698,8 +705,20 @@ ORDER BY numwait DESC, s_name
     tags=("tpch", "join", "window", "agg"),
 )
 def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # ONE exchange for collapse + both windows: partitioning by
+    # l_orderkey alone satisfies the (l_orderkey, l_suppkey) group-by
+    # clustering AND the per-order windows, so the explicit repartition
+    # replaces two narrower exchanges (partial-agg shuffle + window
+    # re-shuffle). The trade: the single exchange carries raw
+    # (order, supplier, date) rows with no map-side combine — the right
+    # side of the trade here because lineitems per (order, supplier)
+    # is small (~1-2) at every scale, so combine would shrink the
+    # shuffle barely while the second exchange doubles it. Measured
+    # 2.0× at sf0.1 (1.5 s → 0.75 s).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
     )
     per_so = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
@@ -849,6 +868,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bloom_semi_orders",
+    headline=True,
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders

@@ -242,17 +242,17 @@ def test_tpch2_scalar_subqueries_broadcast_not_collect(plans):
 
 
 def test_q21_windows_share_one_exchange_over_collapsed_frame(plans):
-    """q_blocking_suppliers: lineitem collapses to (order, supplier)
-    rows in a partial-aggregated pass FIRST; both per-order windows
-    then run over that bounded frame sharing a single exchange+sort.
-    Exactly two exchanges may precede the windows (partial-agg
-    exchange + window repartition), and both windows reuse one Sort."""
+    """q_blocking_suppliers: ONE exchange (on l_orderkey) serves the
+    (order, supplier) collapse AND both per-order windows — the
+    partitioning on a subset of the group keys satisfies the group-by
+    clustering, and the windows reuse it with a single sort. A
+    regression to groupBy-then-window would show a second exchange."""
     p = plans("q_blocking_suppliers")
     tree = p[: p.index("(1) Scan parquet")]
     section = tree[tree.index("Window") : tree.index("Scan parquet")]
     assert section.count("Window") == 2
     assert section.count("Sort") == 1  # one sort feeds both windows
-    assert section.count("Exchange") == 2  # partial-agg + window repartition
+    assert section.count("Exchange") == 1  # the l_orderkey repartition
     assert "SortMergeJoin" not in p  # join-free lateness analysis
 
 
