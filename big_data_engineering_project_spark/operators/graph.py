@@ -1,0 +1,105 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+PageRank (Page et al. 1999) here is INTEGER PageRank: ranks live in
+BIGINT micro-units (SCALE = 1e12 = rank 1.0) and every update is
+integer multiply/divide — (r·w) DIV ow, (85·Σ) DIV 100 — so the
+per-iteration values are bit-identical in any engine and the whole
+10-iteration fixed point has an EXACT SQL oracle (unrolled CTEs, one
+per iteration; see plans.queries_behavior). Float PageRank would
+diverge across engines in the sum order of incoming contributions;
+integer arithmetic makes the iteration order-free (integer addition
+is associative) at the cost of a deliberate, DEFINED truncation per
+edge. The same trick as the repo's decimal-stabilized sums, one level
+stronger.
+
+Scale shape per iteration: contributions = pr ⋈ edges on src (edges
+carry their precomputed out-weight, so no per-iteration re-join for
+degrees) → groupBy(dst) sum — one shuffle keyed on dst per iteration,
+partial-aggregated map-side. The rank table is one row per node; for
+web-scale graphs the known hazards are lineage growth (checkpoint
+every few iterations — the `materialize` hook) and hub skew in the
+dst aggregation (AQE skew handling, or salt the hot dst). The
+dedup-cluster Pregel loop (operators/dedup.py) is this module's
+min-label sibling; this one exists for rank-style numeric iteration.
+
+Dangling nodes (no outgoing edges) simply leak their mass, matching
+the oracle exactly: both engines drop the same integer amounts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM = 85
+DAMP_DEN = 100
+DEFAULT_ITERS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = DEFAULT_ITERS,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Weighted integer PageRank over `edges` [src, dst, weight:long].
+
+    Returns [node, rank] with rank in SCALE micro-units. The node set
+    is src ∪ dst; the driver reads exactly ONE scalar (the node count,
+    needed for the teleport term) — rank state itself never leaves the
+    cluster. `materialize` (e.g. lambda df: df.localCheckpoint()) cuts
+    lineage between iterations for large graphs; default None keeps
+    the pure plan (fine for tens of iterations).
+
+    Overflow headroom: r ≤ SCALE (1e12) and r·w must stay < 2^63, so
+    per-edge weights up to ~9e5 are safe; pre-normalize heavier edge
+    weights (divide the whole weight column by a constant) above that.
+    """
+    e_src, e_dst, e_w = F.col(src), F.col(dst), F.col(weight)
+    nodes = (
+        edges.select(e_src.alias("node"))
+        .union(edges.select(e_dst.alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # the one driver scalar: |V|
+    init = SCALE // n
+    base = (15 * SCALE // 100) // n
+
+    out_w = edges.groupBy(e_src.alias("__s")).agg(F.sum(e_w).alias("__ow"))
+    # Edges carry their out-weight once — iterations never re-derive
+    # it. out_w is node-sized, so the join is left to AQE: broadcast
+    # when it fits, sort-merge co-partitioned with the groupBy above
+    # when it doesn't.
+    e = edges.select(
+        e_src.alias("__s"), e_dst.alias("__d"), e_w.alias("__w")
+    ).join(out_w, "__s")
+
+    pr = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(e, pr["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("(rank * __w) DIV __ow").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(__in, CAST(0 AS BIGINT))) "
+                    f"DIV {DAMP_DEN}"
+                )
+            ).alias("rank"),
+        )
+        if materialize is not None:
+            pr = materialize(pr)
+    return pr

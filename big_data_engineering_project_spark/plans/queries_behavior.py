@@ -281,3 +281,86 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_active_users(ev, "user_id", "ts", _WAU_DAYS).orderBy("day")
+
+
+# --- Integer PageRank over the event-transition graph -------------------------
+
+
+def _pagerank_oracle(iters: int) -> str:
+    from big_data_engineering_project_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+    )
+
+    ctes = [
+        f"pr0 AS (SELECT node, CAST(({SCALE} // nn.n) AS BIGINT) AS r "
+        "FROM nodes, nn)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT nd.node,
+         CAST(((15 * {SCALE} // 100) // nn.n)
+              + (({DAMP_NUM} * COALESCE(s.c, 0)) // {DAMP_DEN}) AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((p.r * e.w) // e.ow) AS BIGINT) AS c
+    FROM pr{i-1} p JOIN ew e ON p.node = e.src
+    GROUP BY 1
+  ) s ON nd.node = s.node)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+edges AS (
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
+{joined}
+SELECT node AS event_type, r AS rank
+FROM pr{iters}
+ORDER BY node
+"""
+
+
+_PR_ITERS = 10
+
+
+@register(
+    "q_pagerank_event_graph",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    doc=f"Integer PageRank ({_PR_ITERS} iterations, damping 0.85) over "
+    "the Markov transition graph of event types: ranks in BIGINT "
+    "micro-units with every update an integer multiply/divide, so the "
+    "whole ITERATIVE fixed point is bit-identical cross-engine and "
+    "holds an exact oracle (unrolled one-CTE-per-iteration SQL) — the "
+    "rank-iteration sibling of the dedup-cluster Pregel loop's "
+    "recursive-CTE check. Per iteration: one dst-keyed shuffle of "
+    "(node, contribution) longs, partial-aggregated; edges carry "
+    "their precomputed out-weight (operators/graph.py)",
+    tags=("behavior", "graph", "iterative"),
+)
+def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = event_transitions(ev, "user_id", "ts", "event_type").select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").cast("long").alias("w"),
+    )
+    return (
+        pagerank(edges, iters=_PR_ITERS)
+        .select(F.col("node").alias("event_type"), "rank")
+        .orderBy("event_type")
+    )

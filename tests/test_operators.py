@@ -1165,3 +1165,42 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     assert sorted(r["pk"] for r in got.collect()) == sorted(
         r["pk"] for r in want.collect()
     )
+
+
+def test_integer_pagerank_tracks_float_pagerank(spark):
+    """The integer-arithmetic PageRank must agree with a straight
+    numpy float PageRank on a seeded weighted digraph to within the
+    truncation budget (each edge floors once per iteration, so the
+    drift is bounded by iters·|E| micro-units per node — far below
+    1e-4 relative at SCALE=1e12), and must preserve the float
+    ranking order outright."""
+    import numpy as np
+
+    from big_data_engineering_project_spark.operators.graph import (
+        SCALE,
+        pagerank,
+    )
+
+    # 8-node graph with a deliberate hub (node 0).
+    rng = [(i, j, (i * 7 + j * 3) % 5 + 1) for i in range(8) for j in range(8)
+           if i != j and (i + j) % 3 != 0]
+    edges = spark.createDataFrame(rng, "src INT, dst INT, w LONG")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+
+    n = 8
+    W = np.zeros((n, n))
+    for i, j, w in rng:
+        W[i, j] = w
+    out = W.sum(axis=1, keepdims=True)
+    P = np.divide(W, out, where=out > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = 0.15 / n + 0.85 * (r @ P)
+    ref = {i: r[i] * SCALE for i in range(n)}
+
+    assert set(got) == set(ref)
+    for i in got:
+        assert abs(got[i] - ref[i]) / ref[i] < 1e-4, (i, got[i], ref[i])
+    order_int = sorted(got, key=lambda i: got[i])
+    order_flt = sorted(ref, key=lambda i: ref[i])
+    assert order_int == order_flt
