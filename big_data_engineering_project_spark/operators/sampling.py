@@ -180,3 +180,44 @@ def pack_assignments(
             (before + F.col(n_tokens_col) - 1) / budget
         ).cast("long").alias("end_pack"),
     )
+
+
+# --- Weighted (πps) Bernoulli sampling + Horvitz-Thompson ----------------------
+
+# Affine scramble for the sampling hash: the raw poly hash clusters on
+# near-identical keys (see the KMV lesson, plans/queries_pipeline.py
+# _KMV_A) — sampling needs the same uniformization. Distinct constants
+# from the KMV/CM families so the streams are independent.
+SAMPLE_A = 617_283_947
+SAMPLE_B = 271_828_183
+HASH_P = 1_000_000_007
+
+
+def sample_uniform_hash(key: Column) -> Column:
+    """Deterministic 'uniform on [0, P)' draw for a key: affine-
+    scrambled poly hash. Content-addressed like every sampling
+    primitive here — stable across runs, partitionings and engines."""
+    return (_char_poly_hash(key) * SAMPLE_A + SAMPLE_B) % HASH_P
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    prob_scale: int,
+) -> DataFrame:
+    """Poisson / πps sampling: include a row iff its uniform draw
+    falls below weight·prob_scale, i.e. with inclusion probability
+    p_i = min(1, w_i·prob_scale / P) — all-INTEGER comparison, so the
+    selected set is bit-reproducible in any engine. Adds `p_incl`
+    (double, the exact inclusion probability) for downstream
+    Horvitz-Thompson reweighting: Σ w_i/p_i over the sample unbiasedly
+    estimates the population total of any weight-correlated quantity.
+    One narrow projection + filter — no shuffle, survives any
+    repartition (same contract as with_split)."""
+    w = F.col(weight_col).cast("long")
+    threshold = F.least(w * F.lit(prob_scale), F.lit(HASH_P))
+    u = sample_uniform_hash(F.col(key_col))
+    return df.filter(u < threshold).withColumn(
+        "p_incl", threshold.cast("double") / F.lit(float(HASH_P))
+    )

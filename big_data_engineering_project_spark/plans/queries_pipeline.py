@@ -2297,3 +2297,96 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "exact_cnt", "cm_estimate")
         .orderBy("user_id")
     )
+
+
+# --- Weighted (πps) sampling + Horvitz-Thompson estimation --------------------
+
+_WS_K = 1_000_000  # inclusion prob = min(1, n_chars·K / P) ≈ n_chars/1000
+
+
+def _weighted_sample_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sampling import (
+        HASH_P,
+        SAMPLE_A,
+        SAMPLE_B,
+    )
+
+    u = f"(({_POLY.format(s='text')}) * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P}"
+    thr = f"LEAST(n_chars * {_WS_K}, {HASH_P})"
+    return f"""
+WITH exact AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS exact_chars
+  FROM documents GROUP BY lang
+),
+samp AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM((CAST({HASH_P} AS BIGINT) * 1000000) // {thr}) AS BIGINT) AS ht_docs_micro,
+         CAST(SUM((n_chars * CAST({HASH_P} AS BIGINT) * 100) // {thr}) AS BIGINT)
+           AS ht_chars_centi
+  FROM documents
+  WHERE {u} < {thr}
+  GROUP BY lang
+)
+SELECT e.lang, e.exact_docs, e.exact_chars,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.ht_docs_micro, 0) AS ht_docs_micro,
+       COALESCE(s.ht_chars_centi, 0) AS ht_chars_centi
+FROM exact e LEFT JOIN samp s ON e.lang = s.lang
+ORDER BY e.lang
+"""
+
+
+@register(
+    "q_weighted_sample_ht",
+    oracle=_weighted_sample_oracle(),
+    doc="Length-weighted πps Bernoulli sample of the corpus (include "
+    "iff scrambled content-hash < n_chars·K — all-integer, so the "
+    "selected SET is bit-reproducible cross-engine and across "
+    "repartitions) with per-language Horvitz-Thompson estimates of "
+    "document and char totals beside the exact values. The HT terms "
+    "are integer micro/centi-units ((P·1e6) DIV threshold), so even "
+    "the ESTIMATOR is combine-order-free — no float enters the plan. "
+    "One narrow filter + one aggregation; the exact side is a second "
+    "aggregation of the same scan. pytest pins HT unbiasedness "
+    "(estimates within sampling error of the exact totals)",
+    tags=("pipeline", "sampling"),
+)
+def q_weighted_sample_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        HASH_P,
+        weighted_sample,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    thr = F.least(
+        F.col("n_chars").cast("long") * F.lit(_WS_K), F.lit(HASH_P)
+    )
+    sampled = weighted_sample(docs, "text", "n_chars", _WS_K).withColumn(
+        "__thr", thr
+    )
+    samp = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.expr(f"(CAST({HASH_P} AS BIGINT) * 1000000) DIV __thr")).alias(
+            "ht_docs_micro"
+        ),
+        F.sum(F.expr(f"(n_chars * CAST({HASH_P} AS BIGINT) * 100) DIV __thr")).alias(
+            "ht_chars_centi"
+        ),
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("exact_docs"),
+        F.sum("n_chars").alias("exact_chars"),
+    )
+    return (
+        exact.join(samp, "lang", "left")
+        .select(
+            "lang",
+            "exact_docs",
+            "exact_chars",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("ht_docs_micro", F.lit(0)).alias("ht_docs_micro"),
+            F.coalesce("ht_chars_centi", F.lit(0)).alias("ht_chars_centi"),
+        )
+        .orderBy("lang")
+    )

@@ -1204,3 +1204,38 @@ def test_integer_pagerank_tracks_float_pagerank(spark):
     order_int = sorted(got, key=lambda i: got[i])
     order_flt = sorted(ref, key=lambda i: ref[i])
     assert order_int == order_flt
+
+
+def test_weighted_sample_ht_unbiased_and_stable(spark):
+    """πps sampling invariants: (a) the selected set is identical
+    under any repartitioning (content-addressed), (b) Horvitz-
+    Thompson estimates from the sample land within sampling error of
+    the true totals on a seeded corpus, (c) inclusion leans toward
+    heavier rows (the point of πps)."""
+    from big_data_engineering_project_spark.operators.sampling import (
+        HASH_P,
+        weighted_sample,
+    )
+
+    rows = [(f"doc {i} {'x' * (i % 97)}", 50 + (i * 37) % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, "text STRING, w LONG")
+    k = 2_000_000  # p ≈ w/500 ∈ [0.1, 1.0]
+
+    s1 = weighted_sample(df, "text", "w", k)
+    s2 = weighted_sample(df.repartition(17), "text", "w", k)
+    keys1 = sorted(r["text"] for r in s1.collect())
+    assert keys1 == sorted(r["text"] for r in s2.collect())
+
+    import math
+
+    true_docs = len(rows)
+    true_chars = sum(w for _, w in rows)
+    got = s1.selectExpr(
+        "SUM(1.0 / p_incl) AS ht_docs", "SUM(w / p_incl) AS ht_chars"
+    ).first()
+    assert abs(got["ht_docs"] - true_docs) / true_docs < 0.1
+    assert abs(got["ht_chars"] - true_chars) / true_chars < 0.1
+
+    mean_w_sample = s1.selectExpr("AVG(w)").first()[0]
+    mean_w_all = sum(w for _, w in rows) / len(rows)
+    assert mean_w_sample > mean_w_all  # heavier rows over-represented
