@@ -413,3 +413,80 @@ def band_join(
     lt, rt = F.col(left_time), F.col(right_time)
     exact = (lt >= rt) & (lt < rt + F.expr(f"INTERVAL {int(window_seconds)} SECOND"))
     return l2.join(r2, on="__band").filter(exact).drop("__band")
+
+
+# --- Gap-fill resampling (LOCF onto a regular grid) ---------------------------
+
+_GRID_SENTINEL_ID = 9_000_000_000_000_000_000  # sorts after any real id
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Resample each key's observation series onto a regular
+    `step_seconds` grid with last-observation-carried-forward — the
+    continuous-grid sibling of the as-of join (every grid point is an
+    as-of lookup against the same key's own series), and the
+    timescale-style `locf(time_bucket(...))` gap-fill.
+
+    Grid: per key, from floor-aligned min(ts) to floor-aligned
+    max(ts) in INTEGER epoch seconds (sequence + explode — bounded by
+    span/step per key, never a global calendar). Fill: observations
+    and grid points union into one frame; ONE per-key window ordered
+    by (second, observations-first, id) takes the running last
+    non-null value, so a grid point at second T sees every
+    observation with ts ≤ T — the newest (by `id_col`) winning ties
+    deterministically in any engine. Grid points before a key's first
+    observation stay NULL (nothing to carry).
+
+    Shape: one bounds aggregation + one union + one keyed window —
+    two exchanges on the key, no join, no row multiplication beyond
+    the grid itself. Output: [key, grid_ts, filled value_col].
+
+    `id_col` must be a non-negative long below 9e18 (the grid
+    sentinel orders grid points after every real observation of the
+    same second — NULL sort order differs across engines, so the
+    sentinel replaces a NULL id)."""
+    sec = F.unix_timestamp(F.col(time_col))
+    ev = df.select(
+        F.col(key).alias("__k"),
+        sec.alias("__sec"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    bounds = ev.groupBy("__k").agg(
+        (F.min("__sec") / step_seconds).cast("long").alias("__g0"),
+        (F.max("__sec") / step_seconds).cast("long").alias("__g1"),
+    )
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__g0") * step_seconds,
+                F.col("__g1") * step_seconds,
+                F.lit(step_seconds),
+            )
+        ).alias("__sec"),
+        F.lit(_GRID_SENTINEL_ID).alias("__id"),
+        F.lit(None).cast(dict(df.dtypes)[value_col]).alias("__v"),
+    ).withColumn("__is_obs", F.lit(0))
+    un = ev.withColumn("__is_obs", F.lit(1)).unionByName(grid)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__sec"), F.desc("__is_obs"), F.asc("__id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        un.withColumn("__filled", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_obs") == 0)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__sec")).alias("grid_ts"),
+            F.col("__filled").alias(value_col),
+        )
+    )

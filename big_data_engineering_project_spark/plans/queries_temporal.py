@@ -321,3 +321,66 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("granularity", "bucket_start")
     )
+
+
+# --- Gap-fill resampling (LOCF onto a 6-hour grid) ----------------------------
+
+_GF_STEP = 21_600  # 6 hours
+
+
+@register(
+    "q_gap_fill_6h",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS id, "value" AS v
+  FROM events
+),
+bounds AS (
+  SELECT k, (MIN(sec) // {_GF_STEP}) AS g0, (MAX(sec) // {_GF_STEP}) AS g1
+  FROM ev GROUP BY k
+),
+grid AS (
+  SELECT k, CAST(s.g AS BIGINT) AS sec,
+         CAST(9000000000000000000 AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS v, 0 AS is_obs
+  FROM bounds,
+       unnest(generate_series(g0 * {_GF_STEP}, g1 * {_GF_STEP}, {_GF_STEP}))
+         AS s(g)
+),
+un AS (
+  SELECT k, sec, id, v, 1 AS is_obs FROM ev
+  UNION ALL SELECT k, sec, id, v, is_obs FROM grid
+),
+filled AS (
+  SELECT k, sec, is_obs,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY sec ASC, is_obs DESC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM un
+)
+SELECT k AS user_id, make_timestamp(sec * 1000000) AS grid_ts,
+       fv AS "value"
+FROM filled WHERE is_obs = 0
+ORDER BY user_id, grid_ts
+""",
+    doc="LOCF gap-fill of each user's value series onto a regular "
+    "6-hour grid (timescale-style locf(time_bucket(...))): per-key "
+    "integer-second grid via sequence+explode, ONE keyed window takes "
+    "the running last non-null with observations-before-grid-points "
+    "tie order (newest event_id wins same-second ties "
+    "deterministically). Values are CARRIED doubles — no arithmetic — "
+    "so the fill is exact cross-engine; pre-first-observation grid "
+    "points stay NULL. Two key exchanges, no join, no row "
+    "multiplication beyond the grid (operators/temporal.gap_fill_locf)",
+    tags=("temporal", "window"),
+)
+def q_gap_fill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(
+        ev, "user_id", "ts", "value", _GF_STEP, "event_id"
+    ).orderBy("user_id", "grid_ts")

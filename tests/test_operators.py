@@ -1239,3 +1239,33 @@ def test_weighted_sample_ht_unbiased_and_stable(spark):
     mean_w_sample = s1.selectExpr("AVG(w)").first()[0]
     mean_w_all = sum(w for _, w in rows) / len(rows)
     assert mean_w_sample > mean_w_all  # heavier rows over-represented
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Hand-built series: carry across gaps, NULL before the first
+    observation, same-second ties resolved to the newest id, inclusive
+    floor-aligned grid ends."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        # key a: obs at 00:30 (v=1), two obs at 07:00:00 (ids 5,6 →
+        # 6 wins with v=3), nothing after → grid 00,06,12 carries.
+        ("a", datetime(2024, 1, 1, 0, 30), 1, 1.0),
+        ("a", datetime(2024, 1, 1, 7, 0), 5, 2.0),
+        ("a", datetime(2024, 1, 1, 7, 0), 6, 3.0),
+        ("a", datetime(2024, 1, 1, 13, 0), 7, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    got = {
+        (r["k"], r["grid_ts"].isoformat()): r["v"]
+        for r in gap_fill_locf(df, "k", "ts", "v", 21_600, "id").collect()
+    }
+    assert got == {
+        ("a", "2024-01-01T00:00:00"): None,  # before first obs
+        ("a", "2024-01-01T06:00:00"): 1.0,  # carried from 00:30
+        ("a", "2024-01-01T12:00:00"): 3.0,  # newest id at 07:00 wins
+    }
