@@ -384,3 +384,56 @@ def q_gap_fill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_locf(
         ev, "user_id", "ts", "value", _GF_STEP, "event_id"
     ).orderBy("user_id", "grid_ts")
+
+
+# --- Native session_window ≡ lag-island sessionization ------------------------
+
+
+@register(
+    "q_session_window_native",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="Spark's NATIVE session_window aggregation (gap-merged "
+    "event-time windows, the batch twin of the streaming session "
+    "operator) proven ≡ the classic lag-island sessionization: the "
+    "oracle is the lag+cumsum islands form, so the gate pins Spark's "
+    "merge semantics (new session iff gap ≥ 30 min; end = last event "
+    "+ gap) against the first-principles construction every round — "
+    "microsecond-exact, no arithmetic beyond one interval add",
+    tags=("temporal", "window", "session"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
