@@ -557,3 +557,73 @@ def test_curation_stream_matches_batch(spark, tmp_path):
     assert 1 in got and 2 in got and 6 in got  # keepers survive
     assert 3 not in got and 5 not in got      # cross-batch dups dropped
     assert 4 not in got                        # junk gated out
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner interval join (clicks ⋈ buys within 30 min)
+    drains to exactly the batch join of the same files — and the
+    time-range lives in the JOIN condition, so state is bounded (Spark
+    rejects the unbounded form outright)."""
+    import os
+
+    from big_data_engineering_project_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    base = dt.datetime(2026, 1, 15, 0, 0, 0)
+    clicks = [
+        {"c_user": f"user{i % 5}", "click_id": i,
+         "click_ts": (base + dt.timedelta(minutes=3 * i)).strftime("%Y-%m-%d %H:%M:%S")}
+        for i in range(60)
+    ]
+    buys = [
+        {"b_user": f"user{i % 5}", "buy_id": 1000 + i,
+         "buy_ts": (base + dt.timedelta(minutes=3 * i + (7 if i % 3 else 45))).strftime("%Y-%m-%d %H:%M:%S")}
+        for i in range(60)
+    ]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    os.makedirs(cdir), os.makedirs(bdir)
+    _write_batches(cdir, clicks, batch_size=20)
+    _write_batches(bdir, buys, batch_size=20)
+
+    c_schema = "c_user STRING, click_id LONG, click_ts STRING"
+    b_schema = "b_user STRING, buy_id LONG, buy_ts STRING"
+
+    def prep(df, ts):
+        return df.withColumn(ts, F.to_timestamp(ts))
+
+    cs = prep(
+        spark.readStream.schema(c_schema).option("maxFilesPerTrigger", 1).json(cdir),
+        "click_ts",
+    )
+    bs = prep(
+        spark.readStream.schema(b_schema).option("maxFilesPerTrigger", 1).json(bdir),
+        "buy_ts",
+    )
+    joined = interval_join_streams(
+        cs, bs, "c_user", "b_user", "click_ts", "buy_ts", 30 * 60
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    cb = prep(spark.read.schema(c_schema).json(cdir), "click_ts")
+    bb = prep(spark.read.schema(b_schema).json(bdir), "buy_ts")
+    want = {
+        (r["click_id"], r["buy_id"])
+        for r in interval_join_streams(
+            cb, bb, "c_user", "b_user", "click_ts", "buy_ts", 30 * 60
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
