@@ -206,3 +206,69 @@ def cm_estimate(
         .groupBy(*group_cols)
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+# --- Mergeable histogram quantile sketch --------------------------------------
+#
+# Fixed-width value histogram as a quantile sketch: bucket counts are
+# plain integers, so (a) sketches of any partitioning (days, shards)
+# merge by counter ADDITION — same algebra as count-min — and (b) the
+# quantile read-off (smallest bucket whose cumulative count reaches
+# the all-integer target rank) is bit-identical cross-engine, giving
+# the sketch an EXACT oracle where t-digest/GK (percentile_approx)
+# are engine-internal. Error is bounded by the bucket width — the
+# resolution/size knob. The bounded sibling of the exact sort-based
+# percentile in q_value_quantiles_by_type: that one is exact but
+# sorts; this one is one hash aggregation + a ≤n_buckets window.
+
+
+def histogram_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, width: float = 1.0
+) -> DataFrame:
+    """Per-key bucket counts: bucket = floor(value / width). One
+    partial-aggregated exchange capped at n_buckets groups per key."""
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    key_cols: list[str],
+    qs: list[tuple[int, int, str]],
+    width: float = 1.0,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram sketch. `qs` is
+    [(numerator, denominator, alias)] — e.g. (95, 100, "p95") — and
+    the target rank ceil(q·n) is computed in integers ((q_num·n +
+    q_den − 1) DIV q_den), so the selected bucket is engine-exact.
+    The estimate is the bucket midpoint. Cumulative window runs over
+    ≤ n_buckets rows per key — bounded, never value-cardinality."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*key_cols)
+    cum = hist.select(
+        *key_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wn).alias("__n"),
+    )
+    aggs = []
+    for num, den, alias in qs:
+        rank = F.expr(f"({num} * __n + {den - 1}) DIV {den}")
+        aggs.append(
+            (
+                F.min(F.when(F.col("__cum") >= rank, F.col("bucket")))
+                * F.lit(width)
+                + F.lit(width / 2)
+            ).alias(alias)
+        )
+    return cum.groupBy(*key_cols).agg(
+        F.max("__n").alias("n"), *aggs
+    )

@@ -2390,3 +2390,59 @@ def q_weighted_sample_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Mergeable histogram quantile sketch (merged ≡ direct under the gate) ------
+
+
+@register(
+    "q_histogram_quantile_merge",
+    oracle="""
+WITH hist AS (
+  SELECT event_type, CAST(FLOOR("value" / 1.0) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN bucket END) * 1.0 + 0.5 AS p50,
+  MIN(CASE WHEN c >= (95 * n + 99) // 100 THEN bucket END) * 1.0 + 0.5 AS p95
+FROM cum GROUP BY event_type ORDER BY event_type
+""",
+    doc="Mergeable quantile sketch: per-(type, day) fixed-width value "
+    "histograms re-aggregated by counter ADDITION to whole-range "
+    "sketches, then p50/p95 read off at all-integer target ranks "
+    "(ceil(q·n) as (q·n + den−1) DIV den). The oracle computes the "
+    "DIRECT histogram, so the gate proves merged ≡ direct — the "
+    "quantile sibling of q_kmv_daily_merge, and the exact-oracle "
+    "alternative to engine-internal t-digest (percentile_approx). "
+    "Bucket counts bound both exchanges at n_buckets groups; the "
+    "cumulative window runs over ≤ n_buckets rows per key, never "
+    "value cardinality (operators/sketches.histogram_sketch)",
+    tags=("pipeline", "sketch"),
+)
+def q_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    per_day = histogram_sketch(ev, ["event_type", "__day"], "value", width=1.0)
+    merged = per_day.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return histogram_quantile(
+        merged,
+        ["event_type"],
+        [(50, 100, "p50"), (95, 100, "p95")],
+        width=1.0,
+    ).orderBy("event_type")

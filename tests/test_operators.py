@@ -1269,3 +1269,44 @@ def test_gap_fill_locf_semantics(spark):
         ("a", "2024-01-01T06:00:00"): 1.0,  # carried from 00:30
         ("a", "2024-01-01T12:00:00"): 3.0,  # newest id at 07:00 wins
     }
+
+
+def test_histogram_quantile_within_bucket_width(spark):
+    """The sketch quantile must land within one bucket width of the
+    exact quantile on a seeded long-tailed distribution, at two
+    resolutions (the error knob), and merging per-shard sketches must
+    equal the direct sketch exactly."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    vals = [((i * i) % 997 + (i % 13) * 0.37, i % 4) for i in range(8000)]
+    df = spark.createDataFrame(
+        [(v, f"g{g}") for v, g in vals], "v DOUBLE, g STRING"
+    )
+    import numpy as np
+
+    for width in (1.0, 8.0):
+        direct = histogram_sketch(df, ["g"], "v", width=width)
+        got = {
+            r["g"]: (r["p50"], r["p95"])
+            for r in histogram_quantile(
+                direct, ["g"], [(50, 100, "p50"), (95, 100, "p95")], width=width
+            ).collect()
+        }
+        for gk in ("g0", "g1", "g2", "g3"):
+            arr = np.sort([v for v, g in vals if f"g{g}" == gk])
+            for (q, est) in ((0.5, got[gk][0]), (0.95, got[gk][1])):
+                exact = arr[int(np.ceil(q * len(arr))) - 1]
+                assert abs(est - exact) <= width, (gk, width, q, est, exact)
+
+        # merge path: shard by value hash, merge counters, same rows
+        sharded = histogram_sketch(
+            df.withColumn("s", (F.abs(F.xxhash64("v")) % 7)), ["g", "s"], "v",
+            width=width,
+        )
+        merged = sharded.groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+        a = sorted(map(tuple, direct.collect()))
+        b = sorted(map(tuple, merged.collect()))
+        assert a == b
