@@ -876,3 +876,54 @@ def q_cube_type_timeofday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("time_of_day").asc_nulls_first(),
         )
     )
+
+
+# --- Set operations: INTERSECT / EXCEPT (§2.7-2.9 completion) ------------------
+
+
+@register(
+    "q_user_set_ops",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+err      AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'click_and_buy' AS cohort, COUNT(*) AS n_users
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'click_not_buy', COUNT(*)
+FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'all_three', COUNT(*)
+FROM (SELECT user_id FROM clickers
+      INTERSECT SELECT user_id FROM buyers
+      INTERSECT SELECT user_id FROM err)
+ORDER BY cohort
+""",
+    doc="Set-operator completion (U-layer): INTERSECT / EXCEPT / "
+    "chained INTERSECT over per-type distinct user sets — Spark plans "
+    "these as LeftSemi / LeftAnti over the deduped inputs, i.e. the "
+    "same join machinery the §2.5 layer pins, not a row-matching "
+    "special case",
+    tags=("reference", "setops"),
+)
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str):
+        return (
+            ev.filter(F.col("event_type") == t).select("user_id").distinct()
+        )
+
+    clickers, buyers, err = users_of("click"), users_of("purchase"), users_of("error")
+
+    def count_as(df, label: str):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("cohort"), "n_users"
+        )
+
+    return (
+        count_as(clickers.intersect(buyers), "click_and_buy")
+        .unionByName(count_as(clickers.subtract(buyers), "click_not_buy"))
+        .unionByName(count_as(clickers.intersect(buyers).intersect(err), "all_three"))
+        .orderBy("cohort")
+    )
