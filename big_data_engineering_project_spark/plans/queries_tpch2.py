@@ -905,3 +905,96 @@ def q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- ROLLUP / grouping sets (multi-level OLAP aggregation) --------------------
+
+
+@register(
+    "q_revenue_rollup",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       {sum_dec(_REV, "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+""",
+    doc="ROLLUP grouping sets: (flag, status) → (flag) → () in ONE "
+    "aggregation pass — Spark's Expand feeds each input row to every "
+    "grouping set before the partial aggregate, so the three levels "
+    "cost one exchange, not three scans; GROUPING() bits disambiguate "
+    "NULL-as-total from NULL-as-value on both engines",
+    tags=("tpch", "agg", "rollup"),
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "revenue",
+            "n_items",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# --- PIVOT (wide conditional aggregation) -------------------------------------
+
+_PIVOT_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "q_pivot_segment_priority",
+    oracle=f"""
+SELECT o_orderpriority,
+  {", ".join(f'''CAST(SUM(CASE WHEN c_mktsegment = '{s}'
+     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+     AS {s.lower()}''' for s in _PIVOT_SEGS)}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="PIVOT: order totals as priority × market-segment matrix. "
+    "Spark's pivot with an EXPLICIT value list compiles to exactly the "
+    "conditional case-sum aggregation the oracle spells out — one "
+    "pass, one exchange, no per-segment scans (an implicit pivot "
+    "would add a distinct-values collect; the explicit list is the "
+    "scale form). Decimal-stabilized sums per cell",
+    tags=("tpch", "agg", "pivot"),
+)
+def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    pivoted = (
+        joined.groupBy("o_orderpriority")
+        .pivot("c_mktsegment", list(_PIVOT_SEGS))
+        .agg(
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+        )
+    )
+    renamed = pivoted.select(
+        "o_orderpriority",
+        *[F.col(s).alias(s.lower()) for s in _PIVOT_SEGS],
+    )
+    return renamed.orderBy("o_orderpriority")
