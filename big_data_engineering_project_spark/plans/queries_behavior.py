@@ -364,3 +364,55 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("event_type"), "rank")
         .orderBy("event_type")
     )
+
+
+# --- Robust outliers: median / MAD (the z-score family's robust twin) ---------
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont("value", 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e."value", m.med,
+         abs(e."value" - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_id, dev.event_type, dev."value", dev.med, mad.mad
+FROM dev JOIN mad USING (event_type)
+WHERE dev.d > 3 * mad.mad
+ORDER BY dev.event_id
+""",
+    doc="Median/MAD robust outliers per event type — the heavy-tail-"
+    "safe twin of q_zscore_anomalies (one wild value shifts a mean "
+    "and explodes a stddev; it moves a median by at most one rank). "
+    "Two grouped exact-percentile passes; both per-type stat tables "
+    "are group-cardinality-sized and broadcast back, so raw events "
+    "shuffle only for the percentile aggregations themselves. "
+    "Interpolated medians are the same IEEE expression in both "
+    "engines (proven pattern from q_value_quantiles_by_type)",
+    tags=("behavior", "anomaly"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__d", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("__d") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    )

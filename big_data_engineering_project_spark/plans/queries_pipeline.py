@@ -2397,6 +2397,7 @@ def q_weighted_sample_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_histogram_quantile_merge",
+    headline=True,
     oracle="""
 WITH hist AS (
   SELECT event_type, CAST(FLOOR("value" / 1.0) AS BIGINT) AS bucket,

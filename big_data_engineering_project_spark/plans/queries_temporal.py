@@ -330,6 +330,7 @@ _GF_STEP = 21_600  # 6 hours
 
 @register(
     "q_gap_fill_6h",
+    headline=True,
     oracle=f"""
 WITH ev AS (
   SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
