@@ -77,3 +77,61 @@ def test_json_schema_on_read(spark, tmp_path):
     df = read_json(spark, p, schema)
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows == {"a": 5, "b": None, "c": None}
+
+
+def test_sorted_write_produces_prunable_row_groups(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must yield DISJOINT narrow per-file value
+    ranges (the zone-map property scan pruning needs): with 8 range
+    files, a point-range predicate overlaps ~1 file's [min,max] span,
+    while an unsorted write leaves every file spanning the full value
+    range (every file would be read). Verified from the actual parquet
+    footer statistics via pyarrow — the same stats Spark's reader
+    prunes row groups with."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_engineering_project_spark.sources.io import (
+        write_sorted_parquet,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sorted_dir = str(tmp_path / "sorted")
+    plain_dir = str(tmp_path / "plain")
+    write_sorted_parquet(ev, sorted_dir, ["value"], n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(plain_dir)
+
+    def file_ranges(d):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            col_idx = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == "value"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                assert st is not None and st.has_min_max
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        return spans
+
+    lo, hi = (
+        ev.selectExpr("min(value)", "max(value)").first()
+    )
+    full = hi - lo
+    sorted_spans = file_ranges(sorted_dir)
+    plain_spans = file_ranges(plain_dir)
+    assert len(sorted_spans) == 8
+    # Sorted: ranges are disjoint (zone maps select files); each file
+    # covers a fraction of the domain. Unsorted: every file spans
+    # nearly everything.
+    ordered = sorted(sorted_spans)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ordered, ordered[1:]):
+        assert a_hi <= b_lo  # disjoint
+    # Disjoint ranges tile the domain: total sorted span ≈ the domain
+    # once; unsorted files EACH span nearly the whole domain (~8×).
+    assert sum(s_hi - s_lo for s_lo, s_hi in sorted_spans) <= 1.01 * full
+    assert sum(p_hi - p_lo for p_lo, p_hi in plain_spans) > 6 * full
