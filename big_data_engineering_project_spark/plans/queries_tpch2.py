@@ -998,3 +998,59 @@ def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(s).alias(s.lower()) for s in _PIVOT_SEGS],
     )
     return renamed.orderBy("o_orderpriority")
+
+
+# --- Sharded exact top-k per key (hot-key-safe ranking) -----------------------
+
+
+@register(
+    "q_topk_lineitems_sharded",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(rn AS INTEGER) AS rnk
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+           AS rn
+  FROM lineitem
+)
+WHERE rn <= 2
+ORDER BY l_suppkey, rnk
+""",
+    doc="Sharded exact top-k per key, proven ≡ the plain ranking "
+    "window (the oracle IS the plain ROW_NUMBER form): level 1 ranks "
+    "inside (key, hash-shard) partitions — a hot key's rows spread "
+    "across n_shards tasks instead of one — level 2 re-ranks the "
+    "≤ n_shards·k survivors per key. The ranking twin of the salted "
+    "as-of/KMV two-level pattern: same answer, bounded partitions. "
+    "Total tiebreak (price, orderkey, linenumber) keeps the selected "
+    "set engine-independent",
+    tags=("tpch", "window", "skew"),
+)
+def q_topk_lineitems_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    k, n_shards = 2, 16
+    order = [
+        F.desc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ]
+    shard = F.pmod(
+        F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_shards)
+    )
+    w1 = Window.partitionBy("l_suppkey", shard).orderBy(*order)
+    survivors = (
+        li.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy("l_suppkey").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .orderBy("l_suppkey", "rnk")
+    )
