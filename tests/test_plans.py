@@ -273,3 +273,30 @@ def test_bloom_semi_join_broadcasts_bitmap_and_stays_semi(plans):
     assert "getbit" in p
     # the bitmap row reaches the probe via broadcast
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sharded_topk_first_window_partitions_by_key_and_shard(plans):
+    """q_topk_lineitems_sharded: level-1 ranking must partition by
+    (key, shard) — a regression to a single per-key window recreates
+    the hot-key sort this plan exists to avoid. Two Window nodes total."""
+    import re
+
+    p = plans("q_topk_lineitems_sharded")
+    assert p.count("Window (") >= 2
+    # the shard expression materializes as a projected _w column that
+    # joins l_suppkey in the level-1 exchange
+    assert re.search(r"hashpartitioning\(l_suppkey#\d+L?, _w\d+#\d+L?", p), (
+        "level-1 window does not partition by (key, shard)"
+    )
+    assert "pmod(xxhash64" in p  # the shard really is the hash bucket
+    # Bonus shape Spark gives this form: rank-limit pushdown
+    # (WindowGroupLimit) prunes each partition to k before the sort.
+    assert "WindowGroupLimit" in p
+
+
+def test_gap_fill_is_join_free_single_window(plans):
+    """q_gap_fill_6h: union + ONE keyed window — no join operator; a
+    grid⋈asof formulation would multiply rows."""
+    p = plans("q_gap_fill_6h")
+    assert "Join" not in p
+    assert p.count("Window (") == 1 if "Window (" in p else "Window" in p
