@@ -438,3 +438,51 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --- Interval join (batch twin of streaming/joins.interval_join_streams) ------
+
+
+@register(
+    "q_click_purchase_interval",
+    oracle="""
+SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts
+ AND b.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY click_id, buy_id
+""",
+    doc="Interval join: every purchase within 30 min of a same-user "
+    "click — the BATCH twin of streaming/joins.interval_join_streams "
+    "(identical expression; watermarks are no-ops on batch frames), so "
+    "the gate pins the operator's time-range semantics while the "
+    "stream≡batch pytest pins its state behavior. Equality on user_id "
+    "keeps it a keyed sort-merge join with the range as a post-"
+    "condition — never a nested-loop product",
+    tags=("temporal", "join", "streaming-twin"),
+)
+def q_click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+    )
+    return (
+        interval_join_streams(
+            clicks, buys, "c_user", "b_user", "click_ts", "buy_ts", 30 * 60
+        )
+        .select("click_id", "buy_id", F.col("c_user").alias("user_id"))
+        .orderBy("click_id", "buy_id")
+    )
