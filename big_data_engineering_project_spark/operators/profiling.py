@@ -1,0 +1,83 @@
+"""Data-quality profiling: per-column stats in one logical pass.
+
+The ingestion-side health check every pipeline fronts its tables with
+(null rates, cardinalities, ranges) — reference analog: the notebook's
+ad-hoc `df.count()` / `printSchema` poking (`NB` cells 6-12), done as
+one engine pass with an exact oracle instead of N driver round-trips.
+
+Scale note (visible in .explain): EXACT distinct counts for N columns
+make Catalyst plan an Expand — each input row is replicated N+1 times
+into per-distinct-aggregate groups before the partial aggregate. That
+is the honest cost of exact multi-column cardinality in one query
+(still one scan, and partial aggregation collapses each Expand group
+map-side). At 100 TB, either profile cardinality for the handful of
+columns where it matters (the `distinct_cols` knob) or swap in
+approx_count_distinct (HLL, single pass, no Expand) and give up the
+exact oracle — same trade documented at q_hll_distinct_users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    num_cols: list[str],
+    str_cols: list[str],
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per profiled column: n_rows, n_nulls, n_distinct
+    (exact; only for `distinct_cols`, default all), and typed min/max
+    (numeric columns fill min_num/max_num, string columns fill
+    min_str/max_str — never a cross-engine double→string cast, whose
+    formatting differs between engines). One aggregation, then a
+    bounded unpivot of the single stats row."""
+    distinct_cols = (
+        (num_cols + str_cols) if distinct_cols is None else distinct_cols
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        if c in distinct_cols:
+            aggs.append(F.count_distinct(c).alias(f"__nd_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"__smin_{c}"))
+        aggs.append(F.max(c).alias(f"__smax_{c}"))
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in num_cols + str_cols:
+        is_num = c in num_cols
+        rows.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                (
+                    F.col(f"__nd_{c}")
+                    if c in distinct_cols
+                    else F.lit(None).cast("long")
+                ).alias("n_distinct"),
+                (
+                    F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"__smin_{c}") if not is_num else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"__smax_{c}") if not is_num else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -927,3 +927,60 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_as(clickers.intersect(buyers).intersect(err), "all_three"))
         .orderBy("cohort")
     )
+
+
+# --- Table profiling (data-quality pass) --------------------------------------
+
+
+@register(
+    "q_profile_events",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT("value") AS BIGINT) AS nn_value,
+         CAST(COUNT(DISTINCT "value") AS BIGINT) AS nd_value,
+         CAST(MIN("value") AS DOUBLE) AS min_value,
+         CAST(MAX("value") AS DOUBLE) AS max_value,
+         CAST(COUNT(user_id) AS BIGINT) AS nn_user,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user,
+         CAST(MIN(user_id) AS DOUBLE) AS min_user,
+         CAST(MAX(user_id) AS DOUBLE) AS max_user,
+         CAST(COUNT(event_type) AS BIGINT) AS nn_type,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_type,
+         MIN(event_type) AS smin_type,
+         MAX(event_type) AS smax_type
+  FROM events
+)
+SELECT 'value' AS "column", n AS n_rows, n - nn_value AS n_nulls,
+       nd_value AS n_distinct, min_value AS min_num, max_value AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM s
+UNION ALL
+SELECT 'user_id', n, n - nn_user, nd_user, min_user, max_user, NULL, NULL
+FROM s
+UNION ALL
+SELECT 'event_type', n, n - nn_type, nd_type, NULL, NULL,
+       smin_type, smax_type
+FROM s
+ORDER BY "column"
+""",
+    doc="Per-column data-quality profile (null counts, exact "
+    "cardinalities, typed ranges) in ONE aggregation pass + a bounded "
+    "unpivot — the engine-side replacement for the reference "
+    "notebook's N driver round-trips of df.count()/describe() poking. "
+    "Numeric ranges stay double, string ranges stay string: a "
+    "double→string cast would hit engine formatting differences. "
+    "Exact multi-column distincts cost an Expand (documented; "
+    "operators/profiling.py names approx_count_distinct as the "
+    "no-Expand scale path)",
+    tags=("reference", "profiling", "agg"),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.profiling import (
+        profile_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev, num_cols=["value", "user_id"], str_cols=["event_type"]
+    ).orderBy("column")
