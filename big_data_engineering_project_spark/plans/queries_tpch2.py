@@ -1054,3 +1054,87 @@ def q_topk_lineitems_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .orderBy("l_suppkey", "rnk")
     )
+
+
+# --- FULL OUTER join (reconciliation shape) -----------------------------------
+
+
+@register(
+    "q_full_outer_user_activity",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+buys AS (
+  SELECT user_id, COUNT(*) AS n_buys FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(b.n_buys, 0) AS n_buys
+FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+ORDER BY user_id
+""",
+    doc="FULL OUTER join (reconciliation): per-user click vs purchase "
+    "counts with zero-fill on both sides — completes the §2.5 join-"
+    "type matrix (inner/left/semi/anti/full). Both inputs pre-"
+    "aggregate to user cardinality before the join, so the full-outer "
+    "exchange carries counters, not events",
+    tags=("tpch", "join", "outer"),
+)
+def q_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_user(t: str, alias: str):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.col("user_id").alias(f"{alias}_user"))
+            .agg(F.count(F.lit(1)).alias(f"n_{alias}"))
+        )
+
+    c, b = per_user("click", "clicks"), per_user("purchase", "buys")
+    return (
+        c.join(b, c["clicks_user"] == b["buys_user"], "full_outer")
+        .select(
+            F.coalesce("clicks_user", "buys_user").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Remaining analytic windows: ntile / percent_rank / cume_dist -------------
+
+
+@register(
+    "q_value_rank_distribution",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY "value" ASC, event_id ASC)
+ORDER BY event_id
+""",
+    doc="Analytic-window completion: ntile / percent_rank / cume_dist "
+    "per event type over a TOTAL order (value, event_id) — "
+    "percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are single "
+    "integer divisions, identical IEEE on both engines given the "
+    "engine-independent rank",
+    tags=("reference", "window"),
+)
+def q_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("event_id")
