@@ -37,6 +37,16 @@ Noise ledger (committed attributions for round-over-round deltas):
   per-run spread +/- 0.2 s.
 - Machine-load hazard: a concurrent process (even a small pytest)
   inflates the heavier queries up to ~2.5x — bench on an idle machine.
+- r6 late-round refresh (34 headliners incl. 6 round-6 operators):
+  three consecutive full runs measured UNIFORM 1.24x / 1.61x / 1.57x
+  drift on the 28 common queries vs the early-round measurement —
+  streaming throughput drifted by the same factors and git log shows
+  zero changes to any common operator body in between, so this is
+  host-level contention (guest loadavg was low; the VM shares a
+  host). The committed BENCH_r06.json is the least-noisy complete
+  run (1.24x); its own per-query profiles are flat. Round-over-round
+  per-query comparisons should use ratios WITHIN one artifact, not
+  across artifacts taken hours apart.
 - r6 flags (operator bodies untouched this round per git log; noise):
   q_dedup_minhash_lsh 1.33x (last-rep spike [0.851, 0.872, 1.195] —
   1.4x intra-run spread), q_simhash_buckets 1.23x (first-rep warm-up
