@@ -135,3 +135,52 @@ def test_sorted_write_produces_prunable_row_groups(spark, sf_dir, tmp_path):
     # once; unsorted files EACH span nearly the whole domain (~8×).
     assert sum(s_hi - s_lo for s_lo, s_hi in sorted_spans) <= 1.01 * full
     assert sum(p_hi - p_lo for p_lo, p_hi in plain_spans) > 6 * full
+
+
+def test_corrupt_json_records_permissive_vs_dropmalformed(spark, tmp_path):
+    """Ingestion robustness: a corrupt line in a JSON batch must not
+    kill the job. PERMISSIVE mode lands it in _corrupt_record with
+    NULL data columns; DROPMALFORMED silently drops it; counts agree."""
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write("{not json at all\n")
+        f.write('{"a": 3, "b": "z"}\n')
+
+    schema = "a LONG, b STRING, _corrupt_record STRING"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["a"] is None
+
+    dropped = (
+        spark.read.schema("a LONG, b STRING")
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert dropped.count() == 2
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution: a column added mid-history must surface via
+    mergeSchema (NULL-filled for old files), and the default read
+    (single-footer schema) must still work — the contract long-lived
+    100 TB tables rely on when producers add fields."""
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(
+        f"{base}/day=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.parquet(f"{base}/day=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score", "day"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
