@@ -80,7 +80,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_collocations",
     "q_pii_redaction",
     # LLM-pipeline: sampling / mixing + composed curation pass
-    "q_hash_split",
+    # (round 6: q_hash_split — driver-green in the committed r04 AND
+    # r05 gates — rotates out for the new πps weighted sample, whose
+    # oracle additionally proves the integer Horvitz-Thompson path)
+    "q_weighted_sample_ht",
     "q_stratified_sample",
     "q_mixing_weights",
     "q_pack_sequences",
@@ -106,10 +109,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_session_stats, q_event_transitions, q_user_rolling_avg — each
     # driver-green in the committed r04 AND r05 gates — to slot in the
     # round-6 sketch/join operators below; the family keeps 4 slots)
-    "q_funnel_conversion",
-    "q_value_quantiles_by_type",
+    # (round 6 cont.: q_funnel_conversion + q_value_quantiles_by_type
+    # — both driver-green in the committed r04 AND r05 gates — rotate
+    # out for integer PageRank, the registry's only ITERATIVE
+    # fixed-point under an exact oracle, and the LOCF gap-fill, the
+    # temporal family's continuous-grid member)
     "q_cohort_retention",
     "q_rolling_active_users",
+    "q_pagerank_event_graph",
+    "q_gap_fill_6h",
     # Round-6 additions: the count-min estimator and the bloom-pruned
     # semi join are END-TO-END proven by their oracles (CM counters are
     # bit-identical cross-engine; bloom ≡ plain EXISTS), and the Q21
