@@ -1138,3 +1138,47 @@ def q_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("event_id")
+
+
+# --- CUBE (all grouping-set combinations) -------------------------------------
+
+
+@register(
+    "q_revenue_cube",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       {sum_dec(_REV, "revenue")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+""",
+    doc="CUBE grouping sets: all four combinations — (flag,status), "
+    "(flag), (status), () — in the same single Expand pass ROLLUP "
+    "uses (×4 row replication before the partial aggregate, one "
+    "exchange); the (status)-only level is the set ROLLUP cannot "
+    "produce. GROUPING() bits disambiguate totals exactly as in "
+    "q_revenue_rollup",
+    tags=("tpch", "agg", "rollup"),
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )

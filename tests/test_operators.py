@@ -1310,3 +1310,57 @@ def test_histogram_quantile_within_bucket_width(spark):
         a = sorted(map(tuple, direct.collect()))
         b = sorted(map(tuple, merged.collect()))
         assert a == b
+
+
+def test_operators_survive_empty_input(spark):
+    """Degenerate-input sweep: the composable operators must return
+    EMPTY results (not throw) on empty frames — the corpus-shard that
+    happens to be empty is routine at 100 TB fan-out."""
+    from big_data_engineering_project_spark.operators.bloom import (
+        bloom_build,
+        bloom_semi_join,
+    )
+    from big_data_engineering_project_spark.operators.graph import pagerank
+    from big_data_engineering_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+        histogram_quantile,
+        histogram_sketch,
+        kmv_sketch_agg,
+    )
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_locf,
+    )
+
+    empty_kv = spark.createDataFrame([], "k STRING, h LONG")
+    assert kmv_sketch_agg(empty_kv, ["k"], "h").count() == 0
+    assert cm_counters(empty_kv, "h").count() == 0
+
+    # bloom over an empty build side: zero bitmap → probe keeps nothing
+    probe = spark.range(10).select(F.col("id").alias("pk"))
+    build = spark.createDataFrame([], "bk LONG")
+    assert bloom_build(build, "bk").first()["bloom"][0] == 0
+    assert bloom_semi_join(probe, build, "pk", "bk").count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "k STRING, ts TIMESTAMP, id LONG, v DOUBLE"
+    )
+    assert gap_fill_locf(empty_ev, "k", "ts", "v", 3600, "id").count() == 0
+
+    empty_vals = spark.createDataFrame([], "g STRING, v DOUBLE")
+    hist = histogram_sketch(empty_vals, ["g"], "v")
+    assert hist.count() == 0
+    assert histogram_quantile(hist, ["g"], [(50, 100, "p50")]).count() == 0
+
+    empty_docs = spark.createDataFrame([], "text STRING, w LONG")
+    assert weighted_sample(empty_docs, "text", "w", 1000).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src INT, dst INT, w LONG")
+    import pytest as _pytest
+
+    # PageRank on an empty graph has no nodes: |V| = 0 is a defined
+    # error (teleport mass is undefined), not a silent wrong answer.
+    with _pytest.raises(ZeroDivisionError):
+        pagerank(empty_edges, iters=1)
