@@ -43,10 +43,11 @@ Noise ledger (committed attributions for round-over-round deltas):
   streaming throughput drifted by the same factors and git log shows
   zero changes to any common operator body in between, so this is
   host-level contention (guest loadavg was low; the VM shares a
-  host). The committed BENCH_r06.json is the least-noisy complete
-  run (1.24x); its own per-query profiles are flat. Round-over-round
-  per-query comparisons should use ratios WITHIN one artifact, not
-  across artifacts taken hours apart.
+  host). A fourth run ~1h later recovered to 1.13x with streaming
+  curation back near its early number (488 vs 539 rows/sec) — that
+  run is the committed BENCH_r06.json; its per-query profiles are
+  flat. Round-over-round per-query comparisons should use ratios
+  WITHIN one artifact, not across artifacts taken hours apart.
 - r6 flags (operator bodies untouched this round per git log; noise):
   q_dedup_minhash_lsh 1.33x (last-rep spike [0.851, 0.872, 1.195] —
   1.4x intra-run spread), q_simhash_buckets 1.23x (first-rep warm-up
