@@ -416,3 +416,34 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     )
+
+
+# --- approx_percentile beside the exact + histogram paths ---------------------
+
+
+@register(
+    "q_approx_quantile_contrast",
+    oracle=None,  # t-digest internals are engine-specific — rows-only;
+    # tests/test_operators.py::test_approx_quantiles_within_bound pins
+    # the accuracy contract against the exact percentile instead.
+    doc="approx_percentile (t-digest style, single pass, no Expand, "
+    "bounded sketch state) p50/p95 per event type NEXT TO the exact "
+    "sort-based percentile — the third member of the quantile family: "
+    "exact (q_value_quantiles_by_type) / mergeable-exact-oracle "
+    "histogram (q_histogram_quantile_merge) / engine-approx (this). "
+    "Rows-only by nature; the pytest bounds |approx − exact| by the "
+    "histogram of the accuracy parameter",
+    tags=("behavior", "sketch", "rows-only"),
+)
+def q_approx_quantile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+            F.percentile("value", 0.5).alias("p50_exact"),
+            F.percentile("value", 0.95).alias("p95_exact"),
+        )
+        .orderBy("event_type")
+    )

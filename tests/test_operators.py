@@ -1364,3 +1364,37 @@ def test_operators_survive_empty_input(spark):
     # error (teleport mass is undefined), not a silent wrong answer.
     with _pytest.raises(ZeroDivisionError):
         pagerank(empty_edges, iters=1)
+
+
+def test_approx_quantiles_within_bound(spark, sf_dir):
+    """q_approx_quantile_contrast's accuracy contract (the check the
+    rows-only query leans on): approx_percentile's error is bounded in
+    RANK (≤ n/accuracy ranks), so the approx value must land between
+    the exact percentiles at q ± 0.02 — a generous rank bracket for
+    accuracy=10000."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_approx_quantile_contrast"].builder(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) > 0
+    # Rank-based contract: the approx value (an actual sample) must
+    # fall between the exact percentiles at q ± 0.02 — value-distance
+    # bounds are wrong in sparse tails where one inter-sample gap can
+    # be large.
+    brackets = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.48).alias("p50_lo"),
+            F.percentile("value", 0.52).alias("p50_hi"),
+            F.percentile("value", 0.93).alias("p95_lo"),
+            F.percentile("value", 0.97).alias("p95_hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        b = brackets[r["event_type"]]
+        assert b["p50_lo"] <= r["p50_approx"] <= b["p50_hi"], r
+        assert b["p95_lo"] <= r["p95_approx"] <= b["p95_hi"], r
