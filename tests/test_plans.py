@@ -299,4 +299,31 @@ def test_gap_fill_is_join_free_single_window(plans):
     grid⋈asof formulation would multiply rows."""
     p = plans("q_gap_fill_6h")
     assert "Join" not in p
-    assert p.count("Window (") == 1 if "Window (" in p else "Window" in p
+    assert "Window" in p
+    assert p.count("Window (") == 1
+
+
+def test_sliding_coverage_no_hot_gram_window(plans):
+    """q_sliding_dup_coverage: per-gram occurrence counts must come
+    from a partial-aggregating groupBy(g) joined back — NEVER a
+    `Window.partitionBy(g)`, which concentrates every occurrence of a
+    corpus-hot k-gram (license boilerplate) in one unsplittable window
+    partition. The groupBy collapses hot grams map-side before the
+    exchange and the equi-join back is AQE-skew-splittable. The only
+    Window allowed in this plan is the per-doc interval-union one,
+    bounded by a single document's gram count."""
+    p = plans("q_sliding_dup_coverage")
+    # exactly one Window node, and every windowspec is keyed by doc —
+    # never the gram hash g
+    assert p.count("Window (") == 1
+    specs = [
+        p[m : p.index(")", m)]
+        for m in (
+            i
+            for i in range(len(p))
+            if p.startswith("windowspecdefinition(", i)
+        )
+    ]
+    assert specs and all(s.split("(", 1)[1].startswith("doc") for s in specs)
+    # the gram-count side partial-aggregates before its exchange
+    assert "HashAggregate" in p
