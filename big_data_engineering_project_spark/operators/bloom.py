@@ -118,13 +118,19 @@ def bloom_semi_join(
     them, so the join exchange carries matches + the false-positive
     residue instead of the full probe table. Result is provably the
     plain semi join (false positives die in the exact join; false
-    negatives cannot exist)."""
+    negatives cannot exist). `probe_hash` and `build_hash` may name
+    the SAME column (the natural "join on orderkey" call): the build
+    key is aliased internally so the exact-join condition never sees
+    an ambiguous reference."""
     bloom = bloom_build(build_keys, build_hash, width_bits, k)
     pruned = probe.join(F.broadcast(bloom)).filter(
         bloom_might_contain(F.col("bloom"), F.col(probe_hash), width_bits, k)
     ).drop("bloom")
+    build_side = build_keys.select(
+        F.col(build_hash).alias("__bloom_bk")
+    ).distinct()
     return pruned.join(
-        build_keys.select(build_hash).distinct(),
-        pruned[probe_hash] == F.col(build_hash),
+        build_side,
+        pruned[probe_hash] == build_side["__bloom_bk"],
         "left_semi",
     )

@@ -33,10 +33,19 @@ def profile_table(
     (numeric columns fill min_num/max_num, string columns fill
     min_str/max_str — never a cross-engine double→string cast, whose
     formatting differs between engines). One aggregation, then a
-    bounded unpivot of the single stats row."""
+    bounded unpivot of the single stats row. With no columns to
+    profile, returns an EMPTY DataFrame with the profile schema (the
+    degenerate call used to IndexError — r6 ADVICE)."""
     distinct_cols = (
         (num_cols + str_cols) if distinct_cols is None else distinct_cols
     )
+    if not num_cols and not str_cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column STRING, n_rows BIGINT, n_nulls BIGINT, "
+            "n_distinct BIGINT, min_num DOUBLE, max_num DOUBLE, "
+            "min_str STRING, max_str STRING",
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in num_cols + str_cols:
         aggs.append(F.count(c).alias(f"__nn_{c}"))

@@ -174,9 +174,13 @@ def cm_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each row of `items` (which carries
     `hash_col`): adds a `cm_estimate` column = min over the d counter
-    rows. The counter table (d·w rows) broadcasts; items are never
-    shuffled. Estimates are exact integers: cm_estimate ≥ true count
-    always (CM never underestimates)."""
+    rows. Row-preserving: duplicate item rows each get their estimate
+    (a transient per-row id keys the regroup), and an item whose
+    (seed,bucket) counter row is absent — a key the sketch never saw —
+    gets the CM-defined min(counters)=0 via left join + coalesce
+    rather than vanishing. The counter table (d·w rows) broadcasts;
+    items are never shuffled. Estimates are exact integers:
+    cm_estimate ≥ true count always (CM never underestimates)."""
     rows = F.array(
         *[
             F.struct(
@@ -187,14 +191,17 @@ def cm_estimate(
             for i, (a, b) in enumerate(CM_ROWS[:depth])
         ]
     )
-    probed = items.select(
-        "*", F.explode(rows).alias("__s")
-    ).withColumn(
-        "__bucket",
-        F.pmod(
-            (F.col(hash_col) * F.col("__s.a") + F.col("__s.b")) % HASH_PRIME,
-            F.lit(width),
-        ),
+    probed = (
+        items.withColumn("__rid", F.monotonically_increasing_id())
+        .select("*", F.explode(rows).alias("__s"))
+        .withColumn(
+            "__bucket",
+            F.pmod(
+                (F.col(hash_col) * F.col("__s.a") + F.col("__s.b"))
+                % HASH_PRIME,
+                F.lit(width),
+            ),
+        )
     )
     group_cols = [c for c in items.columns]
     return (
@@ -202,9 +209,15 @@ def cm_estimate(
             F.broadcast(counters),
             (F.col("__s.seed") == F.col("seed"))
             & (F.col("__bucket") == F.col("bucket")),
+            "left",
         )
-        .groupBy(*group_cols)
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .groupBy("__rid", *group_cols)
+        .agg(
+            F.min(
+                F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+            ).alias("cm_estimate")
+        )
+        .drop("__rid")
     )
 
 

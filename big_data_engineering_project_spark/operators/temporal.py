@@ -459,9 +459,12 @@ def gap_fill_locf(
         F.col(id_col).cast("long").alias("__id"),
         F.col(value_col).alias("__v"),
     )
+    # F.floor, not truncating cast: for pre-1970 (negative epoch)
+    # timestamps truncation rounds toward zero while the documented
+    # contract — and the DuckDB `//` oracle — floor toward -inf.
     bounds = ev.groupBy("__k").agg(
-        (F.min("__sec") / step_seconds).cast("long").alias("__g0"),
-        (F.max("__sec") / step_seconds).cast("long").alias("__g1"),
+        F.floor(F.min("__sec") / step_seconds).cast("long").alias("__g0"),
+        F.floor(F.max("__sec") / step_seconds).cast("long").alias("__g1"),
     )
     grid = bounds.select(
         "__k",

@@ -1167,6 +1167,44 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     )
 
 
+def test_bloom_semi_join_same_column_name_both_sides(spark):
+    """The natural 'join on orderkey' call passes the SAME column name
+    for probe and build; the internal build-side alias must keep the
+    exact-join condition unambiguous (r6 ADVICE: this used to raise
+    AMBIGUOUS_REFERENCE)."""
+    from big_data_engineering_project_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    probe = spark.range(3000).select(F.col("id").alias("key"))
+    build = spark.range(400).select((F.col("id") * 7).alias("key"))
+    got = sorted(r["key"] for r in bloom_semi_join(probe, build, "key", "key").collect())
+    want = sorted(range(0, 2800, 7))
+    assert got == want
+
+
+def test_cm_estimate_row_preserving_and_zero_for_unseen(spark):
+    """cm_estimate must keep duplicate item rows distinct and give an
+    item absent from the sketch the CM-defined min(counters)=0 rather
+    than dropping it (r6 ADVICE: inner join + groupBy over item
+    columns did both wrong)."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+        cm_estimate,
+    )
+
+    data = spark.range(100).select((F.col("id") % 5).alias("h"))
+    counters = cm_counters(data, "h")
+    # items: one seen key twice (duplicate rows) + one never-seen key
+    items = spark.createDataFrame([(2,), (2,), (99999,)], ["h"])
+    rows = cm_estimate(counters, items, "h").collect()
+    assert len(rows) == 3, rows  # row-preserving
+    ests = sorted((r["h"], r["cm_estimate"]) for r in rows)
+    # CM never underestimates; both duplicate rows get the same answer
+    assert ests[0][1] == ests[1][1] >= 20 and ests[0][0] == 2
+    assert ests[2][0] == 99999 and ests[2][1] >= 0  # present, not dropped
+
+
 def test_integer_pagerank_tracks_float_pagerank(spark):
     """The integer-arithmetic PageRank must agree with a straight
     numpy float PageRank on a seeded weighted digraph to within the
@@ -1271,6 +1309,30 @@ def test_gap_fill_locf_semantics(spark):
     }
 
 
+def test_gap_fill_locf_pre_1970_floor_alignment(spark):
+    """Negative epoch seconds: grid bounds must FLOOR (toward -inf)
+    like the DuckDB `//` oracle, not truncate toward zero (r6 ADVICE:
+    `(min/step).cast('long')` truncated). An obs at 1969-12-31 23:30
+    UTC (epoch -1800) with step 3600 must align to the 23:00 grid
+    point (floor(-1800/3600) = -1), not 00:00 (trunc = 0)."""
+    from datetime import datetime, timezone
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        ("a", datetime(1969, 12, 31, 23, 30, tzinfo=timezone.utc), 1, 1.0),
+        ("a", datetime(1970, 1, 1, 0, 30, tzinfo=timezone.utc), 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    got = sorted(
+        (int(r["grid_ts"].replace(tzinfo=timezone.utc).timestamp()), r["v"])
+        for r in gap_fill_locf(df, "k", "ts", "v", 3600, "id").collect()
+    )
+    assert got == [(-3600, None), (0, 1.0)], got
+
+
 def test_histogram_quantile_within_bucket_width(spark):
     """The sketch quantile must land within one bucket width of the
     exact quantile on a seeded long-tailed distribution, at two
@@ -1356,6 +1418,18 @@ def test_operators_survive_empty_input(spark):
 
     empty_docs = spark.createDataFrame([], "text STRING, w LONG")
     assert weighted_sample(empty_docs, "text", "w", 1000).count() == 0
+
+    # profile with NO columns to profile: empty profile, not IndexError
+    from big_data_engineering_project_spark.operators.profiling import (
+        profile_table,
+    )
+
+    prof = profile_table(spark.range(5), [], [])
+    assert prof.count() == 0
+    assert prof.columns == [
+        "column", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ]
 
     empty_edges = spark.createDataFrame([], "src INT, dst INT, w LONG")
     import pytest as _pytest
