@@ -54,6 +54,18 @@ Noise ledger (committed attributions for round-over-round deltas):
   slope [1.084, 0.744, 0.691]), q_embedding_topk 1.23x (flat profile
   [0.359, 0.367, 0.326], +66 ms absolute on a 0.3 s query). 26-query
   common total r5->r6: 12.404 -> 12.623 s (1.02x, flat).
+- r7 CLOSURE of the r5->r6 drift question (tools/calibrate_ab.py, one
+  session, idle machine): 26 common queries total 15.306 s = 1.234x
+  the r5 artifact and 0.944x the r6 artifact; per-query ratio vs r5
+  median 1.198 with IQR 0.26 (uniform), calibration probe flat within
+  the session (pre 1.254 s / post 1.107 s). A registry or session
+  fixed cost cannot multiply 26 heterogeneous plans by one factor
+  while the probe and intra-session reps stay flat -> the r5 artifact
+  was measured in a faster host window; the r6/r7 numbers are the
+  steady state. Every BENCH artifact now records the probe
+  ("calibration": {pre_sec, post_sec}) so future round-over-round
+  ratios are normalized by the probe ratio before being read as
+  regressions.
 """
 
 from __future__ import annotations
@@ -65,6 +77,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from big_data_engineering_project_spark.plans import REGISTRY  # noqa: E402
 from big_data_engineering_project_spark.session import get_spark  # noqa: E402
@@ -105,6 +119,38 @@ def _gen_stream_records(n: int):
             "thumbnail": rng.choice(["self", "http://img/x.jpg"]),
             "stickied": False,
         }
+
+
+def calibration_probe(spark, reps: int = 3, warmups: int = 1) -> dict:
+    """Fixed synthetic CPU-bound yardstick: hash-aggregate over a
+    generated range (no I/O, no Python, no fixture dependence). Its
+    time moves with HOST speed (CPU contention on the shared VM) and
+    nothing else — operator changes, registry growth, and fixture
+    layout cannot touch it. Recorded in every BENCH artifact so
+    round-over-round query ratios can be normalized by the probe
+    ratio: if queries and probe drift by the same factor, the drift is
+    the host (the r6 noise-ledger scenario, now falsifiable); if
+    queries drift while the probe holds, the regression is real."""
+    def job():
+        # Rebuilt per rep: re-collecting ONE DataFrame object reuses
+        # its shuffle map outputs (skipped stages) and times ~nothing.
+        return (
+            spark.range(0, 400_000_000, 1, 32)
+            .select("id", ((F.col("id") * 2654435761) % 100003).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("id").alias("s"))
+            .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("g"))
+        )
+
+    for _ in range(warmups):
+        job().collect()
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        row = job().collect()[0]
+        runs.append(round(time.perf_counter() - t0, 3))
+    assert (row["n"], row["g"]) == (400_000_000, 100_003), row
+    return {"runs": runs, "sec": round(statistics.median(runs), 3)}
 
 
 def bench_streaming(spark, reps: int) -> dict:
@@ -238,12 +284,14 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
-    from pyspark.sql import functions as F
 
     spark = get_spark("bde-bench")
     # One trivial action so JVM/codegen warm-up isn't charged to the
     # first measured query (measures the engine, not JIT start-up).
     spark.range(1000).agg(F.sum("id")).collect()
+    # Host-speed yardstick, before and (below) after the query block.
+    cal_pre = calibration_probe(spark)
+    print(f"# calibration pre: {cal_pre}", file=sys.stderr)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     headliners = [spec for spec in REGISTRY.values() if spec.headline]
@@ -268,6 +316,8 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    cal_post = calibration_probe(spark)
+    print(f"# calibration post: {cal_post}", file=sys.stderr)
     stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2"))
     streaming = bench_streaming(spark, reps=stream_reps)
     payload = {
@@ -275,6 +325,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": {"pre_sec": cal_pre["sec"], "post_sec": cal_post["sec"]},
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": {
