@@ -1,0 +1,438 @@
+"""Per-round streaming correctness artifact (r6 verdict task 3).
+
+The batch side leaves CORRECTNESS_FULL_r0N artifacts every round; the
+speed layer's guarantees lived only in pytest, so a state-semantics
+regression would fail a test but leave no round-over-round evidence
+trail. This tool runs the five stream≡batch equivalences end-to-end
+against deterministic fixtures and writes STREAMING_r0N.json with
+per-check row counts and value-hash equality — the same evidence shape
+the oracle sweeps give the batch layer. Reference anchor: the speed
+layer is half the reference architecture (S/kinesis_processing_2.py).
+
+Checks (each runs the REAL streaming execution — file-source
+micro-batches, checkpoints, state stores — then the batch twin):
+
+  hot_path_enrichment   run_hot_path (enrich + applyInPandasWithState
+                        author counts + foreachBatch dual sink) ≡
+                        enrich_stream + row_number in batch mode
+  restart_recovery      re-run with the same checkpoint after a late
+                        file: old rows NOT reprocessed, author-count
+                        state continues past batch-local counts
+  sessionization        with_session_idx (stateful gap sessions,
+                        sessions spanning micro-batches) ≡ batch
+                        lag-island sessionize
+  curation_ingest       run_curation_stream (quality gate + split
+                        stamp + cross-batch fingerprint dedup state)
+                        ≡ curate_documents over the union
+  interval_join         interval_join_streams executed stream-mode
+                        (time-range in the JOIN condition → bounded
+                        state) ≡ the same operator in batch mode
+
+Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
+Exit code 1 if any check fails.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+FROZEN_NOW = dt.datetime(2026, 1, 16, 0, 0, 0)
+
+
+def _rows_hash(rows) -> str:
+    """Order-insensitive digest over fully-materialized rows."""
+    canon = sorted(repr(tuple(r)) for r in rows)
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+
+
+def _write_batches(dirpath: str, recs: list[dict], batch_size: int) -> None:
+    # Strictly increasing mtimes pin file-source arrival order.
+    t0 = time.time() - 3600
+    for b, start in enumerate(range(0, len(recs), batch_size)):
+        path = os.path.join(dirpath, f"{b:04d}.json")
+        with open(path, "w") as f:
+            for r in recs[start : start + batch_size]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+
+def _gen_hot_records(n: int, seed: int = 42) -> list[dict]:
+    rng = random.Random(seed)
+    authors = [f"user{i}" for i in range(8)]
+    recs = []
+    for i in range(n):
+        score = rng.randint(0, 100)
+        if i % 37 == 0:
+            score = 100_000
+        recs.append(
+            {
+                "seq": i,
+                "id": f"post{i:05d}",
+                "author": rng.choice(authors),
+                "title": rng.choice(
+                    ["Good news everyone", "bad terrible day!!", "Just a question?"]
+                ),
+                "subreddit": rng.choice(["jobs", "college"]),
+                "created_time": (
+                    dt.datetime(2026, 1, 15) + dt.timedelta(minutes=i)
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+                "score": score,
+                "num_comments": rng.randint(0, 50),
+                "is_self_post": bool(rng.getrandbits(1)),
+                "flair_text": rng.choice(["Help", None]),
+                "upvote_ratio": round(rng.random(), 2),
+                "edited": "False",
+                "over_18": False,
+                "thumbnail": rng.choice(["self", "http://img/x.jpg"]),
+                "stickied": False,
+            }
+        )
+    return recs
+
+
+def check_hot_path(spark, root: str) -> tuple[dict, dict]:
+    """Returns (hot_path_enrichment result, restart context for the
+    restart check — the two share one streaming run)."""
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        STREAM_SCHEMA,
+        enrich_stream,
+        run_hot_path,
+    )
+
+    in_dir = os.path.join(root, "hot_in")
+    table = os.path.join(root, "hot_table")
+    anom = os.path.join(root, "hot_anom")
+    cp = os.path.join(root, "hot_cp")
+    os.makedirs(in_dir)
+    recs = _gen_hot_records(200)
+    _write_batches(in_dir, recs, batch_size=40)
+    run_hot_path(
+        spark, in_dir, table, anom, cp, now=FROZEN_NOW, max_files_per_trigger=1
+    )
+
+    cols = [
+        "seq",
+        "sentiment",
+        "post_age_minutes",
+        "popularity_score",
+        "post_type",
+        "time_of_day",
+        "author_activity_count",
+    ]
+    out = spark.read.parquet(table)
+    got = out.select(cols).collect()
+    w = Window.partitionBy("author").orderBy("seq")
+    batch = (
+        enrich_stream(
+            spark.read.schema(STREAM_SCHEMA).json(in_dir), FROZEN_NOW
+        )
+        .withColumn("author_activity_count", F.row_number().over(w))
+        .select(cols)
+        .collect()
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(batch),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(batch),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] == 200
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    ctx = {"in": in_dir, "table": table, "anom": anom, "cp": cp}
+    return res, ctx
+
+
+def check_restart(spark, ctx: dict) -> dict:
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        run_hot_path,
+    )
+
+    more = _gen_hot_records(40, seed=7)
+    for r in more:
+        r["seq"] += 1000
+        r["id"] = f"late{r['seq']}"
+    with open(os.path.join(ctx["in"], "9999.json"), "w") as f:
+        for r in more:
+            f.write(json.dumps(r) + "\n")
+    run_hot_path(
+        spark,
+        ctx["in"],
+        ctx["table"],
+        ctx["anom"],
+        ctx["cp"],
+        now=FROZEN_NOW,
+        max_files_per_trigger=1,
+    )
+    out = spark.read.parquet(ctx["table"])
+    n = out.count()
+    n_distinct = out.select("id").distinct().count()
+    late = out.filter(F.col("seq") >= 1000)
+    late_counts = {r["author"]: r["count"] for r in late.groupBy("author").count().collect()}
+    maxes = {
+        r["author"]: r["m"]
+        for r in out.groupBy("author")
+        .agg(F.max("author_activity_count").alias("m"))
+        .collect()
+    }
+    state_continued = all(maxes[a] > c for a, c in late_counts.items())
+    return {
+        "rows_stream": n,
+        "rows_batch": 240,
+        "exactly_once": n == n_distinct == 240,
+        "state_continued": state_continued,
+        "match": n == n_distinct == 240 and state_continued,
+    }
+
+
+def check_sessionize(spark, root: str) -> dict:
+    from big_data_engineering_project_spark.operators.behavior import (
+        sessionize,
+    )
+    from big_data_engineering_project_spark.streaming.stateful import (
+        with_session_idx,
+    )
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 15)
+    recs, t = [], {u: base for u in range(4)}
+    for i in range(120):
+        u = rng.randrange(4)
+        t[u] += dt.timedelta(minutes=rng.choice([5, 20, 90, 200]))
+        recs.append(
+            {"event_id": i, "user_id": u, "ts": t[u].strftime("%Y-%m-%d %H:%M:%S")}
+        )
+    in_dir = os.path.join(root, "sess_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=30)
+    schema = "event_id INT, user_id INT, ts STRING"
+    parse = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    out_dir, cp = os.path.join(root, "sess_out"), os.path.join(root, "sess_cp")
+    q = (
+        with_session_idx(
+            parse(stream), "user_id", "ts", gap_seconds=3600, order_col="event_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["event_id"], r["session_idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    want = [
+        (r["event_id"], r["session_idx"])
+        for r in sessionize(
+            parse(spark.read.schema(schema).json(in_dir)),
+            "user_id",
+            "ts",
+            gap_seconds=3600,
+            tiebreak_col="event_id",
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] == 120
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
+def check_curation(spark, root: str) -> dict:
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        _CURATION_MIN_QUALITY,
+        curate_documents,
+    )
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        run_curation_stream,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(500)]
+    markers = ["the", "and", "of", "to", "in"]
+    n, per_file = 240, 60
+    texts = [
+        " ".join(
+            rng.choice(markers) if t % 5 == 0 else rng.choice(words)
+            for t in range(30)
+        )
+        for _ in range(n)
+    ]
+    for i in range(per_file, n, 8):  # plant cross-batch duplicates
+        texts[i] = texts[i - per_file]
+    recs = [
+        {"doc_id": i, "text": texts[i], "lang": "en", "source": f"s{i % 4}"}
+        for i in range(n)
+    ]
+    in_dir = os.path.join(root, "cur_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=per_file)
+    out, cp = os.path.join(root, "cur_out"), os.path.join(root, "cur_cp")
+    run_curation_stream(spark, in_dir, out, cp, quality_min=_CURATION_MIN_QUALITY)
+    got = [
+        (r["doc_id"], r["source"], r["split"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    batch_df = spark.createDataFrame(recs).dropDuplicates(["doc_id"])
+    want = [
+        (r["doc_id"], r["source"], r["split"], r["n_tokens"])
+        for r in curate_documents(batch_df).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
+def check_interval_join(spark, root: str) -> dict:
+    from big_data_engineering_project_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    base = dt.datetime(2026, 1, 15)
+    clicks = [
+        {
+            "c_user": f"user{i % 5}",
+            "click_id": i,
+            "click_ts": (base + dt.timedelta(minutes=3 * i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+        }
+        for i in range(60)
+    ]
+    buys = [
+        {
+            "b_user": f"user{i % 5}",
+            "buy_id": 1000 + i,
+            "buy_ts": (
+                base + dt.timedelta(minutes=3 * i + (7 if i % 3 else 45))
+            ).strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        for i in range(60)
+    ]
+    cdir, bdir = os.path.join(root, "clicks"), os.path.join(root, "buys")
+    os.makedirs(cdir), os.makedirs(bdir)
+    _write_batches(cdir, clicks, batch_size=20)
+    _write_batches(bdir, buys, batch_size=20)
+    c_schema = "c_user STRING, click_id LONG, click_ts STRING"
+    b_schema = "b_user STRING, buy_id LONG, buy_ts STRING"
+    prep = lambda df, ts: df.withColumn(ts, F.to_timestamp(ts))  # noqa: E731
+    cs = prep(
+        spark.readStream.schema(c_schema).option("maxFilesPerTrigger", 1).json(cdir),
+        "click_ts",
+    )
+    bs = prep(
+        spark.readStream.schema(b_schema).option("maxFilesPerTrigger", 1).json(bdir),
+        "buy_ts",
+    )
+    out = os.path.join(root, "ij_out")
+    q = (
+        interval_join_streams(cs, bs, "c_user", "b_user", "click_ts", "buy_ts", 1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ij_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["click_id"], r["buy_id"]) for r in spark.read.parquet(out).collect()
+    ]
+    cb = prep(spark.read.schema(c_schema).json(cdir), "click_ts")
+    bb = prep(spark.read.schema(b_schema).json(bdir), "buy_ts")
+    want = [
+        (r["click_id"], r["buy_id"])
+        for r in interval_join_streams(
+            cb, bb, "c_user", "b_user", "click_ts", "buy_ts", 1800
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
+def main() -> None:
+    out_path = None
+    args = sys.argv[1:]
+    if args and args[0] == "--json":
+        out_path = args[1]
+
+    from big_data_engineering_project_spark.session import get_spark
+
+    spark = get_spark("bde-streaming-check")
+    root = tempfile.mkdtemp(prefix="bde_stream_check_")
+    results: dict[str, dict] = {}
+    try:
+        t0 = time.perf_counter()
+        results["hot_path_enrichment"], ctx = check_hot_path(spark, root)
+        results["restart_recovery"] = check_restart(spark, ctx)
+        results["sessionization"] = check_sessionize(spark, root)
+        results["curation_ingest"] = check_curation(spark, root)
+        results["interval_join"] = check_interval_join(spark, root)
+        elapsed = round(time.perf_counter() - t0, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+    n_pass = sum(1 for r in results.values() if r["match"])
+    payload = {
+        "checks": results,
+        "n_pass": n_pass,
+        "n_total": len(results),
+        "elapsed_sec": elapsed,
+    }
+    for name, r in results.items():
+        print(f"{'pass' if r['match'] else 'FAIL'}  {name}  {r}")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out_path}")
+    print(f"{n_pass}/{len(results)} streaming checks pass")
+    sys.exit(0 if n_pass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
