@@ -46,6 +46,7 @@ def pagerank(
     weight: str = "w",
     iters: int = DEFAULT_ITERS,
     materialize: Callable[[DataFrame], DataFrame] | None = None,
+    materialize_every: int = 1,
 ) -> DataFrame:
     """Weighted integer PageRank over `edges` [src, dst, weight:long].
 
@@ -53,8 +54,24 @@ def pagerank(
     is src ∪ dst; the driver reads exactly ONE scalar (the node count,
     needed for the teleport term) — rank state itself never leaves the
     cluster. `materialize` (e.g. lambda df: df.localCheckpoint()) cuts
-    lineage between iterations for large graphs; default None keeps
+    lineage every `materialize_every` iterations; default None keeps
     the pure plan (fine for tens of iterations).
+
+    Choosing `materialize_every` (measured — SCALING.md "PageRank
+    lineage"): localCheckpoint costs a FIXED ~0.2-0.3 s per call at
+    local fixture scale, while the pure plan's analysis cost grows
+    only linearly and stays under execution cost through 60
+    iterations — so per-iteration checkpointing (every=1) is a net
+    LOSS below O(100) iterations. The hook's real constituency is
+    (a) O(100)+ iterations, where driver plan analysis and lineage
+    stack depth grow superlinearly, and (b) real clusters, where an
+    executor loss without a checkpoint recomputes EVERY prior
+    iteration's joins. There, checkpoint every 5-10 iterations:
+    lineage is bounded at `materialize_every` joins and the fixed
+    cost amortizes to ~1/every per iteration. Result values are
+    IDENTICAL for any (materialize, materialize_every) — the hook is
+    an execution boundary, not a semantic change (pinned by
+    tests/test_operators.py::test_pagerank_materialize_hook).
 
     Overflow headroom: r ≤ SCALE (1e12) and r·w must stay < 2^63, so
     per-edge weights up to ~9e5 are safe; pre-normalize heavier edge
@@ -80,7 +97,7 @@ def pagerank(
     ).join(out_w, "__s")
 
     pr = nodes.select("node", F.lit(init).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             pr.join(e, pr["node"] == e["__s"])
             .select(
@@ -100,6 +117,6 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        if materialize is not None:
+        if materialize is not None and (it + 1) % materialize_every == 0:
             pr = materialize(pr)
     return pr

@@ -1244,6 +1244,42 @@ def test_integer_pagerank_tracks_float_pagerank(spark):
     assert order_int == order_flt
 
 
+def test_pagerank_materialize_hook(spark):
+    """The lineage-cutting hook (r6 verdict: exposed but never
+    exercised) must (a) leave results bit-identical to the pure-
+    lineage form — it is an execution boundary, not a semantic change
+    — at every-1 and every-3 cadence, and (b) actually CUT lineage:
+    the checkpointed result's analyzed plan is a bounded scan of
+    materialized partitions, while the pure form's plan retains a
+    join chain that grows with iters."""
+    from big_data_engineering_project_spark.operators.graph import pagerank
+
+    rng = [(i, j, (i * 7 + j * 3) % 5 + 1) for i in range(8) for j in range(8)
+           if i != j and (i + j) % 3 != 0]
+    edges = spark.createDataFrame(rng, "src INT, dst INT, w LONG")
+
+    pure = pagerank(edges, iters=9)
+    cp1 = pagerank(
+        edges, iters=9, materialize=lambda d: d.localCheckpoint()
+    )
+    cp3 = pagerank(
+        edges, iters=9,
+        materialize=lambda d: d.localCheckpoint(), materialize_every=3,
+    )
+    want = sorted(map(tuple, pure.collect()))
+    assert sorted(map(tuple, cp1.collect())) == want
+    assert sorted(map(tuple, cp3.collect())) == want
+
+    # Lineage: the pure plan carries one join pair per iteration; the
+    # checkpointed plan bottoms out at the materialized RDD scan.
+    plan_pure = pure._jdf.queryExecution().analyzed().toString()
+    plan_cp = cp1._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan_cp  # lineage actually cut
+    assert plan_pure.count("Join") > 9  # grows with iters
+    assert plan_cp.count("Join") == 0
+    assert len(plan_cp) < len(plan_pure) / 4
+
+
 def test_weighted_sample_ht_unbiased_and_stable(spark):
     """πps sampling invariants: (a) the selected set is identical
     under any repartitioning (content-addressed), (b) Horvitz-
