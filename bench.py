@@ -170,9 +170,19 @@ def bench_streaming(spark, reps: int) -> dict:
     reported figure is the median rep. Micro-batch count is part of
     the protocol — per-batch overhead dominates at small batch sizes,
     so compare rounds only at identical (rows, files) settings.
+
+    TWO configurations per pipeline (r6 verdict: one tiny-batch number
+    says nothing about per-row cost): the standard 4000-rows/8-batch
+    config (round-over-round comparable back to r6) and a 10× config,
+    40000 rows over the same 8 micro-batches. Same batch count, 10×
+    rows ⇒ subtracting the two totals isolates the marginal per-row
+    cost; the remainder is the per-micro-batch fixed cost (planning +
+    state-store commit + sink txn). Both raw configs plus the derived
+    split land in the artifact under "streaming".
     """
     import datetime as dt
     import json as _json
+    import random as _random
     import shutil
     import statistics as _stats
     import tempfile
@@ -185,48 +195,22 @@ def bench_streaming(spark, reps: int) -> dict:
 
     n_rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "4000"))
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
-    per_file = n_rows // n_files
+    scale = int(os.environ.get("SPARK_GRAFT_STREAM_SCALE", "10"))
     out: dict[str, dict] = {}
 
-    root = tempfile.mkdtemp(prefix="bde_stream_bench_")
-    try:
-        # -- hot path input
-        hot_in = os.path.join(root, "hot_in")
-        os.makedirs(hot_in)
-        recs = list(_gen_stream_records(n_rows))
-        for b in range(n_files):
-            with open(os.path.join(hot_in, f"{b:04d}.json"), "w") as fh:
+    def write_hot_input(dirpath: str, rows: int, files: int) -> None:
+        per_file = rows // files
+        os.makedirs(dirpath)
+        recs = list(_gen_stream_records(rows))
+        for b in range(files):
+            with open(os.path.join(dirpath, f"{b:04d}.json"), "w") as fh:
                 for r in recs[b * per_file : (b + 1) * per_file]:
                     fh.write(_json.dumps(r) + "\n")
-        runs = []
-        for rep in range(reps):
-            rd = os.path.join(root, f"hot_{rep}")
-            t0 = _time.perf_counter()
-            run_hot_path(
-                spark,
-                hot_in,
-                table_path=os.path.join(rd, "table"),
-                anomaly_path=os.path.join(rd, "anom"),
-                checkpoint_dir=os.path.join(rd, "ckpt"),
-                now=dt.datetime(2026, 1, 16),
-                max_files_per_trigger=1,
-            )
-            runs.append(round(_time.perf_counter() - t0, 3))
-        sec = _stats.median(runs)
-        out["hot_path"] = {
-            "rows": n_rows,
-            "micro_batches": n_files,
-            "sec": sec,
-            "rows_per_sec": round(n_rows / sec, 1),
-        }
-        print(f"# streaming hot_path: runs={runs}", file=sys.stderr)
 
-        # -- curation input (doc stream; ~1/8 duplicate texts exercise
-        # the cross-batch dedup state)
-        cur_in = os.path.join(root, "cur_in")
-        os.makedirs(cur_in)
-        import random as _random
-
+    def write_cur_input(dirpath: str, rows: int, files: int) -> None:
+        # doc stream; ~1/8 duplicate texts exercise cross-batch dedup
+        per_file = rows // files
+        os.makedirs(dirpath)
         rng = _random.Random(7)
         words = [f"w{i}" for i in range(500)]
         markers = ["the", "and", "of", "to", "in"]  # keep lang-ID = en
@@ -235,12 +219,12 @@ def bench_streaming(spark, reps: int) -> dict:
                 rng.choice(markers) if t % 5 == 0 else rng.choice(words)
                 for t in range(30)
             )
-            for _ in range(n_rows)
+            for _ in range(rows)
         ]
-        for i in range(0, n_rows, 8):  # plant cross-batch duplicates
+        for i in range(0, rows, 8):  # plant cross-batch duplicates
             texts[i] = texts[i - per_file] if i >= per_file else texts[i]
-        for b in range(n_files):
-            with open(os.path.join(cur_in, f"{b:04d}.json"), "w") as fh:
+        for b in range(files):
+            with open(os.path.join(dirpath, f"{b:04d}.json"), "w") as fh:
                 for i in range(b * per_file, (b + 1) * per_file):
                     fh.write(
                         _json.dumps(
@@ -253,27 +237,94 @@ def bench_streaming(spark, reps: int) -> dict:
                         )
                         + "\n"
                     )
-        runs = []
-        for rep in range(reps):
-            rd = os.path.join(root, f"cur_{rep}")
-            t0 = _time.perf_counter()
-            run_curation_stream(
-                spark,
-                cur_in,
-                out_path=os.path.join(rd, "out"),
-                checkpoint_dir=os.path.join(rd, "ckpt"),
-                quality_min=0.0,
-                max_files_per_trigger=1,
-            )
-            runs.append(round(_time.perf_counter() - t0, 3))
-        sec = _stats.median(runs)
-        out["curation"] = {
-            "rows": n_rows,
-            "micro_batches": n_files,
-            "sec": sec,
-            "rows_per_sec": round(n_rows / sec, 1),
-        }
-        print(f"# streaming curation: runs={runs}", file=sys.stderr)
+
+    def run_hot(in_dir: str, rd: str) -> None:
+        run_hot_path(
+            spark,
+            in_dir,
+            table_path=os.path.join(rd, "table"),
+            anomaly_path=os.path.join(rd, "anom"),
+            checkpoint_dir=os.path.join(rd, "ckpt"),
+            now=dt.datetime(2026, 1, 16),
+            max_files_per_trigger=1,
+        )
+
+    def run_cur(in_dir: str, rd: str) -> None:
+        run_curation_stream(
+            spark,
+            in_dir,
+            out_path=os.path.join(rd, "out"),
+            checkpoint_dir=os.path.join(rd, "ckpt"),
+            quality_min=0.0,
+            max_files_per_trigger=1,
+        )
+
+    root = tempfile.mkdtemp(prefix="bde_stream_bench_")
+    try:
+        # One tiny untimed run per pipeline first: the session's FIRST
+        # streaming query pays one-time costs (state-store provider
+        # init, streaming Arrow/codegen paths, sink setup) that
+        # otherwise land on rep 1 of the first config (measured: 20.1 s
+        # vs 11.5 s on identical inputs).
+        for key, writer, runner in (
+            ("warm_hot", write_hot_input, run_hot),
+            ("warm_cur", write_cur_input, run_cur),
+        ):
+            in_dir = os.path.join(root, f"{key}_in")
+            writer(in_dir, 64, 2)
+            runner(in_dir, os.path.join(root, f"{key}_run"))
+
+        # (key, writer, runner) × (standard, 10×-rows) configs. The
+        # large config runs ONE rep — it separates costs, it is not
+        # the round-over-round regression number.
+        configs = [
+            ("hot_path", write_hot_input, run_hot, n_rows, reps),
+            ("hot_path_large", write_hot_input, run_hot, n_rows * scale, 1),
+            ("curation", write_cur_input, run_cur, n_rows, reps),
+            ("curation_large", write_cur_input, run_cur, n_rows * scale, 1),
+        ]
+        for key, writer, runner, rows, n_reps in configs:
+            in_dir = os.path.join(root, f"{key}_in")
+            writer(in_dir, rows, n_files)
+            runs = []
+            for rep in range(n_reps):
+                rd = os.path.join(root, f"{key}_{rep}")
+                t0 = _time.perf_counter()
+                runner(in_dir, rd)
+                runs.append(round(_time.perf_counter() - t0, 3))
+            sec = _stats.median(runs)
+            out[key] = {
+                "rows": rows,
+                "micro_batches": n_files,
+                "sec": sec,
+                "rows_per_sec": round(rows / sec, 1),
+            }
+            print(f"# streaming {key}: runs={runs}", file=sys.stderr)
+
+        # Same batch count, scale× rows: the delta is pure per-row
+        # cost; the remainder of the standard run is per-batch fixed.
+        derived = {}
+        for key in ("hot_path", "curation"):
+            small, large = out[key], out[f"{key}_large"]
+            d_rows = large["rows"] - small["rows"]
+            d_sec = large["sec"] - small["sec"]
+            if d_sec > 0:
+                per_row = d_sec / d_rows
+                fixed = max(0.0, small["sec"] - per_row * small["rows"])
+                derived[key] = {
+                    "marginal_rows_per_sec": round(1.0 / per_row, 1),
+                    "per_batch_fixed_sec": round(fixed / n_files, 3),
+                }
+            else:
+                derived[key] = {
+                    "note": (
+                        "10x rows did not run measurably longer: "
+                        "per-row cost below noise at this scale; "
+                        "per-batch fixed cost dominates both configs"
+                    ),
+                    "per_batch_fixed_sec": round(small["sec"] / n_files, 3),
+                }
+        out["derived"] = derived
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
