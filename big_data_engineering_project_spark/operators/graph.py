@@ -120,3 +120,68 @@ def pagerank(
         if materialize is not None and (it + 1) % materialize_every == 0:
             pr = materialize(pr)
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    over an edge list, treated as undirected: each node starts
+    labelled with itself; per iteration every node adopts the label
+    with the LARGEST weighted vote among its neighbours, smallest
+    label winning ties; nodes with no neighbours keep their label.
+    Returns [node, label] — nodes sharing a final label form a
+    community.
+
+    Determinism: votes are integer weight sums (combine-order-free),
+    the argmax tie-break is total ((votes DESC, label ASC)), and the
+    iteration count is FIXED — synchronous LPA can oscillate on
+    bipartite structures, so a fixed budget is what makes the result
+    well-defined at all, and here it also makes it bit-identical
+    cross-engine (exact unrolled-CTE oracle, like pagerank above).
+
+    Scale shape per iteration: labels ⋈ undirected-edges on the
+    vote-source key, then TWO partial-aggregated grouped passes —
+    (node, label) vote sums, then per-node max-vote and min-label-at-
+    max — deliberately NOT a row_number window, which would pile a hot
+    node's whole neighbourhood into one unsplittable window partition
+    (the sliding-coverage lesson). `materialize`/`materialize_every`
+    as in pagerank.
+    """
+    e_src, e_dst, e_w = F.col(src), F.col(dst), F.col(weight)
+    und = edges.select(
+        e_src.alias("a"), e_dst.alias("b"), e_w.alias("__w")
+    ).union(edges.select(e_dst.alias("a"), e_src.alias("b"), e_w.alias("__w")))
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iters):
+        votes = (
+            lab.join(und, lab["node"] == und["a"])
+            .groupBy(F.col("b").alias("__n"), "label")
+            .agg(F.sum("__w").alias("__v"))
+        )
+        mx = votes.groupBy(F.col("__n").alias("__mn")).agg(
+            F.max("__v").alias("__mv")
+        )
+        best = (
+            votes.join(
+                mx,
+                (F.col("__n") == F.col("__mn"))
+                & (F.col("__v") == F.col("__mv")),
+            )
+            .select(F.col("__n").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("__nl"))
+        )
+        lab = lab.join(best, "node", "left").select(
+            "node", F.coalesce("__nl", "label").alias("label")
+        )
+        if materialize is not None and (it + 1) % materialize_every == 0:
+            lab = materialize(lab)
+    return lab

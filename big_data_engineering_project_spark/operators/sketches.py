@@ -285,3 +285,96 @@ def histogram_quantile(
     return cum.groupBy(*key_cols).agg(
         F.max("__n").alias("n"), *aggs
     )
+
+
+# --- HDR-style log-bucket rank sketch -----------------------------------------
+#
+# The fixed-width histogram above needs the value RANGE known up front
+# (width chosen per domain); at 100 TB you often don't know it. The
+# HDR/DDSketch family (hdrhistogram.org; Masson et al., VLDB 2019)
+# buckets by MAGNITUDE instead: exponent = bit-length−1 of the integer
+# value, plus the next HDR_SUB_BITS mantissa bits. Bucket width scales
+# with the value, giving bounded RELATIVE error 2^-HDR_SUB_BITS over
+# the whole 63-bit range with ≤ 63·2^s + 2^s buckets total — no range
+# knowledge needed. Counters merge by addition exactly like the
+# fixed-width sketch; everything is integer (the exponent comes from
+# length(bin(v)), identical strings in Spark and DuckDB — no float
+# log), so merged sketches and quantile read-offs are bit-identical
+# cross-engine and the whole path holds an exact oracle where a real
+# t-digest (engine-internal centroids) cannot.
+
+HDR_SUB_BITS = 5  # 2^-5 ≈ 3.1% relative error
+_HDR_BASE = 1 << HDR_SUB_BITS
+
+
+def hdr_bucket_sql(v: str, div: str = "DIV") -> str:
+    """Bucket index of non-negative BIGINT expression `v` as a SQL
+    fragment shared with the oracle — the ONLY dialect difference is
+    the integer-division spelling (`div`): Spark `DIV`, DuckDB `//`.
+    Monotone non-decreasing in v; v < 2^(s+1) maps to itself."""
+    s, base = HDR_SUB_BITS, _HDR_BASE
+    e = f"(length(bin({v})) - 1)"
+    return (
+        f"(CASE WHEN {v} < {base} THEN {v} "
+        f"ELSE ({e} - {s}) * {base} "
+        f"+ ({v} {div} CAST(POWER(2, {e} - {s}) AS BIGINT)) END)"
+    )
+
+
+def hdr_lower_bound_sql(idx: str, div: str = "DIV") -> str:
+    """Exact integer lower bound of bucket `idx` — the quantile
+    estimate returned by hdr_quantile (biased low by < 2^-s relative,
+    never crossing a bucket)."""
+    s, base = HDR_SUB_BITS, _HDR_BASE
+    return (
+        f"(CASE WHEN {idx} < {base} THEN {idx} "
+        f"ELSE (({idx} % {base}) + {base}) "
+        f"* CAST(POWER(2, ({idx} {div} {base}) - 1) AS BIGINT) END)"
+    )
+
+
+def hdr_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-key log-bucket counts of a non-negative BIGINT column.
+    Same algebra as histogram_sketch: one partial-aggregated exchange,
+    ≤ 63·2^s+2^s groups per key, merge by counter addition."""
+    return df.groupBy(
+        *key_cols, F.expr(hdr_bucket_sql(value_col)).alias("idx")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_quantile(
+    sketch: DataFrame,
+    key_cols: list[str],
+    qs: list[tuple[int, int, str]],
+) -> DataFrame:
+    """Quantiles from a (merged) HDR sketch: all-integer target rank
+    ceil(q·n), cumulative window over ≤ n_buckets rows per key, and
+    the estimate is the selected bucket's exact integer lower bound."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*key_cols)
+    cum = sketch.select(
+        *key_cols,
+        "idx",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wn).alias("__n"),
+    )
+    aggs = []
+    for num, den, alias in qs:
+        rank = F.expr(f"({num} * __n + {den - 1}) DIV {den}")
+        picked = F.min(F.when(F.col("__cum") >= rank, F.col("idx")))
+        aggs.append((picked, alias))
+    out = cum.groupBy(*key_cols).agg(
+        F.max("__n").alias("n"),
+        *[p.alias(f"__idx_{a}") for p, a in aggs],
+    )
+    for _, a in aggs:
+        out = out.withColumn(a, F.expr(hdr_lower_bound_sql(f"__idx_{a}")))
+    return out.select(*key_cols, "n", *[a for _, a in aggs])

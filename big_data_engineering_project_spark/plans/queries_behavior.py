@@ -11,7 +11,7 @@ is engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_project_spark.operators.behavior import (
@@ -362,6 +362,106 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pagerank(edges, iters=_PR_ITERS)
         .select(F.col("node").alias("event_type"), "rank")
+        .orderBy("event_type")
+    )
+
+
+# --- Label-propagation communities over the sparsified transition graph -------
+
+
+def _lpa_oracle(iters: int) -> str:
+    ctes = ["l0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        ctes.append(f"""v{i} AS (
+  SELECT u.b AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS votes
+  FROM und u JOIN l{i-1} l ON l.node = u.a GROUP BY 1, 2),
+m{i} AS (SELECT node, MAX(votes) AS mv FROM v{i} GROUP BY 1),
+b{i} AS (
+  SELECT v.node, MIN(v.label) AS nl
+  FROM v{i} v JOIN m{i} m ON v.node = m.node AND v.votes = m.mv
+  GROUP BY 1),
+l{i} AS (
+  SELECT l.node, COALESCE(b.nl, l.label) AS label
+  FROM l{i-1} l LEFT JOIN b{i} b ON l.node = b.node)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+edges0 AS (
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM o WHERE next_type IS NOT NULL AND next_type <> event_type
+  GROUP BY 1, 2
+),
+sparse AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+    FROM edges0) t WHERE rn <= 2
+),
+und AS (
+  SELECT src AS a, dst AS b, w FROM sparse
+  UNION ALL SELECT dst, src, w FROM sparse
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+{joined}
+SELECT node AS event_type, label AS community
+FROM l{iters}
+ORDER BY node
+"""
+
+
+_LPA_ITERS = 4
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(_LPA_ITERS),
+    doc=f"Weighted synchronous label propagation ({_LPA_ITERS} fixed "
+    "iterations, Raghavan et al. 2007) over the event-transition "
+    "graph sparsified to each type's top-2 outgoing neighbours "
+    "(self-loops dropped) — community detection beside PageRank's "
+    "ranking, REUSING the same per-iteration shuffle shape. All "
+    "state is exact: integer weighted votes (combine-order-free), "
+    "total (votes DESC, label ASC) tie-break, fixed iteration budget "
+    "(synchronous LPA may oscillate on bipartite structures; a fixed "
+    "budget is what makes the result well-defined), so the whole "
+    "fixed point holds an unrolled-CTE oracle. The per-node argmax "
+    "is two grouped partial-aggregated passes, NOT a row_number "
+    "window — a hot node's neighbourhood never lands in one window "
+    "partition (operators/graph.py:label_propagation)",
+    tags=("behavior", "graph", "iterative"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = event_transitions(ev, "user_id", "ts", "event_type").filter(
+        F.col("from_type") != F.col("to_type")
+    )
+    w2 = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    sparse = (
+        edges.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            F.col("from_type").alias("src"),
+            F.col("to_type").alias("dst"),
+            F.col("n").cast("long").alias("w"),
+        )
+    )
+    return (
+        label_propagation(sparse, iters=_LPA_ITERS)
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("label").alias("community"),
+        )
         .orderBy("event_type")
     )
 

@@ -2447,3 +2447,85 @@ def q_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(50, 100, "p50"), (95, 100, "p95")],
         width=1.0,
     ).orderBy("event_type")
+
+
+# --- HDR log-bucket rank sketch (relative-error twin of the above) ------------
+
+
+def _hdr_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sketches import (
+        hdr_bucket_sql,
+        hdr_lower_bound_sql,
+    )
+
+    bucket = hdr_bucket_sql("v", div="//")
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(FLOOR("value" * 1000) AS BIGINT) AS v FROM events
+),
+sk AS (
+  SELECT event_type, {bucket} AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, idx,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM sk
+),
+picked AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+    MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN idx END) AS i50,
+    MIN(CASE WHEN c >= (95 * n + 99) // 100 THEN idx END) AS i95,
+    MIN(CASE WHEN c >= (99 * n + 99) // 100 THEN idx END) AS i99
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST({hdr_lower_bound_sql('i50', div='//')} AS BIGINT) AS p50_micro,
+  CAST({hdr_lower_bound_sql('i95', div='//')} AS BIGINT) AS p95_micro,
+  CAST({hdr_lower_bound_sql('i99', div='//')} AS BIGINT) AS p99_micro
+FROM picked
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_hdr_quantile_merge",
+    oracle=_hdr_oracle(),
+    doc="HDR-style log-bucket rank sketch (hdrhistogram.org; DDSketch "
+    "family, Masson et al. VLDB 2019): per-(type, day) sketches of "
+    "integer micro-unit values bucketed by MAGNITUDE — exponent = "
+    "bit-length−1 via length(bin(v)), identical strings in both "
+    "engines, plus 5 mantissa bits — merged by counter addition, "
+    "p50/p95/p99 read off as exact integer bucket lower bounds. The "
+    "relative-error twin of q_histogram_quantile_merge: fixed-width "
+    "buckets need the value range known up front, log buckets give "
+    "≤ 2^-5 ≈ 3.1% relative error over the whole 63-bit range with "
+    "≤ 63·32 buckets and no range knowledge — the sketch you deploy "
+    "at 100 TB when the domain is unknown. All-integer end to end "
+    "(no float log), so the ITERATIVE-free merge path holds an exact "
+    "oracle where engine-internal t-digest cannot "
+    "(operators/sketches.py:hdr_sketch)",
+    tags=("pipeline", "sketch"),
+)
+def q_hdr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        hdr_quantile,
+        hdr_sketch,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("__day", F.to_date("ts"))
+        .withColumn("v", F.expr('CAST(FLOOR(value * 1000) AS BIGINT)'))
+    )
+    per_day = hdr_sketch(ev, ["event_type", "__day"], "v")
+    merged = per_day.groupBy("event_type", "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return hdr_quantile(
+        merged,
+        ["event_type"],
+        [(50, 100, "p50_micro"), (95, 100, "p95_micro"), (99, 100, "p99_micro")],
+    ).orderBy("event_type")
