@@ -661,36 +661,63 @@ def dup_segment_fraction(
     once in the WHOLE corpus — the C4/RefinedWeb line-dedup signal:
     docs dominated by corpus-repeated segments are boilerplate.
 
-    Plan (r5, measured 1.7× over the join form at sf0.1): tokenize +
-    segment ONCE — the join formulation (counts joined back onto
-    instances) made Catalyst re-scan and re-tokenize the corpus for
-    each branch, and tokenization is the dominant cost. Here the
-    exploded segments collapse to (doc, seg, k) map-side, a sum-window
-    over seg attaches the corpus occurrence count without a second
-    scan, and a final groupBy(doc) re-aggregates. The join key is the
-    segment string because the DuckDB oracle must form the identical
-    key; at 100 TB the key would be xxhash64(segment) — an 8-byte
-    shuffle — with the identical plan shape. A pathologically hot
-    segment (an empty-ish boilerplate line repeated everywhere) skews
-    its window partition; the high-DF cut used by ngram dedup
-    (drop segments above a corpus-fraction ceiling) is the mitigation.
+    Plan (r7 — window-free AND join-back-free on the exploded data;
+    history: r5 replaced a counts-joined-back-onto-instances form,
+    which re-tokenized the corpus per branch, with a sum-window over
+    the segment — but that window put every occurrence of a hot
+    segment (empty-ish boilerplate repeated corpus-wide) in ONE
+    unsplittable window partition, this family's standing hazard).
+    The identity that removes both costs: a (doc, seg, k) instance is
+    NON-duplicated iff its segment occurs exactly once corpus-wide —
+    which forces k = 1 and a single owning doc. So
+
+        n_dup_segs(doc) = n_segs(doc) − #{segments with corpus
+                                          count 1 owned by doc}
+
+    where n_segs(doc) = ceil(n_tokens/seg_tokens) is ROW-LOCAL on the
+    original frame (no explode), and the unique-segment counts come
+    from one groupBy(seg) — map-side partial aggregation collapses
+    hot segments before the exchange, and corpus-count-1 segments
+    carry their single owner in the same aggregate (min(doc) = the
+    doc), so nothing ever joins back onto exploded rows. The final
+    join is doc-level: one bounded row per doc on each side. The
+    corpus IS tokenized twice (totals branch + segment branch) — a
+    parallel recompute, accepted in exchange for hot-key safety, same
+    trade as sliding_dup_coverage. The group key is the segment
+    string because the DuckDB oracle must form the identical key; at
+    100 TB it would be xxhash64(segment) — an 8-byte exchange — with
+    the identical plan shape.
     """
+    toks = tokens_col(F.col(text_col))
+    totals = df.select(
+        F.col(id_col).alias("doc"),
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("long").alias(
+            "n_segs"
+        ),
+    ).filter(F.col("n_segs") > 0)
     segs = df.select(
         F.col(id_col).alias("doc"),
         F.explode(segments_col(tokens_col(F.col(text_col)), seg_tokens)).alias(
             "seg"
         ),
     )
-    collapsed = segs.groupBy("doc", "seg").agg(F.count(F.lit(1)).alias("k"))
-    occ = collapsed.withColumn(
-        "n_occ", F.sum("k").over(Window.partitionBy("seg"))
+    uniq_per_doc = (
+        segs.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc").alias("owner"),
+        )
+        .filter(F.col("n_occ") == 1)
+        .groupBy(F.col("owner").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
     return (
-        occ.groupBy("doc")
-        .agg(
-            F.sum("k").alias("n_segs"),
-            F.sum(
-                F.when(F.col("n_occ") > 1, F.col("k")).otherwise(0)
+        totals.join(uniq_per_doc, "doc", "left")
+        .select(
+            "doc",
+            "n_segs",
+            (
+                F.col("n_segs") - F.coalesce(F.col("n_uniq"), F.lit(0))
             ).alias("n_dup_segs"),
         )
         .select(

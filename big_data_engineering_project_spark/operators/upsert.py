@@ -14,7 +14,7 @@ so every key keeps exactly one row and updates shadow existing rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -26,11 +26,21 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame
     deterministic max-by-key reduction applies.
     """
     if "_seq" in updates.columns:
-        w = Window.partitionBy(key).orderBy(F.desc("_seq"))
+        # Last-writer-wins as ONE max_by aggregation (partial-
+        # aggregable: a hot key's updates collapse map-side) rather
+        # than a row_number window, which would pile every update for
+        # one hot key into a single window partition (r7 audit).
+        payload = [c for c in updates.columns if c not in (key, "_seq")]
+        out_cols = [c for c in updates.columns if c != "_seq"]
         w_updates = (
-            updates.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
+            updates.groupBy(key)
+            .agg(F.max_by(F.struct(*payload), "_seq").alias("__r"))
+            .select(
+                *[
+                    F.col(key) if c == key else F.col(f"__r.{c}").alias(c)
+                    for c in out_cols
+                ]
+            )
         )
     else:
         w_updates = updates.dropDuplicates([key])

@@ -1350,11 +1350,16 @@ def curate_documents(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     stamped = with_split(kept, "text").select(
         *carry, fingerprint_col(F.col("text")).alias("f")
     )
-    w = Window.partitionBy("f")
+    # Min-id keeper as ONE min_by aggregation — partial-aggregable, so
+    # a pathologically hot fingerprint (an empty/boilerplate doc
+    # duplicated corpus-wide) collapses map-side before the exchange.
+    # The previous Window.partitionBy(f) + min-over form put every
+    # copy of a hot fingerprint in one unsplittable window partition
+    # (the r7 hot-key audit; same class as the sliding-coverage fix).
     return (
-        stamped.withColumn("keeper", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .drop("keeper", "f")
+        stamped.groupBy("f")
+        .agg(F.min_by(F.struct(*carry), "doc_id").alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in carry])
     )
 
 

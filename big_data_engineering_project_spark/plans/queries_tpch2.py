@@ -1123,7 +1123,15 @@ ORDER BY event_id
     "per event type over a TOTAL order (value, event_id) — "
     "percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are single "
     "integer divisions, identical IEEE on both engines given the "
-    "engine-independent rank",
+    "engine-independent rank. Scale note (r7 hot-key audit): the "
+    "per-type partition materializes a type's ENTIRE total order in "
+    "one window partition — INHERENT to exact global-rank semantics "
+    "(rank r needs the count of everything before r), not a plan "
+    "choice; no runtime can split it without a prefix-sum pass. At "
+    "100 TB ask a bounded question instead: sharded top-k "
+    "(q_topk_lineitems_sharded) for extremes, histogram/HDR sketches "
+    "(q_histogram_quantile_merge, q_hdr_quantile_merge) for ranks at "
+    "bounded error, both gate-proven",
     tags=("reference", "window"),
 )
 def q_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

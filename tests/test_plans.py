@@ -117,6 +117,10 @@ def test_curation_pipeline_never_shuffles_text(plans):
     for block in p.split("\n\n"):
         if "Exchange" in block.split("\n")[0] and "RoundRobinPartitioning" not in block:
             assert "text#" not in block, f"text column crosses a keyed shuffle:\n{block}"
+    # r7: the min-id keeper is a partial-aggregable min_by, not a
+    # fingerprint window — a hot fingerprint collapses map-side
+    # instead of landing in one unsplittable window partition.
+    assert "Window" not in p
 
 
 def test_ann_plans_broadcast_query_never_shuffle_vectors(plans):
@@ -145,12 +149,21 @@ def test_rollup_cascade_single_scan(plans):
     assert p.count("Scan parquet") == 2  # formatted mode: tree + detail
 
 
-def test_dup_segment_single_tokenize_pass(plans):
-    """r5 regression guard: the join formulation made Catalyst re-scan
-    and re-tokenize the corpus for the counts branch (2 scans, ~1.7x
-    slower); the window form must keep exactly one parquet scan."""
+def test_dup_segment_two_bounded_branches(plans):
+    """r7 contract (supersedes the r5 single-scan pin): the plan has
+    exactly TWO corpus branches — a row-local totals branch (tokenize
+    only, NO segment explode) and the segment-aggregation branch —
+    and nothing more. The r5 form saved one scan with a sum-window
+    over the segment key, which parked every copy of a corpus-hot
+    segment in one unsplittable partition; the recompute is parallel,
+    the hot window was not (see test_dup_segment_no_hot_segment_window
+    for the no-window half of the contract)."""
     p = plans("q_dup_segment_fraction")
-    assert p.count("Scan parquet") == 2  # formatted mode: tree + detail
+    # formatted mode lists each scan in tree + detail: 2 branches -> 4
+    assert p.count("Scan parquet") == 4
+    # the totals branch must not explode segments: exactly one
+    # Generate (explode) in the whole plan, on the segment branch
+    assert p.count("Generate (") == 1
 
 
 def test_asof_salted_partitions_by_key_and_bucket(plans):
@@ -301,6 +314,17 @@ def test_gap_fill_is_join_free_single_window(plans):
     assert "Join" not in p
     assert "Window" in p
     assert p.count("Window (") == 1
+
+
+def test_dup_segment_no_hot_segment_window(plans):
+    """q_dup_segment_fraction (r7 reformulation): duplicate detection
+    must be pure partial-aggregable groupBys + one doc-level join —
+    no window at all, and in particular no window over the segment
+    key, where one boilerplate segment repeated corpus-wide would
+    occupy a single unsplittable partition."""
+    p = plans("q_dup_segment_fraction")
+    assert "Window" not in p
+    assert "HashAggregate" in p
 
 
 def test_sliding_coverage_no_hot_gram_window(plans):
