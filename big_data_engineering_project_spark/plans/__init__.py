@@ -57,11 +57,13 @@ from big_data_engineering_project_spark.plans import queries_multimodal  # noqa:
 # FULL-sweep rows-only row doesn't already record.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family (sliding coverage's hot-gram fix is
-    # round-7's one plan change — gate it the round it changed)
+    # round-7's one plan change — gate it the round it changed).
+    # q_editdist_neardups + q_embedding_centroids (both hash-green in
+    # the committed r05 AND r06 gates) are demoted for the two
+    # round-7-NEW queries, which take gate slots the round they are
+    # born per the standing policy: q_label_propagation (below, with
+    # the graph family) and q_hdr_quantile_merge (below, sketches).
     "q_sliding_dup_coverage",
-    "q_editdist_neardups",
-    # LLM-pipeline: similarity (exact-oracle member)
-    "q_embedding_centroids",
     # Multimodal decode trio (exact oracles, per-SF fixture)
     "q_media_decode_stats",
     "q_media_histogram_topk",
@@ -85,16 +87,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_session_window_native",
     "q_click_purchase_interval",
     # Sketches: KMV algebra + daily merge, count-min, histogram merge
+    # + the r7 HDR log-bucket relative-error twin
     "q_kmv_set_ops",
     "q_kmv_daily_merge",
     "q_cm_heavy_hitters",
     "q_histogram_quantile_merge",
+    "q_hdr_quantile_merge",
     # Behavior analytics + robust stats
     "q_cohort_retention",
     "q_rolling_active_users",
     "q_mad_outliers",
-    # Graph (the registry's only iterative fixed-point)
+    # Graph: the two iterative fixed-points (rank + communities)
     "q_pagerank_event_graph",
+    "q_label_propagation",
     # Join strategies: bloom-pruned semi, sharded top-k, Q21 shape
     "q_bloom_semi_orders",
     "q_topk_lineitems_sharded",
