@@ -1,0 +1,105 @@
+"""Change-data-capture style history building (SCD Type 2).
+
+The reference's DynamoDB upsert sink (`S/kinesis_processing_2.py`,
+keyed put_item) keeps ONLY the latest value per key; a warehouse that
+ingests the same change stream usually also wants the full validity
+history — the classic slowly-changing-dimension Type 2 build. This
+module derives that history from an append-only changelog:
+
+  changelog (key, order_cols..., attr)  →
+  history   (key, attr, effective_from, effective_to, version,
+             is_current)
+
+Two steps, both expressed as per-key windows over a TOTAL order:
+
+1. **Compaction** — drop rows whose attribute equals the immediately
+   preceding value for the same key (`lag`). A changelog row that
+   does not change anything must not open a new version, otherwise
+   version counts depend on upstream delivery chattiness.
+2. **Validity intervals** — `effective_from` = the change's own
+   timestamp, `effective_to` = the NEXT change's timestamp (`lead`,
+   NULL for the open current version), `version` = `row_number`.
+
+Scale posture: one shuffle on `key`; every window is
+`partitionBy(key)` over that same exchange, so Spark plans a single
+Exchange reused by all three window functions (compaction lag,
+validity lead, version row_number collapse into two Window nodes over
+one sort). Per-key history length bounds the window partition — the
+same per-user bound as sessionization (operators/behavior.py), and
+the same documented hot-key hazard: a single key receiving an
+unbounded fraction of the changelog needs upstream splitting, which
+SCD semantics (a linear per-key version chain) inherently require.
+
+Determinism: `order_cols` must be a total order per key (callers pass
+a unique tiebreaker, e.g. (ts, event_id)); with that, compaction,
+versions, and intervals are all engine-independent — the registered
+query carries an exact DuckDB oracle of the same two windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key: str,
+    ts_col: str,
+    attr: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Build an SCD Type 2 history table from an append-only changelog.
+
+    Parameters
+    ----------
+    changelog : one row per observed (key, attr) state; duplicates of
+        the current value are allowed (compacted away).
+    key : the dimension's natural key column.
+    ts_col : event-time column ordering the changes.
+    attr : the tracked attribute column.
+    tiebreak : extra columns making (ts_col, *tiebreak) a TOTAL order
+        per key — REQUIRED whenever ts_col alone can tie, or versions
+        are engine/partition-order dependent.
+
+    Returns one row per version: (key, attr, effective_from,
+    effective_to, version, is_current), effective_to NULL on the open
+    current version.
+    """
+    order: list[Column] = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    compacted = (
+        changelog.select(key, ts_col, *tiebreak, attr)
+        .withColumn("__prev", F.lag(attr).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr)))
+        .drop("__prev")
+    )
+    return (
+        compacted.withColumn(
+            "effective_to", F.lead(ts_col).over(w)
+        )
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts_col).alias("effective_from"),
+            "effective_to",
+            "version",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def snapshot_asof(history: DataFrame, key: str, at) -> DataFrame:
+    """Reconstruct the dimension AS OF a point in time from an SCD2
+    history: the version whose [effective_from, effective_to) interval
+    covers `at` (a timestamp literal or Column). Pure filter — no
+    shuffle; partition pruning applies if the history is stored
+    partitioned on effective_from date."""
+    at_c = at if isinstance(at, Column) else F.lit(at).cast("timestamp")
+    return history.filter(
+        (F.col("effective_from") <= at_c)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > at_c))
+    )

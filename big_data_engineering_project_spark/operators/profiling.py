@@ -90,3 +90,51 @@ def profile_table(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def referential_integrity_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across a star/snowflake schema: for
+    each (name, fact, fact_key, dim, dim_key) relation, one summary
+    row (relation, fact_rows, orphan_rows, orphan_keys) where an
+    orphan is a non-NULL fact key with no matching dim row (NULL FKs
+    are optional references, reported separately as null_keys — the
+    standard DQ decomposition).
+
+    Shape per relation: dim keys are DISTINCT-ed then LEFT-joined
+    under the fact (key-only projections — the audit never moves
+    non-key columns), and the whole verdict reduces in one aggregate.
+    Small dims broadcast automatically (AQE); a fact-sized dim (e.g.
+    lineitem→orders at 100 TB) falls back to a sort-merge join on the
+    key both sides are naturally clustered by. The per-relation
+    results are 1-row frames; the union is free.
+    """
+    outs: list[DataFrame] = []
+    for name, fact, fkey, dim, dkey in relations:
+        dk = dim.select(F.col(dkey).alias("__dk")).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        j = fact.select(F.col(fkey).alias("__fk")).join(
+            dk, F.col("__fk") == F.col("__dk"), "left"
+        )
+        orphan = F.col("__fk").isNotNull() & F.col("__hit").isNull()
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("fact_rows"),
+                F.coalesce(F.sum(orphan.cast("long")), F.lit(0))
+                .cast("long")
+                .alias("orphan_rows"),
+                F.countDistinct(F.when(orphan, F.col("__fk")))
+                .cast("long")
+                .alias("orphan_keys"),
+                F.coalesce(F.sum(F.col("__fk").isNull().cast("long")), F.lit(0))
+                .cast("long")
+                .alias("null_keys"),
+            )
+        )
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    return out

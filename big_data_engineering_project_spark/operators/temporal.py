@@ -493,3 +493,54 @@ def gap_fill_locf(
             F.col("__filled").alias(value_col),
         )
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample a value series to per-(key, bucket) OHLC bars:
+    open / high / low / close / volume — the finance-style resample
+    every monitoring and time-series store exposes (timescale
+    `time_bucket` + `first`/`last`, influx `aggregateWindow`).
+
+    Open/close are argmin/argmax over event time expressed as
+    `min(struct(time, id, value))` / `max(struct(...))`: lexicographic
+    struct comparison makes the aggregate PARTIAL-AGGREGABLE (each
+    task keeps one candidate struct; combine is a pairwise min), so
+    the whole bar computes in ONE map-side-combined groupBy with NO
+    window — a hot (key, bucket) never lands in a single window
+    partition, unlike the row_number formulation the oracle uses.
+    `id_col` (unique) breaks same-timestamp ties, so the selected
+    open/close rows are a total order and engine-independent.
+
+    Scale: one shuffle on (key, bucket); state per group is O(1)
+    (two candidate structs + 3 numbers). 100 TB of ticks with a hot
+    symbol-day still aggregates — partial state merges, nothing
+    sorts."""
+    b = F.date_trunc(bucket, F.col(time_col))
+    o = F.struct(
+        F.col(time_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        df.select(
+            F.col(key).alias(key),
+            b.alias("bucket_ts"),
+            o.alias("__o"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key, "bucket_ts")
+        .agg(
+            F.min("__o").getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__o").getField("v").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+    )

@@ -30,6 +30,7 @@ from big_data_engineering_project_spark.plans import queries_pipeline  # noqa: E
 from big_data_engineering_project_spark.plans import queries_temporal  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_behavior  # noqa: E402,F401
 from big_data_engineering_project_spark.plans import queries_multimodal  # noqa: E402,F401
+from big_data_engineering_project_spark.plans import queries_warehouse  # noqa: E402,F401
 
 # First-50 gate priority: every query family gets at least one slot.
 # Any NEW query must be inserted here (demoting an already-green
@@ -68,10 +69,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_histogram_topk",
     "q_media_frame_means",
-    # LLM-pipeline: text analysis
-    "q_bigram_min_prob",
+    # LLM-pipeline: text analysis (q_bigram_min_prob and
+    # q_chunk_documents, 2× gate-green each, demoted for round-7-new
+    # warehouse queries per the newborn-slot policy)
     "q_importance_weights",
-    "q_chunk_documents",
     "q_vocab_coverage",
     # LLM-pipeline: sampling (πps + Horvitz-Thompson, single-gated r6)
     "q_weighted_sample_ht",
@@ -93,10 +94,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cm_heavy_hitters",
     "q_histogram_quantile_merge",
     "q_hdr_quantile_merge",
-    # Behavior analytics + robust stats
-    "q_cohort_retention",
-    "q_rolling_active_users",
+    # Behavior analytics + robust stats (q_cohort_retention and
+    # q_rolling_active_users, 2× gate-green each, demoted for the
+    # round-7 newborns; the winsorized mean keeps the robust-stats
+    # family at two slots)
     "q_mad_outliers",
+    "q_winsorized_value_by_type",
     # Graph: the two iterative fixed-points (rank + communities)
     "q_pagerank_event_graph",
     "q_label_propagation",
@@ -112,10 +115,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pivot_segment_priority",
     "q_full_outer_user_activity",
     "q_value_rank_distribution",
-    # Reference operators (the 7-decimal TRY_CAST serving gate — the
-    # most expression-dense reference op; every other reference query
-    # holds hash-green rows in 2+ committed gates)
-    "q_serving_try_cast",
+    # Warehouse maintenance — the four remaining round-7 newborns
+    # (SCD2 history, basket pairs, OHLC bars, FK-orphan audit) take
+    # gate slots the round they are born; q_serving_try_cast (6×
+    # gate-green, the most-verified query in the registry) is the
+    # fifth demotion.
+    "q_scd2_user_type_history",
+    "q_basket_pair_lift",
+    "q_ohlc_daily_value",
+    "q_ri_orphan_audit",
     # TPC-H analog suite — all 14 never-gated members (q_nation_revenue
     # (Q5 shape) demoted, 6× green; q_shipping_priority etc. green 2+)
     "q_min_cost_supplier",

@@ -1,0 +1,316 @@
+"""Warehouse-maintenance queries: SCD2 history build, market-basket
+pair mining, OHLC resampling, referential-integrity audit, winsorized
+robust means.
+
+North-star extensions rounding out the dimensional-warehouse operator
+set the reference's sinks imply: the DynamoDB keyed upsert
+(`S/kinesis_processing_2.py`, latest-value-only) generalizes to the
+full SCD Type 2 validity history; the Hive/Athena batch tables
+(`B/data_warehouse_design.py`) generalize to cross-table FK audits
+and basket-level association stats. Every query carries an exact
+DuckDB oracle; every window has a TOTAL order per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.association import (
+    frequent_pairs,
+)
+from big_data_engineering_project_spark.operators.cdc import (
+    scd2_from_changelog,
+)
+from big_data_engineering_project_spark.operators.profiling import (
+    referential_integrity_audit,
+)
+from big_data_engineering_project_spark.operators.temporal import (
+    ohlc_resample,
+)
+from big_data_engineering_project_spark.plans.registry import register
+from big_data_engineering_project_spark.sources.catalog import load_table
+
+
+@register(
+    "q_scd2_user_type_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+),
+v AS (
+  SELECT user_id, event_type, ts AS effective_from,
+         lead(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+         CAST(row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+           AS version
+  FROM changes
+)
+SELECT user_id, event_type, effective_from, effective_to, version,
+       effective_to IS NULL AS is_current
+FROM v
+ORDER BY user_id, version
+""",
+    doc="SCD Type 2 history of each user's event_type 'attribute' from "
+    "the events changelog: compact consecutive duplicates (a row that "
+    "changes nothing must not open a version), then lead-window "
+    "validity intervals + row_number versions — the warehouse-side "
+    "generalization of the reference's latest-value-only DynamoDB "
+    "upsert (S/kinesis_processing_2.py). One shuffle on user_id "
+    "reused by both windows; (ts, event_id) total order makes "
+    "compaction, versions, and intervals engine-independent "
+    "(operators/cdc.py)",
+    headline=True,
+    tags=("warehouse", "cdc", "window"),
+)
+def q_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key="user_id", ts_col="ts", attr="event_type",
+        tiebreak=("event_id",),
+    ).orderBy("user_id", "version")
+
+
+_PAIR_TOPK = 25
+
+
+@register(
+    "q_basket_pair_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT basket) AS nb FROM items),
+supp AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_support
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.pair_support,
+       sa.s AS support_a, sb.s AS support_b,
+       CAST(p.pair_support * n.nb AS DOUBLE)
+         / CAST(sa.s * sb.s AS DOUBLE) AS lift
+FROM pairs p
+CROSS JOIN n
+JOIN supp sa ON p.item_a = sa.item
+JOIN supp sb ON p.item_b = sb.item
+ORDER BY p.pair_support DESC, p.item_a, p.item_b
+LIMIT {_PAIR_TOPK}
+""",
+    doc="Market-basket part pairs over orders (basket = l_orderkey, "
+    "item = l_partkey): within-basket self-join → exact pair support "
+    "→ lift from broadcast item supports, top-25 by (support DESC, "
+    "item ids) — a TOTAL order, so the selected set is engine-"
+    "independent; lift is one IEEE division of exact BIGINT products "
+    "on both engines. No all-pairs product: pairs exist only within "
+    "a basket (≤ C(7,2) for TPC-H orders); the a-priori min-support "
+    "prune in the operator bounds fan-out on real corpora "
+    "(operators/association.py)",
+    headline=True,
+    tags=("warehouse", "association", "join"),
+)
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_item_support=1)
+        .orderBy(F.desc("pair_support"), "item_a", "item_b")
+        .limit(_PAIR_TOPK)
+    )
+
+
+@register(
+    "q_ohlc_daily_value",
+    oracle="""
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM r
+GROUP BY 1, 2
+ORDER BY event_type, bucket_ts
+""",
+    doc="Per-(event_type, day) OHLC bars: open/close via "
+    "min(struct(ts, event_id, value)) / max(struct(...)) — partial-"
+    "aggregable argmin/argmax (O(1) state per group, map-side "
+    "combined, NO window), so a hot symbol-day still aggregates at "
+    "100 TB where the oracle's row_number formulation would sort one "
+    "partition. event_id tiebreaks same-timestamp rows to a total "
+    "order (operators/temporal.py:ohlc_resample)",
+    headline=True,
+    tags=("warehouse", "temporal", "agg"),
+)
+def q_ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_resample(
+        ev, key="event_type", time_col="ts", value_col="value",
+        id_col="event_id", bucket="day",
+    ).orderBy("event_type", "bucket_ts")
+
+
+def _ri_rel_sql(name: str, fact_sql: str, dim_sql: str) -> str:
+    return f"""
+SELECT '{name}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS fact_rows,
+       CAST(SUM(CASE WHEN f.k IS NOT NULL AND d.dk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(COUNT(DISTINCT CASE WHEN f.k IS NOT NULL AND d.dk IS NULL
+                THEN f.k END) AS BIGINT) AS orphan_keys,
+       CAST(SUM(CASE WHEN f.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_keys
+FROM ({fact_sql}) f LEFT JOIN ({dim_sql}) d ON f.k = d.dk"""
+
+
+_RI_RELATIONS_SQL = " UNION ALL ".join(
+    [
+        _ri_rel_sql(
+            "lineitem.l_orderkey->orders.o_orderkey",
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT DISTINCT o_orderkey AS dk FROM orders",
+        ),
+        _ri_rel_sql(
+            "lineitem.l_partkey->part.p_partkey",
+            "SELECT l_partkey AS k FROM lineitem",
+            "SELECT DISTINCT p_partkey AS dk FROM part",
+        ),
+        _ri_rel_sql(
+            "lineitem.l_suppkey->supplier.s_suppkey",
+            "SELECT l_suppkey AS k FROM lineitem",
+            "SELECT DISTINCT s_suppkey AS dk FROM supplier",
+        ),
+        _ri_rel_sql(
+            "orders.o_custkey->customer.c_custkey",
+            "SELECT o_custkey AS k FROM orders",
+            "SELECT DISTINCT c_custkey AS dk FROM customer",
+        ),
+        _ri_rel_sql(
+            "customer.c_nationkey->nation.n_nationkey",
+            "SELECT c_nationkey AS k FROM customer",
+            "SELECT DISTINCT n_nationkey AS dk FROM nation",
+        ),
+        _ri_rel_sql(
+            "events.user_id->customer.c_custkey",
+            "SELECT user_id AS k FROM events",
+            "SELECT DISTINCT c_custkey AS dk FROM customer",
+        ),
+    ]
+)
+
+
+@register(
+    "q_ri_orphan_audit",
+    oracle=f"{_RI_RELATIONS_SQL}\nORDER BY relation",
+    doc="Referential-integrity audit over the star schema's six FK "
+    "relations (incl. events.user_id->customer, the one expected to "
+    "hold orphans in the synthetic fixture): per relation, fact rows "
+    "/ orphan rows / distinct orphan keys / NULL FKs, each a key-"
+    "only LEFT join reduced to one row — dims broadcast when small "
+    "(AQE), fact-sized dims fall back to sort-merge on the natural "
+    "cluster key (operators/profiling.py:referential_integrity_audit)",
+    tags=("warehouse", "quality", "join"),
+)
+def q_ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in (
+            "lineitem", "orders", "part", "supplier", "customer",
+            "nation", "events",
+        )
+    }
+    rels = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("events.user_id->customer.c_custkey",
+         t["events"], "user_id", t["customer"], "c_custkey"),
+    ]
+    return referential_integrity_audit(rels).orderBy("relation")
+
+
+@register(
+    "q_winsorized_value_by_type",
+    oracle="""
+WITH st AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       st.p05 AS p05,
+       st.p95 AS p95,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, st.p05), st.p95)
+                AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*)
+         AS winsorized_mean,
+       CAST(SUM(CAST(e.value AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*)
+         AS raw_mean
+FROM events e JOIN st USING (event_type)
+GROUP BY e.event_type, st.p05, st.p95
+ORDER BY e.event_type
+""",
+    doc="Winsorized (5%/95%-clamped) mean per event type beside the "
+    "raw mean — the third robust-stats member with z-score "
+    "(q_zscore_anomalies) and median/MAD (q_mad_outliers): one "
+    "grouped exact-percentile pass, stats broadcast back, clamp + "
+    "decimal-stabilized sum (exact decimal adds → combine-order-"
+    "independent; identical interpolation expression both engines, "
+    "proven by the MAD/quantile family)",
+    tags=("behavior", "quality", "robust"),
+)
+def q_winsorized_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            (
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -351,3 +351,44 @@ def test_sliding_coverage_no_hot_gram_window(plans):
     assert specs and all(s.split("(", 1)[1].startswith("doc") for s in specs)
     # the gram-count side partial-aggregates before its exchange
     assert "HashAggregate" in p
+
+
+def test_ohlc_is_window_free_partial_agg(plans):
+    """q_ohlc_daily_value: open/close via min/max(struct) must compile
+    to ONE partial-aggregated HashAggregate pair — no Window node, no
+    sort. The oracle's row_number formulation would sort each
+    (symbol, day) partition; the struct-argmin form keeps O(1) state
+    per group and merges map-side, which is what makes a hot
+    symbol-day survive 100×."""
+    p = plans("q_ohlc_daily_value")
+    assert "Window" not in p
+    # struct min/max is not hash-aggregable, so Spark picks
+    # SortAggregate — still with a map-side partial_min/partial_max
+    # pass (the part that matters: hot groups collapse before the
+    # exchange; per-partition sort is by group key, not by time).
+    assert "partial_min" in p and "partial_max" in p
+    assert p.count("hashpartitioning(") == 1  # one agg exchange
+
+
+def test_basket_pairs_broadcast_stats_shuffle_on_basket_only(plans):
+    """q_basket_pair_lift: the item-support and basket-count tables
+    must move by BroadcastExchange (they are item/1-row-cardinality);
+    the only shuffle joins key on the basket. An item-support
+    sort-merge join here would shuffle the pair table twice more for
+    no reason."""
+    p = plans("q_basket_pair_lift")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert p.count("BroadcastExchange") >= 3  # supp_a, supp_b, N
+
+
+def test_scd2_single_exchange_for_all_windows(plans):
+    """q_scd2_user_type_history: compaction lag, validity lead, and
+    version row_number all partition on user_id over the same (ts,
+    event_id) order — Catalyst must plan ONE hash exchange on
+    user_id reused by every Window node, not re-shuffle between
+    them."""
+    p = plans("q_scd2_user_type_history")
+    # exactly one hash exchange (on user_id); the only other exchange
+    # is the presentation ORDER BY's rangepartitioning
+    assert p.count("hashpartitioning(") == 1, p[:2000]
+    assert "Window" in p

@@ -1,0 +1,206 @@
+"""Unit tests for the warehouse-maintenance operators: SCD2 history,
+as-of snapshot reconstruction, market-basket pairs, OHLC resample,
+referential-integrity audit. Hand-computed expectations on planted
+fixtures; the registered queries' oracle rows are the integration
+layer (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.association import (
+    frequent_pairs,
+)
+from big_data_engineering_project_spark.operators.cdc import (
+    scd2_from_changelog,
+    snapshot_asof,
+)
+from big_data_engineering_project_spark.operators.profiling import (
+    referential_integrity_audit,
+)
+from big_data_engineering_project_spark.operators.temporal import (
+    ohlc_resample,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_scd2_compacts_and_versions(spark):
+    # key 1: A, A (dup → compacted), B, B (dup), A  → 3 versions A,B,A
+    # key 2: single row → 1 open version
+    rows = [
+        (1, _ts(1), 10, "A"),
+        (1, _ts(2), 11, "A"),
+        (1, _ts(3), 12, "B"),
+        (1, _ts(4), 13, "B"),
+        (1, _ts(5), 14, "A"),
+        (2, _ts(9), 15, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    hist = scd2_from_changelog(
+        df, key="k", ts_col="ts", attr="attr", tiebreak=("id",)
+    )
+    got = {
+        (r["k"], r["version"]): (
+            r["attr"], r["effective_from"], r["effective_to"], r["is_current"]
+        )
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("A", _ts(1), _ts(3), False),
+        (1, 2): ("B", _ts(3), _ts(5), False),
+        (1, 3): ("A", _ts(5), None, True),
+        (2, 1): ("X", _ts(9), None, True),
+    }
+
+
+def test_scd2_same_timestamp_ties_break_by_id(spark):
+    # Two changes at the SAME ts: the higher id is the later version —
+    # the (ts, id) total order, not partition luck, decides.
+    rows = [(1, _ts(1), 5, "A"), (1, _ts(1), 6, "B")]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    hist = scd2_from_changelog(
+        df, key="k", ts_col="ts", attr="attr", tiebreak=("id",)
+    )
+    got = sorted((r["version"], r["attr"]) for r in hist.collect())
+    assert got == [(1, "A"), (2, "B")]
+
+
+def test_scd2_snapshot_asof(spark):
+    rows = [
+        (1, _ts(1), 10, "A"),
+        (1, _ts(3), 12, "B"),
+        (2, _ts(9), 15, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    hist = scd2_from_changelog(
+        df, key="k", ts_col="ts", attr="attr", tiebreak=("id",)
+    )
+    # At 02:00: key 1 is in its A version; key 2 not yet born.
+    snap = snapshot_asof(hist, "k", _ts(2))
+    assert {(r["k"], r["attr"]) for r in snap.collect()} == {(1, "A")}
+    # At 10:00: key 1 → B (open), key 2 → X.
+    snap2 = snapshot_asof(hist, "k", _ts(10))
+    assert {(r["k"], r["attr"]) for r in snap2.collect()} == {
+        (1, "B"), (2, "X"),
+    }
+    # Interval boundary: effective_from is inclusive, effective_to
+    # exclusive — at exactly 03:00 key 1 is already B.
+    snap3 = snapshot_asof(hist, "k", _ts(3))
+    assert {(r["k"], r["attr"]) for r in snap3.collect()} == {(1, "B")}
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    # baskets: {a,b,c}, {a,b}, {a}, {c} → N=4
+    # supp: a=3 b=2 c=2; pairs: (a,b)=2 (a,c)=1 (b,c)=1
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "a"),  # dup item in basket → distinct
+        (3, "a"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket LONG, item STRING")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_support"], r["support_a"], r["support_b"], r["lift"]
+        )
+        for r in frequent_pairs(df, "basket", "item").collect()
+    }
+    assert got[("a", "b")] == (2, 3, 2, 2 * 4 / (3 * 2))
+    assert got[("a", "c")] == (1, 3, 2, 1 * 4 / (3 * 2))
+    assert got[("b", "c")] == (1, 2, 2, 1 * 4 / (2 * 2))
+
+
+def test_frequent_pairs_min_support_prunes_but_keeps_full_n(spark):
+    # min_item_support=2 drops the singleton item 'd'; lift stays a
+    # full-corpus probability ratio (N counts ALL baskets, including
+    # ones emptied by the prune).
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "d"),
+    ]
+    df = spark.createDataFrame(rows, "basket LONG, item STRING")
+    out = frequent_pairs(df, "basket", "item", min_item_support=2)
+    got = {
+        (r["item_a"], r["item_b"]): (r["pair_support"], r["lift"])
+        for r in out.collect()
+    }
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")] == (2, 2 * 3 / (2 * 2))
+
+
+def test_ohlc_picks_open_close_by_time_then_id(spark):
+    rows = [
+        # one symbol, one day; two rows share the open timestamp —
+        # the LOWER id must be the open.
+        ("s", _ts(9, 0), 1, 5.0),
+        ("s", _ts(9, 0), 2, 7.0),
+        ("s", _ts(12, 0), 3, 2.0),
+        ("s", _ts(16, 0), 4, 4.0),
+        # second day
+        ("s", dt.datetime(2024, 1, 2, 10), 5, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "sym STRING, ts TIMESTAMP, id LONG, px DOUBLE"
+    )
+    got = {
+        r["bucket_ts"]: (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in ohlc_resample(
+            df, "sym", "ts", "px", "id", bucket="day"
+        ).collect()
+    }
+    assert got[dt.datetime(2024, 1, 1)] == (5.0, 7.0, 2.0, 4.0, 4)
+    assert got[dt.datetime(2024, 1, 2)] == (9.0, 9.0, 9.0, 9.0, 1)
+
+
+def test_ri_audit_counts_orphans_and_nulls(spark):
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "fk LONG"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk LONG")
+    out = referential_integrity_audit(
+        [("f.fk->d.dk", fact, "fk", dim, "dk")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["relation"], r["fact_rows"], r["orphan_rows"],
+        r["orphan_keys"], r["null_keys"],
+    ) == ("f.fk->d.dk", 6, 2, 1, 1)
+
+
+def test_warehouse_ops_survive_empty_input(spark):
+    empty_cl = spark.createDataFrame(
+        [], "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    assert scd2_from_changelog(
+        empty_cl, "k", "ts", "attr", ("id",)
+    ).count() == 0
+
+    empty_b = spark.createDataFrame([], "basket LONG, item STRING")
+    assert frequent_pairs(empty_b, "basket", "item").count() == 0
+
+    empty_t = spark.createDataFrame(
+        [], "sym STRING, ts TIMESTAMP, id LONG, px DOUBLE"
+    )
+    assert ohlc_resample(empty_t, "sym", "ts", "px", "id").count() == 0
+
+    empty_f = spark.createDataFrame([], "fk LONG")
+    dim = spark.createDataFrame([(1,)], "dk LONG")
+    r = referential_integrity_audit(
+        [("e", empty_f, "fk", dim, "dk")]
+    ).collect()[0]
+    assert (r["fact_rows"], r["orphan_rows"], r["null_keys"]) == (0, 0, 0)
