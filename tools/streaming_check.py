@@ -27,6 +27,9 @@ micro-batches, checkpoints, state stores — then the batch twin):
   interval_join         interval_join_streams executed stream-mode
                         (time-range in the JOIN condition → bounded
                         state) ≡ the same operator in batch mode
+  watermark_dedup       dedup_stream (dropDuplicatesWithinWatermark,
+                        cross-batch keyed state) drops planted
+                        redeliveries ≡ batch dropDuplicates
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -394,6 +397,77 @@ def check_interval_join(spark, root: str) -> dict:
     return res
 
 
+def check_watermark_dedup(spark, root: str) -> dict:
+    """dedup_stream (dropDuplicatesWithinWatermark) ≡ batch
+    dropDuplicates on planted cross-batch redeliveries: ids divisible
+    by 5 are re-delivered byte-identically in LATER micro-batches
+    (inside the 1-hour horizon) — the at-least-once crash-replay shape
+    the reference's no-checkpoint consumer exhibits (T8). The keyed
+    state must carry across micro-batches for the stream side to drop
+    them."""
+    from big_data_engineering_project_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    base = dt.datetime(2026, 1, 15)
+    orig = [
+        {
+            "id": i,
+            "payload": f"rec-{i}",
+            "created_ts": (base + dt.timedelta(minutes=i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+        }
+        for i in range(100)
+    ]
+    # redeliveries appended AFTER the full original sequence → they
+    # arrive in later micro-batches than their originals
+    recs = orig + [r for r in orig if r["id"] % 5 == 0]
+    in_dir = os.path.join(root, "dedup_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=30)
+    schema = "id LONG, payload STRING, created_ts STRING"
+    prep = lambda df: df.withColumn(  # noqa: E731
+        "created_ts", F.to_timestamp("created_ts")
+    )
+    ss = prep(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    out = os.path.join(root, "dedup_out")
+    q = (
+        dedup_stream(ss, id_col="id", ts_col="created_ts", within="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "dedup_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["id"], r["payload"], r["created_ts"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    bb = prep(spark.read.schema(schema).json(in_dir))
+    want = [
+        (r["id"], r["payload"], r["created_ts"])
+        for r in bb.dropDuplicates(["id"]).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "redelivered": sum(1 for r in recs) - len(orig),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] == len(orig)
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -412,6 +486,7 @@ def main() -> None:
         results["sessionization"] = check_sessionize(spark, root)
         results["curation_ingest"] = check_curation(spark, root)
         results["interval_join"] = check_interval_join(spark, root)
+        results["watermark_dedup"] = check_watermark_dedup(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
