@@ -103,3 +103,58 @@ def snapshot_asof(history: DataFrame, key: str, at) -> DataFrame:
         (F.col("effective_from") <= at_c)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > at_c))
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as 'added' (only in
+    new), 'removed' (only in old), or 'changed' (in both, any compare
+    column differs) — the anti-entropy pass that turns two full table
+    snapshots into the changelog `scd2_from_changelog` consumes, and
+    the verification step behind every backfill/migration sign-off.
+
+    Each side collapses to (key, row_digest) BEFORE the join — the
+    digest is xxhash64 over the null-tagged compare columns, so the
+    full-outer reconciliation exchange carries 16 bytes per row, never
+    the row itself (same text-never-shuffles discipline as the dedup
+    family). Unchanged keys are filtered out post-join; with AQE the
+    filter halves downstream work but the join itself must see every
+    key — there is no sub-linear diff without a pre-maintained Merkle
+    index, which is the documented scale-up path for repeated diffs
+    of mostly-identical snapshots.
+
+    NULL vs absent disambiguation: each column is tagged with an
+    is-null marker inside the hash input, so (NULL) and ('') differ
+    and a column going NULL is a change.
+
+    `key` must be unique per snapshot (enforced nowhere — duplicate
+    keys make 'changed' ill-defined; pre-aggregate first).
+    """
+    def digest(df: DataFrame) -> DataFrame:
+        parts: list[Column] = []
+        for c in compare_cols:
+            parts.append(F.col(c).isNull().cast("int").cast("string"))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        return df.select(
+            F.col(key).alias("__k"),
+            F.xxhash64(*parts).alias("__h"),
+        )
+
+    o = digest(old).withColumnRenamed("__h", "__h_old")
+    n = digest(new).withColumnRenamed("__h", "__h_new")
+    j = o.join(n, "__k", "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("__h_old").isNull(), F.lit("added"))
+            .when(F.col("__h_new").isNull(), F.lit("removed"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("__k").alias(key), "change_type")
+    )

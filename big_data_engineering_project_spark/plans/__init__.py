@@ -65,10 +65,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # born per the standing policy: q_label_propagation (below, with
     # the graph family) and q_hdr_quantile_merge (below, sketches).
     "q_sliding_dup_coverage",
-    # Multimodal decode trio (exact oracles, per-SF fixture)
+    # Multimodal decode (exact oracles, per-SF fixture;
+    # q_media_histogram_topk, 2× gate-green, demoted for the newborn
+    # q_snapshot_diff — decode_stats + frame_means keep the family at
+    # two slots)
     "q_media_decode_stats",
-    "q_media_histogram_topk",
     "q_media_frame_means",
+    # CDC: snapshot reconciliation (newborn, gated the round it's born)
+    "q_snapshot_diff",
     # LLM-pipeline: text analysis (q_bigram_min_prob and
     # q_chunk_documents, 2× gate-green each, demoted for round-7-new
     # warehouse queries per the newborn-slot policy)

@@ -314,3 +314,65 @@ def q_winsorized_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DIFF_OLD_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 103 <> 0
+"""
+_DIFF_NEW_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderkey % 101 <> 0
+"""
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+WITH old_s AS ({_DIFF_OLD_SQL}),
+new_s AS ({_DIFF_NEW_SQL}),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS is_add,
+         n.o_orderkey IS NULL AS is_rem,
+         (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS is_chg
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN is_add THEN 'added'
+            WHEN is_rem THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM j WHERE is_add OR is_rem OR is_chg
+ORDER BY o_orderkey
+""",
+    doc="Snapshot reconciliation over two deterministic views of "
+    "orders (keys %103 added, %101 removed, %97 status-changed): "
+    "each side collapses to (key, xxhash64 row digest) BEFORE the "
+    "full-outer join, so the reconciliation exchange carries 16 "
+    "bytes/row regardless of row width — the oracle diffs the raw "
+    "columns directly, so the gate also proves the digest "
+    "classification ≡ column-wise comparison (a hash collision would "
+    "hash-mismatch the artifact) (operators/cdc.py:table_diff)",
+    tags=("warehouse", "cdc", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.cdc import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return table_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")

@@ -204,3 +204,23 @@ def test_warehouse_ops_survive_empty_input(spark):
         [("e", empty_f, "fk", dim, "dk")]
     ).collect()[0]
     assert (r["fact_rows"], r["orphan_rows"], r["null_keys"]) == (0, 0, 0)
+
+
+def test_table_diff_classifies_and_distinguishes_null_from_empty(spark):
+    from big_data_engineering_project_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, ""), (5, "e")],
+        "k LONG, v STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "e"), (6, "f")],
+        "k LONG, v STRING",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in table_diff(old, new, "k", ["v"]).collect()
+    }
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 ''→NULL IS a
+    # change, 5 unchanged, 6 added
+    assert got == {2: "changed", 3: "removed", 4: "changed", 6: "added"}
