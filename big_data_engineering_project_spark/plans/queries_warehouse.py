@@ -111,12 +111,14 @@ ORDER BY p.pair_support DESC, p.item_a, p.item_b
 LIMIT {_PAIR_TOPK}
 """,
     doc="Market-basket part pairs over orders (basket = l_orderkey, "
-    "item = l_partkey): within-basket self-join → exact pair support "
-    "→ lift from broadcast item supports, top-25 by (support DESC, "
-    "item ids) — a TOTAL order, so the selected set is engine-"
-    "independent; lift is one IEEE division of exact BIGINT products "
-    "on both engines. No all-pairs product: pairs exist only within "
-    "a basket (≤ C(7,2) for TPC-H orders); the a-priori min-support "
+    "item = l_partkey): ONE input pass — per-basket sorted item sets, "
+    "row-local pair/single/marker emission, one tagged groupBy — then "
+    "exact pair support → lift from broadcast item supports, top-25 "
+    "by (support DESC, item ids), a TOTAL order so the selected set "
+    "is engine-independent; lift is one IEEE division of exact BIGINT "
+    "products on both engines (the oracle's self-join form is the "
+    "same relation). No all-pairs product: pairs exist only within a "
+    "basket (≤ C(7,2) for TPC-H orders); the a-priori min-support "
     "prune in the operator bounds fan-out on real corpora "
     "(operators/association.py)",
     headline=True,
