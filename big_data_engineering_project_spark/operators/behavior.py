@@ -293,3 +293,61 @@ def rolling_active_users(
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user").alias("active_users"))
     )
+
+
+def top_journeys(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    step_col: str,
+    group_cols: list[str] | None = None,
+    n_steps: int = 5,
+    top_k: int = 15,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k user journeys: the first `n_steps` step values per
+    (user, *group_cols) episode joined into a path string, counted
+    corpus-wide — the path-mining view of the event stream (which
+    onboarding flows actually happen, and how often).
+
+    Shape: one window ranks steps inside each episode over the
+    (ts, tiebreak) TOTAL order (WindowGroupLimit pushes the rn <=
+    n_steps cut below the full sort where Spark can); the surviving
+    ≤ n_steps rows per episode collapse row-count-wise BEFORE the
+    journey groupBy, so the second shuffle carries at most n_steps
+    rows per episode. Ordered path assembly is engine-independent:
+    collect_list carries (rn, step) structs, array_sort orders by rn,
+    THEN the join — never a bare collect_list, whose order is
+    partition-arrival luck. Output ties at rank top_k break on the
+    path string (total order).
+    """
+    group_cols = group_cols or []
+    ep = [user_col, *group_cols]
+    w = Window.partitionBy(*ep).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_steps)
+        .groupBy(*ep)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__rn"), F.col(step_col).alias("s"))
+                        )
+                    ),
+                    lambda x: x.getField("s"),
+                ),
+                sep,
+            ).alias("journey")
+        )
+    )
+    return (
+        steps.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("journey"))
+        .limit(top_k)
+    )

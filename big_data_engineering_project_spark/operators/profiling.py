@@ -138,3 +138,64 @@ def referential_integrity_audit(
     for r in outs[1:]:
         out = out.unionByName(r)
     return out
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: for each candidate key column,
+    one row (column, n_rows, n_keys, max_key_rows, top1_share,
+    topn_share, avg_rows_per_key) — the pre-flight check before
+    keying a 100 TB join/agg on a column. top1_share is the fraction
+    of the table owned by the hottest key (the partition that one
+    reducer will receive); topn_share the fraction owned by the
+    `top_n` hottest.
+
+    Per column: one groupBy(key).count() (map-side combined), then
+    scalar aggregates over the counts table plus a distributed
+    TakeOrdered top-n of the count VALUES (sum of the n largest
+    counts is tie-insensitive — the multiset of values is what sums,
+    not which keys carry them — so the report is deterministic even
+    with rank-boundary ties). All shares are single IEEE divisions
+    of exact BIGINTs.
+    """
+    outs: list[DataFrame] = []
+    for c in key_cols:
+        counts = df.groupBy(F.col(c).alias("__k")).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        stats = counts.agg(
+            F.sum("__c").cast("long").alias("__rows"),
+            F.count(F.lit(1)).cast("long").alias("__keys"),
+            F.max("__c").cast("long").alias("__max"),
+        )
+        topn = (
+            counts.select("__c")
+            .orderBy(F.desc("__c"))
+            .limit(top_n)
+            .agg(F.sum("__c").cast("long").alias("__topn"))
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(topn)).select(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                F.col("__keys").alias("n_keys"),
+                F.col("__max").alias("max_key_rows"),
+                (
+                    F.col("__max").cast("double")
+                    / F.col("__rows").cast("double")
+                ).alias("top1_share"),
+                (
+                    F.col("__topn").cast("double")
+                    / F.col("__rows").cast("double")
+                ).alias("topn_share"),
+                (
+                    F.col("__rows").cast("double")
+                    / F.col("__keys").cast("double")
+                ).alias("avg_rows_per_key"),
+            )
+        )
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    return out

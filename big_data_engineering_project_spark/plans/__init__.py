@@ -85,16 +85,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # JOIN, so salted ≡ unsalted is proven each round), the forward
     # twin, LOCF gap-fill, native session_window vs lag-island, and
     # the stream-stream interval join's batch twin.
-    "q_asof_salted",
+    # (q_asof_salted, 2× gate-green, demoted for the newborn
+    # q_key_skew_report — the forward-salted twin keeps the salted≡
+    # unsalted proof under the gate)
     "q_asof_forward_salted",
+    "q_key_skew_report",
     "q_asof_next_purchase",
     "q_gap_fill_6h",
     "q_session_window_native",
     "q_click_purchase_interval",
     # Sketches: KMV algebra + daily merge, count-min, histogram merge
     # + the r7 HDR log-bucket relative-error twin
-    "q_kmv_set_ops",
+    # (q_kmv_set_ops, 2× gate-green, demoted for the newborn
+    # q_top_journeys — the daily merge keeps the KMV algebra gated)
     "q_kmv_daily_merge",
+    "q_top_journeys",
     "q_cm_heavy_hitters",
     "q_histogram_quantile_merge",
     "q_hdr_quantile_merge",

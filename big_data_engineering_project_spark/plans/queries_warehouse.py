@@ -378,3 +378,117 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
     ).orderBy("o_orderkey")
+
+
+def _skew_col_sql(name: str, table: str, col: str, top_n: int = 10) -> str:
+    return f"""
+SELECT '{name}' AS "column",
+       s.r_ AS n_rows, s.k_ AS n_keys, s.m_ AS max_key_rows,
+       CAST(s.m_ AS DOUBLE) / CAST(s.r_ AS DOUBLE) AS top1_share,
+       CAST(t.t_ AS DOUBLE) / CAST(s.r_ AS DOUBLE) AS topn_share,
+       CAST(s.r_ AS DOUBLE) / CAST(s.k_ AS DOUBLE) AS avg_rows_per_key
+FROM (
+  SELECT CAST(SUM(c_) AS BIGINT) AS r_, CAST(COUNT(*) AS BIGINT) AS k_,
+         CAST(MAX(c_) AS BIGINT) AS m_
+  FROM (SELECT COUNT(*) AS c_ FROM {table} GROUP BY {col}) cc
+) s CROSS JOIN (
+  SELECT CAST(SUM(c_) AS BIGINT) AS t_
+  FROM (SELECT COUNT(*) AS c_ FROM {table} GROUP BY {col}
+        ORDER BY c_ DESC LIMIT {top_n}) tt
+) t"""
+
+
+_SKEW_COLS = [
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+]
+
+
+@register(
+    "q_key_skew_report",
+    oracle=" UNION ALL ".join(
+        _skew_col_sql(n, t, c) for n, t, c in _SKEW_COLS
+    )
+    + '\nORDER BY "column"',
+    doc="Shuffle-key skew diagnostics across the five join/agg keys "
+    "of the two fact tables: hottest-key share, top-10 concentration, "
+    "keys-per-row — the pre-flight report that decides salting / AQE "
+    "skew-join / broadcast before keying a 100 TB shuffle. Per key "
+    "one map-side-combined groupBy; the top-10 sum is over count "
+    "VALUES (tie-insensitive, so deterministic at rank boundaries); "
+    "shares are single IEEE divisions of exact BIGINTs "
+    "(operators/profiling.py:key_skew_report)",
+    tags=("warehouse", "quality", "profiling"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    rep_ev = key_skew_report(ev, ["user_id", "event_type"]).withColumn(
+        "column", F.concat(F.lit("events."), F.col("column"))
+    )
+    rep_li = key_skew_report(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"]
+    ).withColumn("column", F.concat(F.lit("lineitem."), F.col("column")))
+    return rep_ev.unionByName(rep_li).orderBy("column")
+
+
+_JOURNEY_STEPS = 5
+_JOURNEY_TOPK = 15
+
+
+@register(
+    "q_top_journeys",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+),
+j AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= {_JOURNEY_STEPS} GROUP BY user_id, day
+)
+SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY journey
+ORDER BY n_users DESC, journey ASC
+LIMIT {_JOURNEY_TOPK}
+""",
+    doc="Top-15 user journeys: first 5 event types of each (user, "
+    "day) episode joined '>'-separated, counted corpus-wide — the "
+    "path-mining view of the event stream. Ranking window over the "
+    "(ts, event_id) total order with the rn<=5 cut collapsing "
+    "episodes BEFORE the journey shuffle; path assembly is "
+    "array_sort(collect_list(struct(rn, step))) — NEVER bare "
+    "collect_list, whose order is partition-arrival luck; the oracle "
+    "is DuckDB's ordered string_agg. (n_users DESC, journey) is a "
+    "total order (operators/behavior.py:top_journeys)",
+    tags=("behavior", "window", "path"),
+)
+def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        top_journeys,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    return top_journeys(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        step_col="event_type",
+        group_cols=["__day"],
+        n_steps=_JOURNEY_STEPS,
+        top_k=_JOURNEY_TOPK,
+    )

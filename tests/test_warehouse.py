@@ -224,3 +224,55 @@ def test_table_diff_classifies_and_distinguishes_null_from_empty(spark):
     # 1 unchanged (absent), 2 changed, 3 removed, 4 ''→NULL IS a
     # change, 5 unchanged, 6 added
     assert got == {2: "changed", 3: "removed", 4: "changed", 6: "added"}
+
+
+def test_key_skew_report_planted_hot_key(spark):
+    from big_data_engineering_project_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    # 10 rows of key 7, one row each of keys 0..4 → 15 rows, 6 keys
+    rows = [(7,)] * 10 + [(k,) for k in range(5)]
+    df = spark.createDataFrame(rows, "k LONG")
+    r = key_skew_report(df, ["k"], top_n=3).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (15, 6, 10)
+    assert r["top1_share"] == 10 / 15
+    assert r["topn_share"] == (10 + 1 + 1) / 15  # top-3 count VALUES
+    assert r["avg_rows_per_key"] == 15 / 6
+
+
+def test_top_journeys_orders_steps_and_counts(spark):
+    from big_data_engineering_project_spark.operators.behavior import (
+        top_journeys,
+    )
+
+    # two users share journey A>B (u1 has a 3rd step beyond n_steps=2);
+    # u3 alone on B>A
+    rows = [
+        (1, _ts(1), 1, "A"), (1, _ts(2), 2, "B"), (1, _ts(3), 3, "C"),
+        (2, _ts(1), 4, "A"), (2, _ts(2), 5, "B"),
+        (3, _ts(1), 6, "B"), (3, _ts(2), 7, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u LONG, ts TIMESTAMP, id LONG, step STRING"
+    )
+    got = [
+        (r["journey"], r["n_users"])
+        for r in top_journeys(
+            df, "u", "ts", "id", "step", n_steps=2, top_k=10
+        ).collect()
+    ]
+    assert got == [("A>B", 2), ("B>A", 1)]
+
+
+def test_top_journeys_same_ts_ties_break_by_id(spark):
+    from big_data_engineering_project_spark.operators.behavior import (
+        top_journeys,
+    )
+
+    rows = [(1, _ts(1), 9, "X"), (1, _ts(1), 3, "Y")]
+    df = spark.createDataFrame(
+        rows, "u LONG, ts TIMESTAMP, id LONG, step STRING"
+    )
+    got = top_journeys(df, "u", "ts", "id", "step", n_steps=2).collect()
+    assert got[0]["journey"] == "Y>X"  # id 3 before id 9
