@@ -109,3 +109,47 @@ def write_sorted_parquet(
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
         path
     )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Hive-layout partitioned write (K4's bucketed saveAsTable,
+    path-based): `path/pcol=value/...` directories so downstream
+    filtered reads partition-prune at the FILE LISTING level (the
+    scan never opens non-matching directories — cheaper than row-group
+    pruning, the first layout decision for a 100 TB fact table).
+
+    With `dynamic_overwrite` (the incremental-backfill mode), only the
+    partitions PRESENT IN `df` are replaced; untouched partitions
+    survive. That is what makes re-running one day's pipeline safe:
+    `mode("overwrite")` with STATIC overwrite semantics would delete
+    the whole table first. Implemented with Spark's
+    `spark.sql.sources.partitionOverwriteMode=dynamic` session conf,
+    scoped to this write and restored after (the conf is
+    session-global; leaking it would silently change other writers'
+    delete semantics).
+
+    Choose partition columns with BOUNDED cardinality (date, region —
+    not user_id): each distinct value is a directory, and a
+    million-directory listing costs more than the pruning saves.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        if dynamic_overwrite:
+            spark.conf.set(key, "dynamic")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)

@@ -184,3 +184,47 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score", "day"}
     got = {r["id"]: r["score"] for r in merged.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_dynamic_partition_overwrite_keeps_untouched_partitions(
+    spark, tmp_path
+):
+    """Incremental backfill contract: re-writing ONE day must replace
+    only that day's directory; static overwrite semantics would wipe
+    the whole table — the difference between a safe re-run and a data
+    loss at 100 TB."""
+    from big_data_engineering_project_spark.sources.io import (
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        "day STRING, id INT, v DOUBLE",
+    )
+    write_partitioned_parquet(full, path, ["day"])
+    # backfill day 1 with corrected values (one row now)
+    fix = spark.createDataFrame(
+        [("2024-01-01", 9, 99.0)], "day STRING, id INT, v DOUBLE"
+    )
+    write_partitioned_parquet(fix, path, ["day"])
+    got = {
+        # partition-column type inference reads day=... back as DATE
+        (str(r["day"]), r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    # day 2 survived; day 1 fully replaced by the backfill
+    assert got == {("2024-01-01", 9, 99.0), ("2024-01-02", 3, 30.0)}
+    # partition pruning: a day filter lists only that directory
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    ) == ["day=2024-01-01", "day=2024-01-02"]
+    # conf restored (scoped override must not leak)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .lower()
+        == "static"
+    )
