@@ -185,3 +185,106 @@ def label_propagation(
         if materialize is not None and (it + 1) % materialize_every == 0:
             lab = materialize(lab)
     return lab
+
+
+# triangle_count's oriented edge frame feeds three consumers (two
+# wedge sides + the closing join); Catalyst recomputes the branch per
+# consumer, so the edge-cardinality frame is persisted with the same
+# bounded owned-cache lifecycle as the association counts table
+# (operators/association.py).
+_OWNED_PERSISTS: list[DataFrame] = []
+_MAX_OWNED = 4
+
+
+def clear_graph_caches() -> None:
+    """Unpersist every frame triangle_count persisted internally."""
+    while _OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _persist_owned(df: DataFrame) -> DataFrame:
+    while len(_OWNED_PERSISTS) >= _MAX_OWNED:
+        try:
+            _OWNED_PERSISTS.pop(0).unpersist()
+        except Exception:
+            pass
+    _OWNED_PERSISTS.append(df.persist())
+    return df
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle enumeration over an undirected graph, one row
+    per triangle with vertices sorted ascending (a < b < c) — the
+    third member of the graph family beside pagerank (ranking) and
+    label_propagation (communities), and the classic distributed-join
+    stress test.
+
+    Degree-ordered orientation (the standard fan-out bound): every
+    edge is oriented from its lower to its higher endpoint under the
+    TOTAL order (degree, node-id), making the graph a DAG where each
+    node's out-degree is O(sqrt(m)) regardless of how hot the
+    original node was — a celebrity node with 10^6 neighbors receives
+    almost all its edges INBOUND, so the wedge join below never
+    explodes around it. Each triangle then has exactly one node with
+    out-degree 2 within it, so enumerating (out-neighbor pairs of
+    each node) ∩ (oriented edges) counts every triangle exactly once.
+
+    Shape: canonical distinct on the edge list, one degree aggregate
+    (node-cardinality-sized, broadcast back), the wedge self-join on
+    the source node, and one closing semi-ish join on the oriented
+    edge set — shuffles key on node ids; nothing keys on a raw hot
+    vertex thanks to the orientation.
+
+    Vertices must be non-null and mutually comparable; self-loops and
+    duplicate/reverse edges are dropped.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("__da")))
+    db = F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("__db")))
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
+    o = _persist_owned(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("__kv"),
+        )
+    )
+    w1 = o.select("u", F.col("v").alias("v1"), F.col("__kv").alias("__k1"))
+    w2 = o.select("u", F.col("v").alias("v2"), F.col("__kv").alias("__k2"))
+    wedges = w1.join(w2, "u").filter(F.col("__k1") < F.col("__k2"))
+    closing = o.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    ).withColumn("__closed", F.lit(1))
+    tri = (
+        wedges.join(closing, ["v1", "v2"], "inner")
+        .select(
+            F.array_sort(
+                F.array(F.col("u"), F.col("v1"), F.col("v2"))
+            ).alias("__t")
+        )
+        .select(
+            F.col("__t")[0].alias("a"),
+            F.col("__t")[1].alias("b"),
+            F.col("__t")[2].alias("c"),
+        )
+    )
+    return tri

@@ -66,11 +66,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the graph family) and q_hdr_quantile_merge (below, sketches).
     "q_sliding_dup_coverage",
     # Multimodal decode (exact oracles, per-SF fixture;
-    # q_media_histogram_topk, 2× gate-green, demoted for the newborn
-    # q_snapshot_diff — decode_stats + frame_means keep the family at
-    # two slots)
+    # q_media_histogram_topk and q_media_frame_means, 2× gate-green
+    # each, demoted for the newborns q_snapshot_diff and
+    # q_triangle_parts — decode_stats keeps the family gated)
     "q_media_decode_stats",
-    "q_media_frame_means",
     # CDC: snapshot reconciliation (newborn, gated the round it's born)
     "q_snapshot_diff",
     # LLM-pipeline: text analysis (q_bigram_min_prob and
@@ -109,9 +108,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # family at two slots)
     "q_mad_outliers",
     "q_winsorized_value_by_type",
-    # Graph: the two iterative fixed-points (rank + communities)
+    # Graph: the two iterative fixed-points (rank + communities) plus
+    # the r7-newborn triangle enumeration (q_media_frame_means, 2×
+    # gate-green, demoted for it; decode_stats keeps media gated)
     "q_pagerank_event_graph",
     "q_label_propagation",
+    "q_triangle_parts",
     # Join strategies: bloom-pruned semi, sharded top-k, Q21 shape
     "q_bloom_semi_orders",
     "q_topk_lineitems_sharded",

@@ -492,3 +492,48 @@ def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_steps=_JOURNEY_STEPS,
         top_k=_JOURNEY_TOPK,
     )
+
+
+_TRI_MIN_SUPPORT = 2
+
+
+@register(
+    "q_triangle_parts",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+pairs AS (
+  SELECT a.it AS x, b.it AS y, COUNT(*) AS c
+  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+)
+SELECT e1.x AS a, e1.y AS b, e2.y AS c
+FROM pairs e1
+JOIN pairs e2 ON e1.y = e2.x
+JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+ORDER BY a, b, c
+""",
+    doc="Triangle enumeration over the part co-order graph (edge = "
+    "two parts co-ordered in ≥ 2 baskets, from the frequent_pairs "
+    "counts): association mining composed with graph analytics — "
+    "cliques of mutually co-bought parts. Degree-ordered orientation "
+    "bounds every node's wedge fan-out at O(sqrt(m)) regardless of "
+    "how hot the part is (the oracle's naive x<y three-way join is "
+    "the same relation but would explode on a celebrity vertex); "
+    "vertices sorted ascending per triangle → engine-independent "
+    "rows (operators/graph.py:triangle_count)",
+    tags=("warehouse", "graph", "join"),
+)
+def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_support") >= _TRI_MIN_SUPPORT
+    )
+    return triangle_count(edges, src="item_a", dst="item_b").orderBy(
+        "a", "b", "c"
+    )

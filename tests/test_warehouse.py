@@ -276,3 +276,19 @@ def test_top_journeys_same_ts_ties_break_by_id(spark):
     )
     got = top_journeys(df, "u", "ts", "id", "step", n_steps=2).collect()
     assert got[0]["journey"] == "Y>X"  # id 3 before id 9
+
+
+def test_triangle_count_k4_with_noise(spark):
+    from big_data_engineering_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 (4 triangles) + pendant edge + self-loop + reverse duplicate
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    out = sorted(tuple(r) for r in triangle_count(df).collect())
+    assert out == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert triangle_count(empty).count() == 0
