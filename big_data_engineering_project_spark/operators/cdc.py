@@ -134,6 +134,14 @@ def table_diff(
     `key` must be unique per snapshot (enforced nowhere — duplicate
     keys make 'changed' ill-defined; pre-aggregate first).
     """
+    if not compare_cols:
+        raise ValueError(
+            "table_diff needs at least one compare column — with none, "
+            "'changed' is undefined (only added/removed would be "
+            "meaningful; select the key into compare_cols for a "
+            "presence-only diff)"
+        )
+
     def digest(df: DataFrame) -> DataFrame:
         parts: list[Column] = []
         for c in compare_cols:

@@ -110,6 +110,10 @@ def referential_integrity_audit(
     key both sides are naturally clustered by. The per-relation
     results are 1-row frames; the union is free.
     """
+    if not relations:
+        raise ValueError(
+            "referential_integrity_audit needs at least one relation"
+        )
     outs: list[DataFrame] = []
     for name, fact, fkey, dim, dkey in relations:
         dk = dim.select(F.col(dkey).alias("__dk")).distinct().withColumn(
@@ -159,6 +163,8 @@ def key_skew_report(
     with rank-boundary ties). All shares are single IEEE divisions
     of exact BIGINTs.
     """
+    if not key_cols:
+        raise ValueError("key_skew_report needs at least one key column")
     outs: list[DataFrame] = []
     for c in key_cols:
         counts = df.groupBy(F.col(c).alias("__k")).agg(

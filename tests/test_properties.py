@@ -121,3 +121,97 @@ def test_chunking_reconstructs_token_stream(spark, tokens, chunk, overlap):
     for r in rows:
         assert r["start_tok"] == r["chunk_idx"] * stride
         assert 1 <= r["n_toks_chunk"] <= chunk
+
+
+@st.composite
+def changelogs(draw):
+    """Small random changelog: (key, minute-offset, id, attr)."""
+    n = draw(st.integers(min_value=0, max_value=14))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(min_value=1, max_value=3)),  # key
+                draw(st.integers(min_value=0, max_value=20)),  # minute
+                i,  # unique id
+                draw(st.sampled_from(["A", "B", "C"])),  # attr
+            )
+        )
+    return rows
+
+
+@given(changelogs())
+@pyspark_settings
+def test_scd2_invariants(spark, rows):
+    """On ANY changelog: versions per key are contiguous 1..n; exactly
+    one open (is_current) version per key; intervals chain
+    (effective_to of v equals effective_from of v+1); consecutive
+    versions always differ in attr (compaction worked); and the
+    as-of snapshot at +inf equals the current rows."""
+    import datetime as dt
+
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_from_changelog,
+        snapshot_asof,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(minutes=m), i, a) for k, m, i, a in rows
+    ]
+    df = spark.createDataFrame(
+        data, "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    hist = scd2_from_changelog(df, "k", "ts", "attr", ("id",)).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["effective_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["attr"] != b["attr"]
+    if hist:
+        cur = {(r["k"], r["attr"]) for r in hist if r["is_current"]}
+        hist_df = scd2_from_changelog(df, "k", "ts", "attr", ("id",))
+        snap = snapshot_asof(
+            hist_df, "k", base + dt.timedelta(days=999)
+        ).collect()
+        assert {(r["k"], r["attr"]) for r in snap} == cur
+
+
+@given(changelogs())
+@pyspark_settings
+def test_table_diff_self_is_empty_and_classifies(spark, rows):
+    """diff(x, x) == ∅ on any frame; and against a mutated copy the
+    classification matches a per-key python oracle."""
+    from big_data_engineering_project_spark.operators.cdc import table_diff
+
+    # unique key per row id
+    data = [(i, a, k) for k, m, i, a in rows]
+    df = spark.createDataFrame(data, "id LONG, attr STRING, extra LONG")
+    assert table_diff(df, df, "id", ["attr", "extra"]).count() == 0
+
+    # mutate: drop ids % 3 == 0, change attr where id % 2 == 1
+    new_rows = [
+        (i, "Z" if i % 2 == 1 else a, k)
+        for i, a, k in data
+        if i % 3 != 0
+    ]
+    new = spark.createDataFrame(
+        new_rows, "id LONG, attr STRING, extra LONG"
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in table_diff(df, new, "id", ["attr", "extra"]).collect()
+    }
+    want = {}
+    for i, a, k in data:
+        if i % 3 == 0:
+            want[i] = "removed"
+        elif i % 2 == 1 and a != "Z":
+            want[i] = "changed"
+    assert got == want

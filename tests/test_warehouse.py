@@ -292,3 +292,21 @@ def test_triangle_count_k4_with_noise(spark):
 
     empty = spark.createDataFrame([], "src LONG, dst LONG")
     assert triangle_count(empty).count() == 0
+
+
+def test_degenerate_arg_guards(spark):
+    import pytest as _pytest
+
+    from big_data_engineering_project_spark.operators.cdc import table_diff
+    from big_data_engineering_project_spark.operators.profiling import (
+        key_skew_report,
+        referential_integrity_audit,
+    )
+
+    df = spark.createDataFrame([(1,)], "k LONG")
+    with _pytest.raises(ValueError):
+        table_diff(df, df, "k", [])
+    with _pytest.raises(ValueError):
+        referential_integrity_audit([])
+    with _pytest.raises(ValueError):
+        key_skew_report(df, [])
