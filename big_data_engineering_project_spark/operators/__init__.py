@@ -8,4 +8,14 @@ dedup      — exact / minhash-LSH / simhash / n-gram-Jaccard /
              embedding near-dup (north-star training-data ops)
 similarity — brute-force + LSH-bucketed ANN over embeddings
 text_analysis — lang-ID, quality score, token stats, fingerprints
+temporal   — as-of join matrix, band join, gap-fill LOCF, OHLC bars
+behavior   — sessions, funnel, transitions, rolling, journeys
+sketches   — KMV, count-min, histogram/HDR quantiles
+graph      — PageRank, label propagation, triangle counting
+sampling   — hash splits, stratified, πps + Horvitz-Thompson
+profiling  — table profile, FK-orphan audit, key-skew report
+cdc        — SCD Type 2 history, as-of snapshots, table diff
+association — market-basket frequent pairs + lift
+bloom      — broadcast bloom-pruned semi join
+redaction / upsert — PII regexes; keyed upsert + bucketed tables
 """

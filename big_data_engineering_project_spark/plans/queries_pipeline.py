@@ -2534,3 +2534,45 @@ def q_hdr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [(50, 100, "p50_micro"), (95, 100, "p95_micro"), (99, 100, "p99_micro")],
     ).orderBy("event_type")
+
+
+@register(
+    "q_hll_daily_merge",
+    oracle=None,  # DataSketches HLL register contents are engine-
+    # internal — rows-only; tests/test_operators.py::
+    # test_hll_daily_merge_equals_direct pins merged ≡ direct exactly
+    # (same-lgK union is lossless in register space) and the estimate
+    # within the rsd bound of the exact count.
+    doc="Mergeable-sketch rollup on the ENGINE's DataSketches HLL "
+    "surface (hll_sketch_agg per (type, day) → hll_union_agg over "
+    "days → hll_sketch_estimate), the native twin of the exact-"
+    "oracle q_kmv_daily_merge: per-day sketches persist as bytes, "
+    "the whole-range distinct estimate re-aggregates WITHOUT "
+    "rescanning history — the continuous-aggregate pattern at "
+    "100 TB. Union at equal lgK is lossless, so est_merged == "
+    "est_direct exactly (pytest-pinned); both sit beside the exact "
+    "distinct for the error contract",
+    tags=("pipeline", "sketch", "rows-only"),
+)
+def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lgk = F.lit(14)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.hll_sketch_agg("user_id", lgk).alias("__sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+        .cast("long")
+        .alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk))
+        .cast("long")
+        .alias("est_direct"),
+        F.countDistinct("user_id").cast("long").alias("exact"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select("event_type", "est_merged", "est_direct", "exact")
+        .orderBy("event_type")
+    )

@@ -1593,3 +1593,19 @@ def test_approx_quantiles_within_bound(spark, sf_dir):
         b = brackets[r["event_type"]]
         assert b["p50_lo"] <= r["p50_approx"] <= b["p50_hi"], r
         assert b["p95_lo"] <= r["p95_approx"] <= b["p95_hi"], r
+
+
+def test_hll_daily_merge_equals_direct(spark, sf_dir):
+    """DataSketches HLL union at equal lgK is lossless in register
+    space: the per-day-merged estimate must EQUAL the direct
+    whole-range estimate, and both must sit within the lgK=14 rsd
+    (~0.41%, allow 5x margin) of the exact distinct count."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_hll_daily_merge"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_merged"] == r["est_direct"], r
+        assert abs(r["est_merged"] - r["exact"]) <= max(
+            1, int(0.02 * r["exact"])
+        ), r
