@@ -62,3 +62,107 @@ def detect_anomalies_per_group(
         .filter(F.col("z") > threshold)
         .drop("mu", "sigma")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k_half_sigmas: int = 1,
+    h_sigma: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key (Page 1954): alarm when
+    the cumulative excess over (mean + k·sigma) exceeds h·sigma — the
+    SEQUENTIAL complement of the pointwise z-score (z flags one wild
+    value; CUSUM flags a persistent small shift no single point would
+    trip). k = k_half_sigmas/2 sigmas of slack.
+
+    The textbook recursion s_i = max(0, s_{i-1} + y_i) is not
+    window-expressible, but its closed form is:
+
+        s_i = S_i − min(0, min_{j≤i} S_j),   S = prefix sum of y
+
+    two cumulative window functions over the SAME (ts, id) total
+    order. Everything is INTEGER micro-units (the PageRank
+    discipline): values floor to BIGINT at `scale`, mu floors from
+    the exact integer sum, sigma floors from the double sqrt of a
+    moment expression over exact integer sums (one deterministic IEEE
+    expression, not an accumulation), and the prefix sums are BIGINT
+    — so the whole statistic is combine-order-free and bit-identical
+    cross-engine, giving the detector an exact DuckDB oracle. (A
+    float formulation loses parity in the last bits because grouped
+    AVG/STDDEV combine in engine-chosen order.)
+
+    Shape: one per-key integer-moment aggregate (group-cardinality-
+    sized, broadcast back — the z-score discipline), then ONE keyed
+    window exchange for both cumulatives. Per-key series length
+    bounds the window partition (same class as sessionization).
+    Requires non-negative epoch-sane values × scale to stay inside
+    BIGINT; per-key n must be ≥ 2 (sigma undefined otherwise — such
+    keys are dropped with the stats join).
+
+    Returns alarm rows: (key, id, ts, value, cusum_micro,
+    threshold_micro) in micro-units.
+    """
+    from pyspark.sql import Window
+
+    v_u = F.floor(F.col(value_col) * scale).cast("long")
+    dfu = df.withColumn("__vu", v_u)
+    stats = (
+        dfu.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__vu").cast("decimal(38,0)").alias("__s1"),
+            F.sum(
+                (F.col("__vu") * F.col("__vu")).cast("decimal(38,0)")
+            ).alias("__s2"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            key,
+            F.floor(
+                F.col("__s1").cast("double") / F.col("__n")
+            ).cast("long").alias("__mu_u"),
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("__s2").cast("double")
+                        - F.col("__s1").cast("double")
+                        * F.col("__s1").cast("double")
+                        / F.col("__n")
+                    )
+                    / (F.col("__n") - 1)
+                )
+            ).cast("long").alias("__sigma_u"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    y_u = (
+        F.col("__vu")
+        - F.col("__mu_u")
+        - (F.col("__sigma_u") * k_half_sigmas / F.lit(2)).cast("long")
+    )
+    with_s = (
+        dfu.join(F.broadcast(stats), key)
+        .withColumn("__S", F.sum(y_u).over(w))
+        .withColumn(
+            "__m", F.least(F.lit(0).cast("long"), F.min("__S").over(w))
+        )
+        .withColumn("cusum_micro", (F.col("__S") - F.col("__m")).cast("long"))
+        .withColumn(
+            "threshold_micro",
+            (F.col("__sigma_u") * h_sigma).cast("long"),
+        )
+    )
+    return with_s.filter(
+        F.col("cusum_micro") > F.col("threshold_micro")
+    ).select(
+        key, id_col, ts_col, value_col, "cusum_micro", "threshold_micro"
+    )

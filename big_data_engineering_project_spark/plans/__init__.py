@@ -72,10 +72,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_media_decode_stats",
     # CDC: snapshot reconciliation (newborn, gated the round it's born)
     "q_snapshot_diff",
-    # LLM-pipeline: text analysis (q_bigram_min_prob and
-    # q_chunk_documents, 2× gate-green each, demoted for round-7-new
-    # warehouse queries per the newborn-slot policy)
-    "q_importance_weights",
+    # LLM-pipeline: text analysis (q_bigram_min_prob,
+    # q_chunk_documents, and q_importance_weights — 2× gate-green
+    # each — demoted for round-7-new queries per the newborn-slot
+    # policy; vocab coverage keeps the family gated)
     "q_vocab_coverage",
     # LLM-pipeline: sampling (πps + Horvitz-Thompson, single-gated r6)
     "q_weighted_sample_ht",
@@ -108,6 +108,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # family at two slots)
     "q_mad_outliers",
     "q_winsorized_value_by_type",
+    "q_cusum_drift",
     # Graph: the two iterative fixed-points (rank + communities) plus
     # the r7-newborn triangle enumeration (q_media_frame_means, 2×
     # gate-green, demoted for it; decode_stats keeps media gated)

@@ -537,3 +537,77 @@ def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="item_a", dst="item_b").orderBy(
         "a", "b", "c"
     )
+
+
+_CUSUM_K_HALF = 1  # slack = sigma/2
+_CUSUM_H = 4
+_CUSUM_SCALE = 1_000_000
+
+
+@register(
+    "q_cusum_drift",
+    oracle=f"""
+WITH u AS (
+  SELECT event_id, event_type, ts, value,
+         CAST(FLOOR(value * {_CUSUM_SCALE}) AS BIGINT) AS vu
+  FROM events
+),
+st0 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(vu AS DECIMAL(38, 0))) AS s1,
+         SUM(CAST(vu * vu AS DECIMAL(38, 0))) AS s2
+  FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+),
+st AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mu_u,
+         CAST(FLOOR(SQRT(
+           (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+         )) AS BIGINT) AS sigma_u
+  FROM st0
+),
+y AS (
+  SELECT u.event_id, u.event_type, u.ts, u.value, st.sigma_u,
+         SUM(u.vu - st.mu_u - (st.sigma_u * {_CUSUM_K_HALF}) // 2) OVER
+           (PARTITION BY u.event_type ORDER BY u.ts, u.event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM u JOIN st USING (event_type)
+),
+c AS (
+  SELECT event_id, event_type, ts, value,
+         CAST(S - LEAST(0, MIN(S) OVER
+           (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS BIGINT) AS cusum_micro,
+         CAST(sigma_u * {_CUSUM_H} AS BIGINT) AS threshold_micro
+  FROM y
+)
+SELECT event_type, event_id, ts, value, cusum_micro, threshold_micro
+FROM c WHERE cusum_micro > threshold_micro
+ORDER BY event_type, event_id
+""",
+    doc="One-sided CUSUM drift alarms per event type (Page 1954): the "
+    "sequential complement of q_zscore_anomalies/q_mad_outliers — a "
+    "persistent small upward shift trips the cumulative statistic "
+    "where no single point would. The non-window recursion max(0, "
+    "s+y) is replaced by its closed form S_i − min(0, running-min S) "
+    "— two cumulatives over one (ts, event_id)-ordered keyed window, "
+    "ALL in integer micro-units (floored values, floored moments, "
+    "BIGINT prefix sums — the PageRank discipline), so the statistic "
+    "is combine-order-free and the oracle exact; a float formulation "
+    "loses the last bits to grouped-AVG combine order "
+    "(operators/anomaly.py:cusum_drift)",
+    tags=("behavior", "anomaly", "window"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.anomaly import (
+        cusum_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift(
+        ev, key="event_type", ts_col="ts", id_col="event_id",
+        value_col="value", k_half_sigmas=_CUSUM_K_HALF,
+        h_sigma=_CUSUM_H, scale=_CUSUM_SCALE,
+    ).orderBy("event_type", "event_id")

@@ -310,3 +310,57 @@ def test_degenerate_arg_guards(spark):
         referential_integrity_audit([])
     with _pytest.raises(ValueError):
         key_skew_report(df, [])
+
+
+def test_cusum_detects_planted_drift_not_flat(spark):
+    """A persistent +1.5-sigma shift in the second half of one key's
+    series must raise alarms there; a statistically identical key
+    without the shift must stay quiet. Matches a pure-python
+    simulation of the textbook recursion max(0, s + y) exactly
+    (closed form ≡ recursion)."""
+    import datetime as dt
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        cusum_drift,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # flat key: alternating 10/12 forever
+    for j in range(60):
+        rows.append(("flat", base + dt.timedelta(minutes=j), i, 10.0 + 2 * (j % 2)))
+        i += 1
+    # drift key: same start, then shifts up
+    for j in range(60):
+        v = 10.0 + 2 * (j % 2) + (8.0 if j >= 30 else 0.0)
+        rows.append(("drift", base + dt.timedelta(minutes=j), i, v))
+        i += 1
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    out = cusum_drift(df, "k", "ts", "id", "v").collect()
+    keys = {r["k"] for r in out}
+    assert "drift" in keys and "flat" not in keys
+
+    # python oracle: recursion over integer micro-units
+    import math
+
+    SCALE = 1_000_000
+    by_key = {"flat": [], "drift": []}
+    for k, ts, ident, v in rows:
+        by_key[k].append((ts, ident, v))
+    alarms = set()
+    for k, series in by_key.items():
+        vus = [math.floor(v * SCALE) for _, _, v in series]
+        n = len(vus)
+        s1 = sum(vus)
+        s2 = sum(x * x for x in vus)
+        mu = math.floor(s1 / n)
+        sigma = math.floor(math.sqrt((s2 - s1 * s1 / n) / (n - 1)))
+        slack = sigma // 2
+        s = 0
+        for (_, ident, _), vu in zip(series, vus):
+            s = max(0, s + vu - mu - slack)
+            if s > 4 * sigma:
+                alarms.add(ident)
+    got = {r["id"] for r in out}
+    assert got == alarms
