@@ -13,7 +13,8 @@ Maps (SURVEY.md §2.1/§2.2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -153,3 +154,80 @@ def write_partitioned_parquet(
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def zorder_value(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Z-order (Morton) key: quantize each column to `bits`-bit rank
+    inside its [min, max] range, then interleave the bits. Returns a
+    Column; callers pass per-column bounds (exact aggregates,
+    broadcast or literal). bits * len(cols) must be ≤ 63."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError("zorder_value: bits * n_cols must fit a BIGINT")
+    q = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c, lo, hi = F.col(c) if isinstance(c, str) else c, F.lit(lo) if not isinstance(lo, Column) else lo, F.lit(hi) if not isinstance(hi, Column) else hi
+        span = F.greatest(hi - lo, F.lit(1)).cast("double")
+        q.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(
+                    (c.cast("double") - lo.cast("double"))
+                    * ((1 << bits) - 1)
+                    / span
+                ).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, qc in enumerate(q):
+            bit = F.shiftright(qc, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional clustered layout: range-partition + sort on
+    the Z-order key of `cols`, so EVERY listed column's values are
+    locally clustered in every file — a filter on ANY of them skips
+    most files via footer min/max stats. The single-column
+    `write_sorted_parquet` gives perfect pruning on its sort key and
+    NONE on the others; Z-order trades a little of the first
+    dimension's pruning for skipping on all dimensions — the standard
+    layout decision for a fact table with several selective query
+    keys (Delta/Iceberg OPTIMIZE ZORDER).
+
+    Bounds are exact aggregates of the input (one pass), broadcast
+    into the key expression — no driver-side collect, no sampling
+    (quantized ranks only need the range, not the distribution; the
+    range partitioner balances file sizes on the skewed key space).
+    """
+    bounds = df.agg(
+        *[
+            f(c).cast("double").alias(f"__{tag}_{c}")
+            for c in cols
+            for tag, f in (("min", F.min), ("max", F.max))
+        ]
+    )
+    z = zorder_value(
+        cols,
+        [F.col(f"__min_{c}") for c in cols],
+        [F.col(f"__max_{c}") for c in cols],
+        bits=bits,
+    )
+    (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop(*[f"__{t}_{c}" for c in cols for t in ("min", "max")])
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -228,3 +228,69 @@ def test_dynamic_partition_overwrite_keeps_untouched_partitions(
         .lower()
         == "static"
     )
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout must give footer-stats file skipping on BOTH
+    clustered columns, where the single-column sorted layout prunes
+    only its own sort key. Probe: fraction of files whose [min, max]
+    for a column overlaps a 10%-range predicate."""
+    import pyarrow.parquet as pq
+
+    from big_data_engineering_project_spark.sources.io import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered_parquet(li, zpath, ["l_partkey", "l_suppkey"], n_files)
+    write_sorted_parquet(li, spath, ["l_partkey"], n_files)
+
+    import os
+
+    def overlap_fraction(path, col, lo, hi):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert files
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit / len(files)
+
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    pk_lo, pk_hi = stats[0], stats[0] + (stats[1] - stats[0]) // 10
+    sk_lo, sk_hi = stats[2], stats[2] + max(1, (stats[3] - stats[2]) // 10)
+
+    # sorted-by-partkey: perfect partkey pruning, NO suppkey pruning
+    assert overlap_fraction(spath, "l_partkey", pk_lo, pk_hi) <= 0.25
+    assert overlap_fraction(spath, "l_suppkey", sk_lo, sk_hi) >= 0.9
+    # z-order: BOTH dimensions skip a majority of files
+    zf_pk = overlap_fraction(zpath, "l_partkey", pk_lo, pk_hi)
+    zf_sk = overlap_fraction(zpath, "l_suppkey", sk_lo, sk_hi)
+    assert zf_pk <= 0.6, zf_pk
+    assert zf_sk <= 0.6, zf_sk
