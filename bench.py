@@ -66,12 +66,15 @@ Noise ledger (committed attributions for round-over-round deltas):
   ("calibration": {pre_sec, post_sec}) so future round-over-round
   ratios are normalized by the probe ratio before being read as
   regressions.
-- r7 final (37 headliners incl. SCD2 / basket pairs / OHLC): total
-  21.079 s, calibration 1.368/1.188; 34-query common total vs the
-  r6 artifact 0.963x (flat, idle machine). q_basket_pair_lift
-  benches 0.653 s with the single-pass tagged-counts form vs 1.47 s
-  for the old 5-scan self-join form under identical conditions —
-  the scale-motivated rework is also the locally faster plan.
+- r7 final (41 headliners; the four late-round warehouse queries —
+  snapshot diff, key-skew report, top journeys, CUSUM — promoted to
+  headline for an r8 baseline): total 21.244 s, calibration
+  1.121/1.131; 37-query common total vs the earlier same-round
+  artifact 0.891x and 34-common vs the r6 artifact 0.963x (flat,
+  idle machine). q_basket_pair_lift benches 0.653 s with the
+  single-pass tagged-counts form vs 1.47 s for the old 5-scan
+  self-join form under identical conditions — the scale-motivated
+  rework is also the locally faster plan.
 """
 
 from __future__ import annotations

@@ -359,6 +359,7 @@ ORDER BY o_orderkey
     "columns directly, so the gate also proves the digest "
     "classification ≡ column-wise comparison (a hash collision would "
     "hash-mismatch the artifact) (operators/cdc.py:table_diff)",
+    headline=True,
     tags=("warehouse", "cdc", "join"),
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +422,7 @@ _SKEW_COLS = [
     "VALUES (tie-insensitive, so deterministic at rank boundaries); "
     "shares are single IEEE divisions of exact BIGINTs "
     "(operators/profiling.py:key_skew_report)",
+    headline=True,
     tags=("warehouse", "quality", "profiling"),
 )
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +474,7 @@ LIMIT {_JOURNEY_TOPK}
     "collect_list, whose order is partition-arrival luck; the oracle "
     "is DuckDB's ordered string_agg. (n_users DESC, journey) is a "
     "total order (operators/behavior.py:top_journeys)",
+    headline=True,
     tags=("behavior", "window", "path"),
 )
 def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +601,7 @@ ORDER BY event_type, event_id
     "is combine-order-free and the oracle exact; a float formulation "
     "loses the last bits to grouped-AVG combine order "
     "(operators/anomaly.py:cusum_drift)",
+    headline=True,
     tags=("behavior", "anomaly", "window"),
 )
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
