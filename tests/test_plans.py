@@ -397,3 +397,24 @@ def test_scd2_single_exchange_for_all_windows(plans):
     # is the presentation ORDER BY's rangepartitioning
     assert p.count("hashpartitioning(") == 1, p[:2000]
     assert "Window" in p
+
+
+def test_cusum_single_keyed_exchange_broadcast_stats(plans):
+    """q_cusum_drift: both cumulative window functions (prefix sum +
+    running min) share one hashpartitioning exchange on the key, and
+    the per-type moments table joins by BROADCAST — never a second
+    fact-side shuffle. (The final ORDER BY adds rangepartitioning.)"""
+    p = plans("q_cusum_drift")
+    assert p.count("hashpartitioning(") <= 2  # stats agg + window
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+
+
+def test_top_journeys_episode_collapse_before_journey_shuffle(plans):
+    """q_top_journeys: the rn <= n_steps cut must apply BEFORE the
+    journey groupBy (episodes collapse to <= n_steps rows each first),
+    and the final top-k is a TakeOrdered, not a global sort."""
+    p = plans("q_top_journeys")
+    assert "TakeOrderedAndProject" in p
+    # the rank filter exists between the window and the aggregate
+    assert "row_number" in p and "Filter" in p
