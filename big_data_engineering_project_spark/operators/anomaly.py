@@ -73,6 +73,7 @@ def cusum_drift(
     k_half_sigmas: int = 1,
     h_sigma: int = 4,
     scale: int = 1_000_000,
+    precomputed_stats: DataFrame | None = None,
 ) -> DataFrame:
     """One-sided CUSUM drift detection per key (Page 1954): alarm when
     the cumulative excess over (mean + k·sigma) exceeds h·sigma — the
@@ -106,38 +107,25 @@ def cusum_drift(
 
     Returns alarm rows: (key, id, ts, value, cusum_micro,
     threshold_micro) in micro-units.
+
+    `precomputed_stats` (key, mu_u, sigma_u — from `cusum_stats` over
+    a training window) freezes the detector parameters, the
+    production deployment mode and what the STREAMING twin
+    (streaming/stateful.py:cusum_alarm_stream) requires for
+    stream ≡ batch equivalence.
     """
     from pyspark.sql import Window
 
     v_u = F.floor(F.col(value_col) * scale).cast("long")
     dfu = df.withColumn("__vu", v_u)
     stats = (
-        dfu.groupBy(key)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            F.sum("__vu").cast("decimal(38,0)").alias("__s1"),
-            F.sum(
-                (F.col("__vu") * F.col("__vu")).cast("decimal(38,0)")
-            ).alias("__s2"),
-        )
-        .filter(F.col("__n") >= 2)
-        .select(
-            key,
-            F.floor(
-                F.col("__s1").cast("double") / F.col("__n")
-            ).cast("long").alias("__mu_u"),
-            F.floor(
-                F.sqrt(
-                    (
-                        F.col("__s2").cast("double")
-                        - F.col("__s1").cast("double")
-                        * F.col("__s1").cast("double")
-                        / F.col("__n")
-                    )
-                    / (F.col("__n") - 1)
-                )
-            ).cast("long").alias("__sigma_u"),
-        )
+        cusum_stats(df, key, value_col, scale)
+        if precomputed_stats is None
+        else precomputed_stats
+    ).select(
+        key,
+        F.col("mu_u").alias("__mu_u"),
+        F.col("sigma_u").alias("__sigma_u"),
     )
     w = (
         Window.partitionBy(key)
@@ -165,4 +153,44 @@ def cusum_drift(
         F.col("cusum_micro") > F.col("threshold_micro")
     ).select(
         key, id_col, ts_col, value_col, "cusum_micro", "threshold_micro"
+    )
+
+
+def cusum_stats(
+    df: DataFrame, key: str, value_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Frozen per-key CUSUM parameters (key, mu_u, sigma_u) in integer
+    micro-units from exact integer moment sums — shared by the batch
+    detector and the streaming twin so both run the IDENTICAL
+    statistic. Keys with < 2 observations are dropped (sigma
+    undefined)."""
+    v_u = F.floor(F.col(value_col) * scale).cast("long")
+    return (
+        df.withColumn("__vu", v_u)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__vu").cast("decimal(38,0)").alias("__s1"),
+            F.sum(
+                (F.col("__vu") * F.col("__vu")).cast("decimal(38,0)")
+            ).alias("__s2"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            key,
+            F.floor(
+                F.col("__s1").cast("double") / F.col("__n")
+            ).cast("long").alias("mu_u"),
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("__s2").cast("double")
+                        - F.col("__s1").cast("double")
+                        * F.col("__s1").cast("double")
+                        / F.col("__n")
+                    )
+                    / (F.col("__n") - 1)
+                )
+            ).cast("long").alias("sigma_u"),
+        )
     )

@@ -145,3 +145,105 @@ def with_session_idx(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_alarm_stream(
+    df: DataFrame,
+    stats: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k_half_sigmas: int = 1,
+    h_sigma: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming twin of `operators.anomaly.cusum_drift`: per-key
+    one-sided CUSUM drift alarms over a stream, with the detector
+    parameters FROZEN from a training window (`cusum_stats`) — the
+    production deployment shape (you never re-estimate mu/sigma from
+    the stream you are alarming on).
+
+    The batch operator's closed form needs the whole prefix; the
+    stream keeps the textbook recursion s = max(0, s + y) as ONE
+    BIGINT per key in `applyInPandasWithState` — the closed form and
+    the recursion are the same function, so stream ≡ batch holds
+    EXACTLY (both integer, no float anywhere past the frozen stats).
+
+    Stats join is stream-static (broadcast; group-cardinality-sized),
+    so the stateful operator's shuffle carries only the stream rows;
+    state is 8 bytes per key forever. Rows within a micro-batch are
+    processed in (ts, id) order; cross-batch order is the source's
+    arrival order (same contract as with_session_idx).
+
+    Emits ALARM rows only: (key, id, ts, value, cusum_micro,
+    threshold_micro).
+    """
+    import math
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(df.sparkSession)
+    from pyspark.sql import functions as F
+
+    enriched = df.join(F.broadcast(stats), key_col)
+    in_fields = {f.name: f for f in enriched.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            in_fields[id_col],
+            in_fields[ts_col],
+            in_fields[value_col],
+            StructField("cusum_micro", LongType()),
+            StructField("threshold_micro", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+
+    def stamp(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values([ts_col, id_col])
+            mu = int(pdf["mu_u"].iloc[0])
+            sigma = int(pdf["sigma_u"].iloc[0])
+            slack = (sigma * k_half_sigmas) // 2
+            threshold = sigma * h_sigma
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                vu = math.floor(getattr(row, value_col) * scale)
+                s = max(0, s + vu - mu - slack)
+                if s > threshold:
+                    out_rows.append(
+                        (
+                            getattr(row, key_col),
+                            getattr(row, id_col),
+                            getattr(row, ts_col),
+                            getattr(row, value_col),
+                            s,
+                            threshold,
+                        )
+                    )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[
+                        key_col, id_col, ts_col, value_col,
+                        "cusum_micro", "threshold_micro",
+                    ],
+                )
+        state.update((s,))
+
+    return enriched.groupBy(key_col).applyInPandasWithState(
+        stamp,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -627,3 +627,99 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_cusum_stream_equals_batch_with_frozen_stats(spark, tmp_path):
+    """Streaming CUSUM (recursion in 8-byte keyed state, frozen
+    training stats) must emit EXACTLY the batch operator's alarm rows
+    on the same ordered data — closed form ≡ recursion, all integer.
+    The drift is planted to start mid-stream so alarms depend on
+    state carried across micro-batches."""
+    import datetime as dt
+    import json as _json
+    import os
+    import time as _time
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        cusum_drift,
+        cusum_stats,
+    )
+    from big_data_engineering_project_spark.streaming.stateful import (
+        cusum_alarm_stream,
+    )
+
+    base = dt.datetime(2026, 1, 10)
+    rows = []
+    i = 0
+    for k, shift_at in (("a", 40), ("b", 999)):  # b never drifts
+        for j in range(80):
+            v = 50.0 + 3.0 * (j % 2) + (12.0 if j >= shift_at else 0.0)
+            rows.append(
+                {
+                    "k": k,
+                    "ts": (base + dt.timedelta(minutes=j)).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
+                    "id": i,
+                    "v": v,
+                }
+            )
+            i += 1
+    # training stats from the PRE-DRIFT window only (production shape)
+    train = spark.createDataFrame(
+        [
+            (r["k"], float(r["v"]))
+            for r in rows
+            if int(r["id"]) % 80 < 40 or r["k"] == "b"
+        ],
+        "k STRING, v DOUBLE",
+    )
+    stats = cusum_stats(train, "k", "v")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # interleave keys by time so batches carry both keys
+    rows.sort(key=lambda r: (r["ts"], r["id"]))
+    t0 = _time.time() - 3600
+    for b, start in enumerate(range(0, len(rows), 20)):
+        p = os.path.join(in_dir, f"{b:04d}.json")
+        with open(p, "w") as f:
+            for r in rows[start : start + 20]:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (t0 + b, t0 + b))
+
+    schema = "k STRING, ts STRING, id LONG, v DOUBLE"
+    ss = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        cusum_alarm_stream(ss, stats, "k", "ts", "id", "v")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["k"], r["id"], r["cusum_micro"], r["threshold_micro"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    bb = (
+        spark.read.schema(schema)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = sorted(
+        (r["k"], r["id"], r["cusum_micro"], r["threshold_micro"])
+        for r in cusum_drift(
+            bb, "k", "ts", "id", "v", precomputed_stats=stats
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert {k for k, *_ in got} == {"a"}  # only the drifted key alarms

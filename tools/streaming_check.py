@@ -3,7 +3,7 @@
 The batch side leaves CORRECTNESS_FULL_r0N artifacts every round; the
 speed layer's guarantees lived only in pytest, so a state-semantics
 regression would fail a test but leave no round-over-round evidence
-trail. This tool runs the five stream≡batch equivalences end-to-end
+trail. This tool runs the seven stream≡batch equivalences end-to-end
 against deterministic fixtures and writes STREAMING_r0N.json with
 per-check row counts and value-hash equality — the same evidence shape
 the oracle sweeps give the batch layer. Reference anchor: the speed
@@ -30,6 +30,9 @@ micro-batches, checkpoints, state stores — then the batch twin):
   watermark_dedup       dedup_stream (dropDuplicatesWithinWatermark,
                         cross-batch keyed state) drops planted
                         redeliveries ≡ batch dropDuplicates
+  cusum_drift           cusum_alarm_stream (8-byte keyed recursion
+                        state, frozen training stats) ≡ the batch
+                        closed-form operator, exact integer rows
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -468,6 +471,94 @@ def check_watermark_dedup(spark, root: str) -> dict:
     return res
 
 
+def check_cusum_stream(spark, root: str) -> dict:
+    """cusum_alarm_stream ≡ batch cusum_drift with the same frozen
+    training stats: the drift is planted mid-stream so the alarms
+    depend on the 8-byte recursion state carried across micro-batches;
+    both sides are integer end-to-end, so the rows must be EXACTLY
+    equal."""
+    from big_data_engineering_project_spark.operators.anomaly import (
+        cusum_drift,
+        cusum_stats,
+    )
+    from big_data_engineering_project_spark.streaming.stateful import (
+        cusum_alarm_stream,
+    )
+
+    base = dt.datetime(2026, 1, 10)
+    recs = []
+    i = 0
+    for k, shift_at in (("a", 60), ("b", 10_000)):
+        for j in range(120):
+            recs.append(
+                {
+                    "k": k,
+                    "ts": (base + dt.timedelta(minutes=j)).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
+                    "id": i,
+                    "v": 50.0
+                    + 3.0 * (j % 2)
+                    + (12.0 if j >= shift_at else 0.0),
+                }
+            )
+            i += 1
+    recs.sort(key=lambda r: (r["ts"], r["id"]))
+    in_dir = os.path.join(root, "cusum_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=40)
+
+    train = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in recs if int(r["id"]) % 120 < 60],
+        "k STRING, v DOUBLE",
+    )
+    stats = cusum_stats(train, "k", "v")
+    schema = "k STRING, ts STRING, id LONG, v DOUBLE"
+    ss = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = os.path.join(root, "cusum_out")
+    q = (
+        cusum_alarm_stream(ss, stats, "k", "ts", "id", "v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "cusum_cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["k"], r["id"], r["cusum_micro"], r["threshold_micro"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    bb = (
+        spark.read.schema(schema)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = [
+        (r["k"], r["id"], r["cusum_micro"], r["threshold_micro"])
+        for r in cusum_drift(
+            bb, "k", "ts", "id", "v", precomputed_stats=stats
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -487,6 +578,7 @@ def main() -> None:
         results["curation_ingest"] = check_curation(spark, root)
         results["interval_join"] = check_interval_join(spark, root)
         results["watermark_dedup"] = check_watermark_dedup(spark, root)
+        results["cusum_drift"] = check_cusum_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
