@@ -936,3 +936,101 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         raise
     finally:
         edges.unpersist()
+
+
+def ngram_jaccard_rs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    max_bucket_frac: float | None = None,
+    hashed_new: DataFrame | None = None,
+    hashed_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: match a NEW batch against an EXISTING
+    corpus by n-gram Jaccard ≥ threshold — the R-S set-similarity
+    join. `ngram_jaccard_pairs` re-pairs the whole corpus against
+    itself (O(corpus²) bucket work every run); ingesting a daily
+    batch only needs new × corpus, which is this operator — the
+    near-dup step the exact-fingerprint curation stream
+    (streaming/pipeline.py) cannot express.
+
+    Same machinery as the self-join form, asymmetric where it should
+    be: the high-DF stop-shingle cut is computed from the CORPUS
+    index (the statistics you actually have at ingest time; cut =
+    GREATEST(max_bucket_size, FLOOR(frac · corpus_docs))) and applied
+    to BOTH sides so intersections stay consistent; the PPJoin size
+    filter runs inside the join condition; per-pair intersection
+    counts group on (new, corpus) doc ids. Output: (new_id,
+    corpus_id, jaccard) for every qualifying cross pair. Id spaces
+    must be disjoint or comparisons are still well-defined — a doc
+    appearing on both sides simply matches itself at jaccard 1.
+    """
+    shingler = hashed_shingle_table
+    if hashed_new is None:
+        hashed_new = _persist_owned(shingler(new_df, id_col, text_col, n))
+    if hashed_corpus is None:
+        hashed_corpus = _persist_owned(
+            shingler(corpus_df, id_col, text_col, n)
+        )
+    inv_n = hashed_new.select(
+        "doc", F.explode("hv").alias("s"),
+        F.size("hv").cast("long").alias("n_sh"),
+    )
+    inv_c = hashed_corpus.select(
+        "doc", F.explode("hv").alias("s"),
+        F.size("hv").cast("long").alias("n_sh"),
+    )
+    if max_bucket_size is not None or max_bucket_frac is not None:
+        cut = F.lit(
+            max_bucket_size if max_bucket_size is not None else 0
+        ).cast("long")
+        counts = inv_c.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        if max_bucket_frac is not None:
+            tot = hashed_corpus.agg(F.count(F.lit(1)).alias("__n_docs"))
+            counts = counts.crossJoin(F.broadcast(tot))
+            cut = F.greatest(
+                cut,
+                F.floor(
+                    F.lit(float(max_bucket_frac)) * F.col("__n_docs")
+                ),
+                F.lit(1).cast("long"),
+            )
+        hot = counts.filter(F.col("df") > cut).select("s")
+        inv_c = inv_c.join(F.broadcast(hot), "s", "left_anti")
+        inv_n = inv_n.join(F.broadcast(hot), "s", "left_anti")
+    a = inv_n.alias("a")
+    b = inv_c.alias("b")
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= F.lit(float(threshold))
+        * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        - F.lit(1.0)
+    )
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & size_ok)
+        .groupBy(
+            F.col("a.doc").alias("new_id"), F.col("b.doc").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sn = hashed_new.select(
+        F.col("doc").alias("new_id"), F.size("hv").cast("long").alias("na")
+    )
+    sc = hashed_corpus.select(
+        F.col("doc").alias("corpus_id"),
+        F.size("hv").cast("long").alias("nb"),
+    )
+    jac = F.col("inter") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -65,11 +65,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # born per the standing policy: q_label_propagation (below, with
     # the graph family) and q_hdr_quantile_merge (below, sketches).
     "q_sliding_dup_coverage",
-    # Multimodal decode (exact oracles, per-SF fixture;
-    # q_media_histogram_topk and q_media_frame_means, 2× gate-green
-    # each, demoted for the newborns q_snapshot_diff and
-    # q_triangle_parts — decode_stats keeps the family gated)
-    "q_media_decode_stats",
+    # Incremental R-S near-dup (newborn, gated the round it's born)
+    "q_dedup_incremental_rs",
+    # Multimodal decode: the whole trio (q_media_decode_stats /
+    # histogram_topk / frame_means, 2× gate-green EACH in the
+    # committed r05+r06 artifacts) rotates out for round-7 newborns;
+    # the family keeps exact-oracle rows in every FULL sweep at both
+    # SFs, so no verified evidence is lost.
     # CDC: snapshot reconciliation (newborn, gated the round it's born)
     "q_snapshot_diff",
     # LLM-pipeline: text analysis (q_bigram_min_prob,

@@ -2576,3 +2576,61 @@ def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "est_merged", "est_direct", "exact")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_dedup_incremental_rs",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+hn AS (SELECT * FROM hs WHERE doc % 10 = 0),
+hc AS (SELECT * FROM hs WHERE doc % 10 <> 0),
+invc0 AS (SELECT doc, unnest(hv) AS s FROM hc),
+hot AS (SELECT s FROM invc0 GROUP BY s
+        HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
+          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hc)) AS BIGINT),
+          1)),
+invc AS (SELECT doc, s FROM invc0 ANTI JOIN hot USING (s)),
+invn AS (SELECT doc, s FROM (SELECT doc, unnest(hv) AS s FROM hn)
+         ANTI JOIN hot USING (s)),
+pairs AS (
+  SELECT a.doc AS new_id, b.doc AS corpus_id, COUNT(*) AS inter
+  FROM invn a JOIN invc b ON a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       inter / CAST(sn.n_sh + sc.n_sh - inter AS DOUBLE) AS jaccard
+FROM pairs
+JOIN (SELECT doc, len(hv) AS n_sh FROM hn) sn ON new_id = sn.doc
+JOIN (SELECT doc, len(hv) AS n_sh FROM hc) sc ON corpus_id = sc.doc
+WHERE inter / CAST(sn.n_sh + sc.n_sh - inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY new_id, corpus_id
+""",
+    doc="INCREMENTAL near-dup (R-S set-similarity join): the new batch "
+    "(doc_id % 10 = 0) matched against the existing corpus (the rest) "
+    "by n-gram Jaccard — the daily-ingest dedup step, O(new × "
+    "corpus-bucket) instead of re-pairing the whole corpus "
+    "(q_dedup_ngram_jaccard is the O(corpus²) self-join twin). "
+    "Stop-shingle cut from CORPUS statistics applied to both sides; "
+    "PPJoin size filter inside the join; shares the session-persisted "
+    "shingle table with the other dedup queries "
+    "(operators/dedup.py:ngram_jaccard_rs)",
+    headline=True,
+    tags=("pipeline", "dedup", "join"),
+)
+def q_dedup_incremental_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shared = _shared_hashed(spark, sf_dir, NGRAM_N)
+    return dedup.ngram_jaccard_rs(
+        None,
+        None,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed_new=shared.filter(F.col("doc") % 10 == 0),
+        hashed_corpus=shared.filter(F.col("doc") % 10 != 0),
+    ).orderBy("new_id", "corpus_id")

@@ -682,3 +682,38 @@ def test_hll_estimate_within_error_bound(spark):
             exact, est = r["exact_distinct"], r["hll_estimate"]
             assert exact > 0
             assert abs(est - exact) / exact <= 0.20, (sf, r)
+
+
+def test_ngram_jaccard_rs_planted_cross_match(spark):
+    """R-S incremental dedup: a new doc nearly identical to a corpus
+    doc must match across sides; identical pairs WITHIN one side must
+    NOT appear (the R-S join never pairs corpus x corpus or new x
+    new); jaccard of an exact cross copy is 1.0."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_rs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # duplicate INSIDE corpus — must not be output
+            (3, "completely different text about spark partitions here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),  # exact cross duplicate of 1 and 2
+            (101, "unrelated fresh content that matches nothing at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in ngram_jaccard_rs(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {(100, 1), (100, 2)}
+    assert all(j == 1.0 for j in out.values())
