@@ -66,6 +66,10 @@ Noise ledger (committed attributions for round-over-round deltas):
   ("calibration": {pre_sec, post_sec}) so future round-over-round
   ratios are normalized by the probe ratio before being read as
   regressions.
+- r7 final v2: 42 headliners after adding q_dedup_incremental_rs
+  (1.38 s — shares the persisted shingle table with the self-join
+  dedup trio); total 22.151 s, calibration 1.052/0.927, 41-common
+  total flat vs the prior same-round artifact.
 - r7 final (41 headliners; the four late-round warehouse queries —
   snapshot diff, key-skew report, top journeys, CUSUM — promoted to
   headline for an r8 baseline): total 21.244 s, calibration
