@@ -70,11 +70,20 @@ def scd2_from_changelog(
     """
     order: list[Column] = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
     w = Window.partitionBy(key).orderBy(*order)
+    # Null-safe change test: a transition TO or FROM a NULL attribute
+    # IS a change and must open a version (a bare `!=` returns NULL
+    # there and the filter would silently compact it away). The first
+    # row per key has no predecessor marker to distinguish from a NULL
+    # attr, so it rides on row_number == 1.
     compacted = (
         changelog.select(key, ts_col, *tiebreak, attr)
         .withColumn("__prev", F.lag(attr).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr)))
-        .drop("__prev")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(attr))
+        )
+        .drop("__prev", "__rn")
     )
     return (
         compacted.withColumn(

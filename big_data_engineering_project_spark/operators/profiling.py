@@ -165,6 +165,8 @@ def key_skew_report(
     """
     if not key_cols:
         raise ValueError("key_skew_report needs at least one key column")
+    if top_n < 1:
+        raise ValueError("key_skew_report: top_n must be >= 1")
     outs: list[DataFrame] = []
     for c in key_cols:
         counts = df.groupBy(F.col(c).alias("__k")).agg(

@@ -364,3 +364,32 @@ def test_cusum_detects_planted_drift_not_flat(spark):
                 alarms.add(ident)
     got = {r["id"] for r in out}
     assert got == alarms
+
+
+def test_scd2_null_attr_transitions_are_changes(spark):
+    """A transition to NULL (and back) must open versions — a bare !=
+    comparison returns NULL there and would silently compact the
+    change away; consecutive NULLs still compact."""
+    rows = [
+        (1, _ts(1), 10, "A"),
+        (1, _ts(2), 11, None),   # A -> NULL: a change
+        (1, _ts(3), 12, None),   # NULL -> NULL: compacted
+        (1, _ts(4), 13, "A"),    # NULL -> A: a change
+        (2, _ts(1), 14, None),   # first row with NULL attr: version 1
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts TIMESTAMP, id LONG, attr STRING"
+    )
+    hist = scd2_from_changelog(
+        df, key="k", ts_col="ts", attr="attr", tiebreak=("id",)
+    )
+    got = {
+        (r["k"], r["version"]): (r["attr"], r["effective_from"])
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("A", _ts(1)),
+        (1, 2): (None, _ts(2)),
+        (1, 3): ("A", _ts(4)),
+        (2, 1): (None, _ts(1)),
+    }
