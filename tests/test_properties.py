@@ -215,3 +215,93 @@ def test_table_diff_self_is_empty_and_classifies(spark, rows):
         elif i % 2 == 1 and a != "Z":
             want[i] = "changed"
     assert got == want
+
+
+@st.composite
+def baskets_strategy(draw):
+    n = draw(st.integers(min_value=0, max_value=20))
+    return [
+        (
+            draw(st.integers(min_value=1, max_value=5)),
+            draw(st.sampled_from(["a", "b", "c", "d"])),
+        )
+        for _ in range(n)
+    ]
+
+
+@given(baskets_strategy())
+@pyspark_settings
+def test_frequent_pairs_invariants(spark, rows):
+    """On ANY basket table: pair_support ≤ min(support_a, support_b);
+    lift · support_a · support_b == pair_support · N exactly (the
+    integer identity behind the one IEEE division); item_a < item_b;
+    and supports match a python recount."""
+    from collections import defaultdict
+
+    from big_data_engineering_project_spark.operators.association import (
+        frequent_pairs,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "basket LONG, item STRING"
+    ).filter(F.col("basket").isNotNull())
+    out = frequent_pairs(df, "basket", "item").collect()
+    items = defaultdict(set)
+    for b, i in rows:
+        items[b].add(i)
+    n_b = len(items)
+    supp = defaultdict(int)
+    pairs = defaultdict(int)
+    for b, its in items.items():
+        for i in its:
+            supp[i] += 1
+        s = sorted(its)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pairs[(s[x], s[y])] += 1
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_support"], r["support_a"], r["support_b"], r["lift"]
+        )
+        for r in out
+    }
+    assert set(got) == set(pairs)
+    for (a, b), (ps, sa, sb, lift) in got.items():
+        assert a < b
+        assert ps == pairs[(a, b)]
+        assert (sa, sb) == (supp[a], supp[b])
+        assert ps <= min(sa, sb)
+        assert lift == (ps * n_b) / (sa * sb)
+
+
+@given(changelogs())
+@pyspark_settings
+def test_ohlc_bounds_invariants(spark, rows):
+    """open/close lie in [low, high]; volume matches a recount; one
+    bar per (key, day)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        ohlc_resample,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (str(k), base + dt.timedelta(hours=m), i, float(ord(a)))
+        for k, m, i, a in rows
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "sym STRING, ts TIMESTAMP, id LONG, px DOUBLE"
+    )
+    out = ohlc_resample(df, "sym", "ts", "px", "id").collect()
+    counts = defaultdict(int)
+    for s, ts, _, _ in data:
+        counts[(s, ts.date())] += 1
+    assert len(out) == len(counts)
+    for r in out:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["volume"] == counts[(r["sym"], r["bucket_ts"].date())]
