@@ -132,10 +132,15 @@ def cusum_drift(
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Slack stays in BIGINT integer arithmetic end-to-end: SQL `div`
+    # is integral division, matching the streaming twin's
+    # (sigma * k) // 2 and the DuckDB oracle's `//` exactly for the
+    # non-negative sigma_u/k here. The previous double-divide-then-
+    # truncate form agreed only while sigma_u*k < 2^53.
     y_u = (
         F.col("__vu")
         - F.col("__mu_u")
-        - (F.col("__sigma_u") * k_half_sigmas / F.lit(2)).cast("long")
+        - F.expr(f"__sigma_u * {int(k_half_sigmas)} div 2")
     )
     with_s = (
         dfu.join(F.broadcast(stats), key)

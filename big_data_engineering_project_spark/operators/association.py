@@ -26,12 +26,15 @@ the final lift division:
 4. lift(a,b) = N·supp(a,b) / (supp(a)·supp(b)) computed as ONE
    double division of exact BIGINT products — both engines evaluate
    the identical IEEE expression, so lift is hash-comparable. The
-   support tables are item-cardinality-sized and BROADCAST.
+   support tables are item-cardinality-sized — UNBOUNDED when items
+   are a token/doc vocabulary — so the support joins carry NO
+   broadcast hint: AQE broadcasts from observed size when small,
+   and Spark keeps the freedom to shuffle-join when not.
 5. a-priori prune (min_item_support > 1): item supports computed
-   first, survivors semi-joined (broadcast) before pair
-   generation — an item below threshold cannot be in a pair above
-   it (Agrawal & Srikant); N still counts pruned-empty baskets so
-   lift stays a full-corpus probability ratio.
+   first, survivors semi-joined (hint-free, same reasoning) before
+   pair generation — an item below threshold cannot be in a pair
+   above it (Agrawal & Srikant); N still counts pruned-empty
+   baskets so lift stays a full-corpus probability ratio.
 
 Scale: no all-pairs product anywhere (pairs exist only within a
 basket); the input is scanned ONCE and shuffled once (on basket);
@@ -119,9 +122,11 @@ def frequent_pairs(
             .agg(F.count(F.lit(1)).cast("long").alias("__supp"))
             .filter(F.col("__supp") >= min_item_support)
         )
-        src = src.join(
-            F.broadcast(supp0.select("__item")), "__item", "left_semi"
-        )
+        # hint-free semi join for the same reason as the support
+        # joins below: the survivor set is item-cardinality-sized
+        # and unbounded for vocabulary-scale runs; AQE broadcasts
+        # it at runtime when it is actually small.
+        src = src.join(supp0.select("__item"), "__item", "left_semi")
 
     # ONE pass: per-basket sorted item set (collect_set dedups within
     # the basket; sort_array makes pair order canonical), then every
@@ -182,9 +187,18 @@ def frequent_pairs(
             F.col("c").alias("__n")
         )
     )  # 1 row
+    # The support joins carry NO broadcast hint: sa/sb are one row
+    # per DISTINCT ITEM, unbounded by input size when the operator
+    # runs over a token/doc vocabulary (10^7-10^9 items) — a forced
+    # broadcast would OOM executors there, while for a small catalog
+    # AQE still converts the equi-join to a broadcast join at
+    # runtime from the OBSERVED post-aggregate size. Spark must stay
+    # free to pick sort-merge/shuffled-hash when the supports are
+    # big (tests/test_plans.py pins the hint-free form). Only the
+    # 1-row basket-count frame keeps its broadcast.
     return (
-        pair_counts.join(F.broadcast(sa), "item_a")
-        .join(F.broadcast(sb), "item_b")
+        pair_counts.join(sa, "item_a")
+        .join(sb, "item_b")
         .crossJoin(F.broadcast(nb))
         .withColumn(
             "lift",

@@ -152,10 +152,16 @@ def table_diff(
         )
 
     def digest(df: DataFrame) -> DataFrame:
+        # Hash the RAW TYPED columns (xxhash64 accepts any type) —
+        # never a string rendering, which would classify two values
+        # that merely format identically (-0.0 vs 0.0, a widened
+        # read of the same timestamp) as unchanged. xxhash64 SKIPS
+        # null inputs, so each column keeps an explicit is-null tag
+        # to disambiguate NULL from absent-from-hash.
         parts: list[Column] = []
         for c in compare_cols:
-            parts.append(F.col(c).isNull().cast("int").cast("string"))
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            parts.append(F.col(c).isNull().cast("int"))
+            parts.append(F.col(c))
         return df.select(
             F.col(key).alias("__k"),
             F.xxhash64(*parts).alias("__h"),

@@ -38,12 +38,20 @@ from big_data_engineering_project_spark.sources.catalog import load_table
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
          lag(event_type) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ),
 changes AS (
+  -- rn = 1 opens the first version unconditionally; IS DISTINCT
+  -- FROM is the null-safe change detect matching the operator's
+  -- eqNullSafe compaction (a NULL attr value is a real state: A ->
+  -- NULL is a change, NULL -> NULL is not). 'prev IS NULL OR prev
+  -- <> event_type' would conflate first-row with NULL-prev and
+  -- silently compact A -> NULL transitions.
   SELECT user_id, event_id, ts, event_type
-  FROM ordered WHERE prev IS NULL OR prev <> event_type
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 ),
 v AS (
   SELECT user_id, event_type, ts AS effective_from,

@@ -370,16 +370,25 @@ def test_ohlc_is_window_free_partial_agg(plans):
     assert p.count("hashpartitioning(") == 1  # one agg exchange
 
 
-def test_basket_pairs_broadcast_stats_shuffle_on_basket_only(plans):
-    """q_basket_pair_lift: the item-support and basket-count tables
-    must move by BroadcastExchange (they are item/1-row-cardinality);
-    the input is scanned ONCE into a persisted tagged counts
-    aggregate (InMemoryTableScan on every consumer), so the heavy
-    scan → collect_set → explode → groupBy upstream executes exactly
-    once instead of once per consumer branch."""
+def test_basket_pairs_support_joins_are_hint_free_equi_joins(plans):
+    """q_basket_pair_lift: the per-item support tables are one row
+    per DISTINCT ITEM — unbounded when items are a token/doc
+    vocabulary — so the pair→support joins must carry NO broadcast
+    hint: Spark stays free to plan sort-merge/shuffled-hash when the
+    supports are big, and AQE still broadcasts at runtime from the
+    observed post-aggregate size when they are small. Only the 1-row
+    basket-count frame keeps its hint. The input is still scanned
+    ONCE into a persisted tagged counts aggregate (InMemoryTableScan
+    on every consumer)."""
     p = plans("q_basket_pair_lift")
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-    assert p.count("BroadcastExchange") >= 3  # supp_a, supp_b, N
+    # analyzed plan: exactly one ResolvedHint — the 1-row N frame
+    ext = plans("q_basket_pair_lift", "extended")
+    analyzed = ext[ext.index("== Analyzed Logical Plan ==")
+                   : ext.index("== Optimized Logical Plan ==")]
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    # the support joins remain equi-joins on the item columns —
+    # whichever physical strategy Spark picks
+    assert "item_a" in p and "item_b" in p
     # every consumer branch reads the persisted counts aggregate —
     # the parquet scan lives only inside the cached-plan definition
     # (printed per reference) and executes once to fill the cache
