@@ -623,3 +623,88 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value", k_half_sigmas=_CUSUM_K_HALF,
         h_sigma=_CUSUM_H, scale=_CUSUM_SCALE,
     ).orderBy("event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered storage: the layout decision surfaced as a query.
+# The scan side of sources/io.py:write_zordered_parquet — a fact table
+# clustered on TWO query keys, read back through a 2-D selective
+# filter that parquet footer min/max stats can prune on BOTH columns
+# (the pytest in tests/test_io.py proves strictly fewer files overlap
+# the predicate than were written). The aggregate is over the same
+# rows as the raw table, so the DuckDB oracle runs on raw lineitem —
+# the gate proves re-layout changes bytes-on-disk, never results.
+
+_ZORDER_PK_LO, _ZORDER_PK_HI = 100, 119
+_ZORDER_SK_LO, _ZORDER_SK_HI = 0, 4
+_ZORDER_N_FILES = 32
+
+
+def _zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) the z-ordered lineitem copy
+    clustered on (l_partkey, l_suppkey) and return its path. The
+    rewrite is skipped when the _SUCCESS marker exists — the layout is
+    a deterministic function of the input, so a prior write is
+    equivalent to a fresh one."""
+    import os
+
+    from big_data_engineering_project_spark.sources.io import (
+        write_zordered_parquet,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/spark_graft_zorder/{tag}/lineitem"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        write_zordered_parquet(
+            li, path, ["l_partkey", "l_suppkey"], _ZORDER_N_FILES
+        )
+    return path
+
+
+@register(
+    "q_zorder_pruned_scan",
+    oracle=f"""
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_partkey BETWEEN {_ZORDER_PK_LO} AND {_ZORDER_PK_HI}
+  AND l_suppkey BETWEEN {_ZORDER_SK_LO} AND {_ZORDER_SK_HI}
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Two-dimensionally selective aggregate over the Z-ORDER "
+    "clustered lineitem copy (clustered on l_partkey+l_suppkey, "
+    "sources/io.py:write_zordered_parquet): both range predicates "
+    "reach the parquet reader as PushedFilters, and because the "
+    "Morton layout clusters BOTH key spaces within every file, "
+    "footer min/max stats skip most files on either predicate — the "
+    "single-key sorted layout prunes only its own sort key. Oracle "
+    "runs on RAW lineitem: re-layout must never change results. "
+    "Decimal-stabilized sums per the registry parity rules "
+    "(tests/test_io.py:test_zorder_write_skips_files_on_both_"
+    "dimensions proves the file-skip counts; tests/test_plans.py "
+    "pins the pushdown)",
+    tags=("warehouse", "storage", "scan"),
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _zordered_lineitem_path(spark, sf_dir)
+    z = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(_ZORDER_PK_LO, _ZORDER_PK_HI)
+        & F.col("l_suppkey").between(_ZORDER_SK_LO, _ZORDER_SK_HI)
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        z.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -294,3 +294,63 @@ def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
     zf_sk = overlap_fraction(zpath, "l_suppkey", sk_lo, sk_hi)
     assert zf_pk <= 0.6, zf_pk
     assert zf_sk <= 0.6, zf_sk
+
+
+def test_zorder_pruned_scan_query_reads_fewer_files_than_written(
+    spark, sf_dir
+):
+    """The registered q_zorder_pruned_scan must actually benefit from
+    its layout: (a) BOTH range predicates reach the parquet reader as
+    PushedFilters, and (b) footer min/max stats admit strictly fewer
+    files than were written for each predicate — i.e. the scan skips
+    files, it doesn't just filter rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_warehouse import (
+        _ZORDER_PK_HI,
+        _ZORDER_PK_LO,
+        _ZORDER_SK_HI,
+        _ZORDER_SK_LO,
+        _zordered_lineitem_path,
+    )
+
+    df = REGISTRY["q_zorder_pruned_scan"].builder(spark, sf_dir)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[scan.index("PushedFilters"): scan.index(
+        "\n", scan.index("PushedFilters"))]
+    assert "l_partkey" in pushed and "l_suppkey" in pushed, pushed
+
+    path = _zordered_lineitem_path(spark, sf_dir)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
+
+    def admitted(col, lo, hi):
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(col)
+            fmin = min(md.row_group(i).column(ci).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(ci).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit
+
+    n_pk = admitted("l_partkey", _ZORDER_PK_LO, _ZORDER_PK_HI)
+    n_sk = admitted("l_suppkey", _ZORDER_SK_LO, _ZORDER_SK_HI)
+    # each dimension individually skips files; their conjunction can
+    # only skip more
+    assert n_pk < len(files), (n_pk, len(files))
+    assert n_sk < len(files), (n_sk, len(files))

@@ -1609,3 +1609,74 @@ def test_hll_daily_merge_equals_direct(spark, sf_dir):
         assert abs(r["est_merged"] - r["exact"]) <= max(
             1, int(0.02 * r["exact"])
         ), r
+
+
+def test_incremental_rs_persisted_index_two_day_ingest(
+    spark, sf_dir, tmp_path
+):
+    """The production shape of ngram_jaccard_rs: the corpus shingle
+    index is PERSISTED to Parquet once, each day's batch matches
+    against the stored index (never re-shingling the corpus), and the
+    index grows by appending the day's own shingle rows. Two-day
+    drill: day-1 matches against the stored day-0 index, day-2
+    matches against the appended index — each day's result must be
+    IDENTICAL to the in-session run that recomputes the corpus
+    shingles from text, and the union is the full incremental-ingest
+    changelog."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        clear_dedup_caches,
+        hashed_shingle_table,
+        ngram_jaccard_rs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    c0 = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    n1 = docs.filter(F.col("doc_id") % 10 == 5)  # day-1 batch
+    n2 = docs.filter(F.col("doc_id") % 10 == 0)  # day-2 batch
+    kw = dict(
+        threshold=0.5, n=3, max_bucket_size=100, max_bucket_frac=0.2
+    )
+
+    idx_path = str(tmp_path / "corpus_shingle_index")
+    hashed_shingle_table(c0, "doc_id", "text").write.parquet(idx_path)
+
+    def rows(df):
+        return sorted(
+            (r["new_id"], r["corpus_id"], round(r["jaccard"], 12))
+            for r in df.collect()
+        )
+
+    # day 1: stored index, no corpus text touched
+    m1 = rows(ngram_jaccard_rs(
+        n1, None, "doc_id", "text",
+        hashed_corpus=spark.read.parquet(idx_path), **kw,
+    ))
+    # reference: recompute corpus shingles from text in-session
+    assert m1 == rows(ngram_jaccard_rs(n1, c0, "doc_id", "text", **kw))
+
+    # index grows by appending day-1's OWN shingle rows — the corpus
+    # text is never re-shingled
+    hashed_shingle_table(n1, "doc_id", "text").write.mode(
+        "append"
+    ).parquet(idx_path)
+
+    # day 2 vs the appended index ≡ in-session corpus = c0 ∪ n1
+    m2 = rows(ngram_jaccard_rs(
+        n2, None, "doc_id", "text",
+        hashed_corpus=spark.read.parquet(idx_path), **kw,
+    ))
+    assert m2 == rows(
+        ngram_jaccard_rs(n2, c0.unionByName(n1), "doc_id", "text", **kw)
+    )
+
+    # the two days' unions form the full ingest changelog: every
+    # new-batch doc appears at most against earlier docs, never
+    # against a later batch
+    day2_ids = {r[0] for r in m2}
+    assert all(cid % 10 != 0 for _, cid, _ in m1 + m2), (
+        "a corpus-side id from the not-yet-ingested day-2 batch leaked"
+    )
+    assert day2_ids <= {r["doc_id"] for r in n2.select("doc_id").collect()}
+    clear_dedup_caches()
