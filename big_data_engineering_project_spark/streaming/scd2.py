@@ -1,0 +1,219 @@
+"""Streaming SCD Type 2 maintenance — the warehouse CDC family's
+speed-layer twin (round-8 verdict task 4).
+
+The batch builder (`operators/cdc.py:scd2_from_changelog`) derives
+the full validity history from the complete changelog in one pass.
+Production changelogs ARRIVE incrementally — the reference's Kinesis
+consumer upserts latest-value-only into DynamoDB per micro-batch
+(`S/kinesis_processing_2.py:149-163`); the generalization here
+maintains the FULL SCD2 history table per micro-batch via a
+foreachBatch MERGE, so the dimension's validity intervals are
+queryable while the stream runs.
+
+Per-batch MERGE (`scd2_merge_batch`, pure DataFrame plan):
+
+1. **Replay guard** — drop batch rows with ts ≤ the key's current
+   open `effective_from`. Under per-key event-time-monotonic arrival
+   (the standard CDC ingest contract; late data needs an upstream
+   reorder buffer) this makes the merge IDEMPOTENT under micro-batch
+   redelivery: every previously-applied change sits at ts ≤ the open
+   version's effective_from, and every previously-seen-but-compacted
+   row re-dropped by step 2's compaction.
+2. **Compaction against current state** — within the batch, a row is
+   a change iff its attr differs (null-safely) from the previous
+   batch row for the key, with the key's CURRENT open attr as the
+   virtual row-zero — so a batch echoing the current value opens no
+   version (same rule as the batch operator's lag-compaction).
+3. **Version/interval assembly** — surviving changes take
+   consecutive versions continuing from the open version's number;
+   each closes its predecessor (`effective_to` = successor's
+   `effective_from`), including closing the previously-open version.
+
+State = the history table itself (read-merge-overwrite Parquet here;
+Delta/Iceberg MERGE INTO at deployment scale, partition-pruned to
+the touched keys). The merge shuffles on `key` once for the batch
+windows and joins batch-side keys only — per-batch cost is
+O(batch + touched-keys' open rows), never O(history).
+
+Equivalence (checked per-round by tools/streaming_check.py
+`scd2_maintenance` and tests/test_streaming.py): folding any
+batch-partition of a changelog through scd2_merge_batch yields the
+IDENTICAL history table as the batch operator over the union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+HISTORY_COLS = (
+    "effective_from",
+    "effective_to",
+    "version",
+    "is_current",
+)
+
+
+def scd2_merge_batch(
+    history: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    ts_col: str,
+    attr: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """MERGE one changelog micro-batch into an SCD2 history table.
+
+    `history` is the current table (or None for the first batch) with
+    columns (key, attr, effective_from, effective_to, version,
+    is_current). Returns the updated history. Pure plan — the caller
+    materializes/writes (foreachBatch does read-merge-overwrite).
+    """
+    order: list[Column] = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+
+    if history is None:
+        from big_data_engineering_project_spark.operators.cdc import (
+            scd2_from_changelog,
+        )
+
+        return scd2_from_changelog(
+            batch, key=key, ts_col=ts_col, attr=attr, tiebreak=tiebreak
+        )
+
+    open_v = history.filter(F.col("is_current")).select(
+        F.col(key),
+        F.col(attr).alias("__cur_attr"),
+        F.col("version").alias("__cur_version"),
+        F.col("effective_from").alias("__cur_from"),
+    )
+    closed_v = history.filter(~F.col("is_current"))
+
+    b = (
+        batch.select(key, ts_col, *tiebreak, attr)
+        .join(open_v, key, "left")
+        # replay guard: anything at or before the open version's
+        # change time was already applied (or compacted) — see
+        # module docstring for the idempotency argument
+        .filter(
+            F.col("__cur_from").isNull()
+            | (F.col(ts_col) > F.col("__cur_from"))
+        )
+        .withColumn("__prev_in_batch", F.lag(attr).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    # change iff attr differs from the effective predecessor: the
+    # previous batch row, or the CURRENT open attr for the first
+    # batch row of the key (null-safe on both arms; a key with no
+    # history at all always opens at its first row)
+    prev_eff = F.when(
+        F.col("__rn") == 1, F.col("__cur_attr")
+    ).otherwise(F.col("__prev_in_batch"))
+    is_new_key_first = (F.col("__rn") == 1) & F.col(
+        "__cur_version"
+    ).isNull()
+    changes = b.filter(
+        is_new_key_first | ~prev_eff.eqNullSafe(F.col(attr))
+    )
+
+    wc = Window.partitionBy(key).orderBy(*order)
+    new_versions = (
+        changes.withColumn(
+            "version",
+            (
+                F.coalesce(F.col("__cur_version"), F.lit(0))
+                + F.row_number().over(wc)
+            ).cast("int"),
+        )
+        .withColumn("effective_to", F.lead(ts_col).over(wc))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts_col).alias("effective_from"),
+            "effective_to",
+            "version",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+
+    # close the previously-open version of every key that changed
+    first_change = changes.groupBy(key).agg(
+        F.min(F.struct(*order)).getField(ts_col).alias("__close_ts")
+    )
+    open_updated = (
+        history.filter(F.col("is_current"))
+        .join(first_change, key, "left")
+        .withColumn(
+            "effective_to",
+            F.coalesce(F.col("effective_to"), F.col("__close_ts")),
+        )
+        .withColumn("is_current", F.col("__close_ts").isNull())
+        .drop("__close_ts")
+    )
+    return closed_v.unionByName(open_updated).unionByName(new_versions)
+
+
+CHANGELOG_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    input_dir: str,
+    history_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attr: str = "event_type",
+    tiebreak: Sequence[str] = ("event_id",),
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain an SCD2 history Parquet table from a micro-batched
+    changelog file stream (AvailableNow: drain then stop — T1/T3
+    bounded-run semantics). Each micro-batch runs scd2_merge_batch
+    against the stored table and overwrites it (read-merge-overwrite,
+    the operators/upsert.py pattern; MERGE INTO on a transactional
+    format at deployment scale)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        try:
+            history = spark_b.read.parquet(history_path)
+        except Exception:  # first batch: no table yet
+            history = None
+        merged = scd2_merge_batch(
+            history, batch_df, key, ts_col, attr, tiebreak
+        )
+        # materialize before overwriting the path being read
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(history_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

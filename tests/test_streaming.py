@@ -723,3 +723,96 @@ def test_cusum_stream_equals_batch_with_frozen_stats(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert {k for k, *_ in got} == {"a"}  # only the drifted key alarms
+
+
+def _scd2_changelog(n_keys: int = 25, n_rows: int = 400, seed: int = 11):
+    """Deterministic changelog: per-key attr sequences with planted
+    echoes (no-change rows), NULL attr states, and ties broken by
+    event_id. Globally ts-ordered so batch partitions respect the
+    per-key event-time-monotonic CDC ingest contract."""
+    rng = random.Random(seed)
+    t0 = dt.datetime(2026, 1, 10, 0, 0, 0)
+    attrs = ["A", "B", "C", None]
+    rows = []
+    for i in range(n_rows):
+        rows.append(
+            {
+                "user_id": rng.randrange(n_keys),
+                "event_id": i,
+                "ts": t0 + dt.timedelta(minutes=i),
+                "event_type": rng.choice(attrs),
+            }
+        )
+    return rows
+
+
+def test_scd2_merge_batch_fold_equals_batch_operator(spark):
+    """Folding ANY micro-batch partition of a changelog through
+    scd2_merge_batch must yield the identical history as the batch
+    operator over the union — versions, intervals, is_current flags,
+    null-attr transitions and all."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_from_changelog,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        scd2_merge_batch,
+    )
+
+    rows = _scd2_changelog()
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rs),
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    expected = sorted(
+        repr(tuple(r))
+        for r in scd2_from_changelog(
+            mk(rows), "user_id", "ts", "event_type", ("event_id",)
+        ).collect()
+    )
+    for batch_size in (50, 173, 400):
+        history = None
+        for start in range(0, len(rows), batch_size):
+            merged = scd2_merge_batch(
+                history,
+                mk(rows[start : start + batch_size]),
+                "user_id",
+                "ts",
+                "event_type",
+                ("event_id",),
+            )
+            # materialize each step like the foreachBatch sink does
+            history = spark.createDataFrame(
+                merged.toPandas(), merged.schema
+            )
+        got = sorted(repr(tuple(r)) for r in history.collect())
+        assert got == expected, f"batch_size={batch_size}"
+
+
+def test_scd2_merge_batch_replay_is_idempotent(spark):
+    """Redelivering an already-applied micro-batch must leave the
+    history bit-identical: applied changes sit at ts <= the open
+    version's effective_from (replay guard), echoes re-compact."""
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        scd2_merge_batch,
+    )
+
+    rows = _scd2_changelog(n_keys=10, n_rows=120, seed=7)
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rs),
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    b1, b2 = rows[:60], rows[60:]
+    h1 = scd2_merge_batch(
+        None, mk(b1), "user_id", "ts", "event_type", ("event_id",)
+    )
+    h1 = spark.createDataFrame(h1.toPandas(), h1.schema)
+    h2 = scd2_merge_batch(
+        h1, mk(b2), "user_id", "ts", "event_type", ("event_id",)
+    )
+    h2 = spark.createDataFrame(h2.toPandas(), h2.schema)
+    replayed = scd2_merge_batch(
+        h2, mk(b2), "user_id", "ts", "event_type", ("event_id",)
+    )
+    assert sorted(repr(tuple(r)) for r in replayed.collect()) == sorted(
+        repr(tuple(r)) for r in h2.collect()
+    )

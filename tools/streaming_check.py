@@ -3,7 +3,7 @@
 The batch side leaves CORRECTNESS_FULL_r0N artifacts every round; the
 speed layer's guarantees lived only in pytest, so a state-semantics
 regression would fail a test but leave no round-over-round evidence
-trail. This tool runs the seven stream≡batch equivalences end-to-end
+trail. This tool runs the eight stream≡batch equivalences end-to-end
 against deterministic fixtures and writes STREAMING_r0N.json with
 per-check row counts and value-hash equality — the same evidence shape
 the oracle sweeps give the batch layer. Reference anchor: the speed
@@ -33,6 +33,10 @@ micro-batches, checkpoints, state stores — then the batch twin):
   cusum_drift           cusum_alarm_stream (8-byte keyed recursion
                         state, frozen training stats) ≡ the batch
                         closed-form operator, exact integer rows
+  scd2_maintenance      run_scd2_stream (foreachBatch MERGE of an
+                        SCD2 history table from a micro-batched
+                        changelog, replay-guarded) ≡ batch
+                        scd2_from_changelog over the union
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -559,6 +563,86 @@ def check_cusum_stream(spark, root: str) -> dict:
     return res
 
 
+def check_scd2_stream(spark, root: str) -> dict:
+    """run_scd2_stream (foreachBatch MERGE maintenance of an SCD2
+    history Parquet table from a micro-batched changelog) ≡ the batch
+    scd2_from_changelog over the union of all records — versions,
+    validity intervals, is_current flags. The changelog plants echo
+    rows (no-change) and NULL attr states across micro-batch
+    boundaries, so compaction-against-current-state and the replay
+    guard are both load-bearing. This is the production form of the
+    reference's DynamoDB keyed upsert (S/kinesis_processing_2.py:
+    149-163) generalized to full validity history."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_from_changelog,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_scd2_stream,
+    )
+
+    rng = random.Random(29)
+    base = dt.datetime(2026, 1, 12)
+    attrs = ["red", "green", "blue", None]
+    recs = []
+    for i in range(360):
+        recs.append(
+            {
+                "user_id": rng.randrange(20),
+                "event_id": i,
+                "ts": (base + dt.timedelta(minutes=i)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                ),
+                "event_type": rng.choice(attrs),
+            }
+        )
+    in_dir = os.path.join(root, "scd2_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=45)  # 8 micro-batches
+
+    hist_path = os.path.join(root, "scd2_history")
+    run_scd2_stream(
+        spark,
+        in_dir,
+        hist_path,
+        os.path.join(root, "scd2_cp"),
+    )
+    got = [
+        (
+            r["user_id"],
+            r["event_type"],
+            r["effective_from"],
+            r["effective_to"],
+            r["version"],
+            r["is_current"],
+        )
+        for r in spark.read.parquet(hist_path).collect()
+    ]
+    bb = (
+        spark.read.schema(
+            "user_id LONG, event_id LONG, ts STRING, event_type STRING"
+        )
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = [
+        tuple(r)
+        for r in scd2_from_changelog(
+            bb, "user_id", "ts", "event_type", ("event_id",)
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -579,6 +663,7 @@ def main() -> None:
         results["interval_join"] = check_interval_join(spark, root)
         results["watermark_dedup"] = check_watermark_dedup(spark, root)
         results["cusum_drift"] = check_cusum_stream(spark, root)
+        results["scd2_maintenance"] = check_scd2_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
