@@ -221,3 +221,72 @@ def weighted_sample(
     return df.filter(u < threshold).withColumn(
         "p_incl", threshold.cast("double") / F.lit(float(HASH_P))
     )
+
+
+# --- Mergeable bottom-k reservoir sample --------------------------------------
+#
+# The distributed answer to "keep a uniform size-k sample per key":
+# score every item with a scrambled hash and keep the k SMALLEST
+# (score, id) pairs. Because the score is content-addressed, the
+# sample is (a) uniform-without-replacement over distinct ids, (b)
+# bit-reproducible across runs/partitionings/engines (exact DuckDB
+# oracle — classic rand()-reservoirs are not), and (c) EXACTLY
+# mergeable: bottom-k of a union = bottom-k of the per-part bottom-ks
+# — the same k-smallest-of-union algebra as the KMV sketch
+# (operators/sketches.py), carrying sampled IDS instead of bare
+# hashes. Day-level sample tables roll up to month/corpus samples by
+# re-aggregation, and a streaming ingest can maintain the sample with
+# per-batch merges — no rescan, no resample.
+#
+# Scale shape (the kmv_sketch_agg discipline): two bounded hash
+# aggregations, no window, no global sort. Level-1 groups on
+# (key, score % n_shards) so one hot key's candidate state spreads
+# over n_shards groups of ≤ k structs; level 2 merges ≤ n_shards·k
+# survivors per key. Affine constants are distinct from the
+# KMV/CM/πps streams so the draws are independent.
+
+RSVR_A = 472_882_049
+RSVR_B = 811_235_917
+
+
+def reservoir_score(id_col: Column) -> Column:
+    """Deterministic uniform score on [0, P) for an integer id —
+    (id·A + B) mod P. Ids must be non-negative BIGINTs ≪ P·huge (the
+    affine map is injective per residue class, so distinct ids tie
+    only at multiples of P apart); the (score, id) struct order makes
+    even a tie deterministic."""
+    return (id_col.cast("long") * F.lit(RSVR_A) + F.lit(RSVR_B)) % F.lit(
+        HASH_P
+    )
+
+
+def reservoir_sample_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    k: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """One row per distinct `key_cols` with `reservoir` = ascending
+    array of (score, id) structs — the key's k smallest-scored
+    distinct ids (fewer when the key has fewer). Duplicated ids are
+    deduped shard-locally (same score → same shard → collect_set)."""
+    score = reservoir_score(F.col(id_col))
+    item = F.struct(
+        score.alias("s"), F.col(id_col).cast("long").alias("id")
+    )
+    lvl1 = df.groupBy(
+        *key_cols, F.pmod(score, F.lit(n_shards)).alias("__shard")
+    ).agg(F.slice(F.sort_array(F.collect_set(item)), 1, k).alias("__mins"))
+    return lvl1.groupBy(*key_cols).agg(
+        reservoir_merge_expr(F.collect_list("__mins"), k).alias("reservoir")
+    )
+
+
+def reservoir_merge_expr(sketches: Column, k: int) -> Column:
+    """Merge an array of reservoir arrays: the k smallest distinct
+    (score, id) structs of the union — usable as a re-aggregation
+    expression for day → month → corpus sample rollups."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(sketches))), 1, k
+    )

@@ -2634,3 +2634,84 @@ def q_dedup_incremental_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_new=shared.filter(F.col("doc") % 10 == 0),
         hashed_corpus=shared.filter(F.col("doc") % 10 != 0),
     ).orderBy("new_id", "corpus_id")
+
+
+# --- Mergeable reservoir sample (merged ≡ direct under the gate) --------------
+
+_RSVR_K = 20
+
+
+def _reservoir_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sampling import (
+        HASH_P,
+        RSVR_A,
+        RSVR_B,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT event_type, event_id,
+         (event_id * {RSVR_A} + {RSVR_B}) % {HASH_P} AS s
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, event_id) AS rk
+  FROM scored
+)
+SELECT event_type, CAST(rk AS INTEGER) AS sample_rank,
+       event_id, CAST(s AS BIGINT) AS score
+FROM r WHERE rk <= {_RSVR_K}
+ORDER BY event_type, sample_rank
+"""
+
+
+@register(
+    "q_reservoir_sample_merge",
+    oracle=_reservoir_oracle(),
+    doc="Mergeable uniform size-k sample per event type: per-(type, "
+    "day) bottom-k reservoirs (scrambled-hash scored, two bounded "
+    "aggregations — the KMV shape carrying sampled IDS) re-merged to "
+    "per-type samples by the k-smallest-of-union algebra. The oracle "
+    "computes the DIRECT bottom-k over the whole table, so the gate "
+    "proves merged ≡ direct — the sample-of-rows sibling of "
+    "q_kmv_daily_merge, and the deterministic exact-oracle "
+    "alternative to rand() reservoirs (content-addressed scores are "
+    "bit-reproducible across engines, runs, and repartitionings; "
+    "day-level sample tables roll up without rescanning). No window, "
+    "no global sort; a hot key's candidate state spreads over "
+    "n_shards bounded groups (operators/sampling.py:"
+    "reservoir_sample_agg)",
+    tags=("pipeline", "sampling", "sketch"),
+)
+def q_reservoir_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        reservoir_merge_expr,
+        reservoir_sample_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    per_day = reservoir_sample_agg(
+        ev, ["event_type", "__day"], "event_id", k=_RSVR_K
+    )
+    merged = per_day.groupBy("event_type").agg(
+        reservoir_merge_expr(F.collect_list("reservoir"), _RSVR_K).alias(
+            "reservoir"
+        )
+    )
+    return (
+        merged.select(
+            "event_type",
+            F.posexplode("reservoir").alias("__pos", "__it"),
+        )
+        .select(
+            "event_type",
+            (F.col("__pos") + 1).cast("int").alias("sample_rank"),
+            F.col("__it.id").alias("event_id"),
+            F.col("__it.s").alias("score"),
+        )
+        .orderBy("event_type", "sample_rank")
+    )

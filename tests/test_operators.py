@@ -1680,3 +1680,48 @@ def test_incremental_rs_persisted_index_two_day_ingest(
     )
     assert day2_ids <= {r["doc_id"] for r in n2.select("doc_id").collect()}
     clear_dedup_caches()
+
+
+def test_reservoir_sample_merge_algebra_and_dedup(spark):
+    """Bottom-k reservoir: (a) merging per-part reservoirs over ANY
+    partition of the input equals the direct bottom-k over the union;
+    (b) duplicated ids collapse (uniform over DISTINCT ids); (c) keys
+    with fewer than k ids return them all."""
+    from big_data_engineering_project_spark.operators.sampling import (
+        reservoir_merge_expr,
+        reservoir_sample_agg,
+    )
+
+    rows = [("g1", i % 40) for i in range(200)] + [
+        ("g2", i) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long")
+    k = 10
+    direct = {
+        r["k"]: r["reservoir"]
+        for r in reservoir_sample_agg(df, ["k"], "id", k).collect()
+    }
+    assert len(direct["g1"]) == k
+    assert len(direct["g2"]) == 7  # fewer ids than k: all of them
+    assert len({it["id"] for it in direct["g1"]}) == k  # dedup
+
+    # partition by id parity, sample each part, merge
+    parts = [
+        reservoir_sample_agg(
+            df.filter(F.col("id") % 2 == p), ["k"], "id", k
+        )
+        for p in (0, 1)
+    ]
+    merged = {
+        r["k"]: r["reservoir"]
+        for r in parts[0]
+        .unionByName(parts[1])
+        .groupBy("k")
+        .agg(
+            reservoir_merge_expr(
+                F.collect_list("reservoir"), k
+            ).alias("reservoir")
+        )
+        .collect()
+    }
+    assert merged == direct
