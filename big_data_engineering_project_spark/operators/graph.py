@@ -122,6 +122,12 @@ def pagerank(
     return pr
 
 
+# Pure-lineage LPA is safe only this deep: the analyzed plan doubles
+# per iteration (label frame referenced twice), so beyond this the
+# operator installs a localCheckpoint hook itself (see docstring).
+_LPA_PURE_LINEAGE_MAX_ITERS = 4
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -152,8 +158,27 @@ def label_propagation(
     max — deliberately NOT a row_number window, which would pile a hot
     node's whole neighbourhood into one unsplittable window partition
     (the sliding-coverage lesson). `materialize`/`materialize_every`
-    as in pagerank.
+    as in pagerank — BUT the default differs, and must:
+
+    Unlike pagerank (whose rank frame enters each iteration ONCE, so
+    pure lineage grows linearly and stays cheap through ~100
+    iterations), each LPA iteration references the label frame TWICE
+    (votes source + the kept-label fallback of the left join), so the
+    pure-lineage analyzed plan DOUBLES per iteration — measured
+    (SCALING.md round-8): data-size-independent 2.1 s at 4
+    iterations, 4.1 s at 5, minutes by 8, pure Catalyst analysis
+    cost. `localCheckpoint` truncates the logical plan (persist does
+    NOT — a cached frame's analyzed tree still embeds the full
+    lineage, so caching alone cannot fix this) at a flat ~0.25
+    s/iteration. Therefore when `materialize` is None and `iters` >
+    _LPA_PURE_LINEAGE_MAX_ITERS, a localCheckpoint hook at every-1
+    cadence is installed automatically (every-1 measured FASTER than
+    every-2: the doubled segment re-analysis costs more than the
+    saved checkpoint). Results are bit-identical at any cadence.
     """
+    if materialize is None and iters > _LPA_PURE_LINEAGE_MAX_ITERS:
+        materialize = lambda d: d.localCheckpoint()  # noqa: E731
+        materialize_every = 1
     e_src, e_dst, e_w = F.col(src), F.col(dst), F.col(weight)
     und = edges.select(
         e_src.alias("a"), e_dst.alias("b"), e_w.alias("__w")

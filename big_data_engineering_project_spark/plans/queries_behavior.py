@@ -348,6 +348,7 @@ _PR_ITERS = 10
     "recursive-CTE check. Per iteration: one dst-keyed shuffle of "
     "(node, contribution) longs, partial-aggregated; edges carry "
     "their precomputed out-weight (operators/graph.py)",
+    headline=True,
     tags=("behavior", "graph", "iterative"),
 )
 def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +434,7 @@ _LPA_ITERS = 4
     "is two grouped partial-aggregated passes, NOT a row_number "
     "window — a hot node's neighbourhood never lands in one window "
     "partition (operators/graph.py:label_propagation)",
+    headline=True,
     tags=("behavior", "graph", "iterative"),
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -534,6 +534,7 @@ ORDER BY a, b, c
     "the same relation but would explode on a celebrity vertex); "
     "vertices sorted ascending per triangle → engine-independent "
     "rows (operators/graph.py:triangle_count)",
+    headline=True,
     tags=("warehouse", "graph", "join"),
 )
 def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

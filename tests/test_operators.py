@@ -1725,3 +1725,43 @@ def test_reservoir_sample_merge_algebra_and_dedup(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_label_propagation_auto_checkpoints_deep_runs(spark):
+    """Pure-lineage LPA doubles its analyzed plan per iteration (the
+    label frame enters each iteration twice), so iters > 4 must
+    auto-install the localCheckpoint hook: (a) a deep default run
+    returns a lineage-CUT frame (scan of materialized partitions,
+    not a join chain), (b) results are bit-identical to an explicit
+    every-1 checkpoint run and to the pure form at the threshold
+    depth."""
+    from big_data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = [(i, (i + 1) % 6 + (0 if i < 6 else 6), 2) for i in range(12)] + [
+        (i, (i + 2) % 6 + (0 if i < 6 else 6), 1) for i in range(12)
+    ]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in rng if a != b], "src INT, dst INT, w LONG"
+    )
+
+    deep_default = label_propagation(edges, iters=6)
+    plan = deep_default._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan, plan[:500]  # lineage cut at the tail
+
+    explicit = label_propagation(
+        edges, iters=6, materialize=lambda d: d.localCheckpoint()
+    )
+    got = sorted(map(tuple, deep_default.collect()))
+    assert got == sorted(map(tuple, explicit.collect()))
+
+    # at the threshold the default stays pure lineage and agrees
+    pure4 = label_propagation(edges, iters=4)
+    assert "Join" in pure4._jdf.queryExecution().analyzed().toString()
+    cp4 = label_propagation(
+        edges, iters=4, materialize=lambda d: d.localCheckpoint()
+    )
+    assert sorted(map(tuple, pure4.collect())) == sorted(
+        map(tuple, cp4.collect())
+    )
