@@ -79,6 +79,24 @@ Noise ledger (committed attributions for round-over-round deltas):
   single-pass tagged-counts form vs 1.47 s for the old 5-scan
   self-join form under identical conditions — the scale-motivated
   rework is also the locally faster plan.
+- r8 CLOSURE of the r7 verdict's q_nation_revenue (1.57x) /
+  q_volume_shipping (1.28x) question: two one-session A/Bs at sf0.1
+  (5 reps each, warm), minutes apart, vs the committed r6 numbers.
+  Session A: nation 1.31x, volume 1.03x; session B: nation 1.07x,
+  volume 0.94x — while events-table CPU-bound controls in the SAME
+  sessions measured 0.18-0.61x (today's host window is much faster
+  on CPU-bound work). Reading: (a) both bodies are untouched (git
+  log on queries_tpch*.py — last change predates r7); (b) the
+  inter-session spread on the two fact-join queries alone is ~1.3x;
+  (c) host drift is RESOURCE-CLASS-DEPENDENT — the CPU calibration
+  probe and CPU-bound queries ride a faster window that
+  shuffle/memory-bandwidth-bound fact joins do not, so probe
+  normalization over-corrects shuffle-bound queries and their raw
+  ratios sit high while controls sit low. No plan action: the r7
+  audit already pinned both plans as the scale-correct ones
+  (broadcast dims, facts pre-pruned before the fact-fact join).
+  Probe-normalized diffs (tools/bench_diff.py) should treat 0.7-1.4x
+  on shuffle-bound queries as within host variance.
 """
 
 from __future__ import annotations
@@ -408,7 +426,41 @@ def main() -> None:
             json.dump({**payload, "queries_detail": detail}, fh, indent=1)
     except OSError as exc:  # read-only checkout: detail is best-effort
         print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
-    print(json.dumps(payload))
+    # The driver captures only the LAST 2000 chars of stdout and
+    # parses the final JSON line; r7's line (42 headliners + the full
+    # streaming/protocol sub-dicts, spaced separators) overflowed
+    # that window and BENCH_r07.json recorded parsed: null. The
+    # stdout line is therefore aggressively compact — 2-decimal
+    # per-query seconds, no-space separators, streaming reduced to
+    # its two headline rates, protocol dropped (both live untruncated
+    # in BENCH_DETAIL.json and on stderr).
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "calibration": {
+            "pre_sec": round(cal_pre["sec"], 3),
+            "post_sec": round(cal_post["sec"], 3),
+        },
+        "sf": payload["sf"],
+    }
+    derived = streaming.get("derived", {})
+    if derived.get("hot_path"):
+        compact["streaming"] = {
+            "hot_marginal_rows_per_sec": round(
+                derived["hot_path"]["marginal_rows_per_sec"]
+            ),
+            "curation_marginal_rows_per_sec": round(
+                derived.get("curation", {}).get("marginal_rows_per_sec", 0)
+            ),
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still too long: drop streaming, then warn
+        compact.pop("streaming", None)
+        line = json.dumps(compact, separators=(",", ":"))
+        print(f"# stdout line trimmed to {len(line)} chars", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

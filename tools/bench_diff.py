@@ -16,30 +16,56 @@ import json
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
     if "parsed" in doc and doc["parsed"]:
         doc = doc["parsed"]
-    return doc["queries"]
+    return doc
+
+
+def probe_sec(doc: dict) -> float | None:
+    """Median-ish calibration figure from an artifact: the mean of the
+    pre/post probe runs (both are medians of REPS already)."""
+    cal = doc.get("calibration") or {}
+    pre, post = cal.get("pre_sec"), cal.get("post_sec")
+    if pre and post:
+        return (pre + post) / 2.0
+    return None
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old_doc, new_doc = load(sys.argv[1]), load(sys.argv[2])
+    old, new = old_doc["queries"], new_doc["queries"]
+    # Probe normalization: if both artifacts carry the CPU-bound
+    # calibration probe, divide the raw ratio by the probe ratio —
+    # what's left is plan/engine change, not host-speed drift.
+    po, pn = probe_sec(old_doc), probe_sec(new_doc)
+    probe_ratio = (pn / po) if (po and pn) else None
     common = sorted(set(old) & set(new))
     rows = [(n, old[n], new[n], new[n] / old[n] if old[n] else float("inf"))
             for n in common]
     rows.sort(key=lambda r: r[3], reverse=True)
-    print(f"{'query':<28} {'old':>7} {'new':>7} {'ratio':>6}")
+    norm_hdr = f" {'norm':>6}" if probe_ratio else ""
+    print(f"{'query':<28} {'old':>7} {'new':>7} {'ratio':>6}{norm_hdr}")
     for n, o, w, r in rows:
-        flag = "  <-- check" if r > 1.2 else ""
-        print(f"{n:<28} {o:>7.3f} {w:>7.3f} {r:>6.2f}{flag}")
+        nr = r / probe_ratio if probe_ratio else None
+        flagged = (nr if nr is not None else r) > 1.2
+        flag = "  <-- check" if flagged else ""
+        norm_s = f" {nr:>6.2f}" if nr is not None else ""
+        print(f"{n:<28} {o:>7.3f} {w:>7.3f} {r:>6.2f}{norm_s}{flag}")
     so, sn = sum(old[n] for n in common), sum(new[n] for n in common)
     print(f"\ncommon total: {so:.3f} -> {sn:.3f}  ({sn / so:.2f}x over "
           f"{len(common)} queries)")
+    if probe_ratio:
+        print(f"calibration probe: {po:.3f} -> {pn:.3f} "
+              f"({probe_ratio:.2f}x host drift); probe-normalized "
+              f"common total ratio: {sn / so / probe_ratio:.2f}x")
+    else:
+        print("calibration probe missing from one side - raw ratios only")
     for label, names in (("only-old", set(old) - set(new)),
                          ("only-new", set(new) - set(old))):
         if names:
