@@ -50,12 +50,20 @@ from big_data_engineering_project_spark.plans import queries_warehouse  # noqa: 
 # demoting them loses no verified evidence, and all remain in every
 # round's FULL sweeps at both SFs. The four rows-only ANN/semantic
 # queries also leave the gate: a gate slot spent on a rows-only check
-# is a slot an exact-oracle query can use. After this rotation the
-# only never-gated names are q_hll_distinct_users,
-# q_compression_ratio, q_approx_quantile_contrast — rows-only BY
-# DESIGN (engine-internal sketches / zlib), pinned by pytest
-# accuracy/determinism tests instead; a gate row would add nothing a
-# FULL-sweep rows-only row doesn't already record.
+# is a slot an exact-oracle query can use.
+#
+# Round-8 rotation (r7 verdict task 3): the four rows-only-BY-DESIGN
+# queries (q_hll_distinct_users, q_hll_daily_merge,
+# q_approx_quantile_contrast, q_compression_ratio) rotate IN so every
+# registry member has appeared in at least one committed gate
+# artifact — their gate rows record the rows-only verdict PLUS the
+# pytest invariant node ids that do verify them (QuerySpec.invariants
+# → tools/oracle_check.py). The two round-8 newborns
+# (q_zorder_pruned_scan, q_reservoir_sample_merge) take slots the
+# round they are born per the standing policy. Demoted veterans (each
+# hash-green in 1-2 committed gates + every FULL sweep):
+# q_sliding_dup_coverage, q_vocab_coverage, q_weighted_sample_ht,
+# q_histogram_quantile_merge, q_mad_outliers, q_session_window_native.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family (sliding coverage's hot-gram fix is
     # round-7's one plan change — gate it the round it changed).
@@ -64,8 +72,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-7-NEW queries, which take gate slots the round they are
     # born per the standing policy: q_label_propagation (below, with
     # the graph family) and q_hdr_quantile_merge (below, sketches).
-    "q_sliding_dup_coverage",
-    # Incremental R-S near-dup (newborn, gated the round it's born)
+    # (q_sliding_dup_coverage, gate-green r7 the round its plan
+    # changed and stable since, demoted — the dedup family stays
+    # gated via the incremental R-S member)
+    # Incremental R-S near-dup (gate-green r7, kept)
     "q_dedup_incremental_rs",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
@@ -74,13 +84,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SFs, so no verified evidence is lost.
     # CDC: snapshot reconciliation (newborn, gated the round it's born)
     "q_snapshot_diff",
-    # LLM-pipeline: text analysis (q_bigram_min_prob,
-    # q_chunk_documents, and q_importance_weights — 2× gate-green
-    # each — demoted for round-7-new queries per the newborn-slot
-    # policy; vocab coverage keeps the family gated)
-    "q_vocab_coverage",
-    # LLM-pipeline: sampling (πps + Horvitz-Thompson, single-gated r6)
-    "q_weighted_sample_ht",
+    # LLM-pipeline: text analysis — q_vocab_coverage (gate-green r7)
+    # demoted for the rows-only rotation below; compression ratio
+    # (never gated, rows-only BY DESIGN) takes the family's slot so
+    # every registry member has appeared in at least one committed
+    # gate artifact (r7 verdict task 3). Rows-only gate rows carry
+    # their pytest invariant names via the registry's `invariants`.
+    "q_compression_ratio",
+    # LLM-pipeline: sampling — q_weighted_sample_ht (gate-green r6)
+    # demoted for the round-8 newborn mergeable reservoir sample
+    # (merged ≡ direct under the gate, newborn-slot policy)
+    "q_reservoir_sample_merge",
     # Temporal: the as-of matrix {backward,forward}×{plain,salted} is
     # represented by the two salted members (each oracle = direct ASOF
     # JOIN, so salted ≡ unsalted is proven each round), the forward
@@ -93,7 +107,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_key_skew_report",
     "q_asof_next_purchase",
     "q_gap_fill_6h",
-    "q_session_window_native",
+    # (q_session_window_native, gate-green r7, demoted for the
+    # round-8 newborn z-order pruned scan — storage-layout family's
+    # first gated member)
+    "q_zorder_pruned_scan",
     "q_click_purchase_interval",
     # Sketches: KMV algebra + daily merge, count-min, histogram merge
     # + the r7 HDR log-bucket relative-error twin
@@ -102,13 +119,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kmv_daily_merge",
     "q_top_journeys",
     "q_cm_heavy_hitters",
-    "q_histogram_quantile_merge",
+    # (q_histogram_quantile_merge, gate-green r7, demoted: the two
+    # never-gated HLL rows-only members join the gate so their
+    # rows-only verdict + pytest invariant names land in a committed
+    # artifact; the exact-oracle sketch algebra stays covered by the
+    # KMV daily merge + HDR twin)
+    "q_hll_distinct_users",
+    "q_hll_daily_merge",
     "q_hdr_quantile_merge",
     # Behavior analytics + robust stats (q_cohort_retention and
     # q_rolling_active_users, 2× gate-green each, demoted for the
     # round-7 newborns; the winsorized mean keeps the robust-stats
     # family at two slots)
-    "q_mad_outliers",
+    # (q_mad_outliers, gate-green r7, demoted for the never-gated
+    # q_approx_quantile_contrast — the engine-approx member of the
+    # quantile family gets its rows-only gate row)
+    "q_approx_quantile_contrast",
     "q_winsorized_value_by_type",
     "q_cusum_drift",
     # Graph: the two iterative fixed-points (rank + communities) plus

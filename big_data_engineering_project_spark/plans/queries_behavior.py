@@ -536,6 +536,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rows-only by nature; the pytest bounds |approx − exact| by the "
     "histogram of the accuracy parameter",
     tags=("behavior", "sketch", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_approx_quantiles_within_bound",
+        "tests/test_behavior.py::test_approx_quantiles_close_to_exact",
+    ),
 )
 def q_approx_quantile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -1622,6 +1622,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column, pure map (no shuffle). Catches long-range/structural "
     "redundancy that token-level repetition heuristics miss",
     tags=("pipeline", "text"),
+    invariants=(
+        "tests/test_pipeline_ops.py::test_compression_ratio_orders_redundancy",
+    ),
 )
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.operators.text_analysis import (
@@ -2139,6 +2142,9 @@ def q_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-reproducible across engines or sketches need exact set "
     "algebra (union/intersection)",
     tags=("pipeline", "sketch"),
+    invariants=(
+        "tests/test_pipeline_ops.py::test_hll_estimate_within_error_bound",
+    ),
 )
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -2553,6 +2559,9 @@ def q_hdr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "est_direct exactly (pytest-pinned); both sit beside the exact "
     "distinct for the error contract",
     tags=("pipeline", "sketch", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_hll_daily_merge_equals_direct",
+    ),
 )
 def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -35,6 +35,12 @@ class QuerySpec:
     doc: str = ""
     headline: bool = False  # include in bench.py's timed set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For rows-only queries (oracle None): the pytest node ids that
+    # pin the query's correctness invariants (accuracy/error-bound/
+    # determinism). Recorded into the rows-only row of every
+    # correctness artifact so the evidence trail names the checks
+    # that DO verify the query.
+    invariants: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -46,6 +52,7 @@ def register(
     doc: str = "",
     headline: bool = False,
     tags: tuple[str, ...] = (),
+    invariants: tuple[str, ...] = (),
 ) -> Callable[[Builder], Builder]:
     """Decorator: `@register("q_x", oracle="SELECT ...")` on a builder."""
 
@@ -59,6 +66,7 @@ def register(
             doc=doc or (fn.__doc__ or ""),
             headline=headline,
             tags=tags,
+            invariants=invariants,
         )
         return fn
 
