@@ -117,7 +117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_kmv_set_ops, 2× gate-green, demoted for the newborn
     # q_top_journeys — the daily merge keeps the KMV algebra gated)
     "q_kmv_daily_merge",
-    "q_top_journeys",
+    # (q_top_journeys, gate-green r7 + headline-benched, demoted for
+    # the round-8 newborn Merkle-bucket incremental diff)
+    "q_incremental_snapshot_diff",
     "q_cm_heavy_hitters",
     # (q_histogram_quantile_merge, gate-green r7, demoted: the two
     # never-gated HLL rows-only members join the gate so their

@@ -709,3 +709,58 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "q_incremental_snapshot_diff",
+    oracle=f"""
+WITH old_s AS ({_DIFF_OLD_SQL}),
+new_s AS ({_DIFF_NEW_SQL}),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS is_add,
+         n.o_orderkey IS NULL AS is_rem,
+         (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS is_chg
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN is_add THEN 'added'
+            WHEN is_rem THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM j WHERE is_add OR is_rem OR is_chg
+ORDER BY o_orderkey
+""",
+    doc="Merkle-bucket INCREMENTAL snapshot reconciliation over the "
+    "same two orders views as q_snapshot_diff: level 1 compares "
+    "per-key-hash-bucket order-insensitive digests (bit_xor of row "
+    "digests + row count — a bounded aggregate per side, no "
+    "row-level exchange), level 2 runs the row-digest full-outer "
+    "diff ONLY on rows in changed buckets (broadcast semi prune). "
+    "The oracle is the DIRECT raw-column diff, so the gate proves "
+    "incremental ≡ direct — the sub-linear-shuffle path for daily "
+    "diffs of mostly-identical 100 TB snapshots, with the old side's "
+    "bucket-digest table persistable across runs (the R-S dedup "
+    "corpus-index pattern; two-day pytest) "
+    "(operators/cdc.py:table_diff_incremental)",
+    tags=("warehouse", "cdc", "join", "sketch"),
+)
+def q_incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.cdc import (
+        table_diff_incremental,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return table_diff_incremental(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")

@@ -427,3 +427,15 @@ def test_top_journeys_episode_collapse_before_journey_shuffle(plans):
     assert "TakeOrderedAndProject" in p
     # the rank filter exists between the window and the aggregate
     assert "row_number" in p and "Filter" in p
+
+
+def test_incremental_diff_prunes_by_broadcast_semi(plans):
+    """q_incremental_snapshot_diff: the changed-bucket set (≤
+    n_buckets rows) must prune BOTH row-level sides as a broadcast
+    LeftSemi BEFORE the only row-level exchange (the key-digest
+    full-outer); level 1's digests aggregate map-side into bounded
+    bucket groups."""
+    p = plans("q_incremental_snapshot_diff")
+    assert p.count("LeftSemi") >= 2, p[:1500]
+    assert "BroadcastExchange" in p
+    assert "FullOuter" in p or "full_outer" in p.lower()

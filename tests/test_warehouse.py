@@ -393,3 +393,61 @@ def test_scd2_null_attr_transitions_are_changes(spark):
         (1, 3): ("A", _ts(4)),
         (2, 1): (None, _ts(1)),
     }
+
+
+def test_incremental_diff_equals_full_and_persisted_index(
+    spark, sf_dir, tmp_path
+):
+    """table_diff_incremental: (a) identical classification to the
+    full table_diff; (b) the persisted old-side bucket-digest table
+    (written day 0, read day 1 — the production shape) gives the
+    identical result without recomputing the old digests; (c) the
+    level-1 index is bounded (<= n_buckets rows)."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        DIFF_DEFAULT_BUCKETS,
+        bucket_digests,
+        table_diff,
+        table_diff_incremental,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    cols = ["o_orderstatus", "o_totalprice"]
+    full = sorted(
+        map(tuple, table_diff(old, new, "o_orderkey", cols).collect())
+    )
+    assert full  # fixture plants adds, removes, and changes
+    inc = sorted(
+        map(
+            tuple,
+            table_diff_incremental(old, new, "o_orderkey", cols).collect(),
+        )
+    )
+    assert inc == full
+
+    idx_path = str(tmp_path / "old_bucket_digests")
+    bd = bucket_digests(old, "o_orderkey", cols)
+    assert bd.count() <= DIFF_DEFAULT_BUCKETS
+    bd.write.parquet(idx_path)
+    inc2 = sorted(
+        map(
+            tuple,
+            table_diff_incremental(
+                old,
+                new,
+                "o_orderkey",
+                cols,
+                old_digests=spark.read.parquet(idx_path),
+            ).collect(),
+        )
+    )
+    assert inc2 == full
