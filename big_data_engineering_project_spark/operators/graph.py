@@ -313,3 +313,71 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
     )
     return tri
+
+
+# Pure-lineage BFS has the SAME doubling hazard as label propagation
+# (the distance frame enters each hop twice: relax join + min-merge
+# union), so the same auto-checkpoint threshold applies.
+_BFS_PURE_LINEAGE_MAX_HOPS = 4
+
+
+def hop_distance(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a DIRECTED edge list:
+    returns (node, dist) for every node reachable from `sources`
+    (a one-column frame of seed nodes, dist 0) within `max_hops`
+    hops — the reachability/radius member of the graph family beside
+    pagerank (rank), label_propagation (communities),
+    duplicate_clusters (components), and triangle_count (local
+    density).
+
+    All-integer frontier relaxation: per hop, the CURRENT frontier
+    (nodes first reached last hop — NOT the full distance table)
+    joins edges on the source key, proposes dist+1 for each out-
+    neighbour, and a left_anti against the settled table keeps only
+    NEWLY reached nodes. Unweighted BFS settles a node the first
+    time it is reached, so the per-hop join input is the frontier —
+    at 100 TB the work per hop is frontier-adjacency-sized, never
+    accumulated-table-sized, and the fixed hop budget bounds the
+    loop. Deterministic: hop counts are integers; no tie-break is
+    even needed.
+
+    Lineage: the settled table enters each hop twice (anti-join +
+    union), so past _BFS_PURE_LINEAGE_MAX_HOPS hops a localCheckpoint
+    hook at every-1 cadence is installed automatically when no
+    `materialize` is given — the label_propagation lesson
+    (SCALING.md round-8); results are bit-identical at any cadence.
+    """
+    if materialize is None and max_hops > _BFS_PURE_LINEAGE_MAX_HOPS:
+        materialize = lambda d: d.localCheckpoint()  # noqa: E731
+        materialize_every = 1
+    settled = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).distinct()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("dist") + 1).cast("int").alias("dist"),
+            )
+            .distinct()
+        )
+        new_nodes = reached.join(
+            settled.select("node"), "node", "left_anti"
+        )
+        settled = settled.unionByName(new_nodes)
+        frontier = new_nodes
+        if materialize is not None and hop % materialize_every == 0:
+            settled = materialize(settled)
+            frontier = materialize(frontier)
+    return settled

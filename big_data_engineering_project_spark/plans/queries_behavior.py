@@ -553,3 +553,82 @@ def q_approx_quantile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Multi-source BFS hop distances over the transition graph ------------------
+
+
+def _hop_oracle(max_hops: int) -> str:
+    ctes = [
+        "d0 AS (SELECT node, 0 AS dist FROM s0)"
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM d{i-1} d JOIN e ON d.node = e.src
+  ) u GROUP BY 1
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+e AS (
+  SELECT DISTINCT event_type AS src, next_type AS dst
+  FROM o WHERE next_type IS NOT NULL
+),
+s0 AS (SELECT MIN(event_type) AS node FROM events),
+{joined}
+SELECT node AS event_type, dist AS hops
+FROM d{max_hops}
+ORDER BY node
+"""
+
+
+_BFS_HOPS = 4
+
+
+@register(
+    "q_hop_distance",
+    oracle=_hop_oracle(_BFS_HOPS),
+    doc=f"Multi-source BFS hop distances ({_BFS_HOPS}-hop budget) "
+    "from the lexicographically-first event type over the DIRECTED "
+    "transition graph — the reachability/radius member completing "
+    "the graph family (rank / communities / components / triangles / "
+    "distances). Frontier relaxation: each hop joins only the "
+    "NEWLY-reached frontier against edges and anti-joins the settled "
+    "set, so per-hop work is frontier-adjacency-sized, never "
+    "accumulated-table-sized; hop counts are integers, so the fixed "
+    "point is bit-identical cross-engine and the oracle is the "
+    "unrolled min-relaxation (settled-first-reach ≡ min over "
+    "relaxations for unweighted BFS). The settled frame enters each "
+    "hop twice → the operator auto-installs localCheckpoint past 4 "
+    "hops (the label-propagation lineage lesson, SCALING.md r8) "
+    "(operators/graph.py:hop_distance)",
+    tags=("behavior", "graph", "iterative"),
+)
+def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        hop_distance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = (
+        event_transitions(ev, "user_id", "ts", "event_type")
+        .select(
+            F.col("from_type").alias("src"), F.col("to_type").alias("dst")
+        )
+        .distinct()
+    )
+    sources = ev.agg(F.min("event_type").alias("node"))
+    return (
+        hop_distance(edges, sources, max_hops=_BFS_HOPS)
+        .select(F.col("node").alias("event_type"), F.col("dist").alias("hops"))
+        .orderBy("event_type")
+    )

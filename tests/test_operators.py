@@ -1765,3 +1765,45 @@ def test_label_propagation_auto_checkpoints_deep_runs(spark):
     assert sorted(map(tuple, pure4.collect())) == sorted(
         map(tuple, cp4.collect())
     )
+
+
+def test_hop_distance_bfs_semantics_and_auto_checkpoint(spark):
+    """hop_distance: (a) exact BFS hops on a planted digraph with a
+    cycle, a diamond (two equal paths), and an unreachable component
+    (absent from the result, not inf); (b) the hop budget truncates;
+    (c) deep runs auto-install the lineage cut and equal the explicit
+    form."""
+    from big_data_engineering_project_spark.operators.graph import (
+        hop_distance,
+    )
+
+    #   0→1→2→3→4→5 (chain), 1→3 (shortcut), 5→0 (cycle), 8→9 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 0), (8, 9)],
+        "src INT, dst INT",
+    )
+    srcs = spark.createDataFrame([(0,)], "node INT")
+    got = {
+        r["node"]: r["dist"]
+        for r in hop_distance(edges, srcs, max_hops=6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4}, got
+
+    # budget truncation: 2 hops reach only {0, 1, 2, 3}
+    got2 = {
+        r["node"]: r["dist"]
+        for r in hop_distance(edges, srcs, max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 2}, got2
+
+    # deep default run: lineage cut (no Join in the analyzed tail) and
+    # identical to the explicit checkpoint form
+    deep = hop_distance(edges, srcs, max_hops=6)
+    assert "Join" not in deep._jdf.queryExecution().analyzed().toString()
+    explicit = hop_distance(
+        edges, srcs, max_hops=6,
+        materialize=lambda d: d.localCheckpoint(),
+    )
+    assert sorted(map(tuple, deep.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
