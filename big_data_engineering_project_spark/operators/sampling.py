@@ -290,3 +290,109 @@ def reservoir_merge_expr(sketches: Column, k: int) -> Column:
     return F.slice(
         F.array_sort(F.array_distinct(F.flatten(sketches))), 1, k
     )
+
+
+# --- Mergeable weighted priority sample (Duffield-Lund-Thorup 2007) -----------
+#
+# The weighted sibling of the bottom-k reservoir above: item i draws
+# u_i uniform on (0,1) and gets priority u_i / w_i; the k SMALLEST
+# priorities form the sample, and with τ = the (k+1)-th smallest
+# priority, ŵ_i = max(w_i, 1/τ·(1)) — concretely max(w_i, τ·?) in the
+# parametrization below — gives an UNBIASED estimator of any
+# subset-sum of weights from just the sample (DLT, JACM 54(6), the
+# optimal-variance scheme for this problem). Everything stays
+# content-addressed and cross-engine exact:
+#
+#   u_i = h_i / P  with h_i = 1 + scrambled-hash(id) mod (P-1) ∈ [1, P)
+#   priority key = u_i / w_i = h_i / (P·w_i)  — ONE IEEE-754 double
+#   division of exact integers, bit-identical in any engine; ties
+#   broken by id. ŵ_i = max(w_i, P·w_(k+1)... ) is computed from τ in
+#   the same exact-double algebra the DuckDB oracle replicates.
+#
+# Mergeable by the same k-smallest-of-union algebra as the reservoir
+# (keep k+1 entries so τ survives merging: the (k+1)-th smallest of a
+# union is computable from per-part (k+1)-smallest sets).
+
+RSVR_W_A = 690_123_821
+RSVR_W_B = 333_667_001
+
+
+def priority_key(id_col: Column, weight_col: Column) -> Column:
+    """DLT priority u/w as an exact double: h/(P·w), h ∈ [1, P).
+    Weights must be positive integers with P·w < 2^63 (w ≤ ~9e9)."""
+    h = (
+        (id_col.cast("long") * F.lit(RSVR_W_A) + F.lit(RSVR_W_B))
+        % F.lit(HASH_P - 1)
+    ) + F.lit(1)
+    return h.cast("double") / (
+        weight_col.cast("long") * F.lit(HASH_P)
+    ).cast("double")
+
+
+def priority_sample_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """One row per distinct `key_cols` with `psample` = ascending
+    array of (priority, id, w) structs holding the k+1 smallest
+    priorities (k sample members + the threshold entry). Rows with
+    NULL or non-positive weight are excluded. Two bounded
+    aggregations, no window — the reservoir_sample_agg shape."""
+    pri = priority_key(F.col(id_col), F.col(weight_col))
+    item = F.struct(
+        pri.alias("p"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    src = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    lvl1 = src.groupBy(
+        *key_cols,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
+    ).agg(
+        F.slice(F.sort_array(F.collect_set(item)), 1, k + 1).alias("__mins")
+    )
+    return lvl1.groupBy(*key_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__mins")))),
+            1,
+            k + 1,
+        ).alias("psample")
+    )
+
+
+def priority_sample_estimates(
+    sampled: DataFrame, k: int
+) -> DataFrame:
+    """Explode a priority_sample_agg frame into per-member rows with
+    the DLT weight estimate: τ = the (k+1)-th smallest stored
+    priority (NULL when the key has ≤ k members — then every member
+    is certain and ŵ = w exactly). DLT's threshold is the (k+1)-th
+    LARGEST of q = w/u, and stored p = u/w is its reciprocal, so
+    ŵ_i = max(w_i, 1/τ) computed as the exact double 1.0/τ — the
+    same IEEE ops in the DuckDB oracle. Σ w_est over the sample is
+    an unbiased estimate of the key's total weight (pytest pins it
+    within sampling error)."""
+    keys = [c for c in sampled.columns if c != "psample"]
+    tau = F.when(
+        F.size("psample") > k, F.element_at("psample", k + 1).getField("p")
+    )
+    out = sampled.select(
+        *keys,
+        tau.alias("__tau"),
+        F.explode(F.slice("psample", 1, k)).alias("__m"),
+    )
+    w = F.col("__m.w").cast("double")
+    w_est = F.when(F.col("__tau").isNull(), w).otherwise(
+        F.greatest(w, F.lit(1.0) / F.col("__tau"))
+    )
+    return out.select(
+        *keys,
+        F.col("__m.id").alias("id"),
+        F.col("__m.w").alias("w"),
+        F.col("__m.p").alias("priority"),
+        w_est.alias("w_est"),
+    )

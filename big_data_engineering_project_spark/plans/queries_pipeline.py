@@ -2724,3 +2724,83 @@ def q_reservoir_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "sample_rank")
     )
+
+
+# --- Mergeable weighted priority sample (DLT 2007, exact oracle) --------------
+
+_PSAMP_K = 15
+
+
+def _priority_sample_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sampling import (
+        HASH_P,
+        RSVR_W_A,
+        RSVR_W_B,
+    )
+
+    return f"""
+WITH src AS (
+  SELECT l_returnflag AS grp,
+         l_orderkey * 8 + l_linenumber AS id,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity > 0
+),
+pri AS (
+  SELECT grp, id, w,
+         CAST(1 + (id * {RSVR_W_A} + {RSVR_W_B}) % {HASH_P - 1} AS DOUBLE)
+           / CAST(w * {HASH_P} AS DOUBLE) AS p
+  FROM src
+),
+r AS (
+  SELECT grp, id, w, p,
+         row_number() OVER (PARTITION BY grp ORDER BY p, id) AS rk
+  FROM pri
+),
+tau AS (
+  SELECT grp, MAX(CASE WHEN rk = {_PSAMP_K + 1} THEN p END) AS t
+  FROM r GROUP BY 1
+)
+SELECT r.grp AS l_returnflag, r.id, r.w, r.p AS priority,
+       CASE WHEN tau.t IS NULL THEN CAST(r.w AS DOUBLE)
+            ELSE GREATEST(CAST(r.w AS DOUBLE), 1.0 / tau.t) END AS w_est
+FROM r JOIN tau ON r.grp = tau.grp
+WHERE r.rk <= {_PSAMP_K}
+ORDER BY r.grp, r.p, r.id
+"""
+
+
+@register(
+    "q_priority_sample_weighted",
+    oracle=_priority_sample_oracle(),
+    doc=f"Weighted priority sample (Duffield-Lund-Thorup, JACM 2007) "
+    f"of k={_PSAMP_K} lineitems per return flag, weight = quantity: "
+    "priority u/w from a scrambled content hash — ONE IEEE division "
+    "of exact integers, so the selected set AND the threshold "
+    "estimator are bit-identical cross-engine (the oracle replicates "
+    "the same arithmetic; classic rand()-based weighted reservoirs "
+    "cannot be oracle-checked at all). w_est = max(w, 1/τ) with τ "
+    "the (k+1)-th smallest priority makes Σ w_est an unbiased "
+    "subset-sum estimator (pytest pins it within sampling error). "
+    "Mergeable by the same k+1-smallest-of-union algebra as the "
+    "uniform reservoir — day-level weighted samples roll up without "
+    "rescanning; two bounded aggregations, no window "
+    "(operators/sampling.py:priority_sample_agg)",
+    tags=("pipeline", "sampling", "sketch"),
+)
+def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        priority_sample_agg,
+        priority_sample_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__id"),
+        F.col("l_quantity").cast("long").alias("__w"),
+    )
+    sampled = priority_sample_agg(
+        li, ["l_returnflag"], "__id", "__w", k=_PSAMP_K
+    )
+    return priority_sample_estimates(sampled, k=_PSAMP_K).orderBy(
+        "l_returnflag", "priority", "id"
+    )

@@ -1807,3 +1807,71 @@ def test_hop_distance_bfs_semantics_and_auto_checkpoint(spark):
     assert sorted(map(tuple, deep.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_priority_sample_unbiased_and_mergeable(spark, sf_dir):
+    """DLT priority sample: (a) Σ w_est over the k-sample estimates
+    the true total weight within sampling error; (b) merging per-part
+    (k+1)-sketches over any input partition equals the direct sketch
+    (the threshold entry survives the merge); (c) keys with ≤ k
+    members carry exact certain weights (w_est = w)."""
+    from big_data_engineering_project_spark.operators.sampling import (
+        priority_sample_agg,
+        priority_sample_estimates,
+        reservoir_merge_expr,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    k = 20
+    est = (
+        priority_sample_estimates(
+            priority_sample_agg(li, ["grp"], "id", "w", k), k
+        )
+        .groupBy("grp")
+        .agg(F.sum("w_est").alias("est"))
+    )
+    exact = li.groupBy("grp").agg(F.sum("w").cast("double").alias("tot"))
+    joined = {r["grp"]: (r["est"], r["tot"])
+              for r in est.join(exact, "grp").collect()}
+    assert joined
+    for grp, (e, t) in joined.items():
+        # DLT variance ~ t/sqrt(k); allow a generous 3x band
+        assert abs(e - t) / t < 3.0 / (k ** 0.5), (grp, e, t)
+
+    # merge algebra: partition by id parity, keep k+1 per part, merge
+    direct = {
+        r["grp"]: r["psample"]
+        for r in priority_sample_agg(li, ["grp"], "id", "w", k).collect()
+    }
+    parts = [
+        priority_sample_agg(
+            li.filter(F.col("id") % 2 == p), ["grp"], "id", "w", k
+        )
+        for p in (0, 1)
+    ]
+    merged = {
+        r["grp"]: r["psample"]
+        for r in parts[0]
+        .unionByName(parts[1])
+        .groupBy("grp")
+        .agg(
+            reservoir_merge_expr(F.collect_list("psample"), k + 1).alias(
+                "psample"
+            )
+        )
+        .collect()
+    }
+    assert merged == direct
+
+    # small-key certainty
+    tiny = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30)], "grp string, id long, w long"
+    )
+    rows = priority_sample_estimates(
+        priority_sample_agg(tiny, ["grp"], "id", "w", k), k
+    ).collect()
+    assert {(r["id"], r["w_est"]) for r in rows} == {(1, 10.0), (2, 30.0)}
