@@ -97,6 +97,17 @@ Noise ledger (committed attributions for round-over-round deltas):
   (broadcast dims, facts pre-pruned before the fact-fact join).
   Probe-normalized diffs (tools/bench_diff.py) should treat 0.7-1.4x
   on shuffle-bound queries as within host variance.
+- r8 streaming-marginal conditioning: the hot-path marginal rate is
+  the quotient of a SMALL difference of two fixed-cost-dominated
+  totals (36 000 extra rows over a sub-second gap between ~13 s
+  runs), so it swings 2-6x run to run on an identical code path —
+  measured same-day: 12.7k (bench run), 40.4k (3-rep re-measure),
+  vs r7's 80.6k, with the calibration probe flat and ZERO streaming-
+  path changes (git log). The curation marginal — whose per-row cost
+  is large enough to condition the subtraction — is the stable
+  number: 11.0k vs r7's 10.4k, flat. Read hot-path health from the
+  per-batch fixed cost (1.5-1.7 s, Spark's micro-batch floor) and
+  treat the hot marginal as order-of-magnitude only.
 """
 
 from __future__ import annotations
