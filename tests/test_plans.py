@@ -439,3 +439,15 @@ def test_incremental_diff_prunes_by_broadcast_semi(plans):
     assert p.count("LeftSemi") >= 2, p[:1500]
     assert "BroadcastExchange" in p
     assert "FullOuter" in p or "full_outer" in p.lower()
+
+
+def test_sample_sketches_are_window_free_two_level_aggs(plans):
+    """q_reservoir_sample_merge / q_priority_sample_weighted: both
+    samples must compile to bounded two-level aggregations — NO
+    Window (a per-key row_number would pile a hot key's candidates
+    into one partition) and no global Sort other than the
+    presentation ORDER BY."""
+    for name in ("q_reservoir_sample_merge", "q_priority_sample_weighted"):
+        p = plans(name)
+        assert "Window" not in p, name
+        assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p, name
