@@ -373,41 +373,41 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_oracle(iters: int) -> str:
     ctes = ["l0 AS (SELECT node, node AS label FROM nodes)"]
     for i in range(1, iters + 1):
-        ctes.append(f"""v{i} AS (
+        ctes.append(f"""v{i} AS MATERIALIZED (
   SELECT u.b AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS votes
   FROM und u JOIN l{i-1} l ON l.node = u.a GROUP BY 1, 2),
-m{i} AS (SELECT node, MAX(votes) AS mv FROM v{i} GROUP BY 1),
-b{i} AS (
+m{i} AS MATERIALIZED (SELECT node, MAX(votes) AS mv FROM v{i} GROUP BY 1),
+b{i} AS MATERIALIZED (
   SELECT v.node, MIN(v.label) AS nl
   FROM v{i} v JOIN m{i} m ON v.node = m.node AND v.votes = m.mv
   GROUP BY 1),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT l.node, COALESCE(b.nl, l.label) AS label
   FROM l{i-1} l LEFT JOIN b{i} b ON l.node = b.node)""")
     joined = ",\n".join(ctes)
     return f"""
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT event_type,
          lead(event_type) OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
   FROM events
 ),
-edges0 AS (
+edges0 AS MATERIALIZED (
   SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM o WHERE next_type IS NOT NULL AND next_type <> event_type
   GROUP BY 1, 2
 ),
-sparse AS (
+sparse AS MATERIALIZED (
   SELECT src, dst, w FROM (
     SELECT src, dst, w,
            ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
     FROM edges0) t WHERE rn <= 2
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT src AS a, dst AS b, w FROM sparse
   UNION ALL SELECT dst, src, w FROM sparse
 ),
-nodes AS (SELECT DISTINCT a AS node FROM und),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
 {joined}
 SELECT node AS event_type, label AS community
 FROM l{iters}
@@ -459,7 +459,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        label_propagation(sparse, iters=_LPA_ITERS)
+        label_propagation(
+            sparse,
+            iters=_LPA_ITERS,
+            # explicit lineage cut: at 4 iterations the pure plan is
+            # already analysis-dominated (SCALING.md r8: nomat 2.1 s
+            # vs checkpointed 1.2 s at sf0.1, results bit-identical);
+            # past 4 the operator would install this hook itself
+            materialize=lambda d: d.localCheckpoint(),
+        )
         .select(
             F.col("node").alias("event_type"),
             F.col("label").alias("community"),
@@ -611,6 +619,7 @@ _BFS_HOPS = 4
     "hop twice → the operator auto-installs localCheckpoint past 4 "
     "hops (the label-propagation lineage lesson, SCALING.md r8) "
     "(operators/graph.py:hop_distance)",
+    headline=True,
     tags=("behavior", "graph", "iterative"),
 )
 def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,5 +639,52 @@ def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hop_distance(edges, sources, max_hops=_BFS_HOPS)
         .select(F.col("node").alias("event_type"), F.col("dist").alias("hops"))
+        .orderBy("event_type")
+    )
+
+
+_LPA_DEEP_ITERS = 8
+
+
+@register(
+    "q_label_propagation_deep",
+    oracle=_lpa_oracle(_LPA_DEEP_ITERS),
+    doc=f"Label propagation at {_LPA_DEEP_ITERS} iterations — twice "
+    "past the pure-lineage threshold, so this query EXERCISES the "
+    "operator's automatic localCheckpoint installation under the "
+    "oracle gate: the unrolled-CTE oracle proves the lineage-cut "
+    "execution is bit-identical to the pure fixed point cross-engine "
+    "(without the auto-hook this plan is minutes of Catalyst "
+    "analysis — SCALING.md r8). Same sparsified transition graph as "
+    "q_label_propagation (operators/graph.py:label_propagation)",
+    tags=("behavior", "graph", "iterative"),
+)
+def q_label_propagation_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = event_transitions(ev, "user_id", "ts", "event_type").filter(
+        F.col("from_type") != F.col("to_type")
+    )
+    w2 = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    sparse = (
+        edges.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            F.col("from_type").alias("src"),
+            F.col("to_type").alias("dst"),
+            F.col("n").cast("long").alias("w"),
+        )
+    )
+    return (
+        label_propagation(sparse, iters=_LPA_DEEP_ITERS)
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("label").alias("community"),
+        )
         .orderBy("event_type")
     )

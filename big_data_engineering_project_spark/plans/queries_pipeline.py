@@ -2692,6 +2692,7 @@ ORDER BY event_type, sample_rank
     "no global sort; a hot key's candidate state spreads over "
     "n_shards bounded groups (operators/sampling.py:"
     "reservoir_sample_agg)",
+    headline=True,
     tags=("pipeline", "sampling", "sketch"),
 )
 def q_reservoir_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,6 +2786,7 @@ ORDER BY r.grp, r.p, r.id
     "uniform reservoir — day-level weighted samples roll up without "
     "rescanning; two bounded aggregations, no window "
     "(operators/sampling.py:priority_sample_agg)",
+    headline=True,
     tags=("pipeline", "sampling", "sketch"),
 )
 def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -691,6 +691,7 @@ ORDER BY 1
     "(tests/test_io.py:test_zorder_write_skips_files_on_both_"
     "dimensions proves the file-skip counts; tests/test_plans.py "
     "pins the pushdown)",
+    headline=True,
     tags=("warehouse", "storage", "scan"),
 )
 def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +744,7 @@ ORDER BY o_orderkey
     "bucket-digest table persistable across runs (the R-S dedup "
     "corpus-index pattern; two-day pytest) "
     "(operators/cdc.py:table_diff_incremental)",
+    headline=True,
     tags=("warehouse", "cdc", "join", "sketch"),
 )
 def q_incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
