@@ -310,22 +310,22 @@ def _pagerank_oracle(iters: int) -> str:
   ) s ON nd.node = s.node)""")
     joined = ",\n".join(ctes)
     return f"""
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT event_type,
          lead(event_type) OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
   FROM events
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
 outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
-ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
+ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
 {joined}
 SELECT node AS event_type, r AS rank
 FROM pr{iters}
@@ -571,7 +571,7 @@ def _hop_oracle(max_hops: int) -> str:
         "d0 AS (SELECT node, 0 AS dist FROM s0)"
     ]
     for i in range(1, max_hops + 1):
-        ctes.append(f"""d{i} AS (
+        ctes.append(f"""d{i} AS MATERIALIZED (
   SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM (
     SELECT node, dist FROM d{i-1}
     UNION ALL
@@ -587,7 +587,7 @@ WITH o AS (
            (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
   FROM events
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT DISTINCT event_type AS src, next_type AS dst
   FROM o WHERE next_type IS NOT NULL
 ),

@@ -138,7 +138,7 @@ _POLY = (
 # per-token char hash once, then 3-token arithmetic combine per shingle.
 _HT_CTE = f"ht AS (SELECT doc, list_transform(t, s -> {_POLY.format(s='s')}) AS ht FROM toks)"
 _HV_CTE = (
-    "hs AS (SELECT doc, list_distinct(list_transform(range(1, len(ht) - 1), "
+    "hs AS MATERIALIZED (SELECT doc, list_distinct(list_transform(range(1, len(ht) - 1), "
     f"i -> ((ht[i] * {B} + ht[i+1]) % {P} * {B} + ht[i+2]) % {P})) AS hv "
     "FROM ht WHERE len(ht) >= 3)"
 )
