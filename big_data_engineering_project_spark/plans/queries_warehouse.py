@@ -766,3 +766,66 @@ def q_incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff_incremental(
         old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
     ).orderBy("o_orderkey")
+
+
+_ASOF_AT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_dimension_asof",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+v AS (
+  SELECT user_id, event_type, ts AS effective_from,
+         lead(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+  FROM changes
+),
+at_instant AS (
+  SELECT user_id, event_type FROM v
+  WHERE effective_from <= TIMESTAMP '{_ASOF_AT}'
+    AND (effective_to IS NULL OR effective_to > TIMESTAMP '{_ASOF_AT}')
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM at_instant GROUP BY 1 ORDER BY 1
+""",
+    doc="Dimension reconstruction AS OF a frozen mid-range instant: "
+    "the SCD2 history built from the events changelog, filtered to "
+    "the version whose [effective_from, effective_to) interval "
+    "covers the instant — time travel as a PURE FILTER over the "
+    "history (no shuffle beyond the history build; partition pruning "
+    "applies when the history is stored partitioned on "
+    "effective_from date), then per-type user counts. The warehouse "
+    "read-side completion of the SCD2 family: build "
+    "(q_scd2_user_type_history) → maintain (scd2_maintenance stream "
+    "check) → query-at-instant (this) "
+    "(operators/cdc.py:snapshot_asof)",
+    tags=("warehouse", "cdc"),
+)
+def q_dimension_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.cdc import (
+        snapshot_asof,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev, key="user_id", ts_col="ts", attr="event_type",
+        tiebreak=("event_id",),
+    )
+    return (
+        snapshot_asof(hist, "user_id", _ASOF_AT)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
