@@ -217,3 +217,61 @@ def run_scd2_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_cm_sketch_stream(
+    spark: SparkSession,
+    input_dir: str,
+    counters_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    hash_expr: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain count-min counters over a micro-batched stream by
+    per-batch linear-sketch MERGE: CM is a linear sketch, so
+    counters(union of batches) = counter-wise SUM of per-batch
+    counters — the streaming maintenance is plain integer addition
+    per (seed, bucket), exactly the algebra the batch operator's
+    pre-aggregated weight path already exposes
+    (operators/sketches.py:cm_counters). The stored table is d·w
+    rows REGARDLESS of stream volume — constant-size state, the
+    whole point of sketch-backed serving (reference anchor: the
+    driver-held exact counters of S/kinesis_processing_2.py:42-43,
+    made bounded). Exact stream ≡ batch equality is checked per
+    round (tools/streaming_check.py `cm_sketch_merge`)."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_c = cm_counters(
+            batch_df.selectExpr(f"{hash_expr} AS __h"), "__h"
+        )
+        try:
+            existing = spark_b.read.parquet(counters_path)
+            merged = (
+                existing.unionByName(batch_c)
+                .groupBy("seed", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:  # first batch
+            merged = batch_c
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(counters_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

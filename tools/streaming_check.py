@@ -3,7 +3,7 @@
 The batch side leaves CORRECTNESS_FULL_r0N artifacts every round; the
 speed layer's guarantees lived only in pytest, so a state-semantics
 regression would fail a test but leave no round-over-round evidence
-trail. This tool runs the eight stream≡batch equivalences end-to-end
+trail. This tool runs the nine stream≡batch equivalences end-to-end
 against deterministic fixtures and writes STREAMING_r0N.json with
 per-check row counts and value-hash equality — the same evidence shape
 the oracle sweeps give the batch layer. Reference anchor: the speed
@@ -37,6 +37,9 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         SCD2 history table from a micro-batched
                         changelog, replay-guarded) ≡ batch
                         scd2_from_changelog over the union
+  cm_sketch_merge       run_cm_sketch_stream (per-batch linear-sketch
+                        counter addition, constant d·w state) ≡ batch
+                        cm_counters over the union, EXACT integers
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -643,6 +646,61 @@ def check_scd2_stream(spark, root: str) -> dict:
     return res
 
 
+def check_cm_sketch_stream(spark, root: str) -> dict:
+    """run_cm_sketch_stream (per-batch linear-sketch MERGE of
+    count-min counters, constant d·w-row state) ≡ cm_counters over
+    the union of all records — EXACT integer counter equality, the
+    strongest possible stream≡batch claim (no hash tolerance). The
+    fixture plants a zipf-ish hot-key skew so map-side combine and
+    the merge addition both carry real weight."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_cm_sketch_stream,
+    )
+
+    rng = random.Random(61)
+    recs = []
+    for i in range(600):
+        # skewed key space: key k with prob ~ 1/(k+1)
+        k = min(int(1.0 / max(rng.random(), 1e-6)) - 1, 40)
+        recs.append({"h": k * 2_654_435_761 % (2**31), "i": i})
+    in_dir = os.path.join(root, "cm_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=75)  # 8 micro-batches
+
+    counters_path = os.path.join(root, "cm_counters")
+    run_cm_sketch_stream(
+        spark,
+        in_dir,
+        counters_path,
+        os.path.join(root, "cm_cp"),
+        schema="h LONG, i LONG",
+        hash_expr="h",
+    )
+    got = [
+        (r["seed"], r["bucket"], r["cnt"])
+        for r in spark.read.parquet(counters_path).collect()
+    ]
+    bb = spark.read.schema("h LONG, i LONG").json(in_dir)
+    want = [
+        (r["seed"], r["bucket"], r["cnt"])
+        for r in cm_counters(bb.selectExpr("h AS __h"), "__h").collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -664,6 +722,7 @@ def main() -> None:
         results["watermark_dedup"] = check_watermark_dedup(spark, root)
         results["cusum_drift"] = check_cusum_stream(spark, root)
         results["scd2_maintenance"] = check_scd2_stream(spark, root)
+        results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
