@@ -456,16 +456,24 @@ def main() -> None:
         },
         "sf": payload["sf"],
     }
+    # The marginal rate is absent when the 10x config did not run
+    # measurably longer (the ill-conditioning noted in the ledger) —
+    # the per-batch fixed cost is always present and is the stable
+    # number either way.
     derived = streaming.get("derived", {})
-    if derived.get("hot_path"):
-        compact["streaming"] = {
-            "hot_marginal_rows_per_sec": round(
-                derived["hot_path"]["marginal_rows_per_sec"]
-            ),
-            "curation_marginal_rows_per_sec": round(
-                derived.get("curation", {}).get("marginal_rows_per_sec", 0)
-            ),
-        }
+    if derived:
+        st = {}
+        for key, label in (("hot_path", "hot"), ("curation", "curation")):
+            d = derived.get(key, {})
+            if "marginal_rows_per_sec" in d:
+                st[f"{label}_marginal_rows_per_sec"] = round(
+                    d["marginal_rows_per_sec"]
+                )
+            if "per_batch_fixed_sec" in d:
+                st[f"{label}_fixed_sec_per_batch"] = d[
+                    "per_batch_fixed_sec"
+                ]
+        compact["streaming"] = st
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # still too long: drop streaming, then warn
         compact.pop("streaming", None)
