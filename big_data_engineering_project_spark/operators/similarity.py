@@ -248,3 +248,177 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- Cosine-LSH near-duplicate pairs (all-pairs, unsupervised) ---------------
+#
+# `blocked_neardup_pairs` bounds the quadratic with a GIVEN blocking
+# key; this is the unsupervised twin — the embedding-space analog of
+# MinHash-banded LSH (operators/dedup.py): random-hyperplane sign
+# signatures, banded buckets as candidate generators, then an EXACT
+# integer cosine verification of candidates only. Semantics are
+# deterministic (candidates = share ≥1 band bucket; keep iff exact
+# quantized cosine ≥ τ), so the whole operator has an exact DuckDB
+# oracle — unlike recall-based ANN, the gate hash-matches it.
+#
+# Cross-engine exactness:
+# - components quantized floor(double(v)·scale) → BIGINT (floor of a
+#   double has no tie policy; see _CENT_SCALE lesson in
+#   plans/queries_pipeline.py),
+# - hyperplanes are a ±1 sign matrix drawn ONCE from a seeded PRNG and
+#   inlined as literals on BOTH engines (arithmetic parity scramblers
+#   are a trap: any composition of modmuls collapses to one modmul
+#   whose parity is a structured Beatty sequence — measured corr 1.0
+#   between "independent" planes),
+# - τ compare is all-BIGINT: dot>0 ∧ tau_den²·dot² ≥ tau_num²·‖a‖²‖b‖².
+#   Overflow bound: tau_den²·(scale²·dims·max|v|²)² < 2⁶³ — defaults
+#   (scale 1e3, dims 64, |v|≤1, tau_den≤30) peak at ~3.7e18.
+#
+# 100 TB posture: signatures are a row-local map (24 folds/row, pure
+# codegen); the bands exchange carries (id, band, bkey) ≈ 24 bytes/row;
+# candidate generation is an equi-join INSIDE buckets, with degenerate
+# buckets (near-constant corpora — the LSH analog of stop-shingles)
+# dropped by `max_bucket_fraction` so no bucket can go quadratic in
+# the corpus; exact verification touches candidate pairs only.
+
+NEARDUP_SIGN_SEED = 20260814
+
+
+def neardup_sign_matrix(
+    dims: int = 64, n_bits: int = 24, seed: int = NEARDUP_SIGN_SEED
+) -> list[list[int]]:
+    """dims×n_bits ±1 hyperplane matrix, content-addressed by seed."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(n_bits)]
+        for _ in range(dims)
+    ]
+
+
+def cosine_lsh_neardups(
+    vectors: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    *,
+    scale: int = 1000,
+    n_bits: int = 24,
+    band_bits: int = 6,
+    dims: int = 64,
+    max_bucket_fraction: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-duplicates ≥ tau_num/tau_den via banded
+    random-hyperplane LSH candidates + exact integer verify.
+
+    Returns (id_a, id_b, dot_q, cosine), id_a < id_b, one row per
+    verified candidate pair. Recall vs brute force is the banded-LSH
+    collision probability 1-(1-p^band_bits)^n_bands, p = 1-θ/π — near
+    1 for true near-duplicates (cos ≥ 0.9), by construction < 1 at the
+    τ boundary; precision is exactly 1 (every emitted pair passed the
+    exact test)."""
+    assert n_bits % band_bits == 0
+    n_bands = n_bits // band_bits
+    signs = neardup_sign_matrix(dims, n_bits)
+    zero = F.lit(0).cast("long")
+
+    q = spread(vectors).select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("_qv"),
+    )
+    q = q.withColumn(
+        "_nrm",
+        F.aggregate(F.col("_qv"), zero, lambda acc, x: acc + x * x),
+    )
+
+    bits = []
+    for j in range(n_bits):
+        plane = F.array(*[F.lit(signs[i][j]) for i in range(dims)])
+        proj = F.aggregate(
+            F.zip_with(F.col("_qv"), plane, lambda x, s: x * s),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    band_structs = []
+    for t in range(n_bands):
+        key = bits[t * band_bits]
+        for r in range(1, band_bits):
+            key = key + bits[t * band_bits + r] * F.lit(1 << r)
+        band_structs.append(
+            F.struct(F.lit(t).alias("band"), key.cast("long").alias("bkey"))
+        )
+    bands = q.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
+
+    # Degenerate-bucket cut: a bucket holding > fraction of the corpus
+    # is non-discriminative (near-constant vectors) and would make the
+    # candidate join quadratic; distinct (band, bkey) is bounded by
+    # n_bands·2^band_bits, so the allowed-bucket list always broadcasts.
+    total = q.agg(F.count(F.lit(1)).alias("_n"))
+    allowed = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_c") <= F.ceil(F.lit(max_bucket_fraction) * F.col("_n")))
+        .select("band", "bkey")
+    )
+    bands = bands.join(F.broadcast(allowed), ["band", "bkey"], "left_semi")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    qa = q.select(
+        F.col("_id").alias("id_a"),
+        F.col("_qv").alias("_qa"),
+        F.col("_nrm").alias("_na"),
+    )
+    qb = q.select(
+        F.col("_id").alias("id_b"),
+        F.col("_qv").alias("_qb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    tn2 = F.lit(tau_num * tau_num).cast("long")
+    td2 = F.lit(tau_den * tau_den).cast("long")
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn("dot_q", dot)
+        .filter(
+            (F.col("dot_q") > 0)
+            & (
+                td2 * F.col("dot_q") * F.col("dot_q")
+                >= tn2 * F.col("_na") * F.col("_nb")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot_q",
+            (
+                F.col("dot_q").cast("double")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )

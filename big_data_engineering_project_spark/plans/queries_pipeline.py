@@ -552,6 +552,108 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cosine-LSH near-dup (unsupervised scale path) ---------------------------
+#
+# The blocked query above needs a GIVEN blocking key; this is the
+# unsupervised twin: banded random-hyperplane signatures generate
+# candidates, an all-BIGINT quantized-cosine test verifies them — so
+# the output is deterministic and the oracle replays the IDENTICAL
+# semantics (same inlined ±1 sign matrix, same floor-quantization,
+# same integer τ compare). τ = 3/10 sits under the fixture's pair-
+# cosine ceiling (~0.51) so the gate compares real pairs (179 at
+# sf0.01), and the 0.1 bucket cap is live on both sides.
+_LSH_ND_TAU = (3, 10)
+_LSH_ND_SCALE = 1000
+_LSH_ND_BITS = 24
+_LSH_ND_BAND_BITS = 6
+
+
+def _lsh_nd_oracle() -> str:
+    signs = similarity.neardup_sign_matrix(64, _LSH_ND_BITS)
+    rows = ", ".join(
+        f"({i + 1},{j},{signs[i][j]})"
+        for i in range(64)
+        for j in range(_LSH_ND_BITS)
+    )
+    bb = _LSH_ND_BAND_BITS
+    tn, td = _LSH_ND_TAU
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_LSH_ND_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q
+),
+sgn(i, j, s) AS (VALUES {rows}),
+comp AS MATERIALIZED (
+  SELECT vec_id, t.i AS i, qv[t.i] AS v FROM q, range(1, 65) AS t(i)
+),
+proj AS (
+  SELECT c.vec_id, sgn.j, SUM(c.v * sgn.s) AS p
+  FROM comp c JOIN sgn ON sgn.i = c.i
+  GROUP BY c.vec_id, sgn.j
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, j // {bb} AS band,
+         SUM(CASE WHEN p >= 0 THEN 1 << (j % {bb}) ELSE 0 END) AS bkey
+  FROM proj GROUP BY vec_id, j // {bb}
+),
+allowed AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey
+  HAVING COUNT(*) <= CEIL(0.1 * (SELECT COUNT(*) FROM q))
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a
+  JOIN allowed k ON k.band = a.band AND k.bkey = a.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    CAST(list_sum(list_transform(range(1, 65), i -> qa.qv[i] * qb.qv[i]))
+         AS BIGINT) AS dot_q,
+    na.nrm AS norm_a, nb2.nrm AS norm_b
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.id_a JOIN q qb ON qb.vec_id = c.id_b
+  JOIN norms na ON na.vec_id = c.id_a JOIN norms nb2 ON nb2.vec_id = c.id_b
+)
+SELECT id_a, id_b, dot_q,
+  CAST(dot_q AS DOUBLE) / sqrt(CAST(norm_a AS DOUBLE) * CAST(norm_b AS DOUBLE))
+    AS cosine
+FROM verified
+WHERE dot_q > 0 AND {td * td} * dot_q * dot_q >= {tn * tn} * norm_a * norm_b
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q_embedding_lsh_neardups",
+    oracle=_lsh_nd_oracle(),
+    doc=(
+        "Unsupervised embedding near-dup pairs: banded random-hyperplane "
+        "LSH candidates + exact integer cosine verify (deterministic, "
+        "oracle replays identical semantics)"
+    ),
+    headline=True,
+    tags=("pipeline", "similarity", "dedup"),
+)
+def q_embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    tn, td = _LSH_ND_TAU
+    return similarity.cosine_lsh_neardups(
+        emb,
+        tn,
+        td,
+        scale=_LSH_ND_SCALE,
+        n_bits=_LSH_ND_BITS,
+        band_bits=_LSH_ND_BAND_BITS,
+    ).orderBy("id_a", "id_b")
+
+
 # Centroid quantization scale. Cross-engine exactness requires an
 # order-independent, tie-free reduction: casting each element to
 # DECIMAL rounds HALF_UP in Spark but HALF_EVEN in DuckDB (the r4

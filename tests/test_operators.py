@@ -1875,3 +1875,88 @@ def test_priority_sample_unbiased_and_mergeable(spark, sf_dir):
         priority_sample_agg(tiny, ["grp"], "id", "w", k), k
     ).collect()
     assert {(r["id"], r["w_est"]) for r in rows} == {(1, 10.0), (2, 30.0)}
+
+
+# --- cosine_lsh_neardups ------------------------------------------------------
+
+
+def _neardup_corpus(spark, n_background=40, n_planted=5, seed=777):
+    """64-dim corpus with `n_planted` jittered near-copies (cosine
+    ≥ ~0.99) of the first background vectors. Deterministic."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    base = []
+    for i in range(n_background):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        base.append(v)
+        rows.append((i, [float(x) for x in v]))
+    pairs = set()
+    for p in range(n_planted):
+        twin = [float(x + 0.02 * rng.uniform(-1, 1)) for x in base[p]]
+        rows.append((n_background + p, twin))
+        pairs.add((p, n_background + p))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        pairs,
+    )
+
+
+def test_cosine_lsh_neardups_planted_pairs(spark):
+    """Planted jittered copies (the regime the operator targets) must
+    all surface, and every emitted pair must pass the exact quantized
+    τ test against a driver-side brute-force recomputation — precision
+    is 1 by construction, this pins it."""
+    import math
+
+    emb, planted = _neardup_corpus(spark)
+    out = similarity.cosine_lsh_neardups(emb, 9, 10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert planted <= got
+
+    # brute-force quantized pairs at the same τ (driver-side, exact)
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    qd = {k: [math.floor(float(x) * 1000) for x in v] for k, v in data.items()}
+    brute = set()
+    ids = sorted(qd)
+    for ia in ids:
+        for ib in ids:
+            if ia >= ib:
+                continue
+            dot = sum(x * y for x, y in zip(qd[ia], qd[ib]))
+            na = sum(x * x for x in qd[ia])
+            nb = sum(x * x for x in qd[ib])
+            if dot > 0 and 100 * dot * dot >= 81 * na * nb:
+                brute.add((ia, ib))
+    assert got <= brute  # every emitted pair truly ≥ τ (precision 1)
+    assert planted <= brute
+
+    # emitted dot_q/cosine match the brute recomputation exactly
+    for r in out:
+        dot = sum(x * y for x, y in zip(qd[r["id_a"]], qd[r["id_b"]]))
+        assert r["dot_q"] == dot
+
+
+def test_cosine_lsh_neardups_bucket_cap_kills_degenerate_corpus(spark):
+    """A near-constant corpus lands every vector in one bucket per
+    band — the quadratic blowup case. The cap must drop those buckets
+    entirely (empty result), and lifting the cap must restore the
+    pairs, proving the guard (not low recall) removed them."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + 0.001 * rng.uniform(-1, 1)) for x in base])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.cosine_lsh_neardups(
+        emb, 9, 10, max_bucket_fraction=0.1
+    )
+    assert capped.count() == 0
+    uncapped = similarity.cosine_lsh_neardups(
+        emb, 9, 10, max_bucket_fraction=1.0
+    )
+    assert uncapped.count() == 30 * 29 // 2
