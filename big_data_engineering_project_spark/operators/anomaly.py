@@ -199,3 +199,140 @@ def cusum_stats(
             ).cast("long").alias("sigma_u"),
         )
     )
+
+
+def seasonal_stats(
+    df: DataFrame,
+    entity_col: str,
+    season_col,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-(entity, season-slot) baseline (n, mean, stddev_samp) from
+    exact integer sufficient statistics.
+
+    The anomaly family's fourth member: z-score is pointwise-global,
+    MAD robust, CUSUM sequential — this one conditions the baseline on
+    a SEASONAL slot (hour-of-day, day-of-week, ...) so a value that is
+    normal at peak hour but absurd at 4am is caught, and vice versa.
+
+    Exactness: values are quantized round(v·scale) → BIGINT (a v with
+    ≤ log10(scale) decimals never sits on a .5 tie, so HALF_UP vs
+    HALF_EVEN cannot diverge); Σv and Σv² accumulate in DECIMAL(38,0)
+    (order-free, no BIGINT overflow at any corpus size); the mean /
+    sample-variance finishing runs in double with a FIXED operand
+    order both engines mirror. Slots with < 2 rows are dropped (sigma
+    undefined).
+
+    Scale: one partial-aggregable groupBy; the stats table is
+    |entities|·|slots| rows — broadcastable regardless of fact size.
+    """
+    v_q = F.round(F.col(value_col) * scale, 0).cast("long")
+    fscale = float(scale)
+    return (
+        df.withColumn("__vq", v_q)
+        .groupBy(F.col(entity_col), season_col.alias("season"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__vq").cast("decimal(38,0)").alias("__s1"),
+            F.sum(
+                (F.col("__vq") * F.col("__vq")).cast("decimal(38,0)")
+            ).alias("__s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            entity_col,
+            "season",
+            "n",
+            (
+                F.col("__s1").cast("double") / F.lit(fscale) / F.col("n")
+            ).alias("mu"),
+            F.sqrt(
+                (
+                    F.col("__s2").cast("double") / F.lit(fscale * fscale)
+                    - (F.col("__s1").cast("double") / F.lit(fscale))
+                    * (F.col("__s1").cast("double") / F.lit(fscale))
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    entity_col: str,
+    season_col,
+    value_col: str,
+    threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Rows whose value deviates > threshold·sigma from their OWN
+    (entity, season-slot) baseline. Stats broadcast back onto the fact
+    scan — the fact side never shuffles (same two-pass shape as the
+    global z-score, conditioned per slot)."""
+    stats = seasonal_stats(df, entity_col, season_col, value_col, scale)
+    joined = df.withColumn("season", season_col).join(
+        F.broadcast(stats), [entity_col, "season"]
+    )
+    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        joined.filter(F.col("sigma") > 0)
+        .withColumn("z", F.abs(z))
+        .filter(F.col("z") > threshold)
+    )
+
+
+def trend_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    t_origin: int = 1_700_000_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group OLS regression of value on time from one pass of
+    exact integer sufficient statistics (n, Σt, Σv, Σtv, Σt²) —
+    the distributed form of 'fit a trend line per key'.
+
+    t = floor(epoch seconds) − t_origin (a FROZEN origin keeps t
+    small: Σt² in DECIMAL(38,0) is exact for ~10²² row·s² — far past
+    any corpus); v quantized round(v·scale). slope/intercept finish
+    in double with mirrored operand order:
+      slope = (n·Σtv − Σt·Σv) / (n·Σt² − Σt·Σt)  [value-units/sec]
+    Groups with a degenerate time axis (all rows same second) yield
+    NULL slope via NULLIF. One partial-aggregable groupBy, output is
+    |groups| rows.
+    """
+    fscale = float(scale)
+    t = (F.unix_timestamp(F.col(ts_col)) - F.lit(t_origin)).cast("long")
+    v = F.round(F.col(value_col) * scale, 0).cast("long")
+    g = (
+        df.withColumn("__t", t)
+        .withColumn("__v", v)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__t").cast("decimal(38,0)").alias("__st"),
+            F.sum("__v").cast("decimal(38,0)").alias("__sv"),
+            F.sum((F.col("__t") * F.col("__v")).cast("decimal(38,0)")).alias(
+                "__stv"
+            ),
+            F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)")).alias(
+                "__stt"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    st = F.col("__st").cast("double")
+    sv = F.col("__sv").cast("double") / F.lit(fscale)
+    stv = F.col("__stv").cast("double") / F.lit(fscale)
+    stt = F.col("__stt").cast("double")
+    slope = (n * stv - st * sv) / F.nullif(n * stt - st * st, F.lit(0.0))
+    return g.select(
+        group_col,
+        "n",
+        slope.alias("slope_per_sec"),
+        ((sv - slope * st) / n).alias("intercept"),
+    )

@@ -688,3 +688,106 @@ def q_label_propagation_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Seasonal-baseline anomalies (anomaly family, 4th member) ----------------
+#
+# z-score is pointwise-global, MAD robust, CUSUM sequential; this one
+# conditions the baseline on the (event_type, hour-of-day) slot, so a
+# value normal at peak hour but absurd at 4am is caught. Exactness:
+# integer sufficient statistics (round(v·100) BIGINT, DECIMAL(38,0)
+# sums) + a double finishing whose operand order both engines mirror
+# textually — see operators/anomaly.py:seasonal_stats.
+
+
+@register(
+    "q_seasonal_anomalies",
+    oracle="""
+WITH q AS (
+  SELECT event_id, event_type, hour(ts) AS season, value,
+         CAST(round(value * 100, 0) AS BIGINT) AS vq
+  FROM events
+),
+stats AS (
+  SELECT event_type, season, COUNT(*) AS n,
+         SUM(vq) AS s1, SUM(vq * vq) AS s2
+  FROM q GROUP BY event_type, season HAVING COUNT(*) >= 2
+),
+fin AS (
+  SELECT event_type, season, n,
+    CAST(s1 AS DOUBLE) / 100.0 / n AS mu,
+    sqrt((CAST(s2 AS DOUBLE) / 10000.0
+          - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0) / n)
+         / (n - 1)) AS sigma
+  FROM stats
+)
+SELECT q.event_id, q.event_type, q.season, q.value,
+       ABS((q.value - f.mu) / f.sigma) AS z
+FROM q JOIN fin f ON f.event_type = q.event_type AND f.season = q.season
+WHERE f.sigma > 0 AND ABS((q.value - f.mu) / f.sigma) > 3.0
+ORDER BY event_id
+""",
+    doc=(
+        "Seasonal-slot anomalies: |value - mu(type, hour)| > 3 sigma "
+        "from exact integer sufficient stats; baseline table broadcasts, "
+        "fact side never shuffles"
+    ),
+    tags=("behavior", "anomaly"),
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.anomaly import (
+        seasonal_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        seasonal_anomalies(ev, "event_type", F.hour("ts"), "value", 3.0)
+        .select("event_id", "event_type", "season", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+# --- Per-group OLS trend (sufficient-statistics regression) ------------------
+
+
+@register(
+    "q_value_trend_by_type",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) - 1700000000 AS t,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(v) AS sv,
+         SUM(t * v) AS stv, SUM(t * t) AS stt
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+  (CAST(n AS DOUBLE) * (CAST(stv AS DOUBLE) / 100.0)
+   - CAST(st AS DOUBLE) * (CAST(sv AS DOUBLE) / 100.0))
+  / NULLIF(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0) AS slope_per_sec,
+  ((CAST(sv AS DOUBLE) / 100.0)
+   - ((CAST(n AS DOUBLE) * (CAST(stv AS DOUBLE) / 100.0)
+       - CAST(st AS DOUBLE) * (CAST(sv AS DOUBLE) / 100.0))
+      / NULLIF(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0))
+     * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s ORDER BY event_type
+""",
+    doc=(
+        "Per-type OLS value trend from ONE pass of exact integer "
+        "sufficient statistics (n, St, Sv, Stv, Stt) against a frozen "
+        "time origin; slope/intercept finish in mirrored double"
+    ),
+    tags=("behavior", "regression"),
+)
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.anomaly import (
+        trend_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend_by_group(ev, "event_type", "ts", "value").orderBy("event_type")

@@ -1960,3 +1960,83 @@ def test_cosine_lsh_neardups_bucket_cap_kills_degenerate_corpus(spark):
         emb, 9, 10, max_bucket_fraction=1.0
     )
     assert uncapped.count() == 30 * 29 // 2
+
+
+# --- seasonal anomalies / OLS trend ------------------------------------------
+
+
+def test_seasonal_anomaly_catches_slot_outlier_global_z_misses(spark):
+    """The motivating case: a value NORMAL for the corpus overall but
+    absurd for its own hour slot must be flagged by the seasonal
+    detector and missed by the global z-score — and a peak-hour value
+    at the peak baseline must NOT be flagged."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        detect_anomalies,
+        seasonal_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    # hour 4 baseline ~5, hour 12 baseline ~100 (20 rows each, small jitter)
+    for h, base in ((4, 5.0), (12, 100.0)):
+        for i in range(20):
+            rows.append(
+                (eid, datetime(2024, 1, 1 + i % 5, h, i % 60), "view",
+                 base + 0.25 * (i % 5))
+            )
+            eid += 1
+    # planted: 100.0 at hour 4 — globally dead-normal, slot-wise absurd
+    rows.append((900, datetime(2024, 1, 6, 4, 30), "view", 100.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    seasonal = {
+        r["event_id"]
+        for r in seasonal_anomalies(
+            ev, "event_type", F.hour("ts"), "value", 3.0
+        ).collect()
+    }
+    assert 900 in seasonal
+    global_z = {
+        r["event_id"]
+        for r in detect_anomalies(
+            ev.select("event_id", "value"), "value", 3.0
+        ).collect()
+    }
+    assert 900 not in global_z  # bimodal corpus swallows it globally
+    assert seasonal == {900}  # and no baseline row is flagged
+
+
+def test_trend_by_group_recovers_planted_slope(spark):
+    """Exact sufficient statistics must recover a planted linear trend
+    (slope in value-units/sec) to float precision, and a group whose
+    rows share one timestamp must yield NULL slope (degenerate axis)."""
+    from datetime import datetime, timedelta
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        trend_by_group,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    # group "up": v = 10 + 0.02 * (seconds/60)  → slope = 0.02/60
+    for i in range(50):
+        rows.append((i, t0 + timedelta(minutes=i), "up", 10.0 + 0.02 * i))
+    # group "flat-time": all rows at t0 (degenerate)
+    for i in range(5):
+        rows.append((100 + i, t0, "flat-time", float(i)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in trend_by_group(
+        ev, "event_type", "ts", "value"
+    ).collect()}
+    assert abs(out["up"]["slope_per_sec"] - 0.02 / 60.0) < 1e-9
+    assert abs(out["up"]["intercept"] - (
+        10.0 - (0.02 / 60.0) * ((t0 - datetime(1970, 1, 1)).total_seconds()
+                                - 1_700_000_000)
+    )) < 1e-3
+    assert out["flat-time"]["slope_per_sec"] is None
+    assert out["up"]["n"] == 50
