@@ -1,0 +1,122 @@
+"""Record linkage / entity resolution: sorted-neighborhood blocking.
+
+The classic ER candidate generator (Hernandez & Stolfo's merge/purge):
+sort the corpus by a discriminating key, take every pair within `w`
+positions of each other, verify with an edit-distance (or any) match
+predicate. Complements the dedup family's hash-based blocking
+(MinHash/SimHash buckets match on SET similarity; the sorted
+neighborhood catches near-misses that share a PREFIX but differ late —
+typos, truncations, serial numbers).
+
+The primitive underneath — `global_row_number` — is the scale-correct
+form of a global rank: a bare `Window.orderBy(...)` (no partitionBy)
+funnels the entire table through ONE task, the canonical 100-TB
+anti-pattern. Instead: range-repartition on the total order, rank
+WITHIN each range partition in parallel, then add per-partition
+cumulative offsets (a ≤ n_partitions-row table — the only thing that
+ever passes through one task) broadcast back. The result is exactly
+the global ROW_NUMBER: range partitions are ordered and disjoint, so
+global rank = partition offset + local rank, independent of where the
+sampled boundaries fell (the order must be TOTAL — include a unique
+id as the last sort column).
+
+Candidate generation never materializes the O(n·w) pairs through a
+skewed key: rows bucket by floor(rn/w); the left side emits buckets
+{b, b+1} (a gap ≤ w can only cross one boundary), the right side
+stays put, so the self-join is equi on a perfectly balanced key and
+each qualifying pair is produced exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out: str = "rn",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a TOTAL order without a
+    single-partition window. Two passes over the range-shuffled data
+    (local rank + per-partition counts); the offsets table is
+    ≤ n_parts rows and broadcasts."""
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = parted.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    )
+    # cumulative offsets: a window over ≤ n_parts rows — bounded by
+    # construction, the ONLY single-task step in the plan.
+    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: Column,
+    id_col: str,
+    window: int,
+) -> DataFrame:
+    """Candidate pairs within `window` positions of the (key, id)
+    sort order. Returns (id_a, id_b, key_a, key_b, gap) with ids
+    normalized so id_a < id_b; apply the match predicate downstream
+    (e.g. levenshtein ≤ d — see q_sorted_neighborhood_dups)."""
+    keyed = df.select(F.col(id_col).alias("__id"), key_col.alias("__key"))
+    ranked = global_row_number(keyed, ["__key", "__id"])
+    left = ranked.select(
+        F.col("__id").alias("_ida"),
+        F.col("__key").alias("key_a"),
+        F.col("rn").alias("_rna"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rn") / window),
+                F.floor(F.col("rn") / window) + 1,
+            )
+        ).alias("__b"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("_idb"),
+        F.col("__key").alias("key_b"),
+        F.col("rn").alias("_rnb"),
+        F.floor(F.col("rn") / window).alias("__b"),
+    )
+    return (
+        left.join(right, "__b")
+        .filter(
+            (F.col("_rnb") - F.col("_rna") >= 1)
+            & (F.col("_rnb") - F.col("_rna") <= window)
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("key_a"))
+            .otherwise(F.col("key_b"))
+            .alias("key_a"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("key_b"))
+            .otherwise(F.col("key_a"))
+            .alias("key_b"),
+            (F.col("_rnb") - F.col("_rna")).alias("gap"),
+        )
+    )

@@ -2908,3 +2908,56 @@ def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample_estimates(sampled, k=_PSAMP_K).orderBy(
         "l_returnflag", "priority", "id"
     )
+
+
+# --- Sorted-neighborhood entity resolution -----------------------------------
+#
+# Merge/purge blocking (Hernandez-Stolfo): candidates are pairs within
+# w positions of the (normalized-prefix, doc_id) sort order, verified
+# with levenshtein <= d. Catches prefix-sharing near-misses the
+# hash/shingle blockers can miss, and exercises the scale-correct
+# global row_number (range-partitioned two-phase rank — never a bare
+# Window.orderBy over the corpus; see operators/linkage.py).
+
+
+@register(
+    "q_sorted_neighborhood_dups",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, substr(lower(text), 1, 60) AS key FROM documents
+),
+r AS (
+  SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM k
+),
+cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b,
+         b.rn - a.rn AS gap,
+         levenshtein(a.key, b.key) AS dist
+  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+)
+SELECT id_a, id_b, gap, dist FROM cand
+WHERE dist <= 5
+ORDER BY id_a, id_b
+""",
+    doc=(
+        "Sorted-neighborhood ER: pairs within w=4 positions of the "
+        "normalized-prefix sort order, levenshtein-verified; global rank "
+        "via the two-phase range-partitioned row_number"
+    ),
+    tags=("pipeline", "dedup", "linkage"),
+)
+def q_sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.col("text")), 1, 60)
+    pairs = sorted_neighborhood_pairs(docs, key, "doc_id", 4)
+    return (
+        pairs.withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= 5)
+        .select("id_a", "id_b", "gap", F.col("dist").cast("long").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -2040,3 +2040,67 @@ def test_trend_by_group_recovers_planted_slope(spark):
     )) < 1e-3
     assert out["flat-time"]["slope_per_sec"] is None
     assert out["up"]["n"] == 50
+
+
+# --- linkage: global row number + sorted neighborhood ------------------------
+
+
+def test_global_row_number_exact_and_partition_invariant(spark):
+    """Two-phase rank ≡ the single-partition ROW_NUMBER for any
+    n_parts — global rank = range-partition offset + local rank is
+    independent of where the sampled boundaries fall."""
+    from pyspark.sql import Window as W
+
+    from big_data_engineering_project_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    rows = [(i * 7919 % 100, f"k{i % 13:02d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string").repartition(7)
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("key", "id"))
+        ).collect()
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            (r["id"], r["rn"])
+            for r in global_row_number(
+                df, ["key", "id"], n_parts=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
+
+
+def test_sorted_neighborhood_finds_planted_typo_pair(spark):
+    """A typo'd near-copy sorts adjacent to its original and must
+    surface within w; each qualifying pair appears exactly once."""
+    from big_data_engineering_project_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "acme corporation ltd"),
+        (2, "acme corporatoin ltd"),  # transposition typo
+        (3, "zenith systems"),
+        (4, "beta industries"),
+        (5, "acme corp holdings"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = sorted_neighborhood_pairs(df, F.col("text"), "doc_id", 2)
+    out = [
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in pairs.withColumn(
+            "dist", F.levenshtein("key_a", "key_b")
+        ).filter(F.col("dist") <= 2).collect()
+    ]
+    assert out == [(1, 2, 1)]  # found once, nothing else passes
+    # candidate completeness: every gap ≤ w pair of the sort order
+    all_cand = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    # sort order: 5,1,2,4,3 → w=2 neighborhoods
+    assert all_cand == {
+        (1, 5), (2, 5), (1, 2), (2, 4), (1, 4), (3, 4), (2, 3),
+    }
