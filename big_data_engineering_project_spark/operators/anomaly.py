@@ -260,6 +260,31 @@ def seasonal_stats(
     )
 
 
+def seasonal_apply(
+    df: DataFrame,
+    stats: DataFrame,
+    entity_col: str,
+    season_col,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag rows deviating > threshold·sigma from a PRECOMPUTED
+    (entity, season-slot) baseline. A pure stateless map over the fact
+    side (stats broadcast), so the SAME function applies to a batch
+    frame or a readStream — the streaming twin is a stream-static
+    broadcast join with frozen training stats (see
+    tools/streaming_check.py seasonal_anomalies check)."""
+    joined = df.withColumn("season", season_col).join(
+        F.broadcast(stats), [entity_col, "season"]
+    )
+    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        joined.filter(F.col("sigma") > 0)
+        .withColumn("z", F.abs(z))
+        .filter(F.col("z") > threshold)
+    )
+
+
 def seasonal_anomalies(
     df: DataFrame,
     entity_col: str,
@@ -273,14 +298,8 @@ def seasonal_anomalies(
     scan — the fact side never shuffles (same two-pass shape as the
     global z-score, conditioned per slot)."""
     stats = seasonal_stats(df, entity_col, season_col, value_col, scale)
-    joined = df.withColumn("season", season_col).join(
-        F.broadcast(stats), [entity_col, "season"]
-    )
-    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
-    return (
-        joined.filter(F.col("sigma") > 0)
-        .withColumn("z", F.abs(z))
-        .filter(F.col("z") > threshold)
+    return seasonal_apply(
+        df, stats, entity_col, season_col, value_col, threshold
     )
 
 

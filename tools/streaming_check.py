@@ -40,6 +40,10 @@ micro-batches, checkpoints, state stores — then the batch twin):
   cm_sketch_merge       run_cm_sketch_stream (per-batch linear-sketch
                         counter addition, constant d·w state) ≡ batch
                         cm_counters over the union, EXACT integers
+  seasonal_anomalies    seasonal_apply with FROZEN training stats
+                        (stream-static broadcast join, stateless map)
+                        ≡ the same applier over the batch union;
+                        planted slot-absurd values must fire
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -701,6 +705,103 @@ def check_cm_sketch_stream(spark, root: str) -> dict:
     return res
 
 
+def check_seasonal_stream(spark, root: str) -> dict:
+    """seasonal_apply over a file stream ≡ the same function over the
+    batch union, with FROZEN training stats (the production shape: the
+    baseline is computed offline, the stream is scored against it via
+    a stream-static broadcast join). Anomalies are planted into slots
+    whose baselines differ 20× so slot conditioning — not a global
+    threshold — is what fires."""
+    from big_data_engineering_project_spark.operators.anomaly import (
+        seasonal_apply,
+        seasonal_stats,
+    )
+
+    base = dt.datetime(2026, 1, 12)
+    rng = random.Random(99)
+    recs = []
+    i = 0
+    for day in range(4):
+        for h, baseline in ((4, 5.0), (12, 100.0)):
+            for m in range(0, 60, 5):
+                v = baseline + rng.uniform(-1.0, 1.0)
+                # plant slot-absurd values mid-stream: hour-4 row at
+                # the hour-12 baseline and vice versa
+                if day == 2 and m == 30:
+                    v = 100.0 if h == 4 else 5.0
+                recs.append(
+                    {
+                        "etype": "view",
+                        "ts": (
+                            base + dt.timedelta(days=day, hours=h, minutes=m)
+                        ).strftime("%Y-%m-%d %H:%M:%S"),
+                        "id": i,
+                        "v": round(v, 2),
+                    }
+                )
+                i += 1
+    recs.sort(key=lambda r: (r["ts"], r["id"]))
+    in_dir = os.path.join(root, "seasonal_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=24)
+
+    schema = "etype STRING, ts STRING, id LONG, v DOUBLE"
+    train = (
+        spark.createDataFrame(
+            [(r["etype"], r["ts"], r["id"], r["v"]) for r in recs if r["id"] % 4 == 0],
+            schema,
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    stats = seasonal_stats(train, "etype", F.hour("ts"), "v")
+    ss = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = os.path.join(root, "seasonal_out")
+    q = (
+        seasonal_apply(ss, stats, "etype", F.hour("ts"), "v")
+        .select("etype", "season", "id", "v", "z")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "seasonal_cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["etype"], r["season"], r["id"], r["v"], r["z"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    bb = (
+        spark.read.schema(schema)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    want = [
+        (r["etype"], r["season"], r["id"], r["v"], r["z"])
+        for r in seasonal_apply(bb, stats, "etype", F.hour("ts"), "v")
+        .select("etype", "season", "id", "v", "z")
+        .collect()
+    ]
+    planted = {r[2] for r in want}
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "planted_found": len(planted) >= 2,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["planted_found"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -723,6 +824,7 @@ def main() -> None:
         results["cusum_drift"] = check_cusum_stream(spark, root)
         results["scd2_maintenance"] = check_scd2_stream(spark, root)
         results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
+        results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
