@@ -1034,3 +1034,104 @@ def ngram_jaccard_rs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+# --- Lexical TF-cosine near-dup (sparse inverted-index cosine) ---------------
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_num: int,
+    tau_den: int,
+    max_df_frac: float = 0.1,
+) -> DataFrame:
+    """Near-dup pairs by cosine over raw term-frequency vectors —
+    the SPARSE lexical complement to the dedup family: Jaccard treats
+    docs as shingle SETS, the embedding paths use dense vectors; TF
+    cosine weights repeated terms without needing a trained model.
+
+    Semantics (deterministic, exact-oracle-able): candidates are pairs
+    sharing ≥ 1 DISCRIMINATIVE term (document frequency in
+    [2, max_df_frac·n_docs] — the inverted-index analog of the shingle
+    family's high-DF cut, resolved from the corpus at run time);
+    candidates are verified with the EXACT integer test
+    tau_den²·dot² ≥ tau_num²·‖a‖²·‖b‖² over the FULL tf vectors
+    (products in DECIMAL(38,0): docs up to ~10⁹ in Σtf² stay exact —
+    any real document qualifies). Precision 1; recall bounded by the
+    candidate rule, mirrored exactly by the oracle.
+
+    Scale: tf/df/norms are partial-aggregable groupBys; the inverted-
+    index self-join fans out ≤ df(term) ≤ max_df_frac·n per term —
+    no term can go quadratic in the corpus; the dot-product join
+    touches candidate pairs only and carries (pair, term, tf) rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    norms = tf.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("_df") >= 2)
+            & (F.col("_df") <= F.floor(F.lit(max_df_frac) * F.col("_n")))
+        )
+        .select("w")
+    )
+    tfr = tf.join(rare, "w")
+    cand = (
+        tfr.alias("a")
+        .join(
+            tfr.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ta = tf.select(
+        F.col("_id").alias("id_a"), F.col("w").alias("w"), F.col("tf").alias("_tfa")
+    )
+    tb = tf.select(
+        F.col("_id").alias("id_b"), F.col("w").alias("w"), F.col("tf").alias("_tfb")
+    )
+    dots = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).cast("long").alias("dot_tf"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("nrm").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("nrm").alias("_nb"))
+    dd = F.col("dot_tf").cast("decimal(38,0)")
+    da = F.col("_na").cast("decimal(38,0)")
+    db = F.col("_nb").cast("decimal(38,0)")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(tau_den * tau_den) * dd * dd
+            >= F.lit(tau_num * tau_num) * da * db
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot_tf",
+            (
+                F.col("dot_tf").cast("double")
+                / F.sqrt(
+                    F.col("_na").cast("double") * F.col("_nb").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )

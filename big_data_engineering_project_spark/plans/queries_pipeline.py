@@ -2961,3 +2961,67 @@ def q_sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "gap", F.col("dist").cast("long").alias("dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- Lexical TF-cosine near-dup ----------------------------------------------
+#
+# The sparse lexical member of the dedup family (Jaccard = shingle
+# sets; MinHash/SimHash = hashed sets; embedding paths = dense):
+# cosine over raw term-frequency vectors, candidates from an inverted
+# index restricted to discriminative terms (df in [2, 10% of corpus] —
+# the word-level analog of the shingle stop cut), verified with the
+# exact integer tau^2 test. tau = 3/5 -> 141 pairs at sf0.01.
+
+
+@register(
+    "q_tf_cosine_neardups",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w != '' GROUP BY doc_id, w
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM tf GROUP BY doc_id
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+rare AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), n
+  WHERE df >= 2 AND df <= FLOOR(0.1 * n_docs)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tf a JOIN rare r ON r.w = a.w
+  JOIN tf b ON b.w = a.w AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot_tf
+  FROM cand c
+  JOIN tf ta ON ta.doc_id = c.id_a
+  JOIN tf tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b, d.dot_tf,
+  CAST(d.dot_tf AS DOUBLE)
+    / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE 25 * CAST(d.dot_tf AS HUGEINT) * d.dot_tf
+      >= 9 * CAST(na.nrm AS HUGEINT) * nb.nrm
+ORDER BY id_a, id_b
+""",
+    doc=(
+        "Sparse lexical TF-cosine near-dups: inverted index over "
+        "discriminative terms (df-banded), exact integer tau^2 verify "
+        "over full tf vectors"
+    ),
+    headline=True,
+    tags=("pipeline", "dedup"),
+)
+def q_tf_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tf_cosine_pairs(
+        docs, "doc_id", "text", 3, 5, max_df_frac=0.1
+    ).orderBy("id_a", "id_b")

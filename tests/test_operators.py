@@ -2104,3 +2104,42 @@ def test_sorted_neighborhood_finds_planted_typo_pair(spark):
     assert all_cand == {
         (1, 5), (2, 5), (1, 2), (2, 4), (1, 4), (3, 4), (2, 3),
     }
+
+
+# --- tf_cosine_pairs ----------------------------------------------------------
+
+
+def test_tf_cosine_pairs_planted_and_df_cut(spark):
+    """Word-permuted near-copies (TF-cosine 1.0 regardless of order)
+    must pair; docs sharing ONLY a ubiquitous term (df over the cut)
+    must not even become candidates; dot/cosine match a driver-side
+    recomputation exactly."""
+    from collections import Counter
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta alpha"),
+        (1, "delta alpha alpha gamma beta"),  # permutation of doc 0
+        (2, "epsilon zeta eta theta common"),
+        (3, "iota kappa lambda mu common"),  # shares only 'common' w/ 2
+        (4, "common common nu xi omicron pi"),
+        (5, "rho sigma tau upsilon common"),
+        (6, "phi chi psi omega common"),
+        (7, "alef bet gimel dalet common"),
+        (8, "he vav zayin het common"),
+        (9, "tet yod kaf lamed common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # 'common' is in 8/10 docs -> df over the 0.5 cut; every other term
+    # has df 1 except the doc0/doc1 vocabulary (df 2, discriminative).
+    out = tf_cosine_pairs(df, "doc_id", "text", 3, 5, max_df_frac=0.5)
+    rows = out.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+    r = rows[0]
+    ca, cb = Counter(docs[0][1].split()), Counter(docs[1][1].split())
+    dot = sum(ca[w] * cb[w] for w in ca)
+    assert r["dot_tf"] == dot
+    assert abs(r["cosine"] - 1.0) < 1e-12
