@@ -77,6 +77,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gated via the incremental R-S member)
     # Incremental R-S near-dup (gate-green r7, kept)
     "q_dedup_incremental_rs",
+    # Round-8 late newborns (newborn-slot policy): the cosine-LSH
+    # embedding near-dup (first LSH operator whose gate row is
+    # hash-exact, not rows-only), the lexical TF-cosine member, and
+    # sorted-neighborhood ER on the two-phase global row_number.
+    # Demoted for them: q_asof_next_purchase (gate-green r7; the
+    # forward-salted twin keeps the forward ASOF + salted≡unsalted
+    # proofs under the gate), q_gap_fill_6h (gate-green r7; temporal
+    # family keeps 3 slots) and q_cm_heavy_hitters (multi-green; the
+    # sketch family keeps KMV daily-merge + HDR + both HLL rows).
+    "q_embedding_lsh_neardups",
+    "q_tf_cosine_neardups",
+    "q_sorted_neighborhood_dups",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
     # committed r05+r06 artifacts) rotates out for round-7 newborns;
@@ -105,8 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # unsalted proof under the gate)
     "q_asof_forward_salted",
     "q_key_skew_report",
-    "q_asof_next_purchase",
-    "q_gap_fill_6h",
     # (q_session_window_native, gate-green r7, demoted for the
     # round-8 newborn z-order pruned scan — storage-layout family's
     # first gated member)
@@ -120,7 +130,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_top_journeys, gate-green r7 + headline-benched, demoted for
     # the round-8 newborn Merkle-bucket incremental diff)
     "q_incremental_snapshot_diff",
-    "q_cm_heavy_hitters",
     # (q_histogram_quantile_merge, gate-green r7, demoted: the two
     # never-gated HLL rows-only members join the gate so their
     # rows-only verdict + pytest invariant names land in a committed
@@ -139,6 +148,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_approx_quantile_contrast",
     "q_winsorized_value_by_type",
     "q_cusum_drift",
+    # Round-8 late newborns: the anomaly family's seasonal member and
+    # the sufficient-statistics OLS trend. Demoted for them:
+    # q_user_set_ops (gate-green r7; semi/anti planning stays gated
+    # via bloom + Q21) and q_revenue_cube (gate-green r7; the
+    # grouping-sets family keeps rollup + pivot).
+    "q_seasonal_anomalies",
+    "q_value_trend_by_type",
     # Graph: the two iterative fixed-points (rank + communities) plus
     # the r7-newborn triangle enumeration (q_media_frame_means, 2×
     # gate-green, demoted for it; decode_stats keeps media gated)
@@ -151,8 +167,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_blocking_suppliers",
     # Profiling + set algebra + grouping-sets family
     "q_profile_events",
-    "q_user_set_ops",
-    "q_revenue_cube",
     "q_revenue_rollup",
     "q_pivot_segment_priority",
     "q_full_outer_user_activity",
