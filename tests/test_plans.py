@@ -451,3 +451,56 @@ def test_sample_sketches_are_window_free_two_level_aggs(plans):
         p = plans(name)
         assert "Window" not in p, name
         assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p, name
+
+
+def test_lsh_neardups_no_product_no_window(plans):
+    """q_embedding_lsh_neardups: candidates come from equi-joins
+    inside band buckets with the degenerate-bucket allow-list as a
+    semi join — never a vector cross product, and no window anywhere
+    (signatures are a row-local map). The only nested-loop joins are
+    the broadcast 1-row corpus-count stamps."""
+    p = plans("q_embedding_lsh_neardups")
+    assert "CartesianProduct" not in p
+    assert "Window (" not in p
+    assert "LeftSemi" in p  # allowed-buckets guard stays a semi join
+
+
+def test_tf_cosine_no_product_no_window(plans):
+    """q_tf_cosine_neardups: the inverted-index self-join and the
+    dot-product join are equi-joins on (term) / (doc, term) — no
+    cartesian anywhere; tf/df/norms are pure partial-aggregable
+    groupBys (no window); the only nested-loop joins are the 1-row
+    corpus-count broadcasts feeding the df band."""
+    p = plans("q_tf_cosine_neardups")
+    assert "CartesianProduct" not in p
+    assert "Window (" not in p
+    assert "HashAggregate" in p
+
+
+def test_global_row_number_ranks_inside_range_partitions(plans):
+    """q_sorted_neighborhood_dups: the global rank must be the
+    two-phase form — an Exchange rangepartitioning on the total order,
+    with EVERY row_number window partitioned by the range-partition id
+    (parallel local ranks). A row_number over an unpartitioned spec
+    would be the single-task global sort this operator exists to
+    avoid; the only SinglePartition step is the ≤ n_parts-row offsets
+    window."""
+    import re
+
+    p = plans("q_sorted_neighborhood_dups")
+    assert "rangepartitioning" in p
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", p)
+    assert specs, "no row_number window found"
+    assert all(s.startswith("__pid") for s in specs), specs
+    assert "CartesianProduct" not in p
+
+
+def test_seasonal_anomalies_broadcast_stats_no_window(plans):
+    """q_seasonal_anomalies: the per-slot baseline joins back as a
+    broadcast (the stats side is |entities|·|slots| rows) — the fact
+    scan must not shuffle, and the stats come from a partial-aggregable
+    groupBy, not a window."""
+    p = plans("q_seasonal_anomalies")
+    assert "Window (" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
