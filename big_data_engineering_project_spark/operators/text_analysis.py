@@ -729,3 +729,67 @@ def dup_segment_fraction(
             ),
         )
     )
+
+
+# --- Trigram-index substring search ------------------------------------------
+
+
+def char_ngram_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, gram) inverted index of DISTINCT character n-grams of
+    lower(text) — the code-search/log-search index structure. ~len(doc)
+    rows per doc before distinct; at 100 TB you build it once, write
+    it sorted by gram (zone maps then prune index scans to the probe
+    grams), and amortize it across every search — the same
+    persisted-index posture as the R-S dedup shingle table."""
+    low = F.lower(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(low) - (n - 1)),
+                    lambda i: low.substr(i, F.lit(n)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def substring_index_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    n: int = 3,
+    gram_index: DataFrame | None = None,
+) -> DataFrame:
+    """All rows whose lower(text) contains the literal `pattern`,
+    answered through the trigram index: a doc can contain the pattern
+    only if it contains EVERY n-gram of the pattern (no false
+    negatives), so candidates = docs holding all |pattern|-n+1 probe
+    grams, then one exact `locate` verify on the candidates only.
+    Result ≡ the full-scan `contains` filter — the oracle IS the full
+    scan, so the gate proves the index path loses nothing. The probe
+    gram set is a literal IN-list: pushed into the index scan, which
+    prunes to the probe grams' slices instead of reading the corpus.
+    """
+    if len(pattern) < n:
+        raise ValueError(f"pattern must be at least {n} chars")
+    pat = pattern.lower()
+    probes = sorted({pat[i : i + n] for i in range(len(pat) - n + 1)})
+    idx = gram_index if gram_index is not None else char_ngram_index(
+        df, id_col, text_col, n
+    )
+    cand = (
+        idx.filter(F.col("gram").isin(probes))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == len(probes))
+        .select("_id")
+    )
+    return df.join(
+        cand.withColumnRenamed("_id", id_col), id_col
+    ).filter(F.locate(pat, F.lower(F.col(text_col))) > 0)

@@ -791,3 +791,73 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trend_by_group(ev, "event_type", "ts", "value").orderBy("event_type")
+
+
+# --- Multi-step window funnel ------------------------------------------------
+#
+# windowFunnel semantics: max L with SOME strict-(ts, id)-order chain
+# view -> click -> purchase whose last event is within 3 h of the
+# chain's first. The ORACLE uses the k-way EXISTS-join formulation —
+# the gate therefore proves the linear DP (running-max anchors, one
+# user exchange) equals the quadratic reference semantics.
+
+
+@register(
+    "q_window_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type IN ('view','click','purchase')
+),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT a.user_id FROM e a JOIN e b
+    ON b.user_id = a.user_id AND a.event_type = 'view'
+   AND b.event_type = 'click'
+   AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+   AND b.s - a.s <= 10800
+),
+l3 AS (
+  SELECT DISTINCT a.user_id FROM e a JOIN e b
+    ON b.user_id = a.user_id AND a.event_type = 'view'
+   AND b.event_type = 'click'
+   AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+  JOIN e c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+   AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+   AND c.s - a.s <= 10800
+),
+levels AS (
+  SELECT u.user_id,
+    CASE WHEN l3.user_id IS NOT NULL THEN 3
+         WHEN l2.user_id IS NOT NULL THEN 2
+         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN l1 ON l1.user_id = u.user_id
+  LEFT JOIN l2 ON l2.user_id = u.user_id
+  LEFT JOIN l3 ON l3.user_id = u.user_id
+)
+SELECT level, COUNT(*) AS n_users FROM levels GROUP BY level ORDER BY level
+""",
+    doc=(
+        "3-step strict-order window funnel (view->click->purchase, 3 h): "
+        "linear running-max-anchor DP on one user exchange, gate-proven "
+        "equal to the k-way EXISTS-join semantics"
+    ),
+    tags=("behavior", "funnel"),
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        window_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = window_funnel(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ("view", "click", "purchase"), 10800,
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("level")
+    )

@@ -3025,3 +3025,39 @@ def q_tf_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.tf_cosine_pairs(
         docs, "doc_id", "text", 3, 5, max_df_frac=0.1
     ).orderBy("id_a", "id_b")
+
+
+# --- Trigram-index substring search ------------------------------------------
+#
+# The oracle is the FULL-SCAN contains() filter, so the gate proves
+# the trigram-index path (probe-gram IN-list pushed into the index
+# scan, exact locate verify on candidates only) loses nothing — the
+# same proof shape as bloom-semi ≡ EXISTS. A doc can contain the
+# pattern only if it holds every n-gram of it: no false negatives.
+
+
+@register(
+    "q_substring_index_search",
+    oracle="""
+SELECT doc_id, source, n_chars FROM documents
+WHERE contains(lower(text), 'vector line hash')
+ORDER BY doc_id
+""",
+    doc=(
+        "Trigram-index substring search (grep over the corpus): probe "
+        "grams prune the index, locate verifies candidates; gate proves "
+        "index-pruned ≡ full scan"
+    ),
+    tags=("pipeline", "text", "search"),
+)
+def q_substring_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        substring_index_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        substring_index_search(docs, "doc_id", "text", "vector line hash")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

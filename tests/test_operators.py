@@ -2143,3 +2143,82 @@ def test_tf_cosine_pairs_planted_and_df_cut(spark):
     dot = sum(ca[w] * cb[w] for w in ca)
     assert r["dot_tf"] == dot
     assert abs(r["cosine"] - 1.0) < 1e-12
+
+
+# --- window_funnel ------------------------------------------------------------
+
+
+def test_window_funnel_levels_and_anchor_rescue(spark):
+    """Pins the DP against the greedy-first-anchor mistake: user 30's
+    chain anchored at their FIRST view violates the window, but a
+    later view rescues a full chain — level must be 3. Plus ordinary
+    level 0/1/2 users and out-of-order steps not counting."""
+    from datetime import datetime, timedelta
+
+    from big_data_engineering_project_spark.operators.behavior import (
+        window_funnel,
+    )
+
+    t0 = datetime(2024, 5, 1)
+
+    def ev(i, u, sec, t):
+        return (i, u, t0 + timedelta(seconds=sec), t)
+
+    rows = [
+        # u10: full chain inside w=100
+        ev(1, 10, 0, "view"), ev(2, 10, 40, "click"), ev(3, 10, 90, "purchase"),
+        # u20: click within, purchase outside the anchor window -> 2
+        ev(4, 20, 0, "view"), ev(5, 20, 50, "click"), ev(6, 20, 300, "purchase"),
+        # u30: first anchor fails, later view rescues -> 3
+        ev(7, 30, 0, "view"), ev(8, 30, 50, "click"), ev(9, 30, 100, "view"),
+        ev(10, 30, 150, "click"), ev(11, 30, 160, "purchase"),
+        # u40: purchase BEFORE click (wrong order) -> stops at 1
+        ev(12, 40, 0, "view"), ev(13, 40, 10, "purchase"), ev(14, 40, 20, "error"),
+        # u50: only non-step events -> 0
+        ev(15, 50, 0, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(
+            df, "user_id", "ts", "event_id", "event_type",
+            ("view", "click", "purchase"), 100,
+        ).collect()
+    }
+    assert out == {10: 3, 20: 2, 30: 3, 40: 1, 50: 0}
+
+
+# --- substring_index_search ---------------------------------------------------
+
+
+def test_substring_search_verify_kills_trigram_false_positive(spark):
+    """A doc holding every trigram of the pattern but not the pattern
+    itself is a candidate the exact verify must reject; a true match
+    survives; a prebuilt index gives identical results."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        char_ngram_index,
+        substring_index_search,
+    )
+
+    docs = [
+        (0, "the quick abcdef fox"),          # true match
+        (1, "abcd here and cdef there"),       # all trigrams, no match
+        (2, "completely unrelated text"),
+        (3, "ABCDEF uppercase still matches"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in substring_index_search(df, "doc_id", "text", "abcdef").collect()
+    }
+    assert got == {0, 3}
+    idx = char_ngram_index(df, "doc_id", "text")
+    got2 = {
+        r["doc_id"]
+        for r in substring_index_search(
+            df, "doc_id", "text", "abcdef", gram_index=idx
+        ).collect()
+    }
+    assert got2 == {0, 3}
