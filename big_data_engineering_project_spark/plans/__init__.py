@@ -89,6 +89,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embedding_lsh_neardups",
     "q_tf_cosine_neardups",
     "q_sorted_neighborhood_dups",
+    # ...plus the window-funnel DP (gate proves linear ≡ k-way-join
+    # semantics) and the trigram-index search (gate proves pruned ≡
+    # full scan). Demoted: q_profile_events (gate-green r7; profiling
+    # stays gated via q_key_skew_report) and q_revenue_rollup
+    # (gate-green r7; grouping-sets keeps the pivot member).
+    "q_window_funnel",
+    "q_substring_index_search",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
     # committed r05+r06 artifacts) rotates out for round-7 newborns;
@@ -166,8 +173,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_topk_lineitems_sharded",
     "q_blocking_suppliers",
     # Profiling + set algebra + grouping-sets family
-    "q_profile_events",
-    "q_revenue_rollup",
     "q_pivot_segment_priority",
     "q_full_outer_user_activity",
     "q_value_rank_distribution",
