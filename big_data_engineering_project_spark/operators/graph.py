@@ -381,3 +381,86 @@ def hop_distance(
             settled = materialize(settled)
             frontier = materialize(frontier)
     return settled
+
+
+# The peeled edge frame enters each iteration three times (degree agg
+# + two endpoint semi joins), so pure lineage grows geometrically —
+# the label_propagation lesson applies with a lower threshold.
+_KCORE_PURE_LINEAGE_MAX_ITERS = 3
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int | None = None,
+    max_iters: int = 30,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k (undirected) until the fixed point; returns
+    (node, core_degree) for the surviving subgraph — the dense-
+    backbone member of the graph family beside pagerank (rank), LPA
+    (communities), duplicate_clusters (components), triangle_count
+    (local density) and hop_distance (reachability).
+
+    Two modes, same peel:
+    - `iters=N` — FIXED budget (the label_propagation discipline):
+      the result is well-defined independent of the engine and holds
+      an unrolled-CTE oracle; peeling is monotone, so any budget ≥
+      the convergence depth IS the true k-core (a pytest asserts one
+      more peel is a no-op on the fixture).
+    - `iters=None` — run to convergence: per iteration the driver
+      reads ONE long (the edge count) and stops when it is stable or
+      `max_iters` is hit.
+
+    Scale per peel: one partial-aggregable degree count + two
+    endpoint LEFT SEMI joins against the (node-sized, shuffled —
+    never force-broadcast) survivor list; work shrinks monotonically
+    with the surviving subgraph. Degrees are integers — no tie-break
+    exists, so the whole fixed point is bit-identical cross-engine.
+    """
+    budget = iters if iters is not None else max_iters
+    if materialize is None and budget > _KCORE_PURE_LINEAGE_MAX_ITERS:
+        materialize = lambda d: d.localCheckpoint()  # noqa: E731
+        materialize_every = 1
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+
+    def peel(u: DataFrame) -> DataFrame:
+        keep = (
+            u.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select(F.col("a").alias("__keep"))
+        )
+        keep_b = keep.select(F.col("__keep").alias("__keepb"))
+        return (
+            u.join(keep, F.col("a") == F.col("__keep"), "left_semi")
+            .join(keep_b, F.col("b") == F.col("__keepb"), "left_semi")
+        )
+
+    if iters is not None:
+        for it in range(iters):
+            und = peel(und)
+            if materialize is not None and (it + 1) % materialize_every == 0:
+                und = materialize(und)
+    else:
+        prev = und.count()
+        for it in range(max_iters):
+            und = peel(und)
+            if materialize is not None and (it + 1) % materialize_every == 0:
+                und = materialize(und)
+            cur = und.count()
+            if cur == prev:
+                break
+            prev = cur
+    return (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

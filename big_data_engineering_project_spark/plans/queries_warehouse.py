@@ -829,3 +829,77 @@ def q_dimension_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --- k-core of the part co-order graph ---------------------------------------
+
+_KCORE_K = 2
+_KCORE_ITERS = 8  # convergence depth is 4 (sf0.01) / 6 (sf0.1);
+# peeling is monotone, so any budget >= depth IS the true core
+# (tests/test_operators.py asserts a further peel is a no-op).
+
+
+def _kcore_oracle(iters: int) -> str:
+    lvls = []
+    prev = "und0"
+    for i in range(1, iters + 1):
+        lvls.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, COUNT(*) AS d FROM {prev} GROUP BY a)
+  WHERE d >= {_KCORE_K}
+),
+u{i} AS MATERIALIZED (
+  SELECT u.a, u.b FROM {prev} u
+  JOIN k{i} ka ON ka.a = u.a JOIN k{i} kb ON kb.a = u.b
+)"""
+        )
+        prev = f"u{i}"
+    joined = ",\n".join(lvls)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+pairs AS (
+  SELECT a.it AS x, b.it AS y
+  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und0 AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs
+),
+{joined}
+SELECT a AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY a ORDER BY part
+"""
+
+
+@register(
+    "q_kcore_parts",
+    oracle=_kcore_oracle(_KCORE_ITERS),
+    doc=(
+        f"{_KCORE_K}-core of the part co-order graph ({_KCORE_ITERS} "
+        "fixed peels, past both SFs' convergence depth): iterative "
+        "degree-<k deletion leaves the cyclic co-purchase backbone — "
+        "the dense-subgraph member of the graph family. Each peel is "
+        "one partial-aggregable degree count + two endpoint SEMI "
+        "joins; integer degrees need no tie-break, so the whole fixed "
+        "point holds an unrolled-CTE oracle "
+        "(operators/graph.py:k_core)"
+    ),
+    tags=("warehouse", "graph", "iterative"),
+)
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.association import (
+        frequent_pairs,
+    )
+    from big_data_engineering_project_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_support") >= 2
+    )
+    return (
+        k_core(edges, _KCORE_K, src="item_a", dst="item_b", iters=_KCORE_ITERS)
+        .select(F.col("node").alias("part"), "core_degree")
+        .orderBy("part")
+    )

@@ -2222,3 +2222,36 @@ def test_substring_search_verify_kills_trigram_false_positive(spark):
         ).collect()
     }
     assert got2 == {0, 3}
+
+
+# --- k_core -------------------------------------------------------------------
+
+
+def test_k_core_peels_pendant_trees_and_modes_agree(spark):
+    """2-core of triangle+pendant-chain = the triangle (chain peels
+    over multiple iterations — deeper than one naive degree filter);
+    fixed budget ≥ depth ≡ convergence mode ≡ one further peel."""
+    from big_data_engineering_project_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    want = {(1, 2), (2, 2), (3, 2)}
+    fixed = {
+        (r["node"], r["core_degree"])
+        for r in k_core(edges, 2, iters=6).collect()
+    }
+    assert fixed == want
+    conv = {
+        (r["node"], r["core_degree"])
+        for r in k_core(edges, 2, iters=None).collect()
+    }
+    assert conv == want
+    deeper = {
+        (r["node"], r["core_degree"])
+        for r in k_core(edges, 2, iters=7).collect()
+    }
+    assert deeper == fixed  # fixed point: one more peel is a no-op
+    # 3-core of this graph is empty (triangle degrees are exactly 2)
+    assert k_core(edges, 3, iters=4).count() == 0
