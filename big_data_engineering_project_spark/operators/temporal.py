@@ -544,3 +544,99 @@ def ohlc_resample(
             F.count(F.lit(1)).cast("long").alias("volume"),
         )
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Resample each key's series onto a regular grid with LINEAR
+    interpolation between the surrounding observations — the other
+    resample mode beside `gap_fill_locf` (LOCF holds the last value;
+    interpolation draws the line through the bracketing samples:
+    v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)).
+
+    Same scale shape as LOCF: bounds agg → per-key integer grid →
+    union → TWO window passes over ONE (key, (sec, obs-first, id))
+    sort — a running last-observation (sec, value) forward and a
+    running next-observation backward frame; Spark plans both over a
+    single exchange+sort. No join, no row multiplication beyond the
+    grid. Exactness: t/t_prev/t_next are integer seconds and
+    v_prev/v_next raw parquet doubles, so the one interpolation
+    expression — mirrored operand-for-operand by the oracle — is
+    bit-identical cross-engine. Grid points outside [first, last]
+    observation emit NULL (no extrapolation); a grid point landing
+    exactly on an observation returns that observation's value
+    ((t − t_prev) = 0, newest id winning same-second ties via the
+    obs-before-grid sort). Ties on observation seconds resolve by
+    `id_col` exactly as in gap_fill_locf.
+    """
+    sec = F.unix_timestamp(F.col(time_col))
+    ev = df.select(
+        F.col(key).alias("__k"),
+        sec.alias("__sec"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    bounds = ev.groupBy("__k").agg(
+        F.floor(F.min("__sec") / step_seconds).cast("long").alias("__g0"),
+        F.floor(F.max("__sec") / step_seconds).cast("long").alias("__g1"),
+    )
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__g0") * step_seconds,
+                F.col("__g1") * step_seconds,
+                F.lit(step_seconds),
+            )
+        ).alias("__sec"),
+        F.lit(_GRID_SENTINEL_ID).alias("__id"),
+        F.lit(None).cast("double").alias("__v"),
+    ).withColumn("__is_obs", F.lit(0))
+    un = ev.withColumn("__is_obs", F.lit(1)).unionByName(grid)
+    order = [F.asc("__sec"), F.desc("__is_obs"), F.asc("__id")]
+    back = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_sec = F.when(F.col("__is_obs") == 1, F.col("__sec"))
+    obs_v = F.when(F.col("__is_obs") == 1, F.col("__v"))
+    filled = (
+        un.withColumn("__ps", F.last(obs_sec, ignorenulls=True).over(back))
+        .withColumn("__pv", F.last(obs_v, ignorenulls=True).over(back))
+        .withColumn("__ns", F.first(obs_sec, ignorenulls=True).over(fwd))
+        .withColumn("__nv", F.first(obs_v, ignorenulls=True).over(fwd))
+    )
+    # ps == sec → the grid point IS an observation second: return its
+    # value even when no later observation exists (last-point case);
+    # otherwise both brackets must exist.
+    interp = F.when(
+        F.col("__ps") == F.col("__sec"), F.col("__pv")
+    ).otherwise(
+        F.when(
+            F.col("__ps").isNotNull() & F.col("__ns").isNotNull(),
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (F.col("__sec") - F.col("__ps")).cast("double")
+            / (F.col("__ns") - F.col("__ps")).cast("double"),
+        )
+    )
+    return (
+        filled.filter(F.col("__is_obs") == 0)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__sec")).alias("grid_ts"),
+            interp.alias(value_col),
+        )
+    )

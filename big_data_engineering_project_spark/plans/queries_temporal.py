@@ -486,3 +486,76 @@ def q_click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "buy_id", F.col("c_user").alias("user_id"))
         .orderBy("click_id", "buy_id")
     )
+
+
+# --- Linear-interpolation gap-fill (the other resample mode) -----------------
+
+
+@register(
+    "q_gap_fill_interp_6h",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS id, "value" AS v
+  FROM events
+),
+bounds AS (
+  SELECT k, (MIN(sec) // {_GF_STEP}) AS g0, (MAX(sec) // {_GF_STEP}) AS g1
+  FROM ev GROUP BY k
+),
+grid AS (
+  SELECT k, CAST(s.g AS BIGINT) AS sec,
+         CAST(9000000000000000000 AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS v, 0 AS is_obs
+  FROM bounds,
+       unnest(generate_series(g0 * {_GF_STEP}, g1 * {_GF_STEP}, {_GF_STEP}))
+         AS s(g)
+),
+un AS (
+  SELECT k, sec, id, v, 1 AS is_obs FROM ev
+  UNION ALL SELECT k, sec, id, v, is_obs FROM grid
+),
+br AS (
+  SELECT k, sec, is_obs,
+    last_value(CASE WHEN is_obs = 1 THEN sec END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY sec ASC, is_obs DESC, id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+    last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY sec ASC, is_obs DESC, id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN is_obs = 1 THEN sec END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY sec ASC, is_obs DESC, id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns,
+    first_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY sec ASC, is_obs DESC, id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM un
+)
+SELECT k AS user_id, make_timestamp(sec * 1000000) AS grid_ts,
+  CASE WHEN ps = sec THEN pv
+       WHEN ps IS NOT NULL AND ns IS NOT NULL THEN
+         pv + (nv - pv) * CAST(sec - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)
+  END AS "value"
+FROM br WHERE is_obs = 0
+ORDER BY user_id, grid_ts
+""",
+    doc="Linear-interpolation resample onto the 6-hour grid (the "
+    "timescale-style interpolate(time_bucket(...)) beside the LOCF "
+    "twin): per grid point the bracketing observations come from a "
+    "forward and a backward window pass over ONE (key, sec, "
+    "obs-first, id) sort — no join; the single interpolation "
+    "expression runs on integer seconds + raw parquet doubles, "
+    "mirrored operand-for-operand, so it is exact cross-engine; no "
+    "extrapolation outside [first, last] "
+    "(operators/temporal.gap_fill_interpolate)",
+    tags=("temporal", "window"),
+)
+def q_gap_fill_interp_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_interpolate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_interpolate(
+        ev, "user_id", "ts", "value", _GF_STEP, "event_id"
+    ).orderBy("user_id", "grid_ts")

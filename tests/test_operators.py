@@ -2255,3 +2255,67 @@ def test_k_core_peels_pendant_trees_and_modes_agree(spark):
     assert deeper == fixed  # fixed point: one more peel is a no-op
     # 3-core of this graph is empty (triangle degrees are exactly 2)
     assert k_core(edges, 3, iters=4).count() == 0
+
+
+# --- gap_fill_interpolate -----------------------------------------------------
+
+
+def test_gap_fill_interpolate_semantics(spark):
+    """Midpoints draw the line, on-grid observations return exactly,
+    outside [first, last] is NULL, same-second ties take newest id."""
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_interpolate,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # key "a": obs at sec 0 (v=10) and sec 40 (v=30), step 10
+        (1, "a", t(0), 10.0),
+        (2, "a", t(40), 30.0),
+        # key "b": two obs in the SAME second 20 — newest id wins —
+        # plus a later obs so second 20 is a bracketing point
+        (3, "b", t(20), 5.0),
+        (4, "b", t(20), 7.0),
+        (5, "b", t(30), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double"
+    )
+    out = {
+        (r["k"], r["grid_ts"].second): r["value"]
+        for r in gap_fill_interpolate(
+            df, "k", "ts", "value", 10, "event_id"
+        ).collect()
+    }
+    assert out[("a", 0)] == 10.0  # exactly on an observation
+    assert out[("a", 10)] == 15.0  # linear: 10 + (30-10)*10/40
+    assert out[("a", 20)] == 20.0
+    assert out[("a", 30)] == 25.0
+    assert out[("a", 40)] == 30.0
+    assert out[("b", 20)] == 7.0  # newest id at the tied second
+    assert out[("b", 30)] == 9.0
+
+
+def test_gap_fill_interpolate_no_extrapolation(spark):
+    from datetime import datetime
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        gap_fill_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1, 0, 0, 15), 4.0),
+         (2, "a", datetime(2024, 1, 1, 0, 0, 25), 6.0)],
+        "event_id long, k string, ts timestamp, value double",
+    )
+    rows = {
+        r["grid_ts"].second: r["value"]
+        for r in gap_fill_interpolate(
+            df, "k", "ts", "value", 10, "event_id"
+        ).collect()
+    }
+    # grid covers 10..20 (floor-aligned); 10 precedes the first obs
+    assert rows[10] is None
+    assert rows[20] == 5.0
