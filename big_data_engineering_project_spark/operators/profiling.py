@@ -207,3 +207,58 @@ def key_skew_report(
     for r in outs[1:]:
         out = out.unionByName(r)
     return out
+
+
+def join_size_forecast(
+    lhs: DataFrame,
+    lhs_key: str,
+    rhs: DataFrame,
+    rhs_key: str,
+    relation: str,
+) -> DataFrame:
+    """Predict an equi-join's output size WITHOUT running the join —
+    the pre-flight companion to `key_skew_report`: join_rows =
+    Σ_k cnt_lhs(k)·cnt_rhs(k) computed from the two per-key count
+    tables (each |keys| rows — the exchange carries counters, never
+    fact rows), plus the hottest key and its contribution (the rows
+    ONE reducer would receive). A forecast that says 10¹² rows or a
+    0.4 hottest-share is the signal to salt/broadcast BEFORE spending
+    the cluster on the real join.
+
+    Returns one row: (relation, lhs_rows, rhs_rows, join_rows,
+    hottest_key, hottest_rows) — all exact BIGINTs; the hottest tie
+    breaks (contribution DESC, key ASC), a total order.
+    """
+    lc = lhs.groupBy(F.col(lhs_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cl")
+    )
+    rc = rhs.groupBy(F.col(rhs_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cr")
+    )
+    per_key = lc.join(rc, "__k").select(
+        "__k", (F.col("__cl") * F.col("__cr")).alias("__prod")
+    )
+    hottest = per_key.orderBy(
+        F.desc("__prod"), F.asc("__k")
+    ).limit(1).select(
+        F.col("__k").alias("hottest_key"),
+        F.col("__prod").alias("hottest_rows"),
+    )
+    totals = per_key.agg(
+        F.coalesce(F.sum("__prod"), F.lit(0)).cast("long").alias("join_rows")
+    )
+    sizes = lhs.agg(F.count(F.lit(1)).cast("long").alias("lhs_rows")).crossJoin(
+        rhs.agg(F.count(F.lit(1)).cast("long").alias("rhs_rows"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(hottest))
+        .select(
+            F.lit(relation).alias("relation"),
+            "lhs_rows",
+            "rhs_rows",
+            "join_rows",
+            F.col("hottest_key").cast("long").alias("hottest_key"),
+            "hottest_rows",
+        )
+    )

@@ -903,3 +903,103 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), "core_degree")
         .orderBy("part")
     )
+
+
+# --- Join-cardinality forecast (pre-flight planning) -------------------------
+
+
+@register(
+    "q_join_size_forecast",
+    oracle="""
+WITH rel1 AS (
+  SELECT 'lineitem*orders' AS relation,
+    (SELECT COUNT(*) FROM lineitem) AS lhs_rows,
+    (SELECT COUNT(*) FROM orders) AS rhs_rows,
+    COALESCE(SUM(cl * cr), 0) AS join_rows
+  FROM (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1) a
+  JOIN (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1) b
+    USING (k)
+),
+rel1h AS (
+  SELECT k AS hottest_key, cl * cr AS hottest_rows
+  FROM (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1) a
+  JOIN (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1) b
+    USING (k)
+  ORDER BY cl * cr DESC, k ASC LIMIT 1
+),
+rel2 AS (
+  SELECT 'orders*customer' AS relation,
+    (SELECT COUNT(*) FROM orders) AS lhs_rows,
+    (SELECT COUNT(*) FROM customer) AS rhs_rows,
+    COALESCE(SUM(cl * cr), 0) AS join_rows
+  FROM (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1) a
+  JOIN (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1) b
+    USING (k)
+),
+rel2h AS (
+  SELECT k AS hottest_key, cl * cr AS hottest_rows
+  FROM (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1) a
+  JOIN (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1) b
+    USING (k)
+  ORDER BY cl * cr DESC, k ASC LIMIT 1
+),
+rel3 AS (
+  SELECT 'events*customer' AS relation,
+    (SELECT COUNT(*) FROM events) AS lhs_rows,
+    (SELECT COUNT(*) FROM customer) AS rhs_rows,
+    COALESCE(SUM(cl * cr), 0) AS join_rows
+  FROM (SELECT user_id AS k, COUNT(*) AS cl FROM events GROUP BY 1) a
+  JOIN (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1) b
+    USING (k)
+),
+rel3h AS (
+  SELECT k AS hottest_key, cl * cr AS hottest_rows
+  FROM (SELECT user_id AS k, COUNT(*) AS cl FROM events GROUP BY 1) a
+  JOIN (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1) b
+    USING (k)
+  ORDER BY cl * cr DESC, k ASC LIMIT 1
+)
+SELECT r.relation, CAST(r.lhs_rows AS BIGINT) AS lhs_rows,
+       CAST(r.rhs_rows AS BIGINT) AS rhs_rows,
+       CAST(r.join_rows AS BIGINT) AS join_rows,
+       h.hottest_key, CAST(h.hottest_rows AS BIGINT) AS hottest_rows
+FROM rel1 r, rel1h h
+UNION ALL SELECT r.relation, CAST(r.lhs_rows AS BIGINT),
+       CAST(r.rhs_rows AS BIGINT), CAST(r.join_rows AS BIGINT),
+       h.hottest_key, CAST(h.hottest_rows AS BIGINT)
+FROM rel2 r, rel2h h
+UNION ALL SELECT r.relation, CAST(r.lhs_rows AS BIGINT),
+       CAST(r.rhs_rows AS BIGINT), CAST(r.join_rows AS BIGINT),
+       h.hottest_key, CAST(h.hottest_rows AS BIGINT)
+FROM rel3 r, rel3h h
+ORDER BY relation
+""",
+    doc=(
+        "Equi-join output-size forecast for three fact relations from "
+        "per-key count tables (counters on the exchange, never fact "
+        "rows): sum(cnt_l*cnt_r), hottest key + its one-reducer "
+        "contribution — the pre-flight beside key_skew_report"
+    ),
+    tags=("warehouse", "profiling"),
+)
+def q_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.profiling import (
+        join_size_forecast,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        join_size_forecast(li, "l_orderkey", orders, "o_orderkey",
+                           "lineitem*orders"),
+        join_size_forecast(orders, "o_custkey", cust, "c_custkey",
+                           "orders*customer"),
+        join_size_forecast(ev, "user_id", cust, "c_custkey",
+                           "events*customer"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")

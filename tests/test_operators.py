@@ -2319,3 +2319,29 @@ def test_gap_fill_interpolate_no_extrapolation(spark):
     # grid covers 10..20 (floor-aligned); 10 precedes the first obs
     assert rows[10] is None
     assert rows[20] == 5.0
+
+
+# --- join_size_forecast -------------------------------------------------------
+
+
+def test_join_size_forecast_equals_actual_join(spark):
+    """The forecast is exact, not an estimate: sum(cnt_l*cnt_r) must
+    equal the real join's row count, and the hottest key is the
+    skewed one with its one-reducer contribution."""
+    from big_data_engineering_project_spark.operators.profiling import (
+        join_size_forecast,
+    )
+
+    lhs = spark.createDataFrame(
+        [(k, i) for k in (1, 2, 3) for i in range(k * 4)],
+        "k long, payload long",
+    )
+    rhs = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2), (9, 0)],
+        "k long, other long",
+    )
+    row = join_size_forecast(lhs, "k", rhs, "k", "t").collect()[0]
+    actual = lhs.join(rhs, "k").count()
+    assert row["join_rows"] == actual == 4 * 1 + 8 * 2 + 12 * 3
+    assert (row["hottest_key"], row["hottest_rows"]) == (3, 36)
+    assert (row["lhs_rows"], row["rhs_rows"]) == (24, 7)
