@@ -96,6 +96,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (gate-green r7; grouping-sets keeps the pivot member).
     "q_window_funnel",
     "q_substring_index_search",
+    # ...and the final three of the round: k-core (graph family's
+    # coreness member), interpolation gap-fill (the LOCF twin's other
+    # mode) and the join-size forecast (pre-flight planning). Demoted:
+    # q_blocking_suppliers (multi-green; join strategies keep bloom +
+    # sharded top-k), q_full_outer_user_activity and
+    # q_value_rank_distribution (each gate-green r7; both families
+    # hold exact-oracle rows in every FULL sweep).
+    "q_kcore_parts",
+    "q_gap_fill_interp_6h",
+    "q_join_size_forecast",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
     # committed r05+r06 artifacts) rotates out for round-7 newborns;
@@ -171,11 +181,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Join strategies: bloom-pruned semi, sharded top-k, Q21 shape
     "q_bloom_semi_orders",
     "q_topk_lineitems_sharded",
-    "q_blocking_suppliers",
     # Profiling + set algebra + grouping-sets family
     "q_pivot_segment_priority",
-    "q_full_outer_user_activity",
-    "q_value_rank_distribution",
     # Warehouse maintenance — the four remaining round-7 newborns
     # (SCD2 history, basket pairs, OHLC bars, FK-orphan audit) take
     # gate slots the round they are born; q_serving_try_cast (6×
