@@ -175,7 +175,7 @@ def cusum_stats(
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
-            F.sum("__vu").cast("decimal(38,0)").alias("__s1"),
+            F.sum(F.col("__vu").cast("decimal(38,0)")).alias("__s1"),
             F.sum(
                 (F.col("__vu") * F.col("__vu")).cast("decimal(38,0)")
             ).alias("__s2"),
@@ -234,7 +234,7 @@ def seasonal_stats(
         .groupBy(F.col(entity_col), season_col.alias("season"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("__vq").cast("decimal(38,0)").alias("__s1"),
+            F.sum(F.col("__vq").cast("decimal(38,0)")).alias("__s1"),
             F.sum(
                 (F.col("__vq") * F.col("__vq")).cast("decimal(38,0)")
             ).alias("__s2"),
@@ -333,8 +333,8 @@ def trend_by_group(
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("__t").cast("decimal(38,0)").alias("__st"),
-            F.sum("__v").cast("decimal(38,0)").alias("__sv"),
+            F.sum(F.col("__t").cast("decimal(38,0)")).alias("__st"),
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sv"),
             F.sum((F.col("__t") * F.col("__v")).cast("decimal(38,0)")).alias(
                 "__stv"
             ),

@@ -241,6 +241,7 @@ def join_size_forecast(
     hottest = per_key.orderBy(
         F.desc("__prod"), F.asc("__k")
     ).limit(1).select(
+        F.lit(1).alias("__j"),
         F.col("__k").alias("hottest_key"),
         F.col("__prod").alias("hottest_rows"),
     )
@@ -250,15 +251,19 @@ def join_size_forecast(
     sizes = lhs.agg(F.count(F.lit(1)).cast("long").alias("lhs_rows")).crossJoin(
         rhs.agg(F.count(F.lit(1)).cast("long").alias("rhs_rows"))
     )
+    # hottest is EMPTY when the key sets are disjoint — a left join on
+    # a constant (not a crossJoin) keeps the promised single row with
+    # NULL hottest_* and join_rows = 0 in that case.
     return (
         sizes.crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(hottest))
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(hottest), "__j", "left")
         .select(
             F.lit(relation).alias("relation"),
             "lhs_rows",
             "rhs_rows",
             "join_rows",
-            F.col("hottest_key").cast("long").alias("hottest_key"),
+            "hottest_key",
             "hottest_rows",
         )
     )

@@ -744,15 +744,20 @@ def char_ngram_index(
     grams), and amortize it across every search — the same
     persisted-index posture as the R-S dedup shingle table."""
     low = F.lower(F.col(text_col))
+    # Guard sub-n documents: F.sequence(1, len-(n-1)) DESCENDS when
+    # len < n (step defaults to -1), emitting junk sub-n "grams" that
+    # would pollute a persisted index.
+    grams = F.when(
+        F.length(low) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - (n - 1)),
+            lambda i: low.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(low) - (n - 1)),
-                    lambda i: low.substr(i, F.lit(n)),
-                )
-            ).alias("gram"),
+            F.explode(grams).alias("gram"),
         )
         .distinct()
     )

@@ -2345,3 +2345,39 @@ def test_join_size_forecast_equals_actual_join(spark):
     assert row["join_rows"] == actual == 4 * 1 + 8 * 2 + 12 * 3
     assert (row["hottest_key"], row["hottest_rows"]) == (3, 36)
     assert (row["lhs_rows"], row["rhs_rows"]) == (24, 7)
+
+
+def test_join_size_forecast_disjoint_keys_single_row(spark):
+    """Disjoint key sets must still yield the promised single row —
+    join_rows 0, NULL hottest — not an empty frame."""
+    from big_data_engineering_project_spark.operators.profiling import (
+        join_size_forecast,
+    )
+
+    lhs = spark.createDataFrame([(1, 0)], "k long, p long")
+    rhs = spark.createDataFrame([(9, 0)], "k long, p long")
+    rows = join_size_forecast(lhs, "k", rhs, "k", "d").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["join_rows"] == 0
+    assert r["hottest_key"] is None and r["hottest_rows"] is None
+    # non-numeric keys must work too (no blind cast)
+    s1 = spark.createDataFrame([("a", 0), ("a", 1)], "k string, p long")
+    s2 = spark.createDataFrame([("a", 0)], "k string, p long")
+    r2 = join_size_forecast(s1, "k", s2, "k", "s").collect()[0]
+    assert (r2["join_rows"], r2["hottest_key"]) == (2, "a")
+
+
+def test_char_ngram_index_sub_n_docs_emit_nothing(spark):
+    """Docs shorter than n must contribute zero grams (a descending
+    F.sequence would otherwise emit junk sub-n strings into a
+    persisted index)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        char_ngram_index,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "abcd")], "doc_id long, text string"
+    )
+    rows = {(r["_id"], r["gram"]) for r in char_ngram_index(df, "doc_id", "text").collect()}
+    assert rows == {(2, "abc"), (2, "bcd")}

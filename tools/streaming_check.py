@@ -720,6 +720,7 @@ def check_seasonal_stream(spark, root: str) -> dict:
     base = dt.datetime(2026, 1, 12)
     rng = random.Random(99)
     recs = []
+    planted_ids = set()
     i = 0
     for day in range(4):
         for h, baseline in ((4, 5.0), (12, 100.0)):
@@ -729,6 +730,7 @@ def check_seasonal_stream(spark, root: str) -> dict:
                 # the hour-12 baseline and vice versa
                 if day == 2 and m == 30:
                     v = 100.0 if h == 4 else 5.0
+                    planted_ids.add(i)
                 recs.append(
                     {
                         "etype": "view",
@@ -786,13 +788,15 @@ def check_seasonal_stream(spark, root: str) -> dict:
         .select("etype", "season", "id", "v", "z")
         .collect()
     ]
-    planted = {r[2] for r in want}
+    flagged = {r[2] for r in want}
     res = {
         "rows_stream": len(got),
         "rows_batch": len(want),
         "hash_stream": _rows_hash(got),
         "hash_batch": _rows_hash(want),
-        "planted_found": len(planted) >= 2,
+        # BOTH planted slot-absurd rows must actually fire — not just
+        # any two rows.
+        "planted_found": planted_ids <= flagged,
     }
     res["match"] = (
         res["rows_stream"] == res["rows_batch"] > 0
