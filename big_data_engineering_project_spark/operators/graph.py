@@ -464,3 +464,55 @@ def k_core(
         und.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# The distance frame enters each relaxation twice (join + union), so
+# the BFS lineage rule applies.
+_SSSP_PURE_LINEAGE_MAX_ITERS = 4
+
+
+def shortest_path_costs(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """Bellman-Ford shortest-path costs from `sources` (cost 0) over a
+    DIRECTED weighted edge list, `iters` relaxation rounds — the
+    weighted twin of `hop_distance` (whose settled-first-reach frontier
+    trick is only valid unweighted: under weights a settled node can
+    still IMPROVE, so every round relaxes the full edge set against
+    the current distance table and keeps the per-node min). With
+    integer weights the fixed point is bit-identical cross-engine
+    (unrolled-CTE oracle); `iters` bounds the path length considered —
+    budget ≥ graph diameter gives the true distances.
+
+    Per round: one equi-join (distance table, node-sized, against
+    edges) + one partial-aggregable min — both shuffles carry
+    (node, cost) pairs, never adjacency blowup. Auto-localCheckpoint
+    past _SSSP_PURE_LINEAGE_MAX_ITERS rounds (the distance frame
+    enters each round twice)."""
+    if materialize is None and iters > _SSSP_PURE_LINEAGE_MAX_ITERS:
+        materialize = lambda d: d.localCheckpoint()  # noqa: E731
+        materialize_every = 1
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("cost"),
+    ).distinct()
+    for it in range(iters):
+        relaxed = dist.join(edges, dist["node"] == edges[src]).select(
+            F.col(dst).alias("node"),
+            (F.col("cost") + F.col(weight)).cast("long").alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        if materialize is not None and (it + 1) % materialize_every == 0:
+            dist = materialize(dist)
+    return dist

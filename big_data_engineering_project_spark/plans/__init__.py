@@ -172,10 +172,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # grouping-sets family keeps rollup + pivot).
     "q_seasonal_anomalies",
     "q_value_trend_by_type",
-    # Graph: the two iterative fixed-points (rank + communities) plus
-    # the r7-newborn triangle enumeration (q_media_frame_means, 2×
-    # gate-green, demoted for it; decode_stats keeps media gated)
-    "q_pagerank_event_graph",
+    # Graph: communities + triangles + the late-round newborns k-core
+    # (above) and Bellman-Ford cheapest paths (newborn-slot policy;
+    # q_pagerank_event_graph, multi-gated and headline-benched,
+    # demoted — the iterative-fixed-point class stays gated via LPA
+    # and the deep-LPA auto-checkpoint query in FULL sweeps)
+    "q_cheapest_part_paths",
     "q_label_propagation",
     "q_triangle_parts",
     # Join strategies: bloom-pruned semi, sharded top-k, Q21 shape

@@ -1003,3 +1003,96 @@ def q_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("relation")
+
+
+# --- Weighted shortest paths over the co-order graph -------------------------
+
+_SSSP_ITERS = 4
+_SSSP_COST_NUM = 1_000_000  # edge cost = 1e6 div co-order count:
+# frequently co-ordered parts are "close", rare pairings expensive —
+# an integer -log-likelihood proxy that keeps the fixed point exact.
+
+
+def _sssp_oracle(iters: int) -> str:
+    lvls = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        lvls.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(cost) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.b AS node, {prev}.cost + e.w AS cost
+    FROM {prev} JOIN und e ON e.a = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    joined = ",\n".join(lvls)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+pairs AS (
+  SELECT a.it AS x, b.it AS y,
+         {_SSSP_COST_NUM} // COUNT(*) AS w
+  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT x AS a, y AS b, w FROM pairs UNION ALL SELECT y, x, w FROM pairs
+),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+{joined}
+SELECT node AS part, CAST(cost AS BIGINT) AS cost
+FROM {prev} ORDER BY part
+"""
+
+
+@register(
+    "q_cheapest_part_paths",
+    oracle=_sssp_oracle(_SSSP_ITERS),
+    doc=(
+        f"Bellman-Ford cheapest paths from part 0 over the co-order "
+        f"graph ({_SSSP_ITERS} relaxation rounds), edge cost = "
+        f"{_SSSP_COST_NUM} div co-order count (rare pairings are "
+        "far): the weighted twin of q_hop_distance — settled-first-"
+        "reach is invalid under weights, so every round relaxes the "
+        "full edge set and keeps the per-node integer MIN; exact "
+        "unrolled-CTE oracle (operators/graph.py:shortest_path_costs)"
+    ),
+    tags=("warehouse", "graph", "iterative"),
+)
+def q_cheapest_part_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        shortest_path_costs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.it") < F.col("b.it")),
+        )
+        .groupBy(F.col("a.it").alias("x"), F.col("b.it").alias("y"))
+        .agg(
+            F.expr(f"CAST({_SSSP_COST_NUM} AS BIGINT) div count(1)").alias("w")
+        )
+    )
+    und = pairs.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("src"), F.col("x").alias("dst"), "w"
+        )
+    )
+    sources = li.sparkSession.createDataFrame([(0,)], "node long")
+    return (
+        shortest_path_costs(und, sources, iters=_SSSP_ITERS)
+        .select(F.col("node").alias("part"), F.col("cost").cast("long").alias("cost"))
+        .orderBy("part")
+    )

@@ -2381,3 +2381,35 @@ def test_char_ngram_index_sub_n_docs_emit_nothing(spark):
     )
     rows = {(r["_id"], r["gram"]) for r in char_ngram_index(df, "doc_id", "text").collect()}
     assert rows == {(2, "abc"), (2, "bcd")}
+
+
+# --- shortest_path_costs ------------------------------------------------------
+
+
+def test_shortest_path_costs_cheaper_multi_hop_wins(spark):
+    """The case that separates weighted SSSP from BFS: a 2-hop route
+    undercuts the direct edge, so a node 'settled' at round 1 must
+    IMPROVE at round 2 — and the iteration budget visibly bounds the
+    paths considered."""
+    from big_data_engineering_project_spark.operators.graph import (
+        shortest_path_costs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 2), (3, 2, 3), (2, 4, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+
+    def costs(iters):
+        return {
+            r["node"]: r["cost"]
+            for r in shortest_path_costs(
+                edges, sources, iters=iters
+            ).collect()
+        }
+
+    one = costs(1)
+    assert one[2] == 10  # only the direct edge after one relaxation
+    three = costs(3)
+    assert three == {1: 0, 3: 2, 2: 5, 4: 6}  # 1->3->2 undercuts direct
