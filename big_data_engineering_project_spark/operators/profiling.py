@@ -267,3 +267,37 @@ def join_size_forecast(
             "hottest_rows",
         )
     )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    num_cols: list[str],
+    str_cols: list[str],
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column-level drift between two snapshots of the same table —
+    the data-quality REGRESSION check on top of `profile_table`
+    (schema drift, null-rate spikes, cardinality collapse, range
+    shifts between yesterday's load and today's): both profiles run
+    their single-pass aggregation, then join on the column name — the
+    joined frames are #columns rows, so the comparison itself is
+    free at any corpus size. Returns one row per column:
+    (column, n_rows_a/b, null_rate_a/b, n_distinct_a/b,
+    min_num_a/b, max_num_a/b)."""
+    pa = profile_table(before, num_cols, str_cols, distinct_cols)
+    pb = profile_table(after, num_cols, str_cols, distinct_cols)
+
+    def side(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "column",
+            F.col("n_rows").alias(f"n_rows_{tag}"),
+            (
+                F.col("n_nulls").cast("double") / F.col("n_rows")
+            ).alias(f"null_rate_{tag}"),
+            F.col("n_distinct").alias(f"n_distinct_{tag}"),
+            F.col("min_num").alias(f"min_num_{tag}"),
+            F.col("max_num").alias(f"max_num_{tag}"),
+        )
+
+    return side(pa, "a").join(side(pb, "b"), "column")

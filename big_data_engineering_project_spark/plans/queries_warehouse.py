@@ -1096,3 +1096,83 @@ def q_cheapest_part_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), F.col("cost").cast("long").alias("cost"))
         .orderBy("part")
     )
+
+
+# --- Snapshot profile drift ---------------------------------------------------
+
+
+@register(
+    "q_profile_drift",
+    oracle="""
+WITH half(tag, lo, hi) AS (VALUES
+  ('a', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-16'),
+  ('b', TIMESTAMP '2024-01-16', TIMESTAMP '2099-01-01')
+),
+s AS (
+  SELECT h.tag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT("value") AS BIGINT) AS nn_value,
+         CAST(COUNT(DISTINCT "value") AS BIGINT) AS nd_value,
+         CAST(MIN("value") AS DOUBLE) AS min_value,
+         CAST(MAX("value") AS DOUBLE) AS max_value,
+         CAST(COUNT(user_id) AS BIGINT) AS nn_user,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user,
+         CAST(MIN(user_id) AS DOUBLE) AS min_user,
+         CAST(MAX(user_id) AS DOUBLE) AS max_user,
+         CAST(COUNT(event_type) AS BIGINT) AS nn_type,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_type
+  FROM events e JOIN half h ON e.ts >= h.lo AND e.ts < h.hi
+  GROUP BY h.tag
+),
+u AS (
+  SELECT tag, 'value' AS "column", n, n - nn_value AS n_nulls,
+         nd_value AS n_distinct, min_value AS min_num, max_value AS max_num
+  FROM s
+  UNION ALL
+  SELECT tag, 'user_id', n, n - nn_user, nd_user, min_user, max_user FROM s
+  UNION ALL
+  SELECT tag, 'event_type', n, n - nn_type, nd_type,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+)
+SELECT a."column",
+       a.n AS n_rows_a, CAST(a.n_nulls AS DOUBLE) / a.n AS null_rate_a,
+       a.n_distinct AS n_distinct_a, a.min_num AS min_num_a,
+       a.max_num AS max_num_a,
+       b.n AS n_rows_b, CAST(b.n_nulls AS DOUBLE) / b.n AS null_rate_b,
+       b.n_distinct AS n_distinct_b, b.min_num AS min_num_b,
+       b.max_num AS max_num_b
+FROM (SELECT * FROM u WHERE tag = 'a') a
+JOIN (SELECT * FROM u WHERE tag = 'b') b USING ("column")
+ORDER BY "column"
+""",
+    doc=(
+        "Column-level profile drift between two snapshot halves of the "
+        "events table (null-rate spikes, cardinality collapse, range "
+        "shifts): both single-pass profiles join on the column name — "
+        "the comparison frame is #columns rows at any corpus size"
+    ),
+    tags=("warehouse", "profiling"),
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    before = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+    after = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    return (
+        profile_drift(
+            before, after, num_cols=["value", "user_id"],
+            str_cols=["event_type"],
+        )
+        .select(
+            "column",
+            "n_rows_a", "null_rate_a", "n_distinct_a", "min_num_a",
+            "max_num_a",
+            "n_rows_b", "null_rate_b", "n_distinct_b", "min_num_b",
+            "max_num_b",
+        )
+        .orderBy("column")
+    )
