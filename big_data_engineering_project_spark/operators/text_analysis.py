@@ -798,3 +798,127 @@ def substring_index_search(
     return df.join(
         cand.withColumnRenamed("_id", id_col), id_col
     ).filter(F.locate(pat, F.lower(F.col(text_col))) > 0)
+
+
+# --- BPE merge training -------------------------------------------------------
+
+
+def _merge_pair_expr(arr, a: str, b: str):
+    """Greedy left-to-right replacement of adjacent (a, b) with a+b
+    inside a symbol array — the standard BPE merge application — as a
+    pure Catalyst fold: state is (rebuilt array, skip-next flag), so
+    overlapping occurrences resolve exactly like the reference
+    sequential algorithm ('aaa' + merge(a,a) → ['aa','a'])."""
+    n = F.size(arr)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, i):
+        cur = F.element_at(arr, i + 1)
+        # try_: under ANSI mode a past-the-end element_at THROWS; the
+        # lookahead at the final position must yield NULL instead.
+        nxt = F.try_element_at(arr, i + 2)
+        hit = (cur == F.lit(a)) & (nxt == F.lit(b))
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                hit,
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1), init, step, lambda acc: acc["out"]
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) over a
+    corpus — the tokenizer-construction step upstream of the BPE-ish
+    token counting this module already ships. Returns the merge table
+    [(step, left, right, freq)] as a DataFrame, deterministic under
+    the total (freq DESC, left ASC, right ASC) tie-break.
+
+    Distributed form: BPE trains on the WORD-FREQUENCY table, not the
+    corpus — vocab-sized, orders of magnitude smaller than 100 TB of
+    text, and the only thing iterated. Per merge: adjacent symbol
+    pairs explode from each word (weighted by word count) into a
+    partial-aggregable groupBy; the argmax pair is ONE collected row
+    (the bounded per-iteration driver state, like the iterative
+    operators' convergence scalars); the merge applies as a pure
+    Catalyst fold per word (`_merge_pair_expr` — greedy left-to-right,
+    exactly the reference semantics). The vocab frame is
+    localCheckpoint-ed every iteration (it is rewritten each step —
+    the LPA lineage rule). Iterative + driver-argmax ⇒ genuinely
+    non-SQL-expressible: registered rows-only with an exact
+    pytest against a pure-Python reference implementation.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = words.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step_i in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("l"), y.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        top = (
+            pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_freq:
+            break
+        a, b, f = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merges.append((step_i, a, b, f))
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), a, b)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, freq long"
+    )

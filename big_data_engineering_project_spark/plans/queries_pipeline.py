@@ -3061,3 +3061,33 @@ def q_substring_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- BPE merge training (rows-only: iterative + driver argmax) ----------------
+
+
+@register(
+    "q_bpe_merges",
+    oracle=None,  # iterative re-tokenization with a per-step argmax is
+    # not SQL-expressible; exactness is pinned by the pure-Python
+    # reference equality pytest below.
+    doc=(
+        "BPE merge-table training (8 merges, Sennrich et al. 2016) over "
+        "the documents corpus: iterates the WORD-FREQUENCY table (vocab-"
+        "sized, never the corpus), one collected argmax row per merge, "
+        "merge application as a pure Catalyst fold with exact greedy "
+        "left-to-right semantics (operators/text_analysis.py:"
+        "bpe_train_merges)"
+    ),
+    tags=("pipeline", "text", "iterative"),
+    invariants=(
+        "tests/test_pipeline_ops.py::test_bpe_merges_match_reference_implementation",
+    ),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=8).orderBy("step")

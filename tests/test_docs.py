@@ -37,6 +37,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_hll_distinct_users",  # HLL registers are engine-internal (error-bound pytest)
         "q_approx_quantile_contrast",  # t-digest internals engine-specific (error-bound pytest)
         "q_hll_daily_merge",  # DataSketches registers engine-internal (merged==direct + error-bound pytest)
+        "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only
