@@ -192,8 +192,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # fifth demotion.
     "q_scd2_user_type_history",
     "q_basket_pair_lift",
-    "q_ohlc_daily_value",
-    "q_ri_orphan_audit",
+    # Final two late-round newborns (newborn-slot policy): the BPE
+    # merge trainer (rows-only, reference-equality invariant attached)
+    # and the snapshot profile drift. Demoted: q_ohlc_daily_value and
+    # q_ri_orphan_audit (each gate-green r7; the warehouse family
+    # keeps SCD2 + basket lift under the gate, and both demotions
+    # stay exact-oracle-green in every FULL sweep).
+    "q_bpe_merges",
+    "q_profile_drift",
     # TPC-H analog suite — all 14 never-gated members (q_nation_revenue
     # (Q5 shape) demoted, 6× green; q_shipping_priority etc. green 2+)
     "q_min_cost_supplier",
