@@ -270,3 +270,68 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
         ]
     )
     return frames.mapInPandas(decode_frame, out_schema)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per media blob —
+    the multimodal member of the dedup family: two images that differ
+    by re-encoding/minor noise land on the same 64-bit signature, so
+    exact groupBy on the hash finds visual duplicates without pairwise
+    pixel comparison (band the bits like SimHash for near-dups).
+
+    Pipeline (all INTEGER, so the closed-form fixture oracle is
+    exact): decode → map every pixel (y, x) to the 8×8 grid cell
+    (y·8 div h, x·8 div w) → per-cell intensity sums → bit(r,c) = 1
+    iff cell_sum·total_n > total_sum·cell_n (the cross-multiplied
+    mean comparison — no division, no float) → bits pack into two
+    BIGINT halves (bit 63 in one word would need the sign bit).
+    Decoding runs in the same Arrow-batched mapInPandas seam as
+    decode_media — bytes stop at the UDF; only (id, hi, lo) leave.
+    """
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC:
+                    raise NotImplementedError(
+                        "real media decoding requires codec libraries "
+                        "not present in this environment"
+                    )
+                w, h = struct.unpack(">HH", blob[4:8])
+                arr = np.frombuffer(
+                    blob[8 : 8 + w * h], dtype=np.uint8
+                ).astype(np.int64).reshape(h, w)
+                r = (np.arange(h, dtype=np.int64) * 8) // h
+                c = (np.arange(w, dtype=np.int64) * 8) // w
+                cell = (r[:, None] * 8 + c[None, :]).ravel()
+                flat = arr.ravel()
+                sums = np.bincount(cell, weights=flat, minlength=64).astype(
+                    np.int64
+                )  # float64 accumulation is exact: sums < 2^53
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                ts, tn = int(flat.sum()), w * h
+                bits = (sums * tn > ts * cnts).astype(np.int64)
+                hi = int(sum(int(bits[k]) << k for k in range(32)))
+                lo = int(sum(int(bits[k]) << (k - 32) for k in range(32, 64)))
+                ids.append(int(mid))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash_hi": his, "ahash_lo": los}
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        hash_batches, PHASH_SCHEMA
+    )

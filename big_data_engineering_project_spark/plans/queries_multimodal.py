@@ -162,3 +162,62 @@ def q_media_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "q_media_phash_groups",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+px AS (
+  SELECT media_id, width, height, t.j - 1 AS i,
+         (media_id + (t.j - 1) * 31) % 256 AS v
+  FROM m, unnest(generate_series(1, width * height)) AS t(j)
+),
+cells AS (
+  SELECT media_id, ((i // width) * 8) // height AS r,
+         ((i % width) * 8) // width AS c,
+         SUM(v) AS cs, COUNT(*) AS cn
+  FROM px GROUP BY 1, 2, 3
+),
+tots AS (SELECT media_id, SUM(v) AS ts, COUNT(*) AS tn FROM px GROUP BY 1),
+bits AS (
+  SELECT cells.media_id, r * 8 + c AS k,
+         CASE WHEN cs * tn > ts * cn THEN 1 ELSE 0 END AS b
+  FROM cells JOIN tots ON tots.media_id = cells.media_id
+),
+hashes AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN k < 32 THEN b * (1 << k) ELSE 0 END) AS BIGINT)
+      AS ahash_hi,
+    CAST(SUM(CASE WHEN k >= 32 THEN b * (1 << (k - 32)) ELSE 0 END) AS BIGINT)
+      AS ahash_lo
+  FROM bits GROUP BY media_id
+)
+SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(MIN(media_id) AS BIGINT) AS first_media
+FROM hashes GROUP BY 1, 2 ORDER BY first_media
+""",
+    doc="Perceptual-hash duplicate groups over binary media blobs: "
+    "aHash (8x8 cell means vs global mean, all cross-multiplied "
+    "integers — no float, no division) computed in the Arrow "
+    "mapInPandas decode seam, packed into two BIGINT halves, grouped "
+    "exactly — the multimodal member of the dedup family, checked "
+    "against the closed-form fixture oracle "
+    "(multimodal/columns.py:perceptual_hash)",
+    tags=("multimodal", "dedup"),
+)
+def q_media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.multimodal.columns import (
+        perceptual_hash,
+    )
+
+    media = load_media(spark, sf_dir)
+    return (
+        perceptual_hash(media)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("first_media"),
+        )
+        .orderBy("first_media")
+    )

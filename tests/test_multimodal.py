@@ -77,3 +77,42 @@ def test_frame_sampling_explodes_rows(spark):
     assert frames.orderBy("media_id", "frame_idx").collect() == (
         sample_frames(media, every_n=4).orderBy("media_id", "frame_idx").collect()
     )
+
+
+def test_perceptual_hash_groups_visual_duplicates(spark):
+    """Two blobs with IDENTICAL pixel content but different media_ids
+    must collide on the aHash (the dedup claim), and a different
+    picture must not; hash is invariant to uniform brightness shift
+    (every pixel +const leaves cell-vs-global comparisons unchanged)
+    — the property that makes aHash perceptual rather than exact."""
+    import struct as _s
+
+    from big_data_engineering_project_spark.multimodal.columns import (
+        MAGIC,
+        MEDIA_SCHEMA,
+        perceptual_hash,
+    )
+    from pyspark.sql import Row
+
+    w, h = 16, 8
+
+    def blob(pixels):
+        return MAGIC + _s.pack(">HH", w, h) + bytes(pixels)
+
+    base = [(i * 37 + (i // w) * 11) % 200 for i in range(w * h)]
+    shifted = [p + 50 for p in base]  # uniform brightness shift
+    other = [(i * 13) % 256 for i in range(w * h)]
+    rows = [
+        Row(media_id=0, kind="image", width=w, height=h, blob=blob(base)),
+        Row(media_id=1, kind="image", width=w, height=h, blob=blob(base)),
+        Row(media_id=2, kind="image", width=w, height=h, blob=blob(shifted)),
+        Row(media_id=3, kind="image", width=w, height=h, blob=blob(other)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {
+        r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+        for r in perceptual_hash(df).collect()
+    }
+    assert hashes[0] == hashes[1]  # exact visual duplicate collides
+    assert hashes[0] == hashes[2]  # brightness-shifted still collides
+    assert hashes[0] != hashes[3]  # different picture separates
