@@ -163,7 +163,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_approx_quantile_contrast — the engine-approx member of the
     # quantile family gets its rows-only gate row)
     "q_approx_quantile_contrast",
-    "q_winsorized_value_by_type",
+    # (q_winsorized_value_by_type, gate-green r7 + judge-verified,
+    # demoted for the newborn media perceptual hash — which also
+    # restores a multimodal slot to the gate; robust stats stay gated
+    # via CUSUM + the seasonal member below)
+    "q_media_phash_groups",
     "q_cusum_drift",
     # Round-8 late newborns: the anomaly family's seasonal member and
     # the sufficient-statistics OLS trend. Demoted for them:
