@@ -336,26 +336,47 @@ def cosine_lsh_neardups(
         F.aggregate(F.col("_qv"), zero, lambda acc, x: acc + x * x),
     )
 
-    bits = []
-    for j in range(n_bits):
-        plane = F.array(*[F.lit(signs[i][j]) for i in range(dims)])
-        proj = F.aggregate(
-            F.zip_with(F.col("_qv"), plane, lambda x, s: x * s),
-            zero,
-            lambda acc, x: acc + x,
+    # Signatures RELATIONALLY, not as n_bits higher-order folds per
+    # row: Spark evaluates aggregate()/zip_with() lambdas on the
+    # INTERPRETED expression path (no whole-stage codegen), and 24
+    # folds × 64 elements measured ~1 ms/row — 2.1 s for a 2 000-row
+    # fixture, linear in corpus. The exploded form (components ⋈
+    # broadcast ±1 sign table → two partial-aggregable groupBys) is
+    # pure codegen hash aggregation, the exact shape the oracle runs,
+    # and carries n·dims rows map-side-combined — the scalable shape.
+    spark = vectors.sparkSession
+    sgn = spark.createDataFrame(
+        [
+            (i, j, signs[i][j])
+            for i in range(dims)
+            for j in range(n_bits)
+        ],
+        "i int, j int, s int",
+    )
+    comp = q.select("_id", F.posexplode("_qv").alias("i", "v"))
+    proj = (
+        comp.join(F.broadcast(sgn), "i")
+        .groupBy("_id", "j")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("_p"))
+    )
+    bands = (
+        proj.groupBy(
+            "_id", (F.col("j") - F.col("j") % band_bits).alias("_j0")
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    band_structs = []
-    for t in range(n_bands):
-        key = bits[t * band_bits]
-        for r in range(1, band_bits):
-            key = key + bits[t * band_bits + r] * F.lit(1 << r)
-        band_structs.append(
-            F.struct(F.lit(t).alias("band"), key.cast("long").alias("bkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_p") >= 0,
+                    F.expr(f"shiftleft(1, j % {band_bits})"),
+                ).otherwise(F.lit(0))
+            ).alias("bkey")
         )
-    bands = q.select(
-        "_id", F.explode(F.array(*band_structs)).alias("_b")
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
+        .select(
+            "_id",
+            (F.col("_j0") / band_bits).cast("int").alias("band"),
+            F.col("bkey").cast("long").alias("bkey"),
+        )
+    )
 
     # Degenerate-bucket cut: a bucket holding > fraction of the corpus
     # is non-discriminative (near-constant vectors) and would make the
