@@ -280,13 +280,27 @@ def profile_drift(
     the data-quality REGRESSION check on top of `profile_table`
     (schema drift, null-rate spikes, cardinality collapse, range
     shifts between yesterday's load and today's): both profiles run
-    their single-pass aggregation, then join on the column name — the
-    joined frames are #columns rows, so the comparison itself is
-    free at any corpus size. Returns one row per column:
+    their single-pass aggregation, then FULL-OUTER join on the column
+    name — the joined frames are #columns rows, so the comparison is
+    free at any corpus size. Each side profiles only the requested
+    columns that snapshot actually HAS, so a column added or dropped
+    between loads (schema drift) surfaces as a row with one side all
+    NULL instead of erroring. Returns one row per column:
     (column, n_rows_a/b, null_rate_a/b, n_distinct_a/b,
     min_num_a/b, max_num_a/b)."""
-    pa = profile_table(before, num_cols, str_cols, distinct_cols)
-    pb = profile_table(after, num_cols, str_cols, distinct_cols)
+
+    def present(df: DataFrame, cols: list[str]) -> list[str]:
+        have = set(df.columns)
+        return [c for c in cols if c in have]
+
+    pa = profile_table(
+        before, present(before, num_cols), present(before, str_cols),
+        distinct_cols,
+    )
+    pb = profile_table(
+        after, present(after, num_cols), present(after, str_cols),
+        distinct_cols,
+    )
 
     def side(p: DataFrame, tag: str) -> DataFrame:
         return p.select(
@@ -300,4 +314,4 @@ def profile_drift(
             F.col("max_num").alias(f"max_num_{tag}"),
         )
 
-    return side(pa, "a").join(side(pb, "b"), "column")
+    return side(pa, "a").join(side(pb, "b"), "column", "full_outer")

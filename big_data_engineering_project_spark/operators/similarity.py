@@ -331,10 +331,7 @@ def cosine_lsh_neardups(
             lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
         ).alias("_qv"),
     )
-    q = q.withColumn(
-        "_nrm",
-        F.aggregate(F.col("_qv"), zero, lambda acc, x: acc + x * x),
-    )
+
 
     # Signatures RELATIONALLY, not as n_bits higher-order folds per
     # row: Spark evaluates aggregate()/zip_with() lambdas on the
@@ -354,6 +351,13 @@ def cosine_lsh_neardups(
         "i int, j int, s int",
     )
     comp = q.select("_id", F.posexplode("_qv").alias("i", "v"))
+    # Norms relationally too (the same interpreted-fold rule as the
+    # signatures — this is a per-corpus-row computation): one codegen
+    # groupBy over the component frame, joined back at node
+    # cardinality.
+    norms = comp.groupBy("_id").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("_nrm")
+    )
     proj = (
         comp.join(F.broadcast(sgn), "i")
         .groupBy("_id", "j")
@@ -405,12 +409,13 @@ def cosine_lsh_neardups(
         .distinct()
     )
 
-    qa = q.select(
+    qn = q.join(norms, "_id")
+    qa = qn.select(
         F.col("_id").alias("id_a"),
         F.col("_qv").alias("_qa"),
         F.col("_nrm").alias("_na"),
     )
-    qb = q.select(
+    qb = qn.select(
         F.col("_id").alias("id_b"),
         F.col("_qv").alias("_qb"),
         F.col("_nrm").alias("_nb"),

@@ -1068,20 +1068,21 @@ def q_cheapest_part_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortest_path_costs,
     )
 
+    from big_data_engineering_project_spark.operators.association import (
+        frequent_pairs,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-    ).distinct()
-    pairs = (
-        items.alias("a")
-        .join(
-            items.alias("b"),
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.it") < F.col("b.it")),
-        )
-        .groupBy(F.col("a.it").alias("x"), F.col("b.it").alias("y"))
-        .agg(
-            F.expr(f"CAST({_SSSP_COST_NUM} AS BIGINT) div count(1)").alias("w")
-        )
+    # Same co-order counts as the oracle's items self-join, but via the
+    # one-pass frequent_pairs form (its docstring names the naive
+    # 5-scan self-join shape this replaces) — the q_kcore_parts edge
+    # source, reused.
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("item_a").alias("x"),
+        F.col("item_b").alias("y"),
+        F.expr(f"CAST({_SSSP_COST_NUM} AS BIGINT) div pair_support").alias(
+            "w"
+        ),
     )
     und = pairs.select(
         F.col("x").alias("src"), F.col("y").alias("dst"), "w"

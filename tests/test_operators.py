@@ -2413,3 +2413,30 @@ def test_shortest_path_costs_cheaper_multi_hop_wins(spark):
     assert one[2] == 10  # only the direct edge after one relaxation
     three = costs(3)
     assert three == {1: 0, 3: 2, 2: 5, 4: 6}  # 1->3->2 undercuts direct
+
+
+def test_profile_drift_surfaces_schema_drift(spark):
+    """A column present in only one snapshot must surface as a
+    NULL-sided drift row (full-outer semantics), not error."""
+    from big_data_engineering_project_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    before = spark.createDataFrame(
+        [(1, 2.0), (2, None)], "id long, old_metric double"
+    )
+    after = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, new_tag string"
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_drift(
+            before, after,
+            num_cols=["id", "old_metric"], str_cols=["new_tag"],
+        ).collect()
+    }
+    assert set(rows) == {"id", "old_metric", "new_tag"}
+    assert rows["old_metric"]["n_rows_b"] is None  # dropped column
+    assert rows["new_tag"]["n_rows_a"] is None  # added column
+    assert rows["id"]["n_rows_a"] == 2 and rows["id"]["n_rows_b"] == 3
+    assert abs(rows["old_metric"]["null_rate_a"] - 0.5) < 1e-12
