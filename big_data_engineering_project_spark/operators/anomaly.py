@@ -355,3 +355,51 @@ def trend_by_group(
         slope.alias("slope_per_sec"),
         ((sv - slope * st) / n).alias("intercept"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (v_j − v_i)/(t_j − t_i) over t_i < t_j — the robust twin of
+    `trend_by_group` (OLS breaks at one wild point; Theil-Sen
+    tolerates ~29% contamination), completing the robust family
+    beside MAD (location) and winsorized mean.
+
+    Exactness: slopes are single IEEE divisions of (identical double,
+    identical integer-second) operands, and the median is the exact
+    sort-based interpolated percentile — both mirrored by the oracle.
+    Equal-timestamp pairs are excluded (slope undefined), matching
+    the textbook estimator.
+
+    Scale: the pairwise join is O(n²) PER GROUP by nature — correct
+    for bounded groups (per-(entity, day) trends, dashboard windows).
+    For unbounded groups, sample pairs content-addressably (the
+    `weighted_sample` hash discipline) or fall back to
+    `trend_by_group`; this operator deliberately does not hide the
+    quadratic term behind a silent cap.
+    """
+    keys = [F.col(c) for c in group_cols]
+    e = df.select(
+        *[F.col(c) for c in group_cols],
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.__t") < F.col("b.__t")
+    for c in group_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    slopes = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols],
+        (
+            (F.col("b.__v") - F.col("a.__v"))
+            / (F.col("b.__t") - F.col("a.__t")).cast("double")
+        ).alias("__slope"),
+    )
+    return slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("ts_slope_per_sec"),
+    )

@@ -861,3 +861,48 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("level")
     )
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, "value" AS v
+  FROM events WHERE ts < TIMESTAMP '2024-01-08'
+),
+slopes AS (
+  SELECT a.event_type, a.day,
+         (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM e a JOIN e b
+    ON a.event_type = b.event_type AND a.day = b.day AND a.t < b.t
+)
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(slope, 0.5) AS ts_slope_per_sec
+FROM slopes GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+    doc=(
+        "Theil-Sen robust trend per (type, day) over the first week: "
+        "exact median of pairwise slopes — tolerates ~29% wild points "
+        "where the OLS twin breaks at one; quadratic per bounded group "
+        "by design (operators/anomaly.py:theil_sen_trend)"
+    ),
+    tags=("behavior", "regression", "robust"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.anomaly import (
+        theil_sen_trend,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .withColumn("day", F.to_date("ts").cast("string"))
+    )
+    return theil_sen_trend(
+        ev, ["event_type", "day"], "ts", "value"
+    ).orderBy("event_type", "day")

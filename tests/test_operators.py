@@ -2440,3 +2440,30 @@ def test_profile_drift_surfaces_schema_drift(spark):
     assert rows["new_tag"]["n_rows_a"] is None  # added column
     assert rows["id"]["n_rows_a"] == 2 and rows["id"]["n_rows_b"] == 3
     assert abs(rows["old_metric"]["null_rate_a"] - 0.5) < 1e-12
+
+
+def test_theil_sen_resists_contamination_ols_breaks(spark):
+    """One wild point drags the OLS slope far from truth; Theil-Sen's
+    median-of-pairwise-slopes stays on the planted trend."""
+    from datetime import datetime, timedelta
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        theil_sen_trend,
+        trend_by_group,
+    )
+
+    t0 = datetime(2024, 4, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), "g", 100.0 + 0.6 * i)  # slope 0.01/s
+        for i in range(40)
+    ]
+    rows.append((99, t0 + timedelta(minutes=40), "g", 100000.0))  # wild point
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    ts_row = theil_sen_trend(df, ["event_type"], "ts", "value").collect()[0]
+    ols_row = trend_by_group(df, "event_type", "ts", "value").collect()[0]
+    true_slope = 0.6 / 60.0
+    assert abs(ts_row["ts_slope_per_sec"] - true_slope) < 1e-6
+    assert abs(ols_row["slope_per_sec"] - true_slope) > 0.1 * true_slope
+    assert ts_row["n_pairs"] == 41 * 40 // 2
