@@ -32,12 +32,23 @@ def interval_join_streams(
     right_ts: str,
     max_delay_seconds: int,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: right row within [left_ts, left_ts + max_delay].
+    """Join: right row within [left_ts, left_ts + max_delay].
 
     Works identically on batch frames (watermark is a no-op there), so
     stream ≡ batch is testable with the same expression — the repo's
-    standard streaming contract."""
+    standard streaming contract.
+
+    how="left_outer" is the funnel-abandonment shape: a left row with
+    no match emits with NULL right columns — but only once the
+    watermark passes left_ts + max_delay (before that a match could
+    still arrive), so unmatched results are themselves
+    watermark-delayed. The GLOBAL watermark is the min across both
+    inputs: a stream that goes quiet holds back every pending
+    null-emission — production jobs that need timely abandonment
+    rows keep both sources heartbeating (the streaming check plants
+    sentinel rows for exactly this)."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -48,4 +59,4 @@ def interval_join_streams(
             <= l[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -44,6 +44,11 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         (stream-static broadcast join, stateless map)
                         ≡ the same applier over the batch union;
                         planted slot-absurd values must fire
+  interval_join_outer   LEFT OUTER stream-stream interval join
+                        (abandonment rows emit with NULL right side
+                        after the watermark passes; sentinel rows
+                        advance the min-across-inputs watermark)
+                        ≡ the batch left join
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -705,6 +710,107 @@ def check_cm_sketch_stream(spark, root: str) -> dict:
     return res
 
 
+def check_interval_join_outer(spark, root: str) -> dict:
+    """LEFT OUTER stream-stream interval join ≡ the batch left join:
+    abandoned clicks (no conversion within the window) must emit with
+    NULL buy columns once the watermark passes their horizon. The
+    global watermark is min across BOTH inputs, so each side carries a
+    far-future sentinel row (excluded from comparison) — without it
+    the tail's null-emissions would be held back forever, the
+    documented production gotcha."""
+    from big_data_engineering_project_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    base = dt.datetime(2026, 1, 15)
+    clicks = [
+        {
+            "c_user": f"user{i % 5}",
+            "click_id": i,
+            "click_ts": (base + dt.timedelta(minutes=3 * i)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+        }
+        for i in range(60)
+    ]
+    # conversions for ~half the users/times: i%2 buys inside the 30 min
+    # window, the rest never convert -> abandonment rows
+    buys = [
+        {
+            "b_user": f"user{i % 5}",
+            "buy_id": 1000 + i,
+            "buy_ts": (base + dt.timedelta(minutes=3 * i + 7)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+        }
+        for i in range(0, 60, 2)
+    ]
+    far = (base + dt.timedelta(days=10)).strftime("%Y-%m-%d %H:%M:%S")
+    clicks.append({"c_user": "sentinel", "click_id": -1, "click_ts": far})
+    buys.append({"b_user": "sentinel", "buy_id": -1, "buy_ts": far})
+    cdir, bdir = os.path.join(root, "oj_clicks"), os.path.join(root, "oj_buys")
+    os.makedirs(cdir), os.makedirs(bdir)
+    _write_batches(cdir, clicks, batch_size=20)
+    _write_batches(bdir, buys, batch_size=20)
+    c_schema = "c_user STRING, click_id LONG, click_ts STRING"
+    b_schema = "b_user STRING, buy_id LONG, buy_ts STRING"
+    prep = lambda df, ts: df.withColumn(ts, F.to_timestamp(ts))  # noqa: E731
+    cs = prep(
+        spark.readStream.schema(c_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(cdir),
+        "click_ts",
+    )
+    bs = prep(
+        spark.readStream.schema(b_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(bdir),
+        "buy_ts",
+    )
+    out = os.path.join(root, "oj_out")
+    q = (
+        interval_join_streams(
+            cs, bs, "c_user", "b_user", "click_ts", "buy_ts", 1800,
+            how="left_outer",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "oj_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["click_id"], r["buy_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["click_id"] >= 0
+    ]
+    cb = prep(spark.read.schema(c_schema).json(cdir), "click_ts")
+    bb = prep(spark.read.schema(b_schema).json(bdir), "buy_ts")
+    want = [
+        (r["click_id"], r["buy_id"])
+        for r in interval_join_streams(
+            cb, bb, "c_user", "b_user", "click_ts", "buy_ts", 1800,
+            how="left_outer",
+        ).collect()
+        if r["click_id"] >= 0
+    ]
+    n_abandoned = sum(1 for _, b in want if b is None)
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "abandoned": n_abandoned,
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and n_abandoned > 0
+    )
+    return res
+
+
 def check_seasonal_stream(spark, root: str) -> dict:
     """seasonal_apply over a file stream ≡ the same function over the
     batch union, with FROZEN training stats (the production shape: the
@@ -829,6 +935,7 @@ def main() -> None:
         results["scd2_maintenance"] = check_scd2_stream(spark, root)
         results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
         results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
+        results["interval_join_outer"] = check_interval_join_outer(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
