@@ -184,9 +184,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cheapest_part_paths",
     "q_label_propagation",
     "q_triangle_parts",
-    # Join strategies: bloom-pruned semi, sharded top-k, Q21 shape
+    # Join strategies: bloom-pruned semi (q_topk_lineitems_sharded,
+    # gate-green r7, demoted for the newborn Theil-Sen robust trend —
+    # the sharded-rank form stays plan-pinned in test_plans and
+    # exact-oracle-green in every FULL sweep)
     "q_bloom_semi_orders",
-    "q_topk_lineitems_sharded",
+    "q_theil_sen_trend",
     # Profiling + set algebra + grouping-sets family
     "q_pivot_segment_priority",
     # Warehouse maintenance — the four remaining round-7 newborns
