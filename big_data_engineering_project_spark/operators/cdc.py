@@ -114,6 +114,73 @@ def snapshot_asof(history: DataFrame, key: str, at) -> DataFrame:
     )
 
 
+def scd2_temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_time: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Event-time dimension enrichment (the versioned-table / temporal
+    table join): every fact row, plus the SCD2 version's attributes
+    valid AT the fact's event time — `[effective_from, effective_to)`
+    containment, NULL attributes for facts before the key's first
+    version. Completes the SCD2 family's read side for FACT STREAMS the
+    way `snapshot_asof` completes it for a single frozen instant.
+
+    Scale posture: the naive formulation is a range join (key equality
+    + interval predicate). Spark plans that as an equi-join on the key
+    that multiplies each fact row by ALL versions of its key before
+    filtering — a hot dimension key with thousands of versions
+    explodes the exchange. Because a FULL SCD2 history tiles the
+    timeline per key (each effective_to equals the next version's
+    effective_from; only the current version is open), interval
+    containment is equivalent to a backward as-of match on
+    effective_from — so this reuses the one-shuffle union+window as-of
+    plan (operators/temporal.py:asof_join_backward): no row
+    multiplication, one exchange on the dimension key.
+
+    A defensive post-guard nulls the carried attributes when the
+    matched version's effective_to <= fact time. On a full tiling
+    history the guard can never fire; it becomes load-bearing when the
+    caller passes a FILTERED slice of the history (e.g. only versions
+    with a given attribute value), keeping containment semantics exact
+    either way.
+
+    Contract (inherited from the as-of machinery): `history` unique
+    per (key, effective_from) — `scd2_from_changelog` over a changelog
+    with per-(key, ts) duplicates pre-compacted satisfies this.
+
+    Returns `facts.*` plus `asof_effective_from`, `asof_<attr>`...,
+    `asof_effective_to`, `asof_version`.
+    """
+    from big_data_engineering_project_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    payload = [*attr_cols, "effective_to", "version"]
+    joined = asof_join_backward(
+        facts,
+        history.select(key, "effective_from", *payload),
+        key=key,
+        left_time=fact_time,
+        right_time="effective_from",
+        payload_cols=payload,
+    )
+    # Evaluate validity ONCE before overwriting any carried column —
+    # the guard reads asof_effective_to, which is itself nulled below.
+    out = joined.withColumn(
+        "__valid",
+        F.col("asof_effective_to").isNull()
+        | (F.col("asof_effective_to") > F.col(fact_time)),
+    )
+    for c in ["effective_from", *payload]:
+        out = out.withColumn(
+            f"asof_{c}", F.when(F.col("__valid"), F.col(f"asof_{c}"))
+        )
+    return out.drop("__valid")
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

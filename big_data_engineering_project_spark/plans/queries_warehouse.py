@@ -1177,3 +1177,123 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+@register(
+    "q_scd2_temporal_join",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, ts, event_id,
+         CASE TRY_CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 3
+           WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver' ELSE 'gold'
+         END AS tier,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS dup_rn
+  FROM events WHERE event_type = 'signup'
+),
+dedup AS (
+  SELECT user_id, ts, event_id, tier FROM signup WHERE dup_rn = 1
+),
+ordered AS (
+  SELECT user_id, ts, event_id, tier,
+         lag(tier) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM dedup
+),
+changes AS (
+  SELECT user_id, ts, event_id, tier FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM tier
+),
+v AS (
+  SELECT user_id, tier, ts AS effective_from,
+         lead(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+  FROM changes
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT p.user_id, p.ts, p.value, v.tier
+  FROM p LEFT JOIN v
+    ON p.user_id = v.user_id
+   AND p.ts >= v.effective_from
+   AND (v.effective_to IS NULL OR p.ts < v.effective_to)
+)
+SELECT COALESCE(tier, '(pre-signup)') AS tier,
+       date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+FROM joined
+GROUP BY 1, 2
+ORDER BY tier, day
+""",
+    doc="Event-time temporal dimension join (Flink versioned-table "
+    "join): each purchase enriched with the SCD2 tier version valid "
+    "AT its event time, then per-(tier, day) purchase stats. The "
+    "dimension is the SCD2 history of a signup-derived tier; the "
+    "oracle is the raw interval-containment LEFT JOIN, so the gate "
+    "proves the one-shuffle union+window as-of plan (no fact-times-"
+    "versions row multiplication, the 100-TB shape) is containment-"
+    "exact, including pre-first-version facts going to the "
+    "'(pre-signup)' bucket (operators/cdc.py:scd2_temporal_join)",
+    headline=True,
+    tags=("warehouse", "cdc", "temporal-join"),
+)
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_temporal_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tier_num = F.regexp_extract("props", "[0-9]+", 0).cast("int") % 3
+    tier = (
+        F.when(tier_num == 0, "bronze")
+        .when(tier_num == 1, "silver")
+        .otherwise("gold")
+    )
+    # Pre-compact per-(user, ts) duplicates so the history satisfies
+    # the as-of contract (unique per (key, effective_from)); keep the
+    # latest event_id, mirrored in the oracle's dup_rn.
+    dup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", tier.alias("tier"))
+        .withColumn("__dup", F.row_number().over(dup_w))
+        .filter(F.col("__dup") == 1)
+        .drop("__dup")
+    )
+    history = scd2_from_changelog(
+        signups, key="user_id", ts_col="ts", attr="tier",
+        tiebreak=("event_id",),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = scd2_temporal_join(
+        purchases, history, key="user_id", fact_time="ts",
+        attr_cols=["tier"],
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("asof_tier"), F.lit("(pre-signup)")).alias(
+                "tier"
+            ),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("tier", "day")
+    )

@@ -451,3 +451,91 @@ def test_incremental_diff_equals_full_and_persisted_index(
         )
     )
     assert inc2 == full
+
+
+def test_scd2_temporal_join_containment_semantics(spark):
+    """Facts join to the version valid AT their event time: before the
+    first version -> NULLs; exactly at a version boundary -> the NEW
+    version (half-open intervals); after the last change -> the open
+    current version."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_temporal_join,
+    )
+
+    changelog = spark.createDataFrame(
+        [
+            (1, _ts(2), 10, "A"),
+            (1, _ts(5), 11, "B"),
+            (1, _ts(9), 12, "C"),
+            (2, _ts(4), 20, "X"),
+        ],
+        "user_id LONG, ts TIMESTAMP, event_id LONG, tier STRING",
+    )
+    history = scd2_from_changelog(
+        changelog, key="user_id", ts_col="ts", attr="tier",
+        tiebreak=("event_id",),
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, _ts(1), 100.0),   # before first version -> NULL
+            (1, _ts(2), 101.0),   # exactly at v1 open -> A (inclusive)
+            (1, _ts(4, 59), 102.0),  # inside v1 -> A
+            (1, _ts(5), 103.0),   # at the A->B boundary -> B (half-open)
+            (1, _ts(23), 104.0),  # open current version -> C
+            (2, _ts(3), 200.0),   # other key, before first -> NULL
+            (2, _ts(6), 201.0),   # other key, current -> X
+        ],
+        "user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    out = scd2_temporal_join(
+        facts, history, key="user_id", fact_time="ts", attr_cols=["tier"]
+    )
+    got = {
+        (r["user_id"], r["ts"]): (r["asof_tier"], r["asof_version"])
+        for r in out.collect()
+    }
+    assert got[(1, _ts(1))] == (None, None)
+    assert got[(1, _ts(2))] == ("A", 1)
+    assert got[(1, _ts(4, 59))] == ("A", 1)
+    assert got[(1, _ts(5))] == ("B", 2)
+    assert got[(1, _ts(23))] == ("C", 3)
+    assert got[(2, _ts(3))] == (None, None)
+    assert got[(2, _ts(6))] == ("X", 1)
+
+
+def test_scd2_temporal_join_filtered_history_guard(spark):
+    """On a FILTERED history slice (non-tiling intervals) the post-
+    guard keeps containment exact: a fact falling in a gap between
+    versions gets NULLs instead of the stale earlier version the raw
+    as-of match would carry."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        scd2_temporal_join,
+    )
+
+    changelog = spark.createDataFrame(
+        [
+            (1, _ts(2), 10, "A"),
+            (1, _ts(5), 11, "B"),
+            (1, _ts(9), 12, "A"),
+        ],
+        "user_id LONG, ts TIMESTAMP, event_id LONG, tier STRING",
+    )
+    history = scd2_from_changelog(
+        changelog, key="user_id", ts_col="ts", attr="tier",
+        tiebreak=("event_id",),
+    ).filter(F.col("tier") == "A")  # drop the middle B version
+    facts = spark.createDataFrame(
+        [
+            (1, _ts(3), 1.0),   # inside surviving v1 [2,5) -> A
+            (1, _ts(7), 2.0),   # in the B gap [5,9) -> guard nulls it
+            (1, _ts(11), 3.0),  # open v3 -> A
+        ],
+        "user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    out = scd2_temporal_join(
+        facts, history, key="user_id", fact_time="ts", attr_cols=["tier"]
+    )
+    got = {r["ts"]: (r["asof_tier"], r["asof_version"]) for r in out.collect()}
+    assert got[_ts(3)] == ("A", 1)
+    assert got[_ts(7)] == (None, None)
+    assert got[_ts(11)] == ("A", 3)
