@@ -640,3 +640,69 @@ def gap_fill_interpolate(
             interp.alias(value_col),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average per (keys..., bucket): each observation's
+    value holds from its timestamp until the NEXT observation in the
+    same bucket (LOCF step function), TWAP = integral / covered span —
+    timescaledb's `time_weight('LOCF', ...)` / the finance TWAP. The
+    plain AVG over-weights bursts; TWAP weights each value by how long
+    it was in effect.
+
+    Semantics: the bucket's last observation gets zero weight (nothing
+    known after it inside the bucket); single-observation buckets have
+    an empty covered span -> `twap` NULL, never a division by zero.
+
+    Exactness: values quantized to integer units (`round(v*scale)`,
+    the established cents pattern), durations are integer epoch-µs,
+    the integral is SUM(DECIMAL(38,0)) — exact and combine-order-free;
+    the single IEEE division happens on a correctly-rounded double
+    cast mirrored operand-for-operand by the oracle. `span_us` is
+    day-bounded (< 2^53) so its double cast is exact.
+
+    Plan: one window per (keys, bucket) partition for `lead` (the same
+    day-bounded per-key sort as sessionization), then a partial-
+    aggregable groupBy — the exchange is shared, Spark plans Window +
+    HashAggregate over one sort. Hot (key, day) cells bound the window
+    partition; salt upstream if a single key-day exceeds a partition.
+    """
+    bucket_col = F.date_trunc(bucket, F.col(time_col)).alias("__bucket")
+    us = F.unix_micros(F.col(time_col))
+    units = F.round(F.col(value_col) * value_scale, 0).cast("long")
+    base = df.select(
+        *keys,
+        bucket_col,
+        us.alias("__us"),
+        F.col(id_col).alias("__id"),
+        units.alias("__units"),
+    )
+    w = Window.partitionBy(*keys, "__bucket").orderBy("__us", "__id")
+    stepped = base.withColumn("__dur", F.lead("__us").over(w) - F.col("__us"))
+    return (
+        stepped.groupBy(*keys, F.col("__bucket").alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.coalesce(F.sum("__dur"), F.lit(0)).cast("long").alias("span_us"),
+            F.sum(
+                F.col("__units").cast("decimal(38,0)") * F.col("__dur")
+            ).alias("__integral"),
+        )
+        .withColumn(
+            "twap",
+            F.when(
+                F.col("span_us") > 0,
+                F.col("__integral").cast("double")
+                / (F.col("span_us").cast("double") * float(value_scale)),
+            ),
+        )
+        .drop("__integral")
+    )

@@ -559,3 +559,50 @@ def q_gap_fill_interp_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(
         ev, "user_id", "ts", "value", _GF_STEP, "event_id"
     ).orderBy("user_id", "grid_ts")
+
+
+@register(
+    "q_twap_daily",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS units,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS next_us
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(COALESCE(SUM(next_us - us), 0) AS BIGINT) AS span_us,
+       CASE WHEN COALESCE(SUM(next_us - us), 0) > 0 THEN
+         CAST(SUM(CAST(units AS HUGEINT) * (next_us - us)) AS DOUBLE)
+         / (CAST(SUM(next_us - us) AS DOUBLE) * 100.0)
+       END AS twap
+FROM obs
+GROUP BY 1, 2
+ORDER BY event_type, bucket_ts
+""",
+    doc="Per-(event_type, day) time-weighted average of value — "
+    "timescaledb's time_weight('LOCF')/finance TWAP beside the OHLC "
+    "bars: each observation weighted by how long it was in effect "
+    "(lead-gap integral over the LOCF step function), so bursts don't "
+    "over-weight the mean the way plain AVG does. Integer units x "
+    "integer epoch-us integral in DECIMAL(38,0)/HUGEINT, one mirrored "
+    "IEEE division; last-observation-zero-weight and empty-span->NULL "
+    "semantics pinned by the oracle "
+    "(operators/temporal.py:time_weighted_avg)",
+    headline=True,
+    tags=("temporal", "window", "agg"),
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, keys=["event_type"], time_col="ts", value_col="value",
+        id_col="event_id", bucket="day",
+    ).orderBy("event_type", "bucket_ts")

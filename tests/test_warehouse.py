@@ -539,3 +539,48 @@ def test_scd2_temporal_join_filtered_history_guard(spark):
     assert got[_ts(3)] == ("A", 1)
     assert got[_ts(7)] == (None, None)
     assert got[_ts(11)] == ("A", 3)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """TWAP weights each value by its holding duration: 100 held 3h +
+    200 held 1h -> 125.0, while the plain mean of the observations
+    would be 400/3. Last observation gets zero weight; single-
+    observation buckets have twap NULL and span 0."""
+    from big_data_engineering_project_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # key "a", day 1: 100 @00:00 (held 3h), 200 @03:00 (held 1h),
+        # 999 @04:00 (last obs -> zero weight)
+        ("a", dt.datetime(2024, 1, 1, 0), 1, 100.0),
+        ("a", dt.datetime(2024, 1, 1, 3), 2, 200.0),
+        ("a", dt.datetime(2024, 1, 1, 4), 3, 999.0),
+        # key "a", day 2: single observation -> NULL twap
+        ("a", dt.datetime(2024, 1, 2, 12), 4, 50.0),
+        # key "b", day 1: burst of three instantaneous-ish readings then
+        # a long-held value: plain AVG ~ high, TWAP ~ the held value
+        ("b", dt.datetime(2024, 1, 1, 0, 0), 5, 1000.0),
+        ("b", dt.datetime(2024, 1, 1, 0, 1), 6, 1000.0),
+        ("b", dt.datetime(2024, 1, 1, 0, 2), 7, 10.0),
+        ("b", dt.datetime(2024, 1, 1, 10, 2), 8, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k STRING, ts TIMESTAMP, event_id LONG, value DOUBLE"
+    )
+    out = time_weighted_avg(
+        df, keys=["k"], time_col="ts", value_col="value",
+        id_col="event_id", bucket="day",
+    )
+    got = {(r["k"], r["bucket_ts"].day): r for r in out.collect()}
+    a1 = got[("a", 1)]
+    assert a1["n_obs"] == 3
+    assert a1["span_us"] == 4 * 3600 * 10**6
+    assert a1["twap"] == (100.0 * 3 + 200.0 * 1) / 4
+    a2 = got[("a", 2)]
+    assert a2["n_obs"] == 1 and a2["span_us"] == 0 and a2["twap"] is None
+    b1 = got[("b", 1)]
+    # 1000 held 2 minutes, 10 held 10 hours: TWAP barely above 10.
+    span_min = 2 + 10 * 60
+    assert b1["twap"] == (1000.0 * 2 + 10.0 * 600) / span_min
+    assert b1["twap"] < 15.0  # plain mean would be 505
