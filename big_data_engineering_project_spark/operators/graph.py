@@ -516,3 +516,74 @@ def shortest_path_costs(
         if materialize is not None and (it + 1) % materialize_every == 0:
             dist = materialize(dist)
     return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ra_scale: int = 1_000_000_000,
+    max_center_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction scores for NON-adjacent node pairs: common-
+    neighbor count and the resource-allocation index RA(u,v) =
+    sum over common neighbors z of 1/deg(z) (Zhou-Lu-Zhang), the
+    strongest of the classic local similarity indices. RA is kept in
+    integer micro-units (`ra_scale div deg`) so scores and ranking are
+    bit-identical cross-engine — the same -log-proxy discipline as the
+    SSSP edge costs.
+
+    Input: an UNDIRECTED simple edge list, one row per pair with
+    src < dst (frequent_pairs' shape). Output: (u, v) with u < v,
+    `common_neighbors`, `ra_units` — existing edges anti-joined away.
+
+    Plan: symmetrize -> per-node degree (partial-aggregable) -> wedge
+    self-join on the center z (equi-join; the u < v bound halves it)
+    -> groupBy pair -> LEFT ANTI against the edge list. Shuffles carry
+    (node, node, long) triples only.
+
+    Scale guard: a center of degree d fans out d*(d-1)/2 wedges — the
+    celebrity-vertex hazard triangle orientation cannot fix here
+    because EVERY common neighbor must be counted. `max_center_degree`
+    excludes super-hub centers (the stop-shingle cut's graph twin):
+    their per-pair RA contribution is at most ra_scale/d -> negligible
+    exactly when d is large, so the cut removes the quadratic term
+    while perturbing scores the least. Pass None only when the degree
+    distribution is known to be bounded.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    if max_center_degree is not None:
+        deg = deg.filter(F.col("deg") <= int(max_center_degree))
+    ctr = und.join(deg, "a").select(
+        F.col("a").alias("z"),
+        F.col("b").alias("n"),
+        F.expr(f"CAST({int(ra_scale)} AS BIGINT) div deg").alias("ra"),
+    )
+    wedges = (
+        ctr.alias("l")
+        .join(
+            ctr.alias("r"),
+            (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n")),
+        )
+        .select(
+            F.col("l.n").alias("u"),
+            F.col("r.n").alias("v"),
+            F.col("l.ra").alias("ra"),
+        )
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("ra").cast("long").alias("ra_units"),
+        )
+        .filter(F.col("common_neighbors") >= int(min_common))
+    )
+    return scored.join(
+        e,
+        (scored["u"] == e["a"]) & (scored["v"] == e["b"]),
+        "left_anti",
+    )

@@ -1297,3 +1297,61 @@ def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier", "day")
     )
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+pairs AS (
+  SELECT a.it AS x, b.it AS y
+  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+),
+und AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1),
+ctr AS (
+  SELECT und.a AS z, und.b AS n, 1000000000 // deg.deg AS ra
+  FROM und JOIN deg ON deg.a = und.a
+),
+w AS (
+  SELECT l.n AS u, r.n AS v, l.ra
+  FROM ctr l JOIN ctr r ON l.z = r.z AND l.n < r.n
+),
+scored AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(ra) AS BIGINT) AS ra_units
+  FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT s.u, s.v, s.common_neighbors, s.ra_units
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.x = s.u AND p.y = s.v)
+ORDER BY u, v
+""",
+    doc="Link prediction over the part co-order graph: for every non-"
+    "adjacent pair with >= 2 common neighbors, the common-neighbor "
+    "count and the resource-allocation index (sum of 1/deg(z) over "
+    "shared neighbors, in integer micro-units so ranking is exact "
+    "cross-engine) — 'parts likely to be co-bought next'. Wedge self-"
+    "join on the center + anti-join of existing edges; the hub-center "
+    "cap (the quadratic-term guard) is exercised by pytest "
+    "(operators/graph.py:link_prediction)",
+    headline=True,
+    tags=("warehouse", "graph", "join"),
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        link_prediction,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = frequent_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("pair_support") >= _TRI_MIN_SUPPORT
+    )
+    return link_prediction(
+        edges, src="item_a", dst="item_b", min_common=2
+    ).orderBy("u", "v")

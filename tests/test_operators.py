@@ -2467,3 +2467,45 @@ def test_theil_sen_resists_contamination_ols_breaks(spark):
     assert abs(ts_row["ts_slope_per_sec"] - true_slope) < 1e-6
     assert abs(ols_row["slope_per_sec"] - true_slope) > 0.1 * true_slope
     assert ts_row["n_pairs"] == 41 * 40 // 2
+
+
+def test_link_prediction_scores_and_anti_join(spark):
+    """Square a-b-c-d-a plus chord a-c: the only non-adjacent pair is
+    (b, d) with common neighbors {a, c} (deg 3 each) -> cn=2,
+    ra = 2 * (1e9 div 3). Adjacent pairs never appear."""
+    from big_data_engineering_project_spark.operators.graph import (
+        link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "src LONG, dst LONG"
+    )
+    out = link_prediction(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"]) == (2, 4)
+    assert r["common_neighbors"] == 2
+    assert r["ra_units"] == 2 * (10**9 // 3)
+
+
+def test_link_prediction_hub_center_cap(spark):
+    """A star hub as the only common neighbor: with the cap below the
+    hub's degree the pair disappears (quadratic-term guard); with the
+    cap at the degree the result equals the uncapped run."""
+    from big_data_engineering_project_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # hub 99 connected to 1..5; extra edge 1-2 (adjacent pair).
+    rows = [(i, 99) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG")
+    uncapped = link_prediction(edges).collect()
+    at_deg = link_prediction(edges, max_center_degree=5).collect()
+    below = link_prediction(edges, max_center_degree=4).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, at_deg))
+    # pairs through the hub: C(5,2)=10 minus the adjacent (1,2) = 9
+    assert len(uncapped) == 9
+    # degree-4 cap removes the hub center; only centers 1 and 2 (deg 2)
+    # remain: wedges (2,99) via 1 and (1,99) via 2 -> both adjacent to
+    # nothing... (1,99) and (2,99) are existing edges, so nothing left.
+    assert below == []
