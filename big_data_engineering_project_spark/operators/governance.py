@@ -1,0 +1,92 @@
+"""Data-governance operators: erasure (right-to-be-forgotten)
+propagation and audit.
+
+A production warehouse built on the reference's sinks (Hive/Athena
+batch tables, DynamoDB keyed upserts — `B/data_warehouse_design.py`,
+`S/kinesis_processing_2.py`) must be able to DELETE a subject across
+every table that references the subject key, including transitively
+(customer -> orders -> lineitem), and prove it did — the GDPR/CCPA
+erasure workflow. This module provides the two halves:
+
+- `purge_split`: one relation's rows split into (purged, kept) by a
+  tombstone key set — semi/anti joins on the key only, the same
+  key-only-exchange discipline as the RI audit.
+- `erasure_audit`: the auditable evidence — per relation, total /
+  purged / kept row counts and distinct purged keys, each relation
+  reduced to ONE row before the union (counters on the exchange,
+  never fact rows).
+
+Cascades are expressed by deriving child tombstone sets from parent
+purges (`orders of tombstoned customers` -> order-key tombstones for
+lineitem); each hop is a key-projected semi join, so the tombstone
+frames stay key-sized at any corpus scale. Tombstone sets are usually
+tiny — Spark/AQE broadcasts them on its own; no forced broadcast hint
+(the frequent_pairs lesson: a hint removes the planner's freedom
+exactly when the set ISN'T small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purge_split(
+    df: DataFrame, key_col: str, tombstones: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split one relation by tombstone membership: (purged, kept).
+    `tombstones` is a single-column key frame. NULL keys are never
+    purged (semi join can't match NULL) — they surface in the kept
+    side and in the RI audit's null_keys, not here."""
+    t = tombstones.select(F.col(tombstones.columns[0]).alias("__tk")).distinct()
+    purged = df.join(t, df[key_col] == F.col("__tk"), "left_semi")
+    kept = df.join(t, df[key_col] == F.col("__tk"), "left_anti")
+    return purged, kept
+
+
+def erasure_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame]],
+) -> DataFrame:
+    """Audit evidence for an erasure run: one row per relation with
+    total_rows / purged_rows / kept_rows / purged_keys. Each relation
+    aggregates to a single row (left join of the key-distinct
+    tombstones tags membership, then counters) before the union —
+    the exchange carries counts, never fact rows.
+
+    relations: (name, df, key_col, tombstones) — pass DERIVED
+    tombstone sets for cascade children (e.g. the order keys of
+    tombstoned customers for lineitem).
+    """
+    parts = []
+    for name, df, key_col, tombstones in relations:
+        t = (
+            tombstones.select(
+                F.col(tombstones.columns[0]).alias("__tk"),
+                F.lit(1).alias("__hit"),
+            )
+            .distinct()
+        )
+        tagged = df.select(F.col(key_col).alias("__k")).join(
+            t, F.col("__k") == F.col("__tk"), "left"
+        )
+        parts.append(
+            tagged.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("total_rows"),
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                .cast("long")
+                .alias("purged_rows"),
+                (
+                    F.count(F.lit(1)) - F.coalesce(F.sum("__hit"), F.lit(0))
+                )
+                .cast("long")
+                .alias("kept_rows"),
+                F.countDistinct(
+                    F.when(F.col("__hit") == 1, F.col("__k"))
+                ).alias("purged_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

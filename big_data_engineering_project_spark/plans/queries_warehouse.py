@@ -1355,3 +1355,94 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(
         edges, src="item_a", dst="item_b", min_common=2
     ).orderBy("u", "v")
+
+
+@register(
+    "q_erasure_cascade_audit",
+    oracle="""
+WITH tomb AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 17 = 3
+),
+ord_tomb AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_custkey IN (SELECT k FROM tomb)
+),
+ev AS (
+  SELECT 'events.user_id' AS relation,
+         CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(SUM(CASE WHEN user_id IN (SELECT k FROM tomb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS purged_rows,
+         CAST(SUM(CASE WHEN user_id IN (SELECT k FROM tomb)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS kept_rows,
+         CAST(COUNT(DISTINCT CASE WHEN user_id IN (SELECT k FROM tomb)
+                  THEN user_id END) AS BIGINT) AS purged_keys
+  FROM events
+),
+cu AS (
+  SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM tomb)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM tomb)
+                  THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN c_custkey IN (SELECT k FROM tomb)
+                  THEN c_custkey END) AS BIGINT)
+  FROM customer
+),
+orc AS (
+  SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM tomb)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM tomb)
+                  THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN o_custkey IN (SELECT k FROM tomb)
+                  THEN o_custkey END) AS BIGINT)
+  FROM orders
+),
+li AS (
+  SELECT 'lineitem.l_orderkey(cascade)', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM ord_tomb)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM ord_tomb)
+                  THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN l_orderkey IN (SELECT k FROM ord_tomb)
+                  THEN l_orderkey END) AS BIGINT)
+  FROM lineitem
+)
+SELECT * FROM ev UNION ALL SELECT * FROM cu
+UNION ALL SELECT * FROM orc UNION ALL SELECT * FROM li
+ORDER BY relation
+""",
+    doc="GDPR/CCPA erasure-cascade audit: a frozen tombstone rule "
+    "(c_custkey % 17 = 3) propagated through the FK graph — direct "
+    "hits in customer/orders/events, TRANSITIVE cascade into lineitem "
+    "via the order keys of tombstoned customers — with per-relation "
+    "total/purged/kept/distinct-key counts as the deletion evidence. "
+    "Each relation reduces to one row before the union; cascade "
+    "tombstones stay key-projected; no forced broadcast "
+    "(operators/governance.py)",
+    headline=True,
+    tags=("warehouse", "governance", "join"),
+)
+def q_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.governance import (
+        erasure_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    tomb = cust.filter(F.col("c_custkey") % 17 == 3).select("c_custkey")
+    ord_tomb = (
+        orders.join(
+            tomb, orders["o_custkey"] == tomb["c_custkey"], "left_semi"
+        ).select("o_orderkey")
+    )
+    return erasure_audit(
+        [
+            ("events.user_id", ev, "user_id", tomb),
+            ("customer.c_custkey", cust, "c_custkey", tomb),
+            ("orders.o_custkey", orders, "o_custkey", tomb),
+            ("lineitem.l_orderkey(cascade)", li, "l_orderkey", ord_tomb),
+        ]
+    ).orderBy("relation")

@@ -584,3 +584,48 @@ def test_time_weighted_avg_hand_computed(spark):
     span_min = 2 + 10 * 60
     assert b1["twap"] == (1000.0 * 2 + 10.0 * 600) / span_min
     assert b1["twap"] < 15.0  # plain mean would be 505
+
+
+def test_purge_split_and_erasure_audit(spark):
+    """purge_split partitions exactly (NULL keys are kept, never
+    purged); erasure_audit counts match the split and dedups
+    tombstones; cascade children audit against DERIVED key sets."""
+    from big_data_engineering_project_spark.operators.governance import (
+        erasure_audit,
+        purge_split,
+    )
+
+    t = spark.createDataFrame([(2,), (2,), (5,)], "k LONG")  # dup + miss
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (None, "d"), (3, "e")],
+        "k LONG, payload STRING",
+    )
+    purged, kept = purge_split(df, "k", t)
+    assert sorted(r["payload"] for r in purged.collect()) == ["b", "c"]
+    assert sorted(r["payload"] for r in kept.collect()) == ["a", "d", "e"]
+
+    # cascade: child rows reference parent rows; child tombstones are
+    # the purged parents' child keys.
+    child = spark.createDataFrame(
+        [(10, 2), (11, 2), (12, 1)], "ck LONG, parent LONG"
+    )
+    child_tomb = purge_split(child, "parent", t)[0].select("ck")
+    grand = spark.createDataFrame(
+        [(10, 1.0), (10, 2.0), (12, 3.0), (99, 4.0)], "ck LONG, v DOUBLE"
+    )
+    audit = {
+        r["relation"]: r
+        for r in erasure_audit(
+            [
+                ("df.k", df, "k", t),
+                ("grand.ck", grand, "ck", child_tomb),
+            ]
+        ).collect()
+    }
+    a = audit["df.k"]
+    assert (a["total_rows"], a["purged_rows"], a["kept_rows"]) == (5, 2, 3)
+    assert a["purged_keys"] == 1
+    g = audit["grand.ck"]
+    # child_tomb = {10, 11}; grand rows with ck 10 purged (2 rows).
+    assert (g["total_rows"], g["purged_rows"], g["kept_rows"]) == (4, 2, 2)
+    assert g["purged_keys"] == 1
