@@ -275,3 +275,129 @@ def run_cm_sketch_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def ohlc_partial(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Mergeable OHLC partial state per (key, bucket): the argmin /
+    argmax CANDIDATE STRUCTS (not the finished open/close values) plus
+    high/low/volume — the exact partial-aggregation state
+    `operators/temporal.py:ohlc_resample` keeps per task, lifted to a
+    persistable table so micro-batches can merge it."""
+    b = F.date_trunc(bucket, F.col(time_col))
+    o = F.struct(
+        F.col(time_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        df.select(
+            F.col(key).alias(key),
+            b.alias("bucket_ts"),
+            o.alias("__o"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key, "bucket_ts")
+        .agg(
+            F.min("__o").alias("open_s"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__o").alias("close_s"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+    )
+
+
+def ohlc_merge(state: DataFrame, batch_partial: DataFrame, key: str) -> DataFrame:
+    """Merge two OHLC partial-state tables: lexicographic struct min/max
+    re-selects the global argmin/argmax candidate (unique id per row
+    makes the winner engine- and order-independent); volume adds.
+    Associative + commutative, so ANY micro-batch partition of the
+    input folds to the identical state."""
+    return (
+        state.unionByName(batch_partial)
+        .groupBy(key, "bucket_ts")
+        .agg(
+            F.min("open_s").alias("open_s"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("close_s").alias("close_s"),
+            F.sum("volume").cast("long").alias("volume"),
+        )
+    )
+
+
+def ohlc_finish(state: DataFrame, key: str) -> DataFrame:
+    """Finished bars from partial state — identical schema/values to
+    the batch `ohlc_resample` over the union of all records."""
+    return state.select(
+        key,
+        "bucket_ts",
+        F.col("open_s").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("close_s").getField("v").alias("close"),
+        "volume",
+    )
+
+
+def run_ohlc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: str,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain OHLC bars over a micro-batched stream by per-batch
+    partial-state MERGE — the speed-layer twin of
+    `operators/temporal.py:ohlc_resample`, same shape as the CM and
+    SCD2 maintenance above: state is one row per OPEN (key, bucket)
+    group regardless of stream volume, each micro-batch costs
+    O(batch + touched groups). The argmin/argmax candidates ride in
+    the state as structs, so merge order can never change open/close
+    (the property the batch operator gets from partial aggregation,
+    made durable). Stream ≡ batch equality is checked per round
+    (tools/streaming_check.py `ohlc_bars`).
+
+    At deployment scale the overwrite becomes a Delta/Iceberg MERGE
+    partition-pruned to the touched (key, bucket) cells — closed
+    buckets (older than the watermark) stop being touched and can be
+    compacted out to the serving table."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        part = ohlc_partial(batch_df, key, time_col, value_col, id_col, bucket)
+        try:
+            existing = spark_b.read.parquet(state_path)
+            merged = ohlc_merge(existing, part, key)
+        except Exception:  # first batch
+            merged = part
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

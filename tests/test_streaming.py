@@ -816,3 +816,70 @@ def test_scd2_merge_batch_replay_is_idempotent(spark):
     assert sorted(repr(tuple(r)) for r in replayed.collect()) == sorted(
         repr(tuple(r)) for r in h2.collect()
     )
+
+
+def test_ohlc_partial_merge_fold_equals_batch(spark):
+    """Folding ANY micro-batch partition of a tick stream through
+    ohlc_partial + ohlc_merge yields bars identical to the batch
+    ohlc_resample over the union — including same-timestamp ties whose
+    tied rows sit in DIFFERENT batches (struct tie-break by unique id
+    must survive the merge)."""
+    from big_data_engineering_project_spark.operators.temporal import (
+        ohlc_resample,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        ohlc_finish,
+        ohlc_merge,
+        ohlc_partial,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for sym in ("X", "Y"):
+        for minute in range(0, 120, 3):
+            rows.append(
+                (sym, base + dt.timedelta(minutes=minute),
+                 round(rng.uniform(1, 100), 2), i)
+            )
+            i += 1
+    # planted tie at the bucket's LAST instant: ids 900 (batch A) /
+    # 901 (batch B) — close must pick the higher id at equal ts
+    tie_ts = base + dt.timedelta(minutes=59)
+    rows.append(("X", tie_ts, 55.5, 900))
+    rows.append(("X", tie_ts, 44.4, 901))
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs, "sym STRING, ts TIMESTAMP, v DOUBLE, i LONG"
+        )
+
+    rng.shuffle(rows)
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+    # force the tied rows into different batches
+    tied = [r for r in rows if r[3] in (900, 901)]
+    rest = [r for r in rows if r[3] not in (900, 901)]
+    batches = [rest[:cut1] + [tied[0]], rest[cut1:cut2] + [tied[1]],
+               rest[cut2:]]
+
+    state = None
+    for b in batches:
+        part = ohlc_partial(mk(b), "sym", "ts", "v", "i", bucket="hour")
+        state = part if state is None else ohlc_merge(state, part, "sym")
+    got = sorted(
+        tuple(r) for r in ohlc_finish(state, "sym").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ohlc_resample(
+            mk(rows), key="sym", time_col="ts", value_col="v",
+            id_col="i", bucket="hour",
+        ).collect()
+    )
+    assert got == want
+    # the tie-break is load-bearing: close of X's first hour is id
+    # 901's value (max struct -> higher id wins at equal ts)
+    x0 = [r for r in got if r[0] == "X" and r[1] == base][0]
+    assert x0[5] == 44.4

@@ -49,6 +49,10 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         after the watermark passes; sentinel rows
                         advance the min-across-inputs watermark)
                         ≡ the batch left join
+  ohlc_bars             run_ohlc_stream (foreachBatch merge of
+                        mergeable OHLC partial state, one row per
+                        (key, bucket)) ≡ batch ohlc_resample over the
+                        union, incl. cross-batch same-ts tie-breaks
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -710,6 +714,103 @@ def check_cm_sketch_stream(spark, root: str) -> dict:
     return res
 
 
+def check_ohlc_stream(spark, root: str) -> dict:
+    """run_ohlc_stream (foreachBatch merge of mergeable OHLC partial
+    state — argmin/argmax candidate structs + high/low/volume, one
+    state row per (key, bucket)) ≡ batch ohlc_resample over the union
+    of all ticks. The fixture plants SAME-TIMESTAMP ties at bucket
+    edges whose tied rows land in DIFFERENT micro-batches, so the
+    struct-merge tie-break (unique id) is load-bearing across the
+    stream/batch divide."""
+    from big_data_engineering_project_spark.operators.temporal import (
+        ohlc_resample,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        ohlc_finish,
+        run_ohlc_stream,
+    )
+
+    rng = random.Random(47)
+    base = dt.datetime(2026, 2, 2)
+    recs = []
+    i = 0
+    for sym in ("AAA", "BBB", "CCC"):
+        for day in range(2):
+            for minute in range(0, 360, 7):
+                recs.append(
+                    {
+                        "sym": sym,
+                        "ts": (
+                            base + dt.timedelta(days=day, minutes=minute)
+                        ).strftime("%Y-%m-%dT%H:%M:%S"),
+                        "v": round(rng.uniform(1, 500), 2),
+                        "i": i,
+                    }
+                )
+                i += 1
+            # planted tie: two rows AT the bucket's first instant with
+            # different ids and different values — the open must pick
+            # the lower id on both sides.
+            for _ in range(2):
+                recs.append(
+                    {
+                        "sym": sym,
+                        "ts": (base + dt.timedelta(days=day)).strftime(
+                            "%Y-%m-%dT%H:%M:%S"
+                        ),
+                        "v": round(rng.uniform(1, 500), 2),
+                        "i": i,
+                    }
+                )
+                i += 1
+    rng.shuffle(recs)  # ties split across micro-batches
+    in_dir = os.path.join(root, "ohlc_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=40)  # 8+ micro-batches
+
+    state_path = os.path.join(root, "ohlc_state")
+    schema = "sym STRING, ts TIMESTAMP, v DOUBLE, i LONG"
+    run_ohlc_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "ohlc_cp"),
+        schema=schema,
+        key="sym",
+        time_col="ts",
+        value_col="v",
+        id_col="i",
+        bucket="day",
+    )
+    got = [
+        tuple(r)
+        for r in ohlc_finish(spark.read.parquet(state_path), "sym")
+        .orderBy("sym", "bucket_ts")
+        .collect()
+    ]
+    bb = spark.read.schema(schema).json(in_dir)
+    want = [
+        tuple(r)
+        for r in ohlc_resample(
+            bb, key="sym", time_col="ts", value_col="v", id_col="i",
+            bucket="day",
+        )
+        .orderBy("sym", "bucket_ts")
+        .collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def check_interval_join_outer(spark, root: str) -> dict:
     """LEFT OUTER stream-stream interval join ≡ the batch left join:
     abandoned clicks (no conversion within the window) must emit with
@@ -936,6 +1037,7 @@ def main() -> None:
         results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
         results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
         results["interval_join_outer"] = check_interval_join_outer(spark, root)
+        results["ohlc_bars"] = check_ohlc_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
