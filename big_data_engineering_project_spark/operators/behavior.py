@@ -430,3 +430,95 @@ def window_funnel(
             F.coalesce(F.col("level"), F.lit(0)).cast("long").alias("level"),
         )
     )
+
+
+def linear_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    touch_ts: str,
+    touch_id: str,
+    channel_col: str,
+    conv_ts: str,
+    conv_id: str,
+    value_col: str,
+    lookback_s: int,
+    value_scale: int = 100,
+    credit_scale: int = 1_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    EQUALLY across the user's touches inside the lookback window
+    [conv_ts - lookback, conv_ts]; conversions with no touch credit a
+    synthetic '(direct)' channel in full — the marketing-analytics
+    generalization of the single-touch (as-of) attribution the
+    interval join gives for free.
+
+    Exactness: value quantized to integer units (round(v*scale)
+    cents), per-touch credit = (cents * credit_scale) div n_touches —
+    an INTEGER floor division, so credits, their per-channel sums, and
+    the ranking are bit-identical cross-engine (the floor residue,
+    < n_touches micro-units per conversion, is the documented price of
+    exactness). The one IEEE division producing `attributed_value`
+    happens on the final exact sum, mirrored operand-for-operand.
+
+    Plan: equi-join on the user with the time range as a post-
+    condition (keyed sort-merge, never a product — the interval-join
+    discipline), one conversion-keyed window for the touch count, then
+    a partial-aggregable per-channel rollup. Per-user touch density x
+    lookback bounds the join fan-out; at 100 TB the lookback plays the
+    watermark's state-bound role.
+    """
+    t = touches.select(
+        F.col(user_col).alias("__tu"),
+        F.col(touch_ts).alias("__tts"),
+        F.col(touch_id).alias("__tid"),
+        F.col(channel_col).alias("__ch"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("__cu"),
+        F.col(conv_ts).alias("__cts"),
+        F.col(conv_id).alias("__cid"),
+        F.round(F.col(value_col) * value_scale, 0)
+        .cast("long")
+        .alias("__cents"),
+    )
+    j = c.join(
+        t,
+        (F.col("__cu") == F.col("__tu"))
+        & (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_s)} SECOND")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("__cid")
+    jj = j.withColumn("__n", F.count("__tid").over(w)).withColumn(
+        "__credit",
+        F.when(
+            F.col("__n") == 0,
+            F.col("__cents") * int(credit_scale),
+        ).otherwise(
+            F.expr(f"(__cents * {int(credit_scale)}) div __n")
+        ),
+    )
+    divisor = float(credit_scale * value_scale)
+    return (
+        jj.groupBy(
+            F.coalesce(F.col("__ch"), F.lit("(direct)")).alias("channel")
+        )
+        .agg(
+            F.sum(F.col("__credit").cast("decimal(38,0)")).alias("__units"),
+            F.count("__tid").alias("n_touches"),
+            F.countDistinct("__cid").alias("n_conversions"),
+        )
+        .select(
+            "channel",
+            F.col("__units").cast("long").alias("attributed_units"),
+            (F.col("__units").cast("double") / divisor).alias(
+                "attributed_value"
+            ),
+            "n_touches",
+            "n_conversions",
+        )
+    )

@@ -906,3 +906,70 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(
         ev, ["event_type", "day"], "ts", "value"
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+WITH t AS (
+  SELECT event_id AS touch_id, user_id, ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT event_id AS conv_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.conv_id, c.cents, t.touch_id, t.channel
+  FROM c LEFT JOIN t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.ts
+   AND t.ts >= c.ts - INTERVAL 6 HOUR
+),
+n AS (
+  SELECT *, COUNT(touch_id) OVER (PARTITION BY conv_id) AS n_touch FROM j
+),
+cr AS (
+  SELECT COALESCE(channel, '(direct)') AS channel, touch_id, conv_id,
+         CASE WHEN n_touch = 0 THEN cents * 1000000
+              ELSE (cents * 1000000) // n_touch END AS credit
+  FROM n
+)
+SELECT channel,
+       CAST(SUM(credit) AS BIGINT) AS attributed_units,
+       CAST(SUM(credit) AS DOUBLE) / 100000000.0 AS attributed_value,
+       CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+FROM cr GROUP BY 1 ORDER BY channel
+""",
+    doc="Linear multi-touch attribution: every purchase's value split "
+    "equally (integer floor-division micro-credits -> exact cross-"
+    "engine) across the user's click/view touches in the preceding "
+    "6 h; touchless purchases credit '(direct)' in full. Keyed join "
+    "with the lookback as post-condition, one conversion-keyed window "
+    "for the split size, per-channel rollup "
+    "(operators/behavior.py:linear_attribution)",
+    headline=True,
+    tags=("behavior", "temporal", "join"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        linear_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    convs = ev.filter(F.col("event_type") == "purchase")
+    return linear_attribution(
+        touches,
+        convs,
+        user_col="user_id",
+        touch_ts="ts",
+        touch_id="event_id",
+        channel_col="event_type",
+        conv_ts="ts",
+        conv_id="event_id",
+        value_col="value",
+        lookback_s=6 * 3600,
+    ).orderBy("channel")

@@ -221,3 +221,58 @@ def test_rolling_active_users_dominates_daily_actives(spark, sf_dir):
     assert set(daily) == set(wau)
     for day, n in daily.items():
         assert n <= wau[day] <= total_users
+
+
+def test_linear_attribution_split_and_direct(spark):
+    """3 in-window touches split a 9.99 conversion into equal integer
+    micro-credits (floor residue stays unattributed); out-of-window
+    touches are excluded; a touchless conversion credits '(direct)'
+    in full."""
+    import datetime as dt
+
+    from big_data_engineering_project_spark.operators.behavior import (
+        linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    touches = spark.createDataFrame(
+        [
+            (1, m(-30), 101, "click"),
+            (1, m(-20), 102, "view"),
+            (1, m(-10), 103, "click"),
+            (1, m(-90), 104, "click"),   # outside 1h lookback
+            (1, m(5), 105, "click"),     # after conversion
+        ],
+        "user_id LONG, ts TIMESTAMP, event_id LONG, channel STRING",
+    )
+    convs = spark.createDataFrame(
+        [
+            (1, m(0), 201, 9.99),
+            (2, m(0), 202, 5.00),        # no touches -> (direct)
+        ],
+        "user_id LONG, ts TIMESTAMP, event_id LONG, value DOUBLE",
+    )
+    out = {
+        r["channel"]: r
+        for r in linear_attribution(
+            touches, convs,
+            user_col="user_id", touch_ts="ts", touch_id="event_id",
+            channel_col="channel", conv_ts="ts", conv_id="event_id",
+            value_col="value", lookback_s=3600,
+        ).collect()
+    }
+    share = (999 * 1_000_000) // 3  # 333_000_000
+    assert out["click"]["attributed_units"] == 2 * share
+    assert out["view"]["attributed_units"] == share
+    assert out["click"]["n_touches"] == 2
+    assert out["view"]["n_conversions"] == 1
+    assert out["(direct)"]["attributed_units"] == 500 * 1_000_000
+    assert out["(direct)"]["n_touches"] == 0
+    assert abs(out["(direct)"]["attributed_value"] - 5.0) < 1e-12
+    # conservation up to the floor residue (< n_touches micro-units)
+    total = sum(r["attributed_units"] for r in out.values())
+    assert 0 <= (999 + 500) * 1_000_000 - total < 3
