@@ -1446,3 +1446,45 @@ def q_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem.l_orderkey(cascade)", li, "l_orderkey", ord_tomb),
         ]
     ).orderBy("relation")
+
+
+@register(
+    "q_pareto_parts",
+    oracle="""
+WITH pts AS MATERIALIZED (
+  SELECT p_partkey, p_retailprice AS price, p_size AS size_v FROM part
+)
+SELECT p.p_partkey, p.price, p.size_v
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.size_v >= p.size_v
+    AND (q.price < p.price OR q.size_v > p.size_v)
+)
+ORDER BY price, size_v, p_partkey
+""",
+    doc="Pareto frontier of the part catalog under (minimize retail "
+    "price, maximize size): the cheapest-for-their-size parts no "
+    "other part dominates. The oracle is the quadratic NOT-EXISTS "
+    "self-join; the operator is the linear two-phase prefix-max "
+    "(range-repartition + exclusive local running max + broadcast "
+    "per-partition offsets — the global_row_number discipline, no "
+    "corpus-wide window), so the gate proves skyline-via-prefix-max "
+    "== naive dominance semantics, including duplicate-point and "
+    "equal-x tie rules (operators/frontier.py:pareto_frontier_2d)",
+    headline=True,
+    tags=("warehouse", "analytics", "window"),
+)
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size_v"),
+    )
+    return pareto_frontier_2d(part, "price", "size_v").orderBy(
+        "price", "size_v", "p_partkey"
+    )

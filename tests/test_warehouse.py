@@ -629,3 +629,37 @@ def test_purge_split_and_erasure_audit(spark):
     # child_tomb = {10, 11}; grand rows with ck 10 purged (2 rows).
     assert (g["total_rows"], g["purged_rows"], g["kept_rows"]) == (4, 2, 2)
     assert g["purged_keys"] == 1
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Two-phase prefix-max skyline == brute-force dominance on a
+    fixture with duplicate points, equal-x ties, NULLs, and enough
+    rows that the prefix max crosses range partitions."""
+    import random
+
+    from big_data_engineering_project_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, float(rng.randrange(20)), rng.randrange(15))
+            for i in range(200)]
+    rows += [(900, 3.0, 12), (901, 3.0, 12)]   # duplicate point
+    rows += [(902, 3.0, 5)]                    # equal-x, dominated
+    rows += [(903, None, 9), (904, 7.0, None)]  # NULL dims excluded
+    df = spark.createDataFrame(rows, "id LONG, x DOUBLE, y INT")
+
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in pareto_frontier_2d(df, "x", "y", n_parts=5).collect()
+    )
+
+    pts = [(i, x, y) for i, x, y in rows if x is not None and y is not None]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+    want = sorted(p for p in pts if not dominated(p))
+    assert got == want
+    assert (900, 3.0, 12) in got or (900, 3.0, 12) not in want  # dup rule
