@@ -120,3 +120,31 @@ def sorted_neighborhood_pairs(
             (F.col("_rnb") - F.col("_rna")).alias("gap"),
         )
     )
+
+
+def ntile_scalable(df, order_cols, k: int, out: str = "tile") -> DataFrame:
+    """NTILE(k) over a TOTAL order without a single-partition window:
+    global_row_number's two-phase rank + SQL NTILE's closed form —
+    with base = n div k and rem = n mod k, the FIRST rem tiles hold
+    base+1 rows and the rest hold base (front-loaded remainder; the
+    "balanced partition" formula floor((rn-1)k/n)+1 spreads the big
+    tiles out and diverges, e.g. n=9, k=6 at rn=4). Pinned against
+    Spark's own ntile by pytest. `order_cols` must be a total order
+    or tile membership is engine-dependent."""
+    k = int(k)
+    ranked = global_row_number(df, order_cols, out="__rn")
+    n_row = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    tile = F.expr(
+        f"""CASE
+  WHEN __n < {k} THEN __rn
+  WHEN __rn <= (__n % {k}) * (__n div {k} + 1)
+    THEN 1 + (__rn - 1) div (__n div {k} + 1)
+  ELSE 1 + (__n % {k})
+       + (__rn - 1 - (__n % {k}) * (__n div {k} + 1)) div (__n div {k})
+END"""
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(out, tile.cast("int"))
+        .drop("__rn", "__n")
+    )

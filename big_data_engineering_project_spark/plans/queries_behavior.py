@@ -973,3 +973,133 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         lookback_s=6 * 3600,
     ).orderBy("channel")
+
+
+_RFM_NOW = "2001-09-01"
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH per_c AS (
+  SELECT o_custkey AS c,
+         date_diff('day', MAX(o_orderdate),
+                   TIMESTAMP '{_RFM_NOW} 00:00:00') AS rec,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT c,
+         ntile(5) OVER (ORDER BY rec ASC, c ASC) AS r_tier,
+         ntile(5) OVER (ORDER BY freq DESC, c ASC) AS f_tier,
+         ntile(5) OVER (ORDER BY cents DESC, c ASC) AS m_tier
+  FROM per_c
+)
+SELECT r_tier, f_tier, m_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    doc="RFM customer segmentation: recency (days to a frozen "
+    "instant) / frequency / monetary (exact cents) quintiles, tier 1 "
+    "= best, counted per (R,F,M) cell. Tiers come from the SCALE-"
+    "CORRECT ntile (two-phase global_row_number + the closed-form "
+    "tile formula, pinned == SQL NTILE by pytest) — the oracle uses "
+    "DuckDB's native ntile over the same total orders, so the gate "
+    "proves the distributed formulation reproduces single-window "
+    "NTILE semantics exactly (operators/linkage.py:ntile_scalable)",
+    headline=True,
+    tags=("behavior", "warehouse", "window"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.linkage import (
+        ntile_scalable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(
+            F.lit(_RFM_NOW).cast("timestamp"), F.max("o_orderdate")
+        ).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    t = ntile_scalable(per_c, [F.col("rec").asc(), F.col("c").asc()], 5, "r_tier")
+    t = ntile_scalable(t, [F.col("freq").desc(), F.col("c").asc()], 5, "f_tier")
+    t = ntile_scalable(t, [F.col("cents").desc(), F.col("c").asc()], 5, "m_tier")
+    return (
+        t.groupBy("r_tier", "f_tier", "m_tier")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )
+
+
+@register(
+    "q_gini_by_type",
+    oracle="""
+WITH per_u AS (
+  SELECT event_type, user_id,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents ASC, user_id ASC
+         ) AS rn
+  FROM per_u
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS s1,
+         SUM(CAST(rn AS HUGEINT) * cents) AS s2
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(s1 AS BIGINT) AS total_cents,
+       (2.0 * CAST(s2 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s ORDER BY event_type
+""",
+    doc="Gini concentration of per-user spend within each event_type "
+    "— 'how unequal is engagement value' (0 = uniform, ->1 = one "
+    "whale), the skew diagnostic beside key_skew_report's shuffle "
+    "view. Exact integer sufficient stats (cents, rank-weighted sum "
+    "in DECIMAL(38,0)/HUGEINT over a per-type total order), double "
+    "finishing mirrored operand-for-operand; per-type windows are "
+    "user-cardinality-bounded, no global sort",
+    headline=False,
+    tags=("behavior", "analytics", "window"),
+)
+def q_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("user_id").asc()
+    )
+    ranked = per_u.withColumn("rn", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(
+            F.col("rn").cast("decimal(38,0)") * F.col("cents")
+        ).alias("__s2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.col("__s1").cast("long").alias("total_cents"),
+        (
+            (F.lit(2.0) * F.col("__s2").cast("double"))
+            / (F.col("n").cast("double") * F.col("__s1").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double")
+        ).alias("gini"),
+    ).orderBy("event_type")

@@ -276,3 +276,34 @@ def test_linear_attribution_split_and_direct(spark):
     # conservation up to the floor residue (< n_touches micro-units)
     total = sum(r["attributed_units"] for r in out.values())
     assert 0 <= (999 + 500) * 1_000_000 - total < 3
+
+
+def test_gini_known_distributions(spark):
+    """Gini of a uniform distribution is 0; a single whale approaches
+    (n-1)/n; the rank formula matches the classic definition on a
+    hand-computed case."""
+    from big_data_engineering_project_spark.plans import REGISTRY  # noqa: F401
+    from pyspark.sql import Window
+
+    def gini_of(values):
+        rows = [(i, float(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "user_id LONG, value DOUBLE")
+        per_u = df.select(
+            F.lit("t").alias("event_type"), "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        w = Window.partitionBy("event_type").orderBy("cents", "user_id")
+        ranked = per_u.withColumn("rn", F.row_number().over(w))
+        s = ranked.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+        ).collect()[0]
+        n, s1, s2 = s["n"], float(s["s1"]), float(s["s2"])
+        return 2.0 * s2 / (n * s1) - (n + 1.0) / n
+
+    assert abs(gini_of([5, 5, 5, 5])) < 1e-12
+    # one whale among 10: G = (n-1)/n * (1 - tiny correction) -> 0.9
+    assert gini_of([0.01] * 9 + [10000]) > 0.89
+    # hand case [1,2,3]: ranks 1,2,3; G = 2*(1+4+9)/(3*6) - 4/3 = 2/9
+    assert abs(gini_of([1, 2, 3]) - 2.0 / 9.0) < 1e-12

@@ -2509,3 +2509,36 @@ def test_link_prediction_hub_center_cap(spark):
     # remain: wedges (2,99) via 1 and (1,99) via 2 -> both adjacent to
     # nothing... (1,99) and (2,99) are existing edges, so nothing left.
     assert below == []
+
+
+def test_ntile_scalable_equals_sql_ntile(spark):
+    """The closed form 1 + ((rn-1)*k) div n over the two-phase global
+    rank reproduces SQL NTILE's first-tiles-get-the-remainder
+    distribution exactly — checked against Spark's own ntile for
+    several (n, k) including n < k and n % k != 0."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from big_data_engineering_project_spark.operators.linkage import (
+        ntile_scalable,
+    )
+
+    rng = random.Random(3)
+    for n, k in [(10, 3), (5, 3), (2, 5), (100, 7), (64, 4),
+                 (9, 6), (3, 5), (7, 5), (13, 6)]:
+        rows = [(i, rng.randrange(1000)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id LONG, v LONG")
+        got = {
+            r["id"]: r["tile"]
+            for r in ntile_scalable(
+                df, [F.col("v").asc(), F.col("id").asc()], k
+            ).collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(W.orderBy(F.col("v").asc(), F.col("id").asc()))
+            ).collect()
+        }
+        assert got == want, (n, k)
