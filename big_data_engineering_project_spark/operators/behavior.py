@@ -522,3 +522,42 @@ def linear_attribution(
             "n_conversions",
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per key: the smallest value whose
+    cumulative weight reaches half the group total (2*cumw >= W in
+    integers — no float division). The weighted twin of the MAD
+    family's exact percentiles: a duplicate-heavy value (or a weight
+    column like quantity/bytes) shifts this where the unweighted
+    median can't see it.
+
+    Plan: collapse to (key, value) with summed integer weights
+    (partial-aggregable — the window then runs over DISTINCT values
+    per key, not raw rows), one per-key cumulative window, one min.
+    Weights must be non-negative integers (cast upstream)."""
+    per_v = df.groupBy(*key_cols, F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.withColumn("__cw", F.sum("__w").over(w_cum)).withColumn(
+        "__W", F.sum("__w").over(w_tot)
+    )
+    return (
+        cum.filter(F.col("__cw") * 2 >= F.col("__W"))
+        .groupBy(*key_cols)
+        .agg(
+            F.min("__v").alias("weighted_median"),
+            F.max("__W").cast("long").alias("total_weight"),
+        )
+    )

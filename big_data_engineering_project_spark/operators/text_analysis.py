@@ -922,3 +922,57 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step int, left string, right string, freq long"
     )
+
+
+_LM_COST_NUM = 1_000_000
+
+
+def doc_lm_cost(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mean bigram-LM cost per doc — the CCNet-style perplexity-proxy
+    quality score beside `bigram_min_prob`'s weakest link: cost of a
+    transition = 1e6 div P(w2|w1) = (c_first * 1e6) div c_ab (the
+    integer -log-likelihood proxy, same discipline as the SSSP edge
+    costs), averaged over ALL the doc's bigram occurrences with
+    multiplicity via one more integer division. High mean cost =
+    improbable text (gibberish, wrong-language, boilerplate splice) —
+    the filter CCNet applies with a real KenLM, expressed on corpus
+    statistics so the score is bit-identical cross-engine.
+
+    Plan: bigrams are array-local (zip_with shift, never a self-join);
+    per-doc bigram multiplicities collapse BEFORE joining the corpus
+    count tables (the join carries distinct (doc, bigram) rows);
+    corpus bigram/first-token counts are map-side-combined aggs. Docs
+    with < 2 tokens have no bigrams and are absent.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("term_a"), b.alias("term_b")),
+            )
+        ).alias("p"),
+    ).select("doc", "p.term_a", "p.term_b")
+    cnt = bg.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    fst = cnt.groupBy("term_a").agg(F.sum("c_ab").alias("c_first"))
+    per_doc = bg.groupBy("doc", "term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+    costed = (
+        per_doc.join(cnt, ["term_a", "term_b"])
+        .join(fst, "term_a")
+        .withColumn(
+            "__cost",
+            F.expr(f"(c_first * {_LM_COST_NUM}) div c_ab"),
+        )
+    )
+    return costed.groupBy("doc").agg(
+        F.sum("mult").cast("long").alias("n_bigrams"),
+        F.expr("sum(__cost * mult) div sum(mult)")
+        .cast("long")
+        .alias("avg_cost_units"),
+    )

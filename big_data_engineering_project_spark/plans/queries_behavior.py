@@ -1103,3 +1103,44 @@ def q_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+WITH per_v AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM per_v
+)
+SELECT l_returnflag,
+       MIN(v) AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= tw
+GROUP BY 1 ORDER BY l_returnflag
+""",
+    doc="Exact quantity-weighted median extended price per return "
+    "flag: smallest price whose cumulative quantity reaches half the "
+    "group total (all-integer 2*cumw >= W compare, no division). "
+    "Values collapse to distinct (key, value) weights BEFORE the "
+    "cumulative window, so the per-key sort is value-cardinality-"
+    "bounded, not row-bounded "
+    "(operators/behavior.py:weighted_median)",
+    tags=("behavior", "analytics", "window"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    ).orderBy("l_returnflag")

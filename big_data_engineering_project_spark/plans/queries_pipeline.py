@@ -3091,3 +3091,53 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", n_merges=8).orderBy("step")
+
+
+@register(
+    "q_doc_lm_cost_worst",
+    oracle=f"""
+WITH {_TOKS_CTE},
+t2 AS (SELECT doc, t FROM toks WHERE len(t) >= 2),
+bg AS (
+  SELECT doc, t[i] AS term_a, t[i + 1] AS term_b
+  FROM t2, unnest(generate_series(1, len(t) - 1)) AS s(i)
+),
+cnt AS (SELECT term_a, term_b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+fst AS (SELECT term_a, SUM(c_ab) AS c_first FROM cnt GROUP BY 1),
+per_doc AS (
+  SELECT doc, term_a, term_b, COUNT(*) AS mult FROM bg GROUP BY 1, 2, 3
+),
+costed AS (
+  SELECT doc, mult, (c_first * 1000000) // c_ab AS cost
+  FROM per_doc JOIN cnt USING (term_a, term_b) JOIN fst USING (term_a)
+),
+scored AS (
+  SELECT doc, CAST(SUM(mult) AS BIGINT) AS n_bigrams,
+         CAST(SUM(cost * mult) // SUM(mult) AS BIGINT) AS avg_cost_units
+  FROM costed GROUP BY doc
+)
+SELECT doc, n_bigrams, avg_cost_units
+FROM scored ORDER BY avg_cost_units DESC, doc ASC LIMIT 20
+""",
+    doc="CCNet-style LM quality filter: the 20 most-improbable docs "
+    "by mean bigram cost, where cost(w1 w2) = (c(w1)*1e6) div "
+    "c(w1 w2) is the integer -log-likelihood proxy and the per-doc "
+    "mean is one more integer division — perplexity filtering "
+    "re-expressed on corpus statistics so scores and the top-k set "
+    "are exact cross-engine. Array-local bigrams, multiplicities "
+    "collapsed before the count-table joins, total-order top-k "
+    "(operators/text_analysis.py:doc_lm_cost)",
+    headline=True,
+    tags=("pipeline", "text", "quality"),
+)
+def q_doc_lm_cost_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        doc_lm_cost,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_lm_cost(docs, "doc_id", "text")
+        .orderBy(F.col("avg_cost_units").desc(), F.col("doc").asc())
+        .limit(20)
+    )

@@ -307,3 +307,24 @@ def test_gini_known_distributions(spark):
     assert gini_of([0.01] * 9 + [10000]) > 0.89
     # hand case [1,2,3]: ranks 1,2,3; G = 2*(1+4+9)/(3*6) - 4/3 = 2/9
     assert abs(gini_of([1, 2, 3]) - 2.0 / 9.0) < 1e-12
+
+
+def test_weighted_median_hand_cases(spark):
+    from big_data_engineering_project_spark.operators.behavior import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1.0, 1), ("g1", 2.0, 1), ("g1", 3.0, 98),
+            ("g2", 1.0, 1), ("g2", 2.0, 1), ("g2", 3.0, 1), ("g2", 4.0, 1),
+            ("g3", 5.0, 2), ("g3", 5.0, 3),  # duplicate values merge
+        ],
+        "k STRING, v DOUBLE, w LONG",
+    )
+    got = {r["k"]: r for r in weighted_median(df, ["k"], "v", "w").collect()}
+    assert got["g1"]["weighted_median"] == 3.0  # weight mass dominates
+    assert got["g1"]["total_weight"] == 100
+    assert got["g2"]["weighted_median"] == 2.0  # even count: lower median
+    assert got["g3"]["weighted_median"] == 5.0
+    assert got["g3"]["total_weight"] == 5

@@ -808,3 +808,26 @@ def test_bpe_merge_fold_greedy_overlap(spark):
         ).collect()
     ]
     assert out == [["aa", "a"], ["aa", "aa"], ["b", "a"]]
+
+
+def test_doc_lm_cost_hand_computed(spark):
+    """Integer bigram costs on a 3-doc corpus: cost = (c_first*1e6)
+    div c_ab, per-doc mean with multiplicity = one more integer div."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        doc_lm_cost,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b a b"), (4, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc"]: r for r in doc_lm_cost(docs, "doc_id", "text").collect()}
+    # corpus: c(a,b)=3, c(a,c)=1, c(b,a)=1; c_first: a=4, b=1
+    cab = (4 * 1_000_000) // 3       # 1333333
+    cac = (4 * 1_000_000) // 1       # 4000000
+    cba = (1 * 1_000_000) // 1       # 1000000
+    assert got[1]["avg_cost_units"] == cab and got[1]["n_bigrams"] == 1
+    assert got[2]["avg_cost_units"] == cac
+    assert got[3]["n_bigrams"] == 3
+    assert got[3]["avg_cost_units"] == (2 * cab + cba) // 3
+    assert 4 not in got  # single-token doc has no bigrams
