@@ -15,7 +15,7 @@ pandas NaN semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_project_spark.operators.joins import broadcast_join
@@ -402,4 +402,74 @@ def theil_sen_trend(
     return slopes.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.percentile(F.col("__slope"), F.lit(0.5)).alias("ts_slope_per_sec"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    is_b: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance per key: the
+    distributional drift measure beside profile_drift's moment view —
+    KS = max over values of |F_A(v) - F_B(v)|, where A is the rows
+    with `is_b` false and B the rows with it true. Detects shape
+    changes (bimodality, tail shifts) that mean/stddev comparisons
+    miss.
+
+    Exactness: the max is taken over INTEGER numerators
+    |cumA*nB - cumB*nA| (cross-multiplied cumulative counts in
+    DECIMAL(38,0)/HUGEINT so 1e10-row samples can't overflow); the
+    single IEEE division by nA*nB happens once per key on the final
+    max, mirrored by the oracle. Ties in value merge into one step
+    (counts per distinct value), so the statistic is well-defined and
+    engine-independent without any tiebreaker.
+
+    Plan: collapse to (key, value) count pairs first (partial-
+    aggregable; the per-key window then runs over DISTINCT values,
+    not rows), one cumulative window per key, one max.
+    """
+    tagged = df.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        F.when(is_b, 1).otherwise(0).alias("__b"),
+    )
+    per_v = tagged.groupBy(*key_cols, "__v").agg(
+        F.sum(F.lit(1) - F.col("__b")).alias("__a_cnt"),
+        F.sum("__b").alias("__b_cnt"),
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    cum = (
+        per_v.withColumn("__ca", F.sum("__a_cnt").over(w_cum))
+        .withColumn("__cb", F.sum("__b_cnt").over(w_cum))
+        .withColumn("__na", F.sum("__a_cnt").over(w_tot))
+        .withColumn("__nb", F.sum("__b_cnt").over(w_tot))
+    )
+    num = F.abs(
+        F.col("__ca").cast("decimal(38,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(38,0)") * F.col("__na")
+    )
+    return (
+        cum.withColumn("__num", num)
+        .groupBy(*key_cols)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.max("__num").alias("__mx"),
+        )
+        .select(
+            *key_cols,
+            "n_a",
+            "n_b",
+            (
+                F.col("__mx").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_stat"),
+        )
     )

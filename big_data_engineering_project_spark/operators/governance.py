@@ -90,3 +90,81 @@ def erasure_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dq_validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality assertion suite (the Great-
+    Expectations shape, one pass): evaluate every rule against `df`
+    and return one row per rule — (rule, kind, passed, observed,
+    threshold). All rules compile into a SINGLE aggregation over one
+    scan; nothing is evaluated per-rule-per-pass.
+
+    Rule kinds (dict fields beyond `name`, `col`):
+      not_null_rate   max_null_rate: observed null fraction <= bound
+      unique          observed = n_rows - n_distinct (0 = unique)
+      min_bound/max_bound  bound: observed min/max within bound
+      accepted_values vals: observed = # rows OUTSIDE the value set
+
+    `observed` and `threshold` are DOUBLEs; rates are one IEEE
+    division of exact counts (mirrored by the oracle); bounds compare
+    raw column values. A 100-TB run costs one scan regardless of the
+    rule count — the audit twin of profile_table.
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        c, kind = F.col(r["col"]), r["kind"]
+        if kind == "not_null_rate":
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__a{i}")
+            )
+        elif kind == "unique":
+            aggs.append(F.countDistinct(c).alias(f"__a{i}"))
+        elif kind == "min_bound":
+            aggs.append(F.min(c).cast("double").alias(f"__a{i}"))
+        elif kind == "max_bound":
+            aggs.append(F.max(c).cast("double").alias(f"__a{i}"))
+        elif kind == "accepted_values":
+            aggs.append(
+                F.sum(
+                    F.when(c.isin(*r["vals"]) | c.isNull(), 0).otherwise(1)
+                ).alias(f"__a{i}")
+            )
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+    one = df.agg(*aggs)
+    structs = []
+    for i, r in enumerate(rules):
+        kind = r["kind"]
+        a, n = F.col(f"__a{i}"), F.col("__n")
+        if kind == "not_null_rate":
+            observed = a.cast("double") / n.cast("double")
+            thr = F.lit(float(r["max_null_rate"]))
+            passed = observed <= thr
+        elif kind == "unique":
+            observed = (n - a).cast("double")
+            thr = F.lit(0.0)
+            passed = observed <= thr
+        elif kind == "min_bound":
+            observed, thr = a, F.lit(float(r["bound"]))
+            passed = observed >= thr
+        elif kind == "max_bound":
+            observed, thr = a, F.lit(float(r["bound"]))
+            passed = observed <= thr
+        else:  # accepted_values
+            observed = a.cast("double")
+            thr = F.lit(0.0)
+            passed = observed <= thr
+        structs.append(
+            F.struct(
+                F.lit(r["name"]).alias("rule"),
+                F.lit(kind).alias("kind"),
+                passed.alias("passed"),
+                observed.cast("double").alias("observed"),
+                thr.cast("double").alias("threshold"),
+            )
+        )
+    # one row -> explode to one row per rule: a single plan branch, so
+    # the scan provably runs once however many rules there are.
+    return one.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )

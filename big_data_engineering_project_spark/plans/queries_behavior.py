@@ -1144,3 +1144,57 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity"
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_ks_value_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT event_type, value AS v,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS b
+  FROM events
+),
+per_v AS (
+  SELECT event_type, v,
+         SUM(1 - b) AS a_cnt, SUM(b) AS b_cnt
+  FROM tagged GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(a_cnt) OVER (PARTITION BY event_type) AS na,
+         SUM(b_cnt) OVER (PARTITION BY event_type) AS nb
+  FROM per_v
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(ABS(CAST(ca AS HUGEINT) * nb
+                    - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+         / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_stat
+FROM cum GROUP BY 1 ORDER BY event_type
+""",
+    doc="Exact two-sample Kolmogorov-Smirnov drift per event_type: "
+    "first-half vs second-half of the month, KS taken as the max of "
+    "INTEGER cross-multiplied cumulative counts (DECIMAL(38,0)/"
+    "HUGEINT) with one final IEEE division — the distribution-shape "
+    "drift test beside profile_drift's moments. Distinct-value "
+    "collapse before the window keeps per-key sorts value-"
+    "cardinality-bounded (operators/anomaly.py:ks_drift)",
+    headline=False,
+    tags=("behavior", "anomaly", "window"),
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.anomaly import (
+        ks_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        ev, ["event_type"], "value",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+    ).orderBy("event_type")

@@ -1488,3 +1488,60 @@ def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(part, "price", "size_v").orderBy(
         "price", "size_v", "p_partkey"
     )
+
+
+@register(
+    "q_dq_validation",
+    oracle="""
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_v,
+         COUNT(DISTINCT event_id) AS d_id,
+         CAST(MIN(value) AS DOUBLE) AS min_v,
+         CAST(MAX(value) AS DOUBLE) AS max_v,
+         SUM(CASE WHEN event_type IN
+               ('click','view','purchase','signup','error')
+               OR event_type IS NULL THEN 0 ELSE 1 END) AS bad_type
+  FROM events
+)
+SELECT r.rule, r.kind, r.passed, r.observed, r.threshold FROM a,
+LATERAL (VALUES
+  ('value_null_rate', 'not_null_rate',
+   CAST(nulls_v AS DOUBLE) / n <= 0.01,
+   CAST(nulls_v AS DOUBLE) / n, 0.01),
+  ('event_id_unique', 'unique',
+   CAST(n - d_id AS DOUBLE) <= 0.0, CAST(n - d_id AS DOUBLE), 0.0),
+  ('value_min', 'min_bound', min_v >= 0.0, min_v, 0.0),
+  ('value_max', 'max_bound', max_v <= 1000.0, max_v, 1000.0),
+  ('event_type_domain', 'accepted_values',
+   CAST(bad_type AS DOUBLE) <= 0.0, CAST(bad_type AS DOUBLE), 0.0)
+) AS r(rule, kind, passed, observed, threshold)
+ORDER BY rule
+""",
+    doc="Declarative data-quality assertion suite over events "
+    "(Great-Expectations shape): null-rate bound, key uniqueness, "
+    "value range, accepted type domain — all five rules compiled "
+    "into ONE aggregation over one scan, then exploded to a "
+    "rule-per-row verdict table; rates are single IEEE divisions of "
+    "exact counts (operators/governance.py:dq_validate)",
+    tags=("warehouse", "governance", "profiling"),
+)
+def q_dq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.governance import (
+        dq_validate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        {"name": "value_null_rate", "kind": "not_null_rate",
+         "col": "value", "max_null_rate": 0.01},
+        {"name": "event_id_unique", "kind": "unique", "col": "event_id"},
+        {"name": "value_min", "kind": "min_bound", "col": "value",
+         "bound": 0.0},
+        {"name": "value_max", "kind": "max_bound", "col": "value",
+         "bound": 1000.0},
+        {"name": "event_type_domain", "kind": "accepted_values",
+         "col": "event_type",
+         "vals": ["click", "view", "purchase", "signup", "error"]},
+    ]
+    return dq_validate(ev, rules).orderBy("rule")

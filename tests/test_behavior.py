@@ -328,3 +328,39 @@ def test_weighted_median_hand_cases(spark):
     assert got["g2"]["weighted_median"] == 2.0  # even count: lower median
     assert got["g3"]["weighted_median"] == 5.0
     assert got["g3"]["total_weight"] == 5
+
+
+def test_ks_drift_known_and_bruteforce(spark):
+    """KS of identical samples is 0, of disjoint samples is 1, and the
+    integer cross-multiplied formulation matches a brute-force CDF
+    scan on a random fixture with ties."""
+    import random
+
+    from big_data_engineering_project_spark.operators.anomaly import (
+        ks_drift,
+    )
+
+    def run(a_vals, b_vals):
+        rows = [("k", float(v), 0) for v in a_vals] + [
+            ("k", float(v), 1) for v in b_vals
+        ]
+        df = spark.createDataFrame(rows, "g STRING, v DOUBLE, b INT")
+        r = ks_drift(df, ["g"], "v", F.col("b") == 1).collect()[0]
+        return r["ks_stat"]
+
+    assert run([1, 2, 3, 4], [1, 2, 3, 4]) == 0.0
+    assert run([1, 2, 3], [10, 11]) == 1.0
+
+    rng = random.Random(5)
+    a = [rng.randrange(20) for _ in range(80)]
+    b = [rng.randrange(25) for _ in range(60)]
+    got = run(a, b)
+    vals = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in vals
+    )
+    assert abs(got - want) < 1e-12

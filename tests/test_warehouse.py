@@ -663,3 +663,32 @@ def test_pareto_frontier_matches_bruteforce(spark):
     want = sorted(p for p in pts if not dominated(p))
     assert got == want
     assert (900, 3.0, 12) in got or (900, 3.0, 12) not in want  # dup rule
+
+
+def test_dq_validate_rules(spark):
+    from big_data_engineering_project_spark.operators.governance import (
+        dq_validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "a"), (3, -1.0, "zz"), (3, 7.0, "b")],
+        "id LONG, v DOUBLE, t STRING",
+    )
+    rules = [
+        {"name": "v_nulls", "kind": "not_null_rate", "col": "v",
+         "max_null_rate": 0.2},
+        {"name": "id_unique", "kind": "unique", "col": "id"},
+        {"name": "v_min", "kind": "min_bound", "col": "v", "bound": 0.0},
+        {"name": "v_max", "kind": "max_bound", "col": "v", "bound": 10.0},
+        {"name": "t_domain", "kind": "accepted_values", "col": "t",
+         "vals": ["a", "b"]},
+    ]
+    got = {r["rule"]: r for r in dq_validate(df, rules).collect()}
+    assert got["v_nulls"]["passed"] is False           # 1/4 > 0.2
+    assert abs(got["v_nulls"]["observed"] - 0.25) < 1e-12
+    assert got["id_unique"]["passed"] is False          # id 3 dup
+    assert got["id_unique"]["observed"] == 1.0
+    assert got["v_min"]["passed"] is False and got["v_min"]["observed"] == -1.0
+    assert got["v_max"]["passed"] is True and got["v_max"]["observed"] == 7.0
+    assert got["t_domain"]["passed"] is False           # 'zz'
+    assert got["t_domain"]["observed"] == 1.0
