@@ -3141,3 +3141,56 @@ def q_doc_lm_cost_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_cost_units").desc(), F.col("doc").asc())
         .limit(20)
     )
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    """DuckDB exact integer dot (mirror of similarity._int_dot)."""
+    return (
+        f"list_reduce([CAST(0 AS BIGINT)] + "
+        f"list_transform(range(1, {_DIMS + 1}), i -> {a}[i] * {b}[i]), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+_QZ = (
+    "list_transform(e, x -> CAST(round(x / (list_reduce("
+    "list_transform(e, y -> abs(y)), (a, b) -> greatest(a, b)) / 127.0)) "
+    "AS BIGINT))"
+)
+
+
+@register(
+    "q_embedding_int8_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], y -> abs(y)),
+                    (a, b) -> greatest(a, b)) > 0
+),
+qz AS (SELECT vec_id, {_QZ} AS q FROM base),
+qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+d AS (SELECT vec_id, q FROM qz WHERE vec_id != 0)
+SELECT vec_id,
+  CAST({_int_dot_sql('q', 'qq')} AS DOUBLE)
+    / (sqrt(CAST({_int_dot_sql('q', 'q')} AS DOUBLE))
+       * sqrt(CAST({_int_dot_sql('qq', 'qq')} AS DOUBLE))) AS qcosine
+FROM d, qv
+ORDER BY qcosine DESC, vec_id ASC
+LIMIT 10
+""",
+    doc="Int8 scalar-quantized ANN top-k (FAISS SQ8-class storage "
+    "path): per-vector max|x|/127 scale, integer components, ranking "
+    "by INTEGER dot / integer norms — so unlike the float-fold "
+    "cosine, the quantized score is combine-order-free and the gate "
+    "hash-matches an ANN operator exactly; recall vs the exact "
+    "ranking is pinned by pytest "
+    "(operators/similarity.py:int8_quantize/int8_topk)",
+    headline=True,
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.int8_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10
+    )

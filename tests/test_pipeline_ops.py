@@ -831,3 +831,40 @@ def test_doc_lm_cost_hand_computed(spark):
     assert got[3]["n_bigrams"] == 3
     assert got[3]["avg_cost_units"] == (2 * cab + cba) // 3
     assert 4 not in got  # single-token doc has no bigrams
+
+
+def test_int8_topk_recall_and_quantization(spark, sf_dir):
+    """Int8-quantized ranking keeps >= 0.8 recall@10 vs the exact
+    cosine top-10 on the fixture; quantized components stay in
+    [-127, 127] with at least one hitting +/-127 (the scale anchor);
+    zero vectors are dropped."""
+    from big_data_engineering_project_spark.operators import similarity
+    from big_data_engineering_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(rest, query, k=10).collect()
+    }
+    quant = {
+        r["vec_id"]
+        for r in similarity.int8_topk(rest, query, k=10).collect()
+    }
+    assert len(quant) == 10
+    assert len(exact & quant) >= 8
+
+    qz = similarity.int8_quantize(rest).limit(50).collect()
+    for r in qz:
+        assert max(abs(c) for c in r["qvec"]) == 127  # anchor hits the rail
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    kept = similarity.int8_quantize(zero).collect()
+    assert [r["vec_id"] for r in kept] == [2]
