@@ -504,3 +504,96 @@ def test_seasonal_anomalies_broadcast_stats_no_window(plans):
     assert "Window (" not in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_scd2_temporal_join_single_user_exchange_no_range_join(plans):
+    """q_scd2_temporal_join: the fact-to-version match must be the
+    union+window as-of plan — NO join between facts and the version
+    interval table (a range join would multiply facts by versions),
+    and every window hash-partitions on the union's user key. The
+    only joins allowed are broadcast 1-row stamps (none here)."""
+    p = plans("q_scd2_temporal_join")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # as-of is union+window, not a join
+    assert "Window" in p
+
+
+def test_pareto_no_global_window_over_points(plans):
+    """q_pareto_parts: the prefix max must run inside range
+    partitions (two-phase); the only unpartitioned window is the
+    <= n_parts-row offsets table. The threshold join back to points
+    may be planned as broadcast."""
+    import re
+
+    p = plans("q_pareto_parts")
+    assert "rangepartitioning" in p
+    assert "CartesianProduct" not in p
+    # every windowspec over the grouped x-table is partitioned by __pid
+    specs = re.findall(r"max\(__gmax[^)]*\) windowspecdefinition\(([^,]+),", p)
+    assert specs, "no running-max window found"
+    assert any(s.startswith("__pid") for s in specs), specs
+
+
+def test_link_prediction_equi_wedges_anti_edges(plans):
+    """q_link_prediction: wedges come from an equi-join on the center
+    z (the u < v bound is a post-condition), existing edges leave via
+    LeftAnti, and nothing is a cartesian product."""
+    p = plans("q_link_prediction")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+
+
+def test_attribution_keyed_join_single_conv_window(plans):
+    """q_attribution_linear: the touch-conversion match is an
+    equi-join on the user with the lookback as a range post-condition
+    (sort-merge or shuffled-hash, never a nested loop), and the split
+    size is ONE window keyed by the conversion id."""
+    p = plans("q_attribution_linear")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 1
+
+
+def test_dq_validation_single_scan(plans):
+    """q_dq_validation: five rules must compile to ONE scan of events
+    — the explode-of-struct-array form, not a union of five
+    aggregation branches."""
+    p = plans("q_dq_validation")
+    # formatted mode prints each node once in the tree ("Scan parquet
+    # (1)") and once in the detail section — count tree nodes.
+    assert p.count("Scan parquet  (") == 1
+    assert "Union" not in p
+
+
+def test_erasure_audit_counters_only_union(plans):
+    """q_erasure_cascade_audit: each relation reduces to a 1-row
+    counter aggregate before the union — no fact columns survive past
+    the per-relation aggregation, and the tombstone joins stay
+    equi-joins (left outer/semi), never products."""
+    p = plans("q_erasure_cascade_audit")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
+
+
+def test_ks_and_weighted_median_collapse_before_window(plans):
+    """q_ks_value_drift / q_weighted_median_price: the cumulative
+    window must run over the DISTINCT-value collapsed table — an
+    aggregate appears BELOW the window in the plan, so per-key sorts
+    are value-cardinality-bounded."""
+    for name in ("q_ks_value_drift", "q_weighted_median_price"):
+        p = plans(name)
+        assert "Window" in p, name
+        agg_pos = p.find("HashAggregate")
+        assert agg_pos != -1, name
+
+
+def test_int8_topk_broadcast_query_takeordered(plans):
+    """q_embedding_int8_topk: same plan contract as the float brute
+    force — the 1-row quantized query broadcasts (the vector table
+    never shuffles) and the top-k is TakeOrderedAndProject, not a
+    global sort."""
+    p = plans("q_embedding_int8_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
