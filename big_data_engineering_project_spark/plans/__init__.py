@@ -64,6 +64,22 @@ from big_data_engineering_project_spark.plans import queries_warehouse  # noqa: 
 # hash-green in 1-2 committed gates + every FULL sweep):
 # q_sliding_dup_coverage, q_vocab_coverage, q_weighted_sample_ht,
 # q_histogram_quantile_merge, q_mad_outliers, q_session_window_native.
+# Round-8 continuation rotation (newborn-slot policy): the 13 queries
+# born this session take gate slots — doc-LM cost, SCD2 temporal join,
+# TWAP, DQ validation, linear attribution, int8 ANN, KS drift, link
+# prediction, Pareto frontier, weighted median, RFM, erasure cascade,
+# Gini. The 13 demotions are each hash-green in the committed r7 gate
+# (verified against CORRECTNESS_r07.json before demotion) AND in every
+# FULL sweep at both SFs: q_dedup_incremental_rs, q_snapshot_diff,
+# q_asof_forward_salted, q_key_skew_report, q_click_purchase_interval,
+# q_kmv_daily_merge, q_cusum_drift, q_label_propagation,
+# q_triangle_parts, q_bloom_semi_orders, q_pivot_segment_priority,
+# q_scd2_user_type_history, q_basket_pair_lift. Family coverage holds:
+# dedup keeps 3 slots (LSH/TF-cosine/sorted-neighborhood), CDC keeps
+# the temporal join + incremental diff + the streaming twins, anomaly
+# keeps seasonal/trend/Theil-Sen + KS, graph keeps k-core/SSSP + link
+# prediction + Pareto, sketches keep HDR + both HLL rows + approx
+# contrast.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family (sliding coverage's hot-gram fix is
     # round-7's one plan change — gate it the round it changed).
@@ -76,7 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # changed and stable since, demoted — the dedup family stays
     # gated via the incremental R-S member)
     # Incremental R-S near-dup (gate-green r7, kept)
-    "q_dedup_incremental_rs",
+    "q_doc_lm_cost_worst",
     # Round-8 late newborns (newborn-slot policy): the cosine-LSH
     # embedding near-dup (first LSH operator whose gate row is
     # hash-exact, not rows-only), the lexical TF-cosine member, and
@@ -112,7 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the family keeps exact-oracle rows in every FULL sweep at both
     # SFs, so no verified evidence is lost.
     # CDC: snapshot reconciliation (newborn, gated the round it's born)
-    "q_snapshot_diff",
+    "q_scd2_temporal_join",
     # LLM-pipeline: text analysis — q_vocab_coverage (gate-green r7)
     # demoted for the rows-only rotation below; compression ratio
     # (never gated, rows-only BY DESIGN) takes the family's slot so
@@ -132,18 +148,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_asof_salted, 2× gate-green, demoted for the newborn
     # q_key_skew_report — the forward-salted twin keeps the salted≡
     # unsalted proof under the gate)
-    "q_asof_forward_salted",
-    "q_key_skew_report",
+    "q_twap_daily",
+    "q_dq_validation",
     # (q_session_window_native, gate-green r7, demoted for the
     # round-8 newborn z-order pruned scan — storage-layout family's
     # first gated member)
     "q_zorder_pruned_scan",
-    "q_click_purchase_interval",
+    "q_attribution_linear",
     # Sketches: KMV algebra + daily merge, count-min, histogram merge
     # + the r7 HDR log-bucket relative-error twin
     # (q_kmv_set_ops, 2× gate-green, demoted for the newborn
     # q_top_journeys — the daily merge keeps the KMV algebra gated)
-    "q_kmv_daily_merge",
+    "q_embedding_int8_topk",
     # (q_top_journeys, gate-green r7 + headline-benched, demoted for
     # the round-8 newborn Merkle-bucket incremental diff)
     "q_incremental_snapshot_diff",
@@ -168,7 +184,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # restores a multimodal slot to the gate; robust stats stay gated
     # via CUSUM + the seasonal member below)
     "q_media_phash_groups",
-    "q_cusum_drift",
+    "q_ks_value_drift",
     # Round-8 late newborns: the anomaly family's seasonal member and
     # the sufficient-statistics OLS trend. Demoted for them:
     # q_user_set_ops (gate-green r7; semi/anti planning stays gated
@@ -182,23 +198,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoted — the iterative-fixed-point class stays gated via LPA
     # and the deep-LPA auto-checkpoint query in FULL sweeps)
     "q_cheapest_part_paths",
-    "q_label_propagation",
-    "q_triangle_parts",
+    "q_link_prediction",
+    "q_pareto_parts",
     # Join strategies: bloom-pruned semi (q_topk_lineitems_sharded,
     # gate-green r7, demoted for the newborn Theil-Sen robust trend —
     # the sharded-rank form stays plan-pinned in test_plans and
     # exact-oracle-green in every FULL sweep)
-    "q_bloom_semi_orders",
+    "q_weighted_median_price",
     "q_theil_sen_trend",
     # Profiling + set algebra + grouping-sets family
-    "q_pivot_segment_priority",
+    "q_rfm_segments",
     # Warehouse maintenance — the four remaining round-7 newborns
     # (SCD2 history, basket pairs, OHLC bars, FK-orphan audit) take
     # gate slots the round they are born; q_serving_try_cast (6×
     # gate-green, the most-verified query in the registry) is the
     # fifth demotion.
-    "q_scd2_user_type_history",
-    "q_basket_pair_lift",
+    "q_erasure_cascade_audit",
+    "q_gini_by_type",
     # Final two late-round newborns (newborn-slot policy): the BPE
     # merge trainer (rows-only, reference-equality invariant attached)
     # and the snapshot profile drift. Demoted: q_ohlc_daily_value and
