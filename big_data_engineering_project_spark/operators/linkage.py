@@ -31,6 +31,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Range-shuffled frames persisted INTERNALLY by global_row_number are
+# tracked here so long-lived sessions can reclaim executor memory —
+# the operator returns a lazy DataFrame, so it cannot unpersist its
+# own input (same lifecycle contract as operators/dedup.py's
+# _OWNED_PERSISTS).
+_OWNED_PERSISTS: list[DataFrame] = []
+
+
+def clear_linkage_caches() -> None:
+    """Unpersist every range-shuffled frame global_row_number pinned.
+    Safe to call anytime — subsequent queries recompute; results are
+    unaffected."""
+    while _OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
 
 
 def global_row_number(
@@ -42,7 +61,19 @@ def global_row_number(
     """Exact global ROW_NUMBER over a TOTAL order without a
     single-partition window. Two passes over the range-shuffled data
     (local rank + per-partition counts); the offsets table is
-    ≤ n_parts rows and broadcasts."""
+    ≤ n_parts rows and broadcasts.
+
+    The ranked frame is persisted (MEMORY_AND_DISK — spills, never
+    recomputes) because BOTH passes must observe ONE evaluation of the
+    range shuffle: repartitionByRange re-samples its boundaries on
+    every evaluation, and when the upstream frame is itself a shuffle
+    output its intra-partition row order varies with fetch order
+    (SPARK-23207 family), so two independent evaluations can bucket
+    rows differently — offsets from one bucketing added to local ranks
+    from another yields ranks > n (observed as NTILE emitting k+1
+    tiles on sf0.1). With a single materialization the result is the
+    exact global row number regardless of where the sampled boundaries
+    fell. Reclaim with clear_linkage_caches()."""
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).withColumn(
@@ -51,10 +82,13 @@ def global_row_number(
     local = parted.withColumn(
         "__lrn",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _OWNED_PERSISTS.append(local)
     # cumulative offsets: a window over ≤ n_parts rows — bounded by
-    # construction, the ONLY single-task step in the plan.
-    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # construction, the ONLY single-task step in the plan. Derived
+    # from the PERSISTED frame so the pid → count mapping is the one
+    # the local ranks were computed under.
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     offsets = counts.withColumn(
         "__off",
         F.coalesce(

@@ -2073,6 +2073,42 @@ def test_global_row_number_exact_and_partition_invariant(spark):
         assert got == want, n_parts
 
 
+def test_global_row_number_single_range_evaluation(spark):
+    """Regression for the r8 sf0.1 RFM failure: the local-rank pass
+    and the per-partition-count pass must read ONE materialization of
+    the range shuffle. repartitionByRange re-samples boundaries per
+    evaluation and a shuffled upstream's intra-partition order is
+    fetch-order-dependent, so two independent evaluations can bucket
+    rows differently — offsets from one bucketing added to local ranks
+    from another yields ranks > n (NTILE emitted tile k+1). Pins (a)
+    the persisted node in the plan, (b) rank bounds and tile bounds
+    over a shuffle-derived upstream across repeated runs."""
+    from big_data_engineering_project_spark.operators.linkage import (
+        clear_linkage_caches,
+        global_row_number,
+        ntile_scalable,
+    )
+
+    # shuffle-derived upstream (groupBy output), multiple partitions
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id")
+    )
+    up = base.groupBy("k").agg(F.sum("id").alias("v"))
+    ranked = global_row_number(up, ["v", "k"], n_parts=16)
+    assert "InMemoryRelation" in ranked._jdf.queryExecution().toString()
+    n = up.count()
+    for _ in range(3):
+        rns = [r["rn"] for r in ranked.select("rn").collect()]
+        assert sorted(rns) == list(range(1, n + 1))
+    tiles = ntile_scalable(up, [F.col("v").asc(), F.col("k").asc()], 5)
+    for _ in range(3):
+        agg = tiles.groupBy("tile").count().collect()
+        assert {r["tile"] for r in agg} == {1, 2, 3, 4, 5}
+        assert all(r["count"] in (n // 5, n // 5 + 1) for r in agg)
+        assert sum(r["count"] for r in agg) == n
+    clear_linkage_caches()
+
+
 def test_sorted_neighborhood_finds_planted_typo_pair(spark):
     """A typo'd near-copy sorts adjacent to its original and must
     surface within w; each qualifying pair appears exactly once."""
