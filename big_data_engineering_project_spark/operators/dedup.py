@@ -1135,3 +1135,58 @@ def tf_cosine_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Survivor selection — the TERMINAL step of a dedup pass: given
+    the corpus and its duplicate-cluster labels (`duplicate_clusters`
+    output: (doc, keeper) for every doc in ≥ 1 near-dup pair), pick
+    per cluster the single doc to KEEP by quality (max `score_col`,
+    ties to the SMALLEST id — a total order, so the choice is
+    partition-invariant) and emit a per-doc verdict:
+    (id, cluster, canonical_id, kept). Docs in no pair form singleton
+    clusters and keep themselves. The reference's pipeline stops at
+    flagging duplicates (NB:1889-1900 drops exact copies keeping the
+    first row); at corpus scale the keep decision must be
+    quality-aware, not order-aware — this is the generalized form.
+
+    Scale shape: one LEFT join of the corpus onto the cluster table
+    (cluster table ≪ corpus — only docs in pairs), then the canonical
+    pick is a partial-aggregable max_by per cluster (8-byte structs
+    through the shuffle, never text) joined back on the cluster key.
+    No per-cluster window, no global sort.
+    """
+    labeled = docs.select(
+        F.col(id_col).alias("_id"), F.col(score_col).alias("_score")
+    ).join(
+        clusters.select(
+            F.col("doc").alias("_id"), F.col("keeper").alias("_cl")
+        ),
+        "_id",
+        "left",
+    ).select(
+        "_id",
+        "_score",
+        F.coalesce(F.col("_cl"), F.col("_id")).alias("cluster"),
+    )
+    # max_by over a total order: (score ASC, -id ASC) — max picks the
+    # highest score, then the smallest id (the OHLC tiebreak rule).
+    best = labeled.groupBy("cluster").agg(
+        F.max_by(
+            "_id", F.struct(F.col("_score"), (-F.col("_id")).alias("_n"))
+        ).alias("canonical_id")
+    )
+    return (
+        labeled.join(best, "cluster")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "canonical_id",
+            (F.col("_id") == F.col("canonical_id")).alias("kept"),
+        )
+    )

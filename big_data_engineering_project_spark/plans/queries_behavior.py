@@ -1198,3 +1198,61 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], "value",
         F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_pmi_type_hour",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, hour(ts) AS hr, CAST(COUNT(*) AS BIGINT) AS njoint
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, SUM(njoint) AS nx FROM cells GROUP BY 1),
+my AS (SELECT hr, SUM(njoint) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT SUM(njoint) AS n FROM cells)
+SELECT c.event_type, c.hr, c.njoint,
+       CAST(c.njoint * t.n AS DOUBLE) / CAST(x.nx * y.ny AS DOUBLE)
+         AS lift
+FROM cells c
+JOIN mx x USING (event_type)
+JOIN my y USING (hr)
+CROSS JOIN tot t
+ORDER BY c.event_type, c.hr
+""",
+    doc="Type × hour-of-day association lift — 'which activity is "
+    "over-represented WHEN' (lift > 1: the cell is denser than "
+    "independence predicts; PMI = ln(lift) is rank-equivalent, and "
+    "the ln is deliberately NOT materialized — JVM vs libm ln "
+    "diverges at the ULP, the collocations rule "
+    "text_analysis.py:518). ONE input pass: the (type, hour) cell "
+    "table is the only scan, margins and the grand total re-aggregate "
+    "FROM the cells (type-count × 24 rows, broadcast back), integer "
+    "counts throughout — the only double is ONE correctly-rounded "
+    "IEEE division of exact integer products, bit-stable across "
+    "engines",
+    headline=False,
+    tags=("behavior", "analytics"),
+)
+def q_pmi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("njoint"))
+    mx = cells.groupBy("event_type").agg(F.sum("njoint").alias("nx"))
+    my = cells.groupBy("hr").agg(F.sum("njoint").alias("ny"))
+    tot = cells.agg(F.sum("njoint").alias("n"))
+    return (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "njoint",
+            (
+                (F.col("njoint") * F.col("n")).cast("double")
+                / (F.col("nx") * F.col("ny")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -2265,7 +2265,9 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- duplicate clusters (pairs → connected components) -------------------------
 
 
-def _clusters_oracle() -> str:
+def _cc_ctes() -> str:
+    """Shared oracle prefix: n-gram-Jaccard pair graph → exact
+    connected components via recursive-CTE reachability (`walk`)."""
     return f"""
 WITH RECURSIVE {_TOKS_CTE},
 {_HT_CTE},
@@ -2298,9 +2300,38 @@ walk AS (
   SELECT doc, doc AS label FROM nodes
   UNION
   SELECT e.dst AS doc, w.label FROM walk w JOIN edges e ON e.src = w.doc
+)"""
+
+
+def _clusters_oracle() -> str:
+    return (
+        _cc_ctes()
+        + "\nSELECT doc, MIN(label) AS keeper FROM walk GROUP BY doc ORDER BY doc"
+    )
+
+
+def _keep_best_oracle() -> str:
+    return (
+        _cc_ctes()
+        + """,
+comp AS (SELECT doc, MIN(label) AS cl FROM walk GROUP BY doc),
+full_docs AS (
+  SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+),
+best AS (
+  SELECT cluster, doc_id AS canonical_id FROM (
+    SELECT cluster, doc_id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM full_docs) WHERE rn = 1
 )
-SELECT doc, MIN(label) AS keeper FROM walk GROUP BY doc ORDER BY doc
+SELECT f.doc_id, f.cluster, b.canonical_id,
+       f.doc_id = b.canonical_id AS kept
+FROM full_docs f JOIN best b USING (cluster)
+ORDER BY f.doc_id
 """
+    )
 
 
 @register(
@@ -2326,6 +2357,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     )
     return dedup.duplicate_clusters(pairs).orderBy("doc")
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="Survivor selection — the keep LIST a dedup pass actually "
+    "ships: near-dup clusters (connected components of the Jaccard "
+    "pair graph) resolved to one quality-chosen canonical per cluster "
+    "(max n_chars, ties to the smallest id — a total order, so the "
+    "pick is partition-invariant), every corpus doc verdicted "
+    "keep/drop. Generalizes the reference's order-based "
+    "drop_duplicates keep='first' (NB:1889-1900) to quality-aware "
+    "retention; the canonical pick is a partial-aggregable max_by per "
+    "cluster — no per-cluster window, text never enters the shuffle "
+    "(operators/dedup.py:keep_best)",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.keep_best(docs, clusters, "doc_id", "n_chars").orderBy(
+        "doc_id"
+    )
 
 
 # --- Count-min sketch: heavy-hitter frequency estimates ------------------------
@@ -3193,4 +3257,83 @@ def q_embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select("embedding")
     return similarity.int8_topk(
         emb.filter(F.col("vec_id") != 0), query, k=10
+    )
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+WITH {_TOKS_CTE},
+first_seen AS (
+  SELECT term, MIN(doc) AS fs
+  FROM (SELECT doc, unnest(t) AS term FROM toks)
+  GROUP BY 1
+),
+nd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+bucketed AS (
+  SELECT LEAST(CAST((fs * 10) / n AS BIGINT) + 1, 10) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM first_seen CROSS JOIN nd
+  GROUP BY 1
+),
+deciles AS (SELECT unnest(range(1, 11)) AS decile)
+SELECT d.decile,
+       COALESCE(b.new_words, 0) AS new_words,
+       CAST(SUM(COALESCE(b.new_words, 0)) OVER (
+         ORDER BY d.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM deciles d LEFT JOIN bucketed b USING (decile)
+ORDER BY d.decile
+""",
+    doc="Vocabulary growth curve (Heaps'-law diagnostic): distinct "
+    "words first seen in each tenth of the corpus (by doc id) and the "
+    "cumulative vocabulary — 'is the vocabulary saturating, or does "
+    "every new shard keep paying tokenizer-vocab cost?'. All integer: "
+    "per-word MIN(doc_id) is one map-side-combinable agg over the "
+    "exploded tokens (8-byte rows through the shuffle), the decile "
+    "bucketing is integer arithmetic against a broadcast 1-row count, "
+    "and the cumulative runs over exactly 10 rows — no log-log fit, "
+    "no doubles anywhere",
+    tags=("pipeline", "text"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(dedup.tokens_col(F.col("text"))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("doc").alias("fs"))
+    )
+    nd = docs.agg((F.max("doc_id") + 1).alias("n"))
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.least(
+                ((F.col("fs") * 10) / F.col("n")).cast("long") + 1,
+                F.lit(10).cast("long"),
+            ).alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    deciles = docs.sparkSession.range(1, 11).select(
+        F.col("id").alias("decile")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deciles.join(F.broadcast(bucketed), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce(F.col("new_words"), F.lit(0).cast("long")).alias(
+                "new_words"
+            ),
+        )
+        .withColumn("vocab_size", F.sum("new_words").over(w).cast("long"))
+        .orderBy("decile")
     )
