@@ -277,6 +277,77 @@ def run_cm_sketch_stream(
     query.awaitTermination()
 
 
+def run_kmv_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_cols: list[str],
+    hash_expr: str,
+    k: int = 64,
+    n_shards: int = 32,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain per-key KMV distinct-count sketches over a
+    micro-batched stream by per-batch sketch MERGE: KMV composes by
+    k-smallest-of-union (operators/sketches.py module doc), so
+    sketch(union of batches) = merge of per-batch sketches — the
+    streaming maintenance is the SAME kmv_merge_expr the batch
+    day→month rollup uses, and stream ≡ batch is EXACT array
+    equality, not estimate tolerance. Stored state is one ≤ k-long
+    array per key regardless of stream volume — the third
+    constant-state sketch twin beside CM counters and OHLC partials.
+    Reference anchor: the bounded-memory engine-side form of the
+    reference's driver-held distinct tracking
+    (S/kinesis_processing_2.py:42-43). Checked per round
+    (tools/streaming_check.py `kmv_sketch_merge`)."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_merge_expr,
+        kmv_sketch_agg,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_s = kmv_sketch_agg(
+            batch_df.selectExpr(*key_cols, f"{hash_expr} AS __h"),
+            key_cols,
+            "__h",
+            k=k,
+            n_shards=n_shards,
+        )
+        try:
+            existing = spark_b.read.parquet(sketch_path)
+            merged = (
+                existing.unionByName(batch_s)
+                .groupBy(*key_cols)
+                .agg(
+                    kmv_merge_expr(
+                        F.collect_list("kmv_sketch"), k
+                    ).alias("kmv_sketch")
+                )
+            )
+        except Exception:  # first batch
+            merged = batch_s
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(sketch_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def ohlc_partial(
     df: DataFrame,
     key: str,

@@ -3,7 +3,7 @@
 The batch side leaves CORRECTNESS_FULL_r0N artifacts every round; the
 speed layer's guarantees lived only in pytest, so a state-semantics
 regression would fail a test but leave no round-over-round evidence
-trail. This tool runs the nine stream≡batch equivalences end-to-end
+trail. This tool runs every stream≡batch equivalence end-to-end
 against deterministic fixtures and writes STREAMING_r0N.json with
 per-check row counts and value-hash equality — the same evidence shape
 the oracle sweeps give the batch layer. Reference anchor: the speed
@@ -40,6 +40,10 @@ micro-batches, checkpoints, state stores — then the batch twin):
   cm_sketch_merge       run_cm_sketch_stream (per-batch linear-sketch
                         counter addition, constant d·w state) ≡ batch
                         cm_counters over the union, EXACT integers
+  kmv_sketch_merge      run_kmv_stream (per-batch KMV sketch merge,
+                        one ≤ k-array per key) ≡ batch kmv_sketch_agg
+                        over the union, EXACT sketch arrays incl. the
+                        < k exact-enumeration path
   seasonal_anomalies    seasonal_apply with FROZEN training stats
                         (stream-static broadcast join, stateless map)
                         ≡ the same applier over the batch union;
@@ -912,6 +916,83 @@ def check_interval_join_outer(spark, root: str) -> dict:
     return res
 
 
+def check_kmv_stream(spark, root: str) -> dict:
+    """run_kmv_stream (per-batch KMV sketch MERGE, one ≤ k-long array
+    per key) ≡ kmv_sketch_agg over the union of all records — EXACT
+    sketch-array equality (KMV merge is exact algebra, so no estimate
+    tolerance is needed). The fixture replays user ids ACROSS
+    micro-batches so the k-smallest-of-union dedup — not per-batch
+    counting — is what the equality exercises, and one key stays
+    under k distinct so the short-sketch (exact enumeration) path is
+    covered too."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        kmv_sketch_agg,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_kmv_stream,
+    )
+
+    rng = random.Random(73)
+    recs = []
+    for i in range(600):
+        if i % 5 == 0:
+            etype, uid = "rare", rng.randint(0, 11)  # < k distinct
+        else:
+            etype, uid = rng.choice(["click", "view"]), rng.randint(0, 4000)
+        recs.append({"etype": etype, "uid": uid, "i": i})
+    in_dir = os.path.join(root, "kmv_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=75)  # 8 micro-batches
+
+    # same uniform-mix shape as the batch queries' _kmv_mix
+    hash_expr = "(uid * 2654435761) % 2147483647"
+    k = 16
+    sketch_path = os.path.join(root, "kmv_sketch")
+    run_kmv_stream(
+        spark,
+        in_dir,
+        sketch_path,
+        os.path.join(root, "kmv_cp"),
+        schema="etype STRING, uid LONG, i LONG",
+        key_cols=["etype"],
+        hash_expr=hash_expr,
+        k=k,
+        n_shards=8,
+    )
+    got = [
+        (r["etype"], tuple(r["kmv_sketch"]))
+        for r in spark.read.parquet(sketch_path).collect()
+    ]
+    bb = spark.read.schema("etype STRING, uid LONG, i LONG").json(in_dir)
+    want = [
+        (r["etype"], tuple(r["kmv_sketch"]))
+        for r in kmv_sketch_agg(
+            bb.selectExpr("etype", f"{hash_expr} AS __h"),
+            ["etype"],
+            "__h",
+            k=k,
+            n_shards=8,
+        ).collect()
+    ]
+    short_ok = any(
+        key == "rare" and 0 < len(sk) < k for key, sk in want
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        # the exact-enumeration (< k distinct) path must be exercised
+        "short_sketch_covered": short_ok,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["short_sketch_covered"]
+    )
+    return res
+
+
 def check_seasonal_stream(spark, root: str) -> dict:
     """seasonal_apply over a file stream ≡ the same function over the
     batch union, with FROZEN training stats (the production shape: the
@@ -1035,6 +1116,7 @@ def main() -> None:
         results["cusum_drift"] = check_cusum_stream(spark, root)
         results["scd2_maintenance"] = check_scd2_stream(spark, root)
         results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
+        results["kmv_sketch_merge"] = check_kmv_stream(spark, root)
         results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
         results["interval_join_outer"] = check_interval_join_outer(spark, root)
         results["ohlc_bars"] = check_ohlc_stream(spark, root)
