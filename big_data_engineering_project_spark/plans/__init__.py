@@ -223,19 +223,29 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stay exact-oracle-green in every FULL sweep).
     "q_bpe_merges",
     "q_profile_drift",
-    # TPC-H analog suite — all 14 never-gated members (q_nation_revenue
-    # (Q5 shape) demoted, 6× green; q_shipping_priority etc. green 2+)
+    # Session continuation rotation (newborn-slot policy): the three
+    # queries born this session — keep-best survivor selection (the
+    # dedup keep list, gated the round the operator is born),
+    # type×hour association lift (ONE-pass margins-from-cells), and
+    # the integer-exact vocabulary growth curve. Demoted for them:
+    # q_custdist, q_promo_revenue, q_small_qty_revenue — each
+    # gate-green in the COMMITTED r7 artifact (the TPC-H suite was
+    # gated in full last round) and exact-oracle-green in every FULL
+    # sweep; the suite keeps 11 gated members covering every join/agg
+    # shape the three demotions exercise.
+    "q_dedup_keep_best",
+    "q_pmi_type_hour",
+    "q_vocab_growth",
+    # TPC-H analog suite — gated in full in the committed r7 artifact
+    # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
     "q_volume_shipping",
     "q_market_share",
     "q_product_profit",
     "q_important_parts",
     "q_late_shipment_priority",
-    "q_custdist",
-    "q_promo_revenue",
     "q_top_supplier",
     "q_part_supplier_variety",
-    "q_small_qty_revenue",
     "q_disjunctive_revenue",
     "q_excess_shippers",
     "q_wealthy_inactive",
