@@ -1234,24 +1234,32 @@ ORDER BY c.event_type, c.hr
     tags=("behavior", "analytics"),
 )
 def q_pmi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan: margins and the grand total are window sums over the
+    # CELLS frame, which is group-cardinality-bounded (n_types × 24
+    # rows) — the same bounded-frame license as the two-phase rank
+    # offset tables. Re-aggregating margins from cells as separate
+    # frames plans 4 independent input scans (measured: neither
+    # ReuseExchange nor a grouping-sets formulation dedupes them —
+    # the optimizer prunes each Expand differently).
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     cells = ev.groupBy(
         "event_type", F.hour("ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("njoint"))
-    mx = cells.groupBy("event_type").agg(F.sum("njoint").alias("nx"))
-    my = cells.groupBy("hr").agg(F.sum("njoint").alias("ny"))
-    tot = cells.agg(F.sum("njoint").alias("n"))
+    nx = F.sum("njoint").over(Window.partitionBy("event_type"))
+    ny = F.sum("njoint").over(Window.partitionBy("hr"))
+    n = F.sum("njoint").over(
+        Window.partitionBy(F.lit(1))
+    )
     return (
-        cells.join(F.broadcast(mx), "event_type")
-        .join(F.broadcast(my), "hr")
-        .crossJoin(F.broadcast(tot))
-        .select(
+        cells.select(
             "event_type",
             "hr",
             "njoint",
             (
-                (F.col("njoint") * F.col("n")).cast("double")
-                / (F.col("nx") * F.col("ny")).cast("double")
+                (F.col("njoint") * n).cast("double")
+                / (nx * ny).cast("double")
             ).alias("lift"),
         )
         .orderBy("event_type", "hr")

@@ -2578,3 +2578,40 @@ def test_ntile_scalable_equals_sql_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_keep_best_quality_pick_singletons_and_ties(spark):
+    """Survivor selection: the canonical is the max-score doc per
+    cluster with ties to the SMALLEST id; docs outside any cluster
+    keep themselves; exactly one kept doc per cluster."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),  # cluster A (label 1): 2 wins on score
+            (2, 50),
+            (3, 50),  # would tie 2 on score — larger id loses
+            (7, 99),  # singleton: keeps itself
+            (8, 1),   # cluster B (label 8): tie on score → min id 8
+            (9, 1),
+        ],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)], "doc long, keeper long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster"], r["canonical_id"], r["kept"])
+        for r in keep_best(docs, clusters, "doc_id", "score").collect()
+    }
+    assert out[2] == (1, 2, True) and out[1] == (1, 2, False)
+    assert out[3] == (1, 2, False)          # score tie → smaller id won
+    assert out[7] == (7, 7, True)           # singleton keeps itself
+    assert out[8] == (8, 8, True) and out[9] == (8, 8, False)
+    kept_per_cluster = {}
+    for doc, (cl, canon, kept) in out.items():
+        kept_per_cluster.setdefault(cl, 0)
+        kept_per_cluster[cl] += int(kept)
+    assert all(v == 1 for v in kept_per_cluster.values())

@@ -597,3 +597,32 @@ def test_int8_topk_broadcast_query_takeordered(plans):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_pmi_lift_single_scan_bounded_windows(plans):
+    """q_pmi_type_hour: margins and the grand total must be window
+    sums over the aggregated CELLS frame (group-cardinality-bounded),
+    not re-aggregations of separate frames — the latter plans four
+    independent input scans (measured; neither ReuseExchange nor a
+    grouping-sets form dedupes them, the optimizer prunes each Expand
+    differently). Exactly ONE parquet scan of events."""
+    import re
+
+    p = plans("q_pmi_type_hour")
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count distinct scan NODES, not substring hits
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", p)
+    assert len(scan_nodes) == 1, scan_nodes
+    assert "HashAggregate" in p
+
+
+def test_keep_best_no_per_cluster_window(plans):
+    """q_dedup_keep_best: the canonical pick must be a
+    partial-aggregable max_by per cluster joined back on the cluster
+    key — no window over the corpus-sized labeled frame, and the text
+    column must never enter the plan (clusters carry ids only)."""
+    p = plans("q_dedup_keep_best")
+    assert "max_by" in p
+    # no window over the labeled corpus frame (windows exist only
+    # inside the upstream CC machinery, which is id-only):
+    assert "windowspecdefinition(cluster" not in p
