@@ -236,6 +236,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_pmi_type_hour",
     "q_vocab_growth",
+    # ...and the incremental aggregate maintenance newborn (merged
+    # sufficient-statistic states ≡ full recompute under the gate);
+    # demoted for it: q_excess_shippers (gate-green in the committed
+    # r7 artifact, exact-oracle-green in every FULL sweep).
+    "q_agg_maintenance",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
@@ -247,7 +252,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top_supplier",
     "q_part_supplier_variety",
     "q_disjunctive_revenue",
-    "q_excess_shippers",
     "q_wealthy_inactive",
 )
 

@@ -1545,3 +1545,63 @@ def q_dq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
          "vals": ["click", "view", "purchase", "signup", "error"]},
     ]
     return dq_validate(ev, rules).orderBy("rule")
+
+
+@register(
+    "q_agg_maintenance",
+    oracle="""
+WITH facts AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+state AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS s1,
+         SUM(CAST(cents AS HUGEINT) * cents) AS s2,
+         MIN(cents) AS mn, MAX(cents) AS mx
+  FROM facts GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(s1 AS BIGINT) AS total,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CASE WHEN n > 1 THEN
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE)
+       END AS var_samp,
+       mn, mx
+FROM state ORDER BY event_type
+""",
+    doc="Incremental aggregate maintenance (materialized-view upkeep): "
+    "per-type count/total/mean/sample-variance/min/max served from "
+    "MERGED sufficient-statistic states — the month is split at day "
+    "20, each half reduced to per-key (n, Σ, Σ², min, max) state, the "
+    "two states folded with agg_merge, and the result proven "
+    "hash-equal to the oracle's full recompute. The fold is a "
+    "commutative monoid, so any load partitioning yields the bit-same "
+    "state; linear stats retract under a ±1 changelog (pytest), "
+    "min/max refuse retraction loudly. Exact DECIMAL(38,0)/HUGEINT "
+    "integer-cents moments; mean and variance each spend exactly one "
+    "mirrored IEEE division (operators/ivm.py)",
+    headline=False,
+    tags=("warehouse", "cdc"),
+)
+def q_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.ivm import (
+        agg_finish,
+        agg_merge,
+        agg_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    split = F.col("ts") < F.lit("2024-01-21").cast("timestamp")
+    state = agg_state(ev.filter(split), ["event_type"], "cents")
+    delta = agg_state(ev.filter(~split), ["event_type"], "cents")
+    return agg_finish(agg_merge(state, delta, ["event_type"]), ["event_type"]).orderBy(
+        "event_type"
+    )

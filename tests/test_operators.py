@@ -2615,3 +2615,50 @@ def test_keep_best_quality_pick_singletons_and_ties(spark):
         kept_per_cluster.setdefault(cl, 0)
         kept_per_cluster[cl] += int(kept)
     assert all(v == 1 for v in kept_per_cluster.values())
+
+
+def test_agg_maintenance_retraction_and_fold_invariance(spark):
+    """IVM algebra: (a) folding any partition of the input yields the
+    identical state; (b) a −1-signed changelog retracts the linear
+    stats exactly (state(all) ⊕ state(−deleted) ≡ state(remaining));
+    (c) min/max refuse a sign column loudly."""
+    import pytest as _pytest
+
+    from big_data_engineering_project_spark.operators.ivm import (
+        agg_finish,
+        agg_merge,
+        agg_state,
+    )
+
+    rows = [(f"k{i % 3}", (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def finish_rows(state):
+        return sorted(
+            tuple(r) for r in agg_finish(state, ["k"]).collect()
+        )
+
+    whole = agg_state(df, ["k"], "v")
+    split = agg_merge(
+        agg_state(df.filter("v < 50"), ["k"], "v"),
+        agg_state(df.filter("v >= 50"), ["k"], "v"),
+        ["k"],
+    )
+    assert finish_rows(whole) == finish_rows(split)
+
+    # retraction: delete every v >= 50 via a −1 changelog
+    keep = df.filter("v < 50")
+    pos = df.withColumn("sgn", F.lit(1))
+    neg = df.filter("v >= 50").withColumn("sgn", F.lit(-1))
+    retracted = agg_merge(
+        agg_state(pos, ["k"], "v", sign_col="sgn", track_minmax=False),
+        agg_state(neg, ["k"], "v", sign_col="sgn", track_minmax=False),
+        ["k"],
+    )
+    want = agg_state(keep, ["k"], "v", track_minmax=False)
+    got = sorted(tuple(r) for r in agg_finish(retracted, ["k"]).collect())
+    exp = sorted(tuple(r) for r in agg_finish(want, ["k"]).collect())
+    assert got == exp
+
+    with _pytest.raises(ValueError):
+        agg_state(pos, ["k"], "v", sign_col="sgn")
