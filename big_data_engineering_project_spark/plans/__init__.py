@@ -241,6 +241,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoted for it: q_excess_shippers (gate-green in the committed
     # r7 artifact, exact-oracle-green in every FULL sweep).
     "q_agg_maintenance",
+    # ...and the exact-sufficient-statistics Pearson correlation
+    # (the reproducible replacement for F.corr's order-dependent
+    # streaming moments); demoted: q_wealthy_inactive (gate-green r7).
+    "q_value_hour_corr",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
@@ -252,7 +256,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top_supplier",
     "q_part_supplier_variety",
     "q_disjunctive_revenue",
-    "q_wealthy_inactive",
 )
 
 

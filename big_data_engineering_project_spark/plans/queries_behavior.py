@@ -1264,3 +1264,79 @@ def q_pmi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+@register(
+    "q_value_hour_corr",
+    oracle="""
+WITH f AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM f GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM s ORDER BY event_type
+""",
+    doc="Pearson correlation (value cents × hour-of-day) per "
+    "event_type from EXACT integer sufficient statistics: n, Σx, Σy, "
+    "Σxy, Σx², Σy² accumulate in DECIMAL(38,0)/HUGEINT (one "
+    "partial-aggregable pass, map-side combined — never a "
+    "corr()-style streaming-moment kernel whose float accumulation "
+    "order is engine- and partitioning-dependent); the double appears "
+    "only in the closed form's final ops — two correctly-rounded "
+    "sqrts and one division, mirrored operand-for-operand. The "
+    "engine's own F.corr is the non-reproducible path this "
+    "formulation replaces",
+    headline=False,
+    tags=("behavior", "analytics"),
+)
+def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("pearson_r"),
+    ).orderBy("event_type")
