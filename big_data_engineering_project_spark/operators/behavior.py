@@ -524,6 +524,122 @@ def linear_attribution(
     )
 
 
+def time_decay_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    touch_ts: str,
+    touch_id: str,
+    channel_col: str,
+    conv_ts: str,
+    conv_id: str,
+    value_col: str,
+    lookback_s: int,
+    half_life_s: int,
+    value_scale: int = 100,
+    credit_scale: int = 1_000_000,
+    max_ratio_log2: int = 20,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: within the lookback window
+    each touch's share of the conversion value halves per
+    `half_life_s` of age — the recency-weighted sibling of
+    `linear_attribution` (same join shape, same '(direct)' fallback).
+
+    Exactness: the decay is NEVER a float pow. A touch's age is
+    bucketed to whole half-lives (integer seconds div), and its weight
+    is the INTEGER 1 << (b_max − b) where b_max is the conversion's
+    oldest bucket — so the newest touch weighs 2^Δ and the oldest
+    weighs 1, the exact 2^(−age/h) ladder scaled to integers. The
+    exponent is capped at `max_ratio_log2` (weight ratios beyond 2^20
+    contribute < 1 micro-unit of credit — a documented clamp, not a
+    silent overflow). Credit = (cents · credit_scale · w) div Σw,
+    an exact integral division of DECIMAL(38,0) operands, mirrored by
+    the oracle in HUGEINT — credits, sums, and ranking are
+    bit-identical cross-engine.
+
+    Plan: identical to linear_attribution — user-keyed equi-join with
+    the time range as post-condition, one conversion-keyed window
+    (here max-bucket + weight sum), partial-aggregable channel rollup;
+    lookback × per-user touch rate bounds the fan-out.
+    """
+    t = touches.select(
+        F.col(user_col).alias("__tu"),
+        F.col(touch_ts).alias("__tts"),
+        F.col(touch_id).alias("__tid"),
+        F.col(channel_col).alias("__ch"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("__cu"),
+        F.col(conv_ts).alias("__cts"),
+        F.col(conv_id).alias("__cid"),
+        F.round(F.col(value_col) * value_scale, 0)
+        .cast("long")
+        .alias("__cents"),
+    )
+    j = c.join(
+        t,
+        (F.col("__cu") == F.col("__tu"))
+        & (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_s)} SECOND")
+        ),
+        "left",
+    ).withColumn(
+        "__b",
+        F.expr(
+            "(CAST(__cts AS LONG) - CAST(__tts AS LONG)) "
+            f"div {int(half_life_s)}"
+        ),
+    )
+    w = Window.partitionBy("__cid")
+    jj = (
+        j.withColumn("__n", F.count("__tid").over(w))
+        .withColumn(
+            "__d",
+            F.least(
+                (F.max("__b").over(w) - F.col("__b")).cast("int"),
+                F.lit(int(max_ratio_log2)),
+            ),
+        )
+        .withColumn("__w", F.expr("shiftleft(CAST(1 AS BIGINT), __d)"))
+        .withColumn("__sw", F.sum("__w").over(w))
+        .withColumn(
+            "__credit",
+            F.when(
+                F.col("__n") == 0,
+                (F.col("__cents") * int(credit_scale)).cast("decimal(38,0)"),
+            ).otherwise(
+                F.expr(
+                    "CAST(CAST(__cents AS DECIMAL(38,0)) "
+                    f"* {int(credit_scale)} * __w "
+                    "div CAST(__sw AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+                )
+            ),
+        )
+    )
+    divisor = float(credit_scale * value_scale)
+    return (
+        jj.groupBy(
+            F.coalesce(F.col("__ch"), F.lit("(direct)")).alias("channel")
+        )
+        .agg(
+            F.sum("__credit").alias("__units"),
+            F.count("__tid").alias("n_touches"),
+            F.countDistinct("__cid").alias("n_conversions"),
+        )
+        .select(
+            "channel",
+            F.col("__units").cast("long").alias("attributed_units"),
+            (F.col("__units").cast("double") / divisor).alias(
+                "attributed_value"
+            ),
+            "n_touches",
+            "n_conversions",
+        )
+    )
+
+
 def weighted_median(
     df: DataFrame,
     key_cols: list[str],

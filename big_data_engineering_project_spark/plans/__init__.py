@@ -245,6 +245,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (the reproducible replacement for F.corr's order-dependent
     # streaming moments); demoted: q_wealthy_inactive (gate-green r7).
     "q_value_hour_corr",
+    # ...and the time-decay attribution newborn (integer 2^Δ weight
+    # ladder, no float pow); demoted: q_late_shipment_priority
+    # (gate-green r7, exact-oracle-green in every FULL sweep).
+    "q_attribution_time_decay",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
@@ -252,7 +256,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_market_share",
     "q_product_profit",
     "q_important_parts",
-    "q_late_shipment_priority",
     "q_top_supplier",
     "q_part_supplier_variety",
     "q_disjunctive_revenue",

@@ -1340,3 +1340,83 @@ def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_attribution_time_decay",
+    oracle="""
+WITH t AS (
+  SELECT event_id AS touch_id, user_id, ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT event_id AS conv_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.conv_id, c.cents, t.touch_id, t.channel,
+         (epoch(c.ts)::BIGINT - epoch(t.ts)::BIGINT) // 3600 AS b
+  FROM c LEFT JOIN t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.ts
+   AND t.ts >= c.ts - INTERVAL 6 HOUR
+),
+n AS (
+  SELECT *, COUNT(touch_id) OVER (PARTITION BY conv_id) AS n_touch,
+         (CAST(1 AS BIGINT) << LEAST(
+            CAST(MAX(b) OVER (PARTITION BY conv_id) - b AS INTEGER),
+            20)) AS w
+  FROM j
+),
+s AS (
+  SELECT *, SUM(w) OVER (PARTITION BY conv_id) AS sw FROM n
+),
+cr AS (
+  SELECT COALESCE(channel, '(direct)') AS channel, touch_id, conv_id,
+         CASE WHEN n_touch = 0 THEN CAST(cents AS HUGEINT) * 1000000
+              ELSE (CAST(cents AS HUGEINT) * 1000000 * w) // sw
+         END AS credit
+  FROM s
+)
+SELECT channel,
+       CAST(SUM(credit) AS BIGINT) AS attributed_units,
+       CAST(SUM(credit) AS DOUBLE) / 100000000.0 AS attributed_value,
+       CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+FROM cr GROUP BY 1 ORDER BY channel
+""",
+    doc="Time-decay multi-touch attribution (1 h half-life, 6 h "
+    "lookback): a touch's share of the purchase halves per hour of "
+    "age — the recency-weighted sibling of q_attribution_linear. The "
+    "decay is NEVER a float pow: ages bucket to whole half-lives "
+    "(integer div), weights are the INTEGER ladder 1 << (b_max − b) "
+    "capped at 2^20, credits are exact integral divisions in "
+    "DECIMAL(38,0)/HUGEINT — bit-identical cross-engine. Same "
+    "user-keyed join with the lookback as post-condition, one "
+    "conversion-keyed window, partial-aggregable channel rollup "
+    "(operators/behavior.py:time_decay_attribution)",
+    headline=False,
+    tags=("behavior", "temporal", "join"),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.behavior import (
+        time_decay_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    convs = ev.filter(F.col("event_type") == "purchase")
+    return time_decay_attribution(
+        touches,
+        convs,
+        user_col="user_id",
+        touch_ts="ts",
+        touch_id="event_id",
+        channel_col="event_type",
+        conv_ts="ts",
+        conv_id="event_id",
+        value_col="value",
+        lookback_s=6 * 3600,
+        half_life_s=3600,
+    ).orderBy("channel")

@@ -2662,3 +2662,48 @@ def test_agg_maintenance_retraction_and_fold_invariance(spark):
 
     with _pytest.raises(ValueError):
         agg_state(pos, ["k"], "v", sign_col="sgn")
+
+
+def test_time_decay_attribution_integer_ladder(spark):
+    """The decay weights must be the exact integer 2^Δ ladder (newest
+    touch per half-life step doubles), credits exact floor divisions
+    conserving the value up to < n_touches micro-units, and a
+    touchless conversion credits '(direct)' in full."""
+    import datetime as dt
+
+    from big_data_engineering_project_spark.operators.behavior import (
+        time_decay_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(hours_before):
+        return t0 - dt.timedelta(hours=hours_before)
+
+    touches = spark.createDataFrame(
+        [
+            (1, ts(0.5), 101, "a"),   # b=0 → w=8
+            (1, ts(1.5), 102, "b"),   # b=1 → w=4
+            (1, ts(3.5), 103, "c"),   # b=3 → w=1
+        ],
+        "user_id long, ts timestamp, event_id long, channel string",
+    )
+    convs = spark.createDataFrame(
+        [(1, t0, 900, 1.00), (2, t0, 901, 2.00)],  # user 2: touchless
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {
+        r["channel"]: r["attributed_units"]
+        for r in time_decay_attribution(
+            touches, convs, "user_id", "ts", "event_id", "channel",
+            "ts", "event_id", "value",
+            lookback_s=6 * 3600, half_life_s=3600,
+        ).collect()
+    }
+    # 100 cents · 1e6 · w / 13 floored, w ∈ {8, 4, 1}
+    assert out["a"] == (100_000_000 * 8) // 13
+    assert out["b"] == (100_000_000 * 4) // 13
+    assert out["c"] == (100_000_000 * 1) // 13
+    assert out["(direct)"] == 200_000_000
+    spent = out["a"] + out["b"] + out["c"]
+    assert 100_000_000 - 3 < spent <= 100_000_000
