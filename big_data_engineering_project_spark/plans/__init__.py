@@ -249,13 +249,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ladder, no float pow); demoted: q_late_shipment_priority
     # (gate-green r7, exact-oracle-green in every FULL sweep).
     "q_attribution_time_decay",
+    # ...and the UNPIVOT/melt newborn (the pivot family's inverse —
+    # zero-shuffle Expand over the aggregated frame); demoted:
+    # q_important_parts (gate-green r7, exact-oracle-green in every
+    # FULL sweep).
+    "q_unpivot_hourly_measures",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
     "q_volume_shipping",
     "q_market_share",
     "q_product_profit",
-    "q_important_parts",
     "q_top_supplier",
     "q_part_supplier_variety",
     "q_disjunctive_revenue",

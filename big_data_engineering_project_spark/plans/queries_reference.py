@@ -984,3 +984,48 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         ev, num_cols=["value", "user_id"], str_cols=["event_type"]
     ).orderBy("column")
+
+
+@register(
+    "q_unpivot_hourly_measures",
+    oracle="""
+WITH wide AS (
+  SELECT event_type, hour(ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, 'n_events' AS measure, n_events AS val FROM wide
+UNION ALL
+SELECT event_type, hr, 'n_users', n_users FROM wide
+UNION ALL
+SELECT event_type, hr, 'total_cents', total_cents FROM wide
+ORDER BY event_type, hr, measure
+""",
+    doc="UNPIVOT (melt): the wide per-(type, hour) measure table "
+    "turned long — (keys, measure, val), the shape metric stores and "
+    "the pivot family's inverse ingest. Spark's native unpivot is a "
+    "row-local Expand over the ALREADY-AGGREGATED frame (×n_measures "
+    "on group-cardinality-bounded rows, never on facts), so the melt "
+    "adds zero shuffles; integer measures only — a mixed-type melt "
+    "would force casts that diverge cross-engine",
+    headline=False,
+    tags=("reference", "agg"),
+)
+def q_unpivot_hourly_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("total_cents"),
+    )
+    return wide.unpivot(
+        ["event_type", "hr"],
+        ["n_events", "n_users", "total_cents"],
+        "measure",
+        "val",
+    ).orderBy("event_type", "hr", "measure")
