@@ -254,11 +254,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_important_parts (gate-green r7, exact-oracle-green in every
     # FULL sweep).
     "q_unpivot_hourly_measures",
+    # ...and the Wilson-interval conversion newborn (the A/B-stats
+    # member; fixed IEEE op chain mirrored parenthesis-for-
+    # parenthesis); demoted: q_market_share (gate-green r7,
+    # exact-oracle-green in every FULL sweep).
+    "q_purchase_rate_wilson",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
     "q_volume_shipping",
-    "q_market_share",
     "q_product_profit",
     "q_top_supplier",
     "q_part_supplier_variety",

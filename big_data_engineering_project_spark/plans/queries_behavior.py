@@ -1420,3 +1420,67 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_s=6 * 3600,
         half_life_s=3600,
     ).orderBy("channel")
+
+
+@register(
+    "q_purchase_rate_wilson",
+    oracle="""
+WITH h AS (
+  SELECT hour(ts) AS hr,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT hr, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         1.96 * 1.96 AS z2
+  FROM h
+)
+SELECT hr, n, k, p AS rate,
+       ((p + z2 / (2.0 * n)) - 1.96 * sqrt(
+          (p * (1.0 - p) + z2 / (4.0 * n)) / n))
+         / (1.0 + z2 / n) AS wilson_lo,
+       ((p + z2 / (2.0 * n)) + 1.96 * sqrt(
+          (p * (1.0 - p) + z2 / (4.0 * n)) / n))
+         / (1.0 + z2 / n) AS wilson_hi
+FROM d ORDER BY hr
+""",
+    doc="Per-hour purchase conversion with Wilson 95% score bounds — "
+    "the A/B-statistics member: which hours' rates are "
+    "DISTINGUISHABLE once user counts are accounted for (the "
+    "normal-approximation interval misbehaves at small n / extreme p; "
+    "Wilson does not). Integer distinct counts from one aggregate; "
+    "the interval is a fixed chain of IEEE double ops (divisions, one "
+    "correctly-rounded sqrt) mirrored PARENTHESIS-FOR-PARENTHESIS by "
+    "the oracle — no libm transcendentals, so the chain is "
+    "bit-stable cross-engine",
+    headline=False,
+    tags=("behavior", "analytics"),
+)
+def q_purchase_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.countDistinct("user_id").alias("n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    nD = F.col("n").cast("double")
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * nD)
+    rad = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nD)) / nD
+    )
+    denom = F.lit(1.0) + z2 / nD
+    return h.select(
+        "hr",
+        "n",
+        "k",
+        p.alias("rate"),
+        ((center - rad) / denom).alias("wilson_lo"),
+        ((center + rad) / denom).alias("wilson_hi"),
+    ).orderBy("hr")
