@@ -259,13 +259,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # parenthesis); demoted: q_market_share (gate-green r7,
     # exact-oracle-green in every FULL sweep).
     "q_purchase_rate_wilson",
+    # ...and the cross-split contamination audit newborn (id-keyed
+    # split leakage distribution over text fingerprints); demoted:
+    # q_part_supplier_variety (gate-green r7, exact-oracle-green in
+    # every FULL sweep).
+    "q_split_contamination",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
     "q_volume_shipping",
     "q_product_profit",
     "q_top_supplier",
-    "q_part_supplier_variety",
     "q_disjunctive_revenue",
 )
 

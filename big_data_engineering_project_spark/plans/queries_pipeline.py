@@ -3337,3 +3337,52 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum("new_words").over(w).cast("long"))
         .orderBy("decile")
     )
+
+
+@register(
+    "q_split_contamination",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {_POLY.format(s="text")} AS fp,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT text,
+               {_POLY.format(s="CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents)
+),
+t AS (SELECT fp, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+      FROM assigned GROUP BY 1)
+SELECT n_splits, CAST(COUNT(*) AS BIGINT) AS n_texts
+FROM t GROUP BY 1 ORDER BY 1
+""",
+    doc="Cross-split contamination audit: for every distinct TEXT, "
+    "how many splits it lands in when the split key is doc_id — the "
+    "leakage a content-hash split (q_hash_split's with_split on "
+    "text) prevents by construction and an id-keyed split does not; "
+    "n_splits > 1 rows are eval contamination, run this before "
+    "trusting any id-split benchmark. Texts reduce to 8-byte "
+    "fingerprints BEFORE any shuffle (text bytes never leave the "
+    "scan); two partial-aggregable groupBys, no join",
+    headline=False,
+    tags=("pipeline", "sampling", "dedup"),
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        with_split,
+    )
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    assigned = with_split(
+        docs.withColumn("__k", F.col("doc_id").cast("string")), "__k"
+    ).select(fingerprint_col(F.col("text")).alias("fp"), "split")
+    t = assigned.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    return (
+        t.groupBy("n_splits")
+        .agg(F.count(F.lit(1)).alias("n_texts"))
+        .orderBy("n_splits")
+    )
