@@ -387,8 +387,17 @@ def main() -> None:
     print(f"# calibration pre: {cal_pre}", file=sys.stderr)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    from big_data_engineering_project_spark.caches import (
+        clear_all_owned_caches,
+    )
+
     headliners = [spec for spec in REGISTRY.values() if spec.headline]
     for i, spec in enumerate(headliners):
+        # Orphaned operator-owned persists from the previous query's
+        # reps would creep executor memory across a 60-headliner run
+        # (each rep builds a fresh plan; old cached frames are never
+        # reused). The shared shingle-index memo is untouched.
+        clear_all_owned_caches()
         # The FIRST benched query absorbs residual JVM/codegen warm-up
         # that the trivial session warm-up action doesn't cover (r4's
         # q_counts_by_type median sat on a falling [1.82, 1.25, 0.76]

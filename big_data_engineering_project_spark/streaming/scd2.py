@@ -348,6 +348,61 @@ def run_kmv_stream(
     query.awaitTermination()
 
 
+def run_agg_maintenance_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    value_expr: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain a generic grouped aggregate over a micro-batched
+    stream by folding per-batch sufficient-statistic states with
+    operators/ivm.py's agg_merge — the generic-groupBy twin of the
+    CM / KMV / OHLC maintenance runners: (n, Σ, Σ², min, max) is a
+    commutative monoid, so the stored state after any batch sequence
+    is bit-identical to one batch agg over the union (checked per
+    round: tools/streaming_check.py `agg_maintenance`). State is one
+    row per key regardless of stream volume; the serving read is
+    agg_finish over the state table."""
+    from big_data_engineering_project_spark.operators.ivm import (
+        agg_merge,
+        agg_state,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_s = agg_state(
+            batch_df.selectExpr(*keys, f"{value_expr} AS __v"),
+            keys,
+            "__v",
+        )
+        try:
+            existing = spark_b.read.parquet(state_path)
+            merged = agg_merge(existing, batch_s, keys)
+        except Exception:  # first batch
+            merged = batch_s
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def ohlc_partial(
     df: DataFrame,
     key: str,

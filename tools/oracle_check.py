@@ -95,9 +95,19 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_skip = 0
     report: dict[str, dict] = {}
+    from big_data_engineering_project_spark.caches import (
+        clear_all_owned_caches,
+    )
+
     for name, builder in queries.items():
         if only and name not in only:
             continue
+        # Reclaim operator-owned persists from the PREVIOUS query (CC
+        # labels, range-rank frames, ...) — a 190+-query sweep is one
+        # long-lived session and orphaned cached frames accumulate.
+        # The cross-query shingle-index memo manages its own lifecycle
+        # and is untouched.
+        clear_all_owned_caches()
         t0 = time.time()
         try:
             sdf = builder(spark, sf_dir).toPandas()

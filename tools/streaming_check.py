@@ -44,6 +44,10 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         one ≤ k-array per key) ≡ batch kmv_sketch_agg
                         over the union, EXACT sketch arrays incl. the
                         < k exact-enumeration path
+  agg_maintenance       run_agg_maintenance_stream (per-batch fold of
+                        (n, Σ, Σ², min, max) states via ivm.agg_merge)
+                        ≡ one batch agg over the union, EXACT served
+                        aggregates with cross-batch extremes planted
   seasonal_anomalies    seasonal_apply with FROZEN training stats
                         (stream-static broadcast join, stateless map)
                         ≡ the same applier over the batch union;
@@ -993,6 +997,80 @@ def check_kmv_stream(spark, root: str) -> dict:
     return res
 
 
+def check_agg_maintenance_stream(spark, root: str) -> dict:
+    """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
+    max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
+    agg_state over the union — EXACT decimal/long equality of the
+    SERVED aggregates (count/total/mean/variance/min/max through
+    agg_finish, so the mirrored-division finish is exercised too).
+    Values are planted so per-key extremes arrive in DIFFERENT
+    micro-batches — the min/max fold, not per-batch luck, must
+    produce them."""
+    from big_data_engineering_project_spark.operators.ivm import (
+        agg_finish,
+        agg_state,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_agg_maintenance_stream,
+    )
+
+    rng = random.Random(37)
+    recs = []
+    for i in range(600):
+        k = f"k{i % 4}"
+        v = rng.randint(-500, 500)
+        if i == 17:
+            v = 10_000   # early-batch max for k1
+        if i == 577:
+            v = -10_000  # late-batch min for k1
+        recs.append({"k": k, "v": v, "i": i})
+    in_dir = os.path.join(root, "ivm_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=75)  # 8 micro-batches
+
+    state_path = os.path.join(root, "ivm_state")
+    run_agg_maintenance_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "ivm_cp"),
+        schema="k STRING, v LONG, i LONG",
+        keys=["k"],
+        value_expr="v",
+    )
+    got = [
+        tuple(r)
+        for r in agg_finish(
+            spark.read.parquet(state_path), ["k"]
+        ).collect()
+    ]
+    bb = spark.read.schema("k STRING, v LONG, i LONG").json(in_dir)
+    want = [
+        tuple(r)
+        for r in agg_finish(
+            agg_state(bb.selectExpr("k", "v AS __v"), ["k"], "__v"),
+            ["k"],
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        # the planted cross-batch extremes must be the served min/max
+        "extremes_folded": any(
+            r[0] == "k1" and r[-2] == -10_000 and r[-1] == 10_000
+            for r in want
+        ),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["extremes_folded"]
+    )
+    return res
+
+
 def check_seasonal_stream(spark, root: str) -> dict:
     """seasonal_apply over a file stream ≡ the same function over the
     batch union, with FROZEN training stats (the production shape: the
@@ -1117,6 +1195,7 @@ def main() -> None:
         results["scd2_maintenance"] = check_scd2_stream(spark, root)
         results["cm_sketch_merge"] = check_cm_sketch_stream(spark, root)
         results["kmv_sketch_merge"] = check_kmv_stream(spark, root)
+        results["agg_maintenance"] = check_agg_maintenance_stream(spark, root)
         results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
         results["interval_join_outer"] = check_interval_join_outer(spark, root)
         results["ohlc_bars"] = check_ohlc_stream(spark, root)
