@@ -305,3 +305,32 @@ def test_ohlc_bounds_invariants(spark, rows):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["volume"] == counts[(r["sym"], r["bucket_ts"].date())]
+
+
+@given(st.integers(min_value=1, max_value=5000), st.integers(min_value=1, max_value=64))
+@settings(max_examples=300, deadline=None)
+def test_ntile_closed_form_matches_sql_ntile(n, k):
+    """The pure closed form inside ntile_scalable (linkage.py) — with
+    base = n div k, rem = n mod k, the first rem tiles hold base+1
+    rows — must reproduce SQL NTILE for ALL (n, k), not just the
+    fixture matrix: the r7 'balanced partition' formula bug
+    (floor((rn-1)k/n)+1, diverges at n=9, k=6) is exactly the class a
+    formula-level property sweep catches and an engine round-trip
+    test samples too sparsely to guarantee."""
+
+    def closed_form(rn: int) -> int:
+        if n < k:
+            return rn
+        base, rem = divmod(n, k)
+        if rn <= rem * (base + 1):
+            return 1 + (rn - 1) // (base + 1)
+        return 1 + rem + (rn - 1 - rem * (base + 1)) // base
+
+    # reference: SQL NTILE assigns the first n%k tiles base+1 rows
+    base, rem = divmod(n, k)
+    want = []
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= rem else 0)
+        want.extend([tile] * size)
+    got = [closed_form(rn) for rn in range(1, n + 1)]
+    assert got == want
