@@ -29,4 +29,7 @@ python tools/oracle_check.py --json "${ARTIFACT_SF01}" /root/testdata/sf0.1
 echo "== streaming stream≡batch sweep -> ${ARTIFACT_STREAM}"
 python tools/streaming_check.py --json "${ARTIFACT_STREAM}"
 
+echo "== registry-wide plan lint -> PLANAUDIT.json"
+python tools/plan_audit.py --json PLANAUDIT.json
+
 echo "== snapshot gate green: commit ${ARTIFACT} + ${ARTIFACT_SF01} + ${ARTIFACT_STREAM}"
