@@ -57,103 +57,31 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     # group-cardinality-bounded margin/total windows
     "q_pmi_type_hour": "margins over the n_types x 24 cells frame",
     "q_vocab_growth": "cumulative over the 10-row decile grid",
-    "q_gini_by_type": "per-type windows, user-cardinality bounded",
-    "q_weighted_median_price": "distinct-value-collapsed cum weights",
-    "q_vocab_coverage": "vocabulary-sized rank window",
-    "q_tfidf_top_terms": "vocabulary-sized rank window",
-    "q_collocations": "bigram-vocabulary-sized rank window",
-    "q_mixing_weights": "one row per source",
-    "q_importance_weights": "vocabulary-sized aggregate",
-    "q_value_rank_distribution": "rank histogram over value buckets",
-    "q_ks_value_drift": "distinct-value-collapsed CDF per type",
-    "q_theil_sen_trend": "bounded (type, day) slope groups",
-    "q_seasonal_anomalies": "entity x slot baseline table",
-    "q_hdr_quantile_merge": "log-bucket counter table",
-    "q_histogram_quantile_merge": "bucket counter table",
-    "q_approx_quantile_contrast": "per-type percentile rows",
-    "q_value_percentiles": "global percentile scalar row",
-    "q_cube_type_timeofday": "grouping-sets result ordering",
-    "q_revenue_cube": "grouping-sets result ordering",
-    "q_rollup_cascade": "rollup result re-aggregation",
-    "q_bpe_token_counts": "vocabulary-sized merge ranking",
-    "q_bpe_merges": "vocabulary-sized pair ranking",
-    "q_join_size_forecast": "per-key count tables, counters only",
-    "q_key_skew_report": "per-key count tables, counters only",
-    "q_profile_drift": "#columns-row profile join",
-    "q_snapshot_diff": "digest summary rows",
-    "q_dq_validation": "one aggregation row exploded to rules",
-    "q_erasure_cascade_audit": "per-relation counter rows",
-    "q_split_contamination": "n_splits histogram (<= 3 rows)",
-    "q_media_histogram_topk": "16-bucket histogram rank",
-    "q_kmv_set_ops": "one sketch row per side",
-    "q_kmv_daily_merge": "one sketch row per day",
-    "q_hll_daily_merge": "one register row per day",
-    "q_weighted_sample_ht": "sample-sized HT estimator rows",
-    "q_reservoir_sample_merge": "k-sized merged sample rows",
-    "q_priority_sample_weighted": "k-sized sample rows",
-    "q_embedding_centroids": "n_clusters centroid rows",
-    "q_cm_heavy_hitters": "d*w counter table rank",
-}
+    "q_vocab_coverage": "vocabulary-sized rank window",}
 
 # Queries allowed a nested-loop/cross join because the broadcast side
 # is a 1-row (or group-cardinality-bounded) aggregate stamp.
 BOUNDED_CROSS: dict[str, str] = {
     "q_zscore_anomalies": "1-row global mean/stddev stamp",
-    "q_pmi_type_hour": "1-row grand-total stamp",
     "q_vocab_growth": "1-row corpus-size stamp",
     "q_dedup_ngram_jaccard": "1-row corpus-count stamp (DF cut)",
     "q_dedup_incremental_rs": "1-row corpus-count stamp",
     "q_tf_cosine_neardups": "1-row corpus-count stamp",
-    "q_dedup_minhash_lsh": "1-row corpus-count stamp",
-    "q_simhash_neardups": "1-row corpus-count stamp",
-    "q_simhash_buckets": "1-row corpus-count stamp",
-    "q_sliding_dup_coverage": "1-row corpus-count stamp",
-    "q_dup_segment_fraction": "1-row corpus-count stamp",
     "q_dedup_clusters": "1-row corpus-count stamp",
     "q_dedup_keep_best": "1-row corpus-count stamp",
     "q_embedding_topk": "1-row broadcast query vector",
     "q_embedding_int8_topk": "1-row broadcast query + scale",
-    "q_embedding_lsh_topk": "1-row broadcast query vector",
-    "q_embedding_ivf_topk": "1-row broadcast query vector",
     "q_embedding_lsh_neardups": "broadcast hyperplane sign table",
     "q_mean_token_freq": "1-row corpus token total",
-    "q_bigram_min_prob": "1-row corpus bigram total",
-    "q_doc_lm_cost_worst": "1-row corpus bigram total",
     "q_collocations": "1-row corpus bigram total",
     "q_tfidf_top_terms": "1-row corpus doc count",
     "q_importance_weights": "1-row totals stamp",
     "q_mixing_weights": "1-row totals stamp",
     "q_vocab_coverage": "1-row totals stamp",
-    "q_lang_id": "broadcast language-profile table",
-    "q_decontaminate_train": "broadcast eval-set index",
-    "q_stratified_sample": "threshold CASE over 1-row stamp",
-    "q_hash_split": "threshold CASE over 1-row stamp",
     "q_rfm_segments": "1-row count stamp per ntile (x3)",
-    "q_sorted_neighborhood_dups": "1-row count stamp",
-    "q_pareto_parts": "1-row count stamp",
     "q_kmv_set_ops": "1-row sketch x 1-row sketch",
-    "q_weighted_sample_ht": "1-row population-total stamp",
-    "q_reservoir_sample_merge": "k-sized sample vs 1-row total",
-    "q_priority_sample_weighted": "1-row threshold stamp",
-    "q_gap_fill_6h": "1-row grid-bounds stamp",
-    "q_gap_fill_interp_6h": "1-row grid-bounds stamp",
-    "q_spike_window_counts": "1-row global stats stamp",
-    "q_compression_ratio": "1-row corpus stats stamp",
-    "q_quality_scores": "1-row corpus stats stamp",
-    "q_repetition_scores": "1-row corpus stats stamp",
-    "q_token_stats_by_source": "1-row totals stamp",
-    "q_profile_events": "single stats row unpivot",
-    "q_profile_drift": "single stats rows per snapshot",
-    "q_media_decode_stats": "1-row fixture-scale stamp",
-    "q_seasonal_anomalies": "global-threshold stamp",
-    "q_zorder_pruned_scan": "1-row z-bounds stamp",
-    "q_agg_maintenance": "state tables only",
-    "q_ks_value_drift": "per-type totals stamp",
-    "q_substring_index_search": "probe-gram list stamp",
     "q_join_size_forecast": "1-row forecast stamp",
     "q_vocab_coverage": "1-row totals stamp",
-    "q_custdist": "1-row totals stamp",
-    "q_market_share": "1-row totals stamp",
     # judge-audited r7: "all 18 crossJoin sites carry 1-row or
     # group-cardinality aggregates" — the scalar-subquery stamps below
     # plan as BroadcastNestedLoopJoin on a 1-row side
@@ -164,8 +92,7 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_key_skew_report": "1-row per-column total stamp",
     "q_important_parts": "1-row avg-threshold scalar subquery",
     "q_wealthy_inactive": "1-row avg-balance scalar subquery",
-    "q_bloom_semi_orders": "1-row broadcast bloom bitmap",
-}
+    "q_bloom_semi_orders": "1-row broadcast bloom bitmap",}
 
 # Deliberate Python row-path demos (reference parity), each with the
 # native scale twin named.
@@ -220,9 +147,21 @@ def audit(sf_dir: str) -> dict:
         out[name] = {"flags": flags, "allowed": allowed}
         if flags:
             n_flagged += 1
+    # Stale allowlist entries — a named query that no longer exists or
+    # no longer exhibits the pattern. Informational (the allowlist is
+    # documentation; stale docs should be pruned, not trusted).
+    stale: list[str] = []
+    for name in set(BOUNDED_CROSS) | set(BOUNDED_GLOBAL_WINDOW) | set(
+        PYTHON_ROW_ALLOWED
+    ):
+        if name not in out:
+            stale.append(f"{name}: not in registry")
+        elif not out[name].get("allowed") and not out[name].get("flags"):
+            stale.append(f"{name}: pattern no longer present")
     return {
         "n_queries": len(out),
         "n_flagged": n_flagged,
+        "stale_allowlist": sorted(stale),
         "queries": out,
     }
 
@@ -239,8 +178,11 @@ def main() -> None:
         if row.get("flags"):
             print(f"FLAG  {name}: {row['flags']}")
     print(
-        f"{result['n_queries']} queries, {result['n_flagged']} flagged"
+        f"{result['n_queries']} queries, {result['n_flagged']} flagged, "
+        f"{len(result['stale_allowlist'])} stale allowlist entries"
     )
+    for entry in result["stale_allowlist"]:
+        print(f"stale  {entry}")
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
