@@ -1433,16 +1433,21 @@ WITH h AS (
   FROM events GROUP BY 1
 ),
 d AS (
+  -- z MUST be cast: a bare 1.96 literal is DECIMAL in DuckDB, so
+  -- 1.96*1.96 would be the EXACT 3.8416, not the double
+  -- 3.8415999999999997 Spark computes — a 1-ULP divergence in the
+  -- bound (caught by the sf0.001 gate).
   SELECT hr, n, k,
          CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
-         1.96 * 1.96 AS z2
+         CAST(1.96 AS DOUBLE) AS z,
+         CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
   FROM h
 )
 SELECT hr, n, k, p AS rate,
-       ((p + z2 / (2.0 * n)) - 1.96 * sqrt(
+       ((p + z2 / (2.0 * n)) - z * sqrt(
           (p * (1.0 - p) + z2 / (4.0 * n)) / n))
          / (1.0 + z2 / n) AS wilson_lo,
-       ((p + z2 / (2.0 * n)) + 1.96 * sqrt(
+       ((p + z2 / (2.0 * n)) + z * sqrt(
           (p * (1.0 - p) + z2 / (4.0 * n)) / n))
          / (1.0 + z2 / n) AS wilson_hi
 FROM d ORDER BY hr
