@@ -2707,3 +2707,32 @@ def test_time_decay_attribution_integer_ladder(spark):
     assert out["(direct)"] == 200_000_000
     spent = out["a"] + out["b"] + out["c"]
     assert 100_000_000 - 3 < spent <= 100_000_000
+
+
+def test_clear_all_owned_caches_reclaims_tracked_frames(spark):
+    """The facade must drain every module's owned-persist ledger (the
+    between-queries hook in oracle_check/bench): after a query that
+    pins range-rank frames, the linkage ledger is non-empty; after the
+    facade runs, every ledger is empty and the query still recomputes
+    correctly."""
+    from big_data_engineering_project_spark.caches import (
+        clear_all_owned_caches,
+    )
+    from big_data_engineering_project_spark.operators import (
+        frontier,
+        linkage,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("k"), F.col("id")
+    )
+    ranked = linkage.global_row_number(
+        df.groupBy("k").agg(F.sum("id").alias("v")), ["v", "k"], n_parts=4
+    )
+    n = ranked.count()
+    assert linkage._OWNED_PERSISTS, "rank should pin a frame"
+    clear_all_owned_caches()
+    assert not linkage._OWNED_PERSISTS
+    assert not frontier._OWNED_PERSISTS
+    # result unaffected by reclamation — recompute matches
+    assert ranked.count() == n
