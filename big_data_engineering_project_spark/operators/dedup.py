@@ -1190,3 +1190,71 @@ def keep_best(
             (F.col("_id") == F.col("canonical_id")).alias("kept"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    max_bucket_frac: float | None = None,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Near-SUPERSET pairs by shingle containment ≥ threshold, where
+    containment C(A,B) = |A∩B| / min(|A|, |B|) — the asymmetric
+    complement of `ngram_jaccard_pairs`: a short document quoted
+    verbatim inside a long one scores C ≈ 1 while its Jaccard is
+    |A|/|B| ≈ 0, so symmetric dedup never sees it. This is the
+    quote/subset-detection pass (boilerplate headers, syndicated
+    articles inside aggregator pages, eval questions embedded in
+    training docs).
+
+    Same inverted-index + high-DF-cut candidate machinery as the
+    Jaccard operator (pairs only form inside a shingle bucket; the
+    stop-shingle cut bounds every bucket) with ONE deliberate
+    difference: NO length prefilter — PPJoin's min ≥ τ·max bound is
+    exactly the asymmetric pair this operator exists to find, so a
+    size filter would delete the signal. The quadratic guard is the
+    DF cut alone, which is the binding one (bucket width, not length
+    ratio, is what explodes a self-join). Output: (doc_a, doc_b,
+    containment), doc_a < doc_b.
+    """
+    if hashed is None:
+        hashed = _persist_owned(hashed_shingle_table(df, id_col, text_col, n))
+    inv = hashed.select("doc", F.explode("hv").alias("s"))
+    sizes = hashed.select("doc", F.size("hv").cast("long").alias("n_sh"))
+    if max_bucket_size is not None or max_bucket_frac is not None:
+        cut = F.lit(max_bucket_size if max_bucket_size is not None else 0).cast("long")
+        counts = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        if max_bucket_frac is not None:
+            tot = hashed.agg(F.count(F.lit(1)).alias("__n_docs"))
+            counts = counts.crossJoin(F.broadcast(tot))
+            cut = F.greatest(
+                cut,
+                F.floor(F.lit(float(max_bucket_frac)) * F.col("__n_docs")),
+                F.lit(1).cast("long"),
+            )
+        hot = counts.filter(F.col("df") > cut).select("s")
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb")).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

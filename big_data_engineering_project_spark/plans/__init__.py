@@ -264,12 +264,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_part_supplier_variety (gate-green r7, exact-oracle-green in
     # every FULL sweep).
     "q_split_contamination",
+    # ...and the containment near-superset newborn (the asymmetric
+    # dedup complement — quote/subset detection Jaccard is blind to);
+    # demoted: q_top_supplier (gate-green r7, exact-oracle-green in
+    # every FULL sweep).
+    "q_dedup_containment",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
     "q_min_cost_supplier",
     "q_volume_shipping",
     "q_product_profit",
-    "q_top_supplier",
     "q_disjunctive_revenue",
 )
 

@@ -3386,3 +3386,56 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_texts"))
         .orderBy("n_splits")
     )
+
+
+_CONTAINMENT_T = 0.8
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
+inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
+hot AS (SELECT s FROM inv0 GROUP BY s
+        HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
+          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
+inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
+cand AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+FROM cand
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE inter / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= {_CONTAINMENT_T}
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-superset dedup: shingle containment |A∩B| / min(|A|,|B|) "
+    f"≥ {_CONTAINMENT_T} — the asymmetric complement of the Jaccard "
+    "pass (a short doc quoted inside a long one scores C ≈ 1 with "
+    "Jaccard ≈ |A|/|B| ≈ 0): quote/boilerplate/eval-embedding "
+    "detection. Same inverted-index + corpus-scaled stop-shingle "
+    "machinery, deliberately WITHOUT the PPJoin length filter — the "
+    "asymmetric pair is the signal, the DF cut alone is the "
+    "quadratic guard (operators/dedup.py:shingle_containment_pairs)",
+    headline=True,
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=_CONTAINMENT_T,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+    ).orderBy("doc_a", "doc_b")

@@ -2736,3 +2736,31 @@ def test_clear_all_owned_caches_reclaims_tracked_frames(spark):
     assert not frontier._OWNED_PERSISTS
     # result unaffected by reclamation — recompute matches
     assert ranked.count() == n
+
+
+def test_containment_finds_quoted_subset_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one must score
+    containment 1.0 (found) while the Jaccard pass at the same
+    operating point misses it — the asymmetric complement the
+    operator exists for."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler[::-1])],
+        "doc_id long, text string",
+    )
+    cont = shingle_containment_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).collect()
+    assert len(cont) == 1
+    assert (cont[0]["doc_a"], cont[0]["doc_b"]) == (1, 2)
+    assert cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).collect()
+    assert jac == []  # symmetric measure blind to the subset pair
