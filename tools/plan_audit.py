@@ -69,6 +69,7 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_tf_cosine_neardups": "1-row corpus-count stamp",
     "q_dedup_clusters": "1-row corpus-count stamp",
     "q_dedup_keep_best": "1-row corpus-count stamp",
+    "q_dedup_containment": "1-row corpus-count stamp (DF cut)",
     "q_embedding_topk": "1-row broadcast query vector",
     "q_embedding_int8_topk": "1-row broadcast query + scale",
     "q_embedding_lsh_neardups": "broadcast hyperplane sign table",
