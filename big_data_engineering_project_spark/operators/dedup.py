@@ -1201,6 +1201,8 @@ def shingle_containment_pairs(
     max_bucket_size: int | None = None,
     max_bucket_frac: float | None = None,
     hashed: DataFrame | None = None,
+    tau_num: int | None = None,
+    tau_den: int | None = None,
 ) -> DataFrame:
     """Near-SUPERSET pairs by shingle containment ≥ threshold, where
     containment C(A,B) = |A∩B| / min(|A|, |B|) — the asymmetric
@@ -1220,7 +1222,19 @@ def shingle_containment_pairs(
     DF cut alone, which is the binding one (bucket width, not length
     ratio, is what explodes a self-join). Output: (doc_a, doc_b,
     containment), doc_a < doc_b.
+
+    The threshold FILTER is exact integer arithmetic (inter·den ≥
+    num·min — the tf_cosine_pairs rule): comparing the IEEE division
+    against a float literal risks engines promoting the literal
+    differently at the boundary (the DECIMAL-literal class of bug the
+    Wilson oracle hit). Pass tau_num/tau_den explicitly, or let the
+    float threshold be rationalized via Fraction.
     """
+    if tau_num is None or tau_den is None:
+        from fractions import Fraction
+
+        frac = Fraction(threshold).limit_denominator(1_000_000)
+        tau_num, tau_den = frac.numerator, frac.denominator
     if hashed is None:
         hashed = _persist_owned(hashed_shingle_table(df, id_col, text_col, n))
     inv = hashed.select("doc", F.explode("hv").alias("s"))
@@ -1254,7 +1268,10 @@ def shingle_containment_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            F.col("inter") * int(tau_den)
+            >= F.lit(int(tau_num)) * F.least(F.col("na"), F.col("nb"))
+        )
         .withColumn("containment", cont)
-        .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )

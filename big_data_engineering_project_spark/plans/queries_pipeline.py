@@ -3413,7 +3413,7 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sizes sa ON doc_a = sa.doc
 JOIN sizes sb ON doc_b = sb.doc
-WHERE inter / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= {_CONTAINMENT_T}
+WHERE inter * 5 >= 4 * LEAST(sa.n_sh, sb.n_sh)
 ORDER BY doc_a, doc_b
 """,
     doc="Near-superset dedup: shingle containment |A∩B| / min(|A|,|B|) "
@@ -3438,4 +3438,6 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=MIN_SHINGLE_DF_CUT,
         max_bucket_frac=MAX_SHINGLE_DF_FRAC,
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+        tau_num=4,
+        tau_den=5,
     ).orderBy("doc_a", "doc_b")
