@@ -215,7 +215,7 @@ sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
 inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
 hot AS (SELECT s FROM inv0 GROUP BY s
         HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
-          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
+          CAST(FLOOR(CAST({MAX_SHINGLE_DF_FRAC} AS DOUBLE) * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
 inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
@@ -604,7 +604,7 @@ bands AS MATERIALIZED (
 ),
 allowed AS (
   SELECT band, bkey FROM bands GROUP BY band, bkey
-  HAVING COUNT(*) <= CEIL(0.1 * (SELECT COUNT(*) FROM q))
+  HAVING COUNT(*) <= CEIL(CAST(0.1 AS DOUBLE) * (SELECT COUNT(*) FROM q))
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2276,7 +2276,7 @@ sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
 inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
 hot AS (SELECT s FROM inv0 GROUP BY s
         HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
-          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
+          CAST(FLOOR(CAST({MAX_SHINGLE_DF_FRAC} AS DOUBLE) * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
 inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
 cand AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
@@ -2764,7 +2764,7 @@ hc AS (SELECT * FROM hs WHERE doc % 10 <> 0),
 invc0 AS (SELECT doc, unnest(hv) AS s FROM hc),
 hot AS (SELECT s FROM invc0 GROUP BY s
         HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
-          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hc)) AS BIGINT),
+          CAST(FLOOR(CAST({MAX_SHINGLE_DF_FRAC} AS DOUBLE) * (SELECT COUNT(*) FROM hc)) AS BIGINT),
           1)),
 invc AS (SELECT doc, s FROM invc0 ANTI JOIN hot USING (s)),
 invn AS (SELECT doc, s FROM (SELECT doc, unnest(hv) AS s FROM hn)
@@ -3052,7 +3052,7 @@ norms AS MATERIALIZED (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 rare AS (
   SELECT w FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), n
-  WHERE df >= 2 AND df <= FLOOR(0.1 * n_docs)
+  WHERE df >= 2 AND df <= FLOOR(CAST(0.1 AS DOUBLE) * n_docs)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3401,7 +3401,7 @@ sizes AS (SELECT doc, len(hv) AS n_sh FROM hs),
 inv0 AS (SELECT doc, unnest(hv) AS s FROM hs),
 hot AS (SELECT s FROM inv0 GROUP BY s
         HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
-          CAST(FLOOR({MAX_SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
+          CAST(FLOOR(CAST({MAX_SHINGLE_DF_FRAC} AS DOUBLE) * (SELECT COUNT(*) FROM hs)) AS BIGINT))),
 inv AS (SELECT doc, s FROM inv0 ANTI JOIN hot USING (s)),
 cand AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
