@@ -15,6 +15,22 @@ Determinism rules enforced here (SURVEY.md §7.4 + parity experiments):
 - Every top-k / row_number ORDER BY is a total order (unique
   tiebreaker column) so the selected set is engine-independent.
 - No wall-clock, no rand(): frozen literals only.
+- Decimal literals feeding FLOAT ARITHMETIC in oracle SQL must be
+  CAST(x AS DOUBLE): DuckDB parses 1.96 as DECIMAL and folds
+  1.96*1.96 to the EXACT 3.8416 while Spark computes the double
+  3.8415999999999997 — a 1-ULP divergence (bit us in the Wilson
+  bounds); same for FLOOR/CEIL(frac * n) DF cuts, where the decimal
+  product is exact at integral boundaries and the double one is not.
+  Comparisons are safe (DuckDB promotes DECIMAL→DOUBLE there,
+  verified); arithmetic is not. Exactly-representable literals
+  (0.5, 0.25, 2.0, integers) are safe anywhere.
+- Threshold FILTERS on float divisions prefer exact integer rationals
+  (inter·den ≥ num·min — tf_cosine/containment style) over comparing
+  the division against a float literal.
+- No ln()/log() in hash-compared output: JVM and libm ln diverge at
+  the ULP; emit the exact rational (lift) instead — ranking by lift ≡
+  ranking by ln(lift). sqrt and a single division are correctly
+  rounded and safe.
 """
 
 from __future__ import annotations
