@@ -378,3 +378,184 @@ def hdr_quantile(
     for _, a in aggs:
         out = out.withColumn(a, F.expr(hdr_lower_bound_sql(f"__idx_{a}")))
     return out.select(*key_cols, "n", *[a for _, a in aggs])
+
+
+# --- Misra-Gries mergeable heavy-hitter summaries ----------------------------
+#
+# The deterministic counterpart of the count-min estimates above
+# (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+# Summaries", PODS 2012). A summary is a pair of frames: COUNTERS
+# (bucket, item, adj_cnt) with at most k rows per bucket, and OFFSETS
+# (bucket, err) — the accumulated pruning error. Any item whose true
+# count exceeds its bucket's err is guaranteed present, and its true
+# count lies in [adj_cnt, adj_cnt + err]. Unlike the classic streaming
+# formulation (whose counter CONTENTS depend on arrival order), each
+# summary here derives from exact per-bucket counts pruned with the
+# (k+1)-th-largest-VALUE rule, so the result is a pure function of the
+# input multiset — order-, partitioning- and engine-independent, which
+# is what lets the driver hash-compare it against a SQL oracle. The
+# offsets frame exists precisely for the all-ties bucket where pruning
+# removes EVERY counter: the error must survive even when no counter
+# does, or a later merge would silently understate its bound.
+#
+# Scale story: the exact heavy-hitter query at vocabulary scale
+# (1e7-1e9 distinct tokens over 100 TB) shuffles one row per DISTINCT
+# item and RETAINS them all. Here the shuffle is the same
+# map-side-combined groupBy, but the retained output is capped at
+# k·n_buckets rows no matter how the vocabulary grows — and summaries
+# from disjoint shards/days MERGE by adjusted-count addition +
+# re-prune, errors adding (never multiplying). The rank scan that
+# finds the (k+1)-th largest is the `row_number <= k+1` filter form
+# Spark rewrites to WindowGroupLimit: map tasks keep k+1 rows per
+# bucket BEFORE the window exchange, so no task ever sorts a bucket's
+# full distinct-item list (plan-asserted in test_plans). The bucket
+# hash is a portable affine scramble shared with the oracle, not
+# Spark's internal hash, so both engines agree on bucket membership.
+# Reference anchor: generalizes the driver-memory exact counters of
+# S/kinesis_processing_2.py:42-43 to bounded distributed summaries.
+
+MG_A = 2_654_435_761  # Knuth multiplicative constant
+MG_P = 4_294_967_291  # largest 32-bit prime
+
+
+def mg_bucket_sql(item: str, n_buckets: int, mod: str = "%") -> str:
+    """Portable bucket index of a NON-NEGATIVE integral expression —
+    the same affine scramble in Spark SQL and DuckDB. BIGINT-safe by
+    construction: the inner mod bounds the multiplicand at ~1e9, so
+    the product stays < 2.7e18 < 2^63 (DuckDB raises on BIGINT
+    overflow; Spark non-ANSI would silently wrap — both avoided, not
+    relied on)."""
+    return (
+        f"((({item} % {HASH_PRIME}) * {MG_A} + 12345) % {MG_P})"
+        f" {mod} {n_buckets}"
+    )
+
+
+def _mg_prune(
+    counts: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(bucket, item, cnt[, err0]) → (counters, offsets). Keeps items
+    whose count exceeds the bucket's (k+1)-th largest count (0 when
+    the bucket holds ≤ k items; tie-insensitive — the VALUE at rank
+    k+1 is the same under any tiebreak); offsets = that pruning value
+    plus any carried-in err0."""
+    from pyspark.sql import Window
+
+    if "err0" not in counts.columns:
+        counts = counts.withColumn("err0", F.lit(0).cast("long"))
+    wn = Window.partitionBy("bucket").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    # rank ≤ k+1 immediately after row_number → WindowGroupLimit:
+    # map-side partial top-(k+1) per bucket, the full distinct-item
+    # list never sorts in one task. Survivors (cnt > offset) are a
+    # subset of ranks 1..k, so nothing outside the limit is needed.
+    topk1 = (
+        counts.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") <= k + 1)
+    )
+    offsets = topk1.groupBy("bucket").agg(
+        (
+            F.coalesce(
+                F.max(F.when(F.col("__rn") == k + 1, F.col("cnt"))),
+                F.lit(0).cast("long"),
+            )
+            + F.max("err0")
+        ).alias("err")
+    )
+    pruning = offsets.select(
+        "bucket", (F.col("err")).alias("__off_plus_carry")
+    )
+    counters = (
+        topk1.join(pruning, "bucket")
+        .filter(
+            F.col("cnt") > F.col("__off_plus_carry") - F.col("err0")
+        )
+        .select(
+            "bucket",
+            "item",
+            (
+                F.col("cnt")
+                - (F.col("__off_plus_carry") - F.col("err0"))
+            ).alias("adj_cnt"),
+        )
+    )
+    return counters, offsets
+
+
+def mg_summary(
+    df: DataFrame,
+    item_col: str,
+    k: int = 8,
+    n_buckets: int = 16,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded heavy-hitter summary of a non-negative integral column:
+    (counters, offsets) with ≤ k counters per bucket. ONE map-side-
+    combined groupBy(bucket, item) exchange; the pruning rank scan is
+    the WindowGroupLimit form (see module comment)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    counts = (
+        df.select(
+            F.expr(mg_bucket_sql(item_col, n_buckets)).alias("bucket"),
+            F.col(item_col).alias("item"),
+            w.alias("__w"),
+        )
+        .groupBy("bucket", "item")
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+    return _mg_prune(counts, k)
+
+
+def mg_merge(
+    c1: DataFrame,
+    e1: DataFrame,
+    c2: DataFrame,
+    e2: DataFrame,
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two summaries built over DISJOINT inputs: adjusted counts
+    add, then re-prune to k per bucket; errors add — each side's
+    bucket error (an item absent from a side hides at most that
+    side's offset there) plus the new pruning value. The containment
+    guarantee [adj_cnt, adj_cnt + err] holds against the union's
+    exact counts."""
+    merged = (
+        c1.select("bucket", "item", "adj_cnt")
+        .unionByName(c2.select("bucket", "item", "adj_cnt"))
+        .groupBy("bucket", "item")
+        .agg(F.sum("adj_cnt").cast("long").alias("cnt"))
+    )
+    carry = (
+        e1.select("bucket", F.col("err").alias("__e1"))
+        .join(
+            e2.select("bucket", F.col("err").alias("__e2")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("__e1"), F.lit(0))
+                + F.coalesce(F.col("__e2"), F.lit(0))
+            ).cast("long").alias("err0"),
+        )
+    )
+    # A bucket can carry error yet have zero merged counters (all-ties
+    # pruning on both sides) — keep it via a RIGHT join onto carry so
+    # the offsets frame never loses a bucket.
+    with_carry = merged.join(carry, "bucket", "right").select(
+        "bucket",
+        "item",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"),
+        "err0",
+    )
+    counters, offsets = _mg_prune(
+        with_carry.filter(F.col("item").isNotNull()), k
+    )
+    # Buckets whose merged frame was empty still need their carried
+    # error in offsets.
+    empty_only = carry.join(
+        merged.select("bucket").distinct(), "bucket", "left_anti"
+    ).select("bucket", F.col("err0").alias("err"))
+    return counters, offsets.unionByName(empty_only)

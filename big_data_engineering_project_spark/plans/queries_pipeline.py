@@ -3441,3 +3441,115 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau_num=4,
         tau_den=5,
     ).orderBy("doc_a", "doc_b")
+
+
+# --- Misra-Gries mergeable heavy hitters --------------------------------------
+
+_MG_K = 8
+_MG_B = 16
+
+
+def _mg_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_bucket_sql,
+    )
+
+    bucket = mg_bucket_sql("l_partkey", _MG_B)
+    r = _MG_K + 1
+    return f"""
+WITH base AS (
+  SELECT {bucket} AS bucket, l_partkey AS item, l_orderkey % 2 AS half
+  FROM lineitem
+),
+counts AS (
+  SELECT half, bucket, item, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY half, bucket ORDER BY cnt DESC, item ASC) AS rn
+  FROM counts
+),
+offs AS (
+  SELECT half, bucket,
+         COALESCE(MAX(CASE WHEN rn = {r} THEN cnt END), 0) AS err
+  FROM ranked GROUP BY 1, 2
+),
+counters AS (
+  SELECT r.half, r.bucket, r.item, r.cnt - o.err AS adj_cnt
+  FROM ranked r JOIN offs o ON r.half = o.half AND r.bucket = o.bucket
+  WHERE r.cnt > o.err
+),
+carry AS (
+  SELECT bucket,
+         COALESCE(MAX(CASE WHEN half = 0 THEN err END), 0)
+       + COALESCE(MAX(CASE WHEN half = 1 THEN err END), 0) AS err0
+  FROM offs GROUP BY 1
+),
+merged AS (
+  SELECT bucket, item, CAST(SUM(adj_cnt) AS BIGINT) AS cnt
+  FROM counters GROUP BY 1, 2
+),
+mranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY bucket ORDER BY cnt DESC, item ASC) AS rn
+  FROM merged
+),
+moffs AS (
+  SELECT bucket, COALESCE(MAX(CASE WHEN rn = {r} THEN cnt END), 0) AS off_new
+  FROM mranked GROUP BY 1
+)
+SELECT m.bucket AS bucket, m.item, CAST(m.cnt - o.off_new AS BIGINT) AS adj_cnt,
+       CAST(o.off_new + c.err0 AS BIGINT) AS err_bound
+FROM mranked m
+JOIN moffs o ON m.bucket = o.bucket
+JOIN carry c ON m.bucket = c.bucket
+WHERE m.cnt > o.off_new
+ORDER BY bucket, item
+"""
+
+
+@register(
+    "q_mg_heavy_hitters",
+    oracle=_mg_oracle(),
+    doc="Misra-Gries mergeable heavy-hitter summary (Agarwal et al. "
+    f"PODS'12 merge rule), k={_MG_K} counters × {_MG_B} buckets over "
+    "lineitem part keys: the DETERMINISTIC counterpart of the "
+    "count-min estimates — built per half (l_orderkey % 2 as two "
+    "'days'), then MERGED by adjusted-count addition + re-prune, "
+    "errors adding. Every value is an exact integer over a portable "
+    "affine bucket hash, so the gate proves the summary AND the merge "
+    "algebra bit-for-bit. Plan: one map-side-combined groupBy(bucket, "
+    "item) per half; the (k+1)-th-largest prune is the row_number ≤ "
+    "k+1 filter Spark rewrites to WindowGroupLimit (map tasks keep "
+    "k+1 rows per bucket — no task ever sorts a bucket's full "
+    "distinct-item list; plan-asserted). Retained output ≤ k·buckets "
+    "rows regardless of vocabulary size — the 100-TB story; pytest "
+    "pins the [adj, adj+err] containment guarantee against exact "
+    "counts (operators/sketches.py:mg_summary)",
+    headline=True,
+    tags=("pipeline", "sketch"),
+)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_orderkey") % 2).alias("half")
+    )
+    c0, e0 = mg_summary(
+        li.filter(F.col("half") == 0), "l_partkey", k=_MG_K,
+        n_buckets=_MG_B,
+    )
+    c1, e1 = mg_summary(
+        li.filter(F.col("half") == 1), "l_partkey", k=_MG_K,
+        n_buckets=_MG_B,
+    )
+    counters, offsets = mg_merge(c0, e0, c1, e1, k=_MG_K)
+    return (
+        counters.join(offsets, "bucket")
+        .select("bucket", "item", "adj_cnt", F.col("err").alias("err_bound"))
+        .orderBy("bucket", "item")
+    )

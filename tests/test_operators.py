@@ -2764,3 +2764,93 @@ def test_containment_finds_quoted_subset_jaccard_misses(spark):
         docs, "doc_id", "text", threshold=0.8
     ).collect()
     assert jac == []  # symmetric measure blind to the subset pair
+
+
+def test_mg_summary_containment_and_size_bound(spark):
+    """Misra-Gries summary: ≤ k counters per bucket; every item with
+    true count > its bucket's err survives; true count ∈
+    [adj, adj + err] for every survivor."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_bucket_sql,
+        mg_summary,
+    )
+
+    k, nb = 4, 3
+    # Skewed multiset: item i appears (50 - i) times for i in 0..39,
+    # plus a band of singletons to force pruning in every bucket.
+    rows = [(i,) for i in range(40) for _ in range(50 - i)]
+    rows += [(1000 + j,) for j in range(60)]
+    df = spark.createDataFrame(rows, "item_v LONG")
+    counters, offsets = mg_summary(df, "item_v", k=k, n_buckets=nb)
+    cs = {(r["bucket"], r["item"]): r["adj_cnt"] for r in counters.collect()}
+    errs = {r["bucket"]: r["err"] for r in offsets.collect()}
+    # size bound
+    per_bucket: dict[int, int] = {}
+    for (b, _i) in cs:
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert all(v <= k for v in per_bucket.values())
+    # exact counts + bucket of every item
+    exact = {
+        (r["b"], r["item_v"]): r["c"]
+        for r in df.groupBy(
+            F.expr(mg_bucket_sql("item_v", nb)).alias("b"), "item_v"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for (b, i), true_c in exact.items():
+        err = errs[b]
+        if true_c > err:
+            assert (b, i) in cs, f"heavy item {i} missing from bucket {b}"
+        if (b, i) in cs:
+            adj = cs[(b, i)]
+            assert adj <= true_c <= adj + err
+
+
+def test_mg_merge_guarantee_and_empty_bucket_error_carry(spark):
+    """Merged summary keeps the containment guarantee against the
+    UNION's exact counts — including the all-ties bucket where one
+    side prunes every counter (the error must still carry)."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_bucket_sql,
+        mg_merge,
+        mg_summary,
+    )
+
+    k, nb = 3, 2
+    # Side A: all-ties — more than k items, every count equal, so the
+    # prune removes EVERYTHING and only the offsets frame remembers.
+    a_rows = [(i,) for i in range(12) for _ in range(5)]
+    # Side B: clear heavies.
+    b_rows = [(100,)] * 40 + [(101,)] * 30 + [(i,) for i in range(12)]
+    da = spark.createDataFrame(a_rows, "item_v LONG")
+    db = spark.createDataFrame(b_rows, "item_v LONG")
+    ca, ea = mg_summary(da, "item_v", k=k, n_buckets=nb)
+    cb, eb = mg_summary(db, "item_v", k=k, n_buckets=nb)
+    # at least one side-A bucket must have pruned everything for this
+    # fixture to exercise the empty-bucket carry
+    assert ca.count() < nb * k
+    cm, em = mg_merge(ca, ea, cb, eb, k=k)
+    errs = {r["bucket"]: r["err"] for r in em.collect()}
+    assert set(errs) == set(range(nb)) or len(errs) == nb
+    cs = {(r["bucket"], r["item"]): r["adj_cnt"] for r in cm.collect()}
+    union = da.unionByName(db)
+    exact = {
+        (r["b"], r["item_v"]): r["c"]
+        for r in union.groupBy(
+            F.expr(mg_bucket_sql("item_v", nb)).alias("b"), "item_v"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for (b, i), true_c in exact.items():
+        err = errs[b]
+        if true_c > err:
+            assert (b, i) in cs, f"heavy item {i} missing after merge"
+        if (b, i) in cs:
+            adj = cs[(b, i)]
+            assert adj <= true_c <= adj + err

@@ -626,3 +626,16 @@ def test_keep_best_no_per_cluster_window(plans):
     # no window over the labeled corpus frame (windows exist only
     # inside the upstream CC machinery, which is id-only):
     assert "windowspecdefinition(cluster" not in p
+
+
+def test_mg_heavy_hitters_windowgrouplimit_prune(plans):
+    """q_mg_heavy_hitters: the (k+1)-th-largest prune must take the
+    rank-limit pushdown form (WindowGroupLimit) so map tasks keep k+1
+    rows per bucket BEFORE the window exchange — a bucket's full
+    distinct-item list (vocabulary/16 items at vocab scale) must never
+    sort inside one task without a prior cut. Both halves + the merge
+    re-prune → ≥ 3 WindowGroupLimit nodes; counts stay hash
+    aggregations (map-side combined)."""
+    p = plans("q_mg_heavy_hitters")
+    assert p.count("WindowGroupLimit") >= 3
+    assert "HashAggregate" in p
