@@ -21,6 +21,9 @@ def clear_all_owned_caches() -> None:
     from big_data_engineering_project_spark.operators.dedup import (
         clear_dedup_caches,
     )
+    from big_data_engineering_project_spark.operators.features import (
+        clear_features_caches,
+    )
     from big_data_engineering_project_spark.operators.frontier import (
         clear_frontier_caches,
     )
@@ -37,6 +40,7 @@ def clear_all_owned_caches() -> None:
         clear_graph_caches,
         clear_linkage_caches,
         clear_frontier_caches,
+        clear_features_caches,
     ):
         try:
             fn()

@@ -1,0 +1,136 @@
+"""ML feature engineering over the fact tables: leakage-free
+out-of-fold target encoding.
+
+Target encoding replaces a categorical column with the mean of a
+target over that category — but the naive version leaks each row's
+own target into its feature. The standard fix is K-fold OOF encoding:
+a row in fold f gets the category mean computed over every OTHER
+fold, so no row ever sees itself. This is a core training-data
+pipeline transform (feature tables for ranking/quality models feeding
+an LLM data-curation stack), and its natural Spark shape is tiny:
+
+  ONE map-side-combined groupBy(category, fold) over the fact table
+  → a stats frame of (#categories × n_folds) rows; every OOF mean is
+  a SUBTRACTION over that frame (total minus own fold), never a
+  second scan — the inclusion-exclusion trick that makes K passes
+  cost one. The encoding map that comes back out is exactly what a
+  production pipeline broadcast-joins onto the fact table; the join
+  here carries no broadcast hint so AQE keeps its freedom when a
+  category column has vocabulary-scale cardinality.
+
+Determinism (the gate hash-compares doubles): target sums are exact
+DECIMAL(18,6) internally — combine-order independent — and each
+output is at most one double division over values both engines derive
+from the identical decimal (registry.py rules). Smoothing uses an
+integer pseudo-count m against the leakage-free GLOBAL prior of the
+same fold (also OOF: a fold's prior excludes the fold itself), the
+empirical-Bayes form of Micci-Barreca (2001).
+
+The fold is a PORTABLE affine-scrambled hash of a row key (shared
+with the oracle SQL via sketches.mg_bucket_sql), never a random() —
+folds must be reproducible across engines, runs, and backfills.
+Reference anchor: extends the reference's per-record enrichment UDFs
+(S/kinesis_processing_2.py:69-101) to model-feature tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from big_data_engineering_project_spark.operators.sketches import (
+    mg_bucket_sql,
+)
+
+DEFAULT_FOLDS = 4
+DEFAULT_SMOOTH_M = 100
+
+# The per-(category, fold) stats frame is persisted INTERNALLY: four
+# derived aggregates (totals per category, per fold, global) consume
+# it, and without the pin Spark re-derives each from its own scan of
+# the fact table — 4 scans of 100 TB instead of one. The frame itself
+# is bounded (#categories × n_folds rows). Same lifecycle contract as
+# dedup._OWNED_PERSISTS: the returned DataFrame is lazy, so the
+# operator cannot unpersist its own frame; long-lived sessions reclaim
+# via clear_features_caches() (wired into caches.clear_all_owned_caches).
+_OWNED_PERSISTS: list[DataFrame] = []
+
+
+def clear_features_caches() -> None:
+    """Unpersist every stats frame target_encode_oof pinned. Safe to
+    call anytime — subsequent queries recompute; results unaffected."""
+    while _OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
+
+
+def target_encode_oof(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    fold_key: str,
+    n_folds: int = DEFAULT_FOLDS,
+    m: int = DEFAULT_SMOOTH_M,
+) -> DataFrame:
+    """Per-(category, fold) OOF encoding table: `oof_cnt` (rows of the
+    category OUTSIDE this fold), `enc` (their mean target), and
+    `enc_smoothed` = (oof_sum + m·prior) / (oof_cnt + m) where prior
+    is the fold's OOF global mean. Rows whose category+fold has no
+    out-of-fold mass (oof_cnt = 0) are dropped — there is nothing
+    leak-free to encode them with.
+
+    `fold_key` must be a non-negative integral column (e.g. a user
+    id): fold = portable_hash(fold_key) % n_folds, so every row of one
+    entity lands in one fold (group-aware splitting — the row-level
+    alternative leaks entity-level signal across folds)."""
+    fold = F.expr(mg_bucket_sql(fold_key, n_folds)).alias("fold")
+    st = (
+        df.select(
+            F.col(category_col).alias("category"),
+            fold,
+            F.col(target_col).cast("decimal(18,6)").alias("__t"),
+        )
+        .groupBy("category", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_f"),
+            F.sum("__t").alias("__s_f"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _OWNED_PERSISTS.append(st)
+    tot = st.groupBy("category").agg(
+        F.sum("__n_f").cast("long").alias("__n_t"),
+        F.sum("__s_f").alias("__s_t"),
+    )
+    gfold = st.groupBy("fold").agg(
+        F.sum("__n_f").cast("long").alias("__n_gf"),
+        F.sum("__s_f").alias("__s_gf"),
+    )
+    gall = st.agg(
+        F.sum("__n_f").cast("long").alias("__n_all"),
+        F.sum("__s_f").alias("__s_all"),
+    )
+    oof_cnt = F.col("__n_t") - F.col("__n_f")
+    oof_sum_d = (F.col("__s_t") - F.col("__s_f")).cast("double")
+    prior = (F.col("__s_all") - F.col("__s_gf")).cast("double") / (
+        F.col("__n_all") - F.col("__n_gf")
+    )
+    return (
+        st.join(tot, "category")
+        .join(gfold, "fold")
+        .crossJoin(F.broadcast(gall))  # 1-row global frame
+        .filter(oof_cnt > 0)
+        .select(
+            "category",
+            "fold",
+            oof_cnt.alias("oof_cnt"),
+            (oof_sum_d / oof_cnt).alias("enc"),
+            (
+                (oof_sum_d + F.lit(int(m)) * prior)
+                / (oof_cnt + F.lit(int(m)))
+            ).alias("enc_smoothed"),
+        )
+    )

@@ -3553,3 +3553,76 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "item", "adj_cnt", F.col("err").alias("err_bound"))
         .orderBy("bucket", "item")
     )
+
+
+# --- Out-of-fold target encoding ----------------------------------------------
+
+_TE_FOLDS = 4
+_TE_M = 100
+
+
+def _te_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_bucket_sql,
+    )
+
+    fold = mg_bucket_sql("user_id", _TE_FOLDS)
+    return f"""
+WITH st AS (
+  SELECT event_type AS category, {fold} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_f,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s_f
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT category, CAST(SUM(n_f) AS BIGINT) AS n_t, SUM(s_f) AS s_t
+  FROM st GROUP BY 1
+),
+gl AS (
+  SELECT fold, CAST(SUM(n_f) AS BIGINT) AS n_gf, SUM(s_f) AS s_gf
+  FROM st GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n_f) AS BIGINT) AS n_all, SUM(s_f) AS s_all FROM st
+)
+SELECT st.category AS category, st.fold AS fold,
+       CAST(t.n_t - st.n_f AS BIGINT) AS oof_cnt,
+       CAST(t.s_t - st.s_f AS DOUBLE) / (t.n_t - st.n_f) AS enc,
+       (CAST(t.s_t - st.s_f AS DOUBLE)
+          + {_TE_M} * (CAST(g.s_all - gl.s_gf AS DOUBLE)
+                       / (g.n_all - gl.n_gf)))
+         / ((t.n_t - st.n_f) + {_TE_M}) AS enc_smoothed
+FROM st
+JOIN tot t ON st.category = t.category
+JOIN gl ON st.fold = gl.fold
+CROSS JOIN g
+WHERE t.n_t - st.n_f > 0
+ORDER BY st.category, st.fold
+"""
+
+
+@register(
+    "q_target_encoding_oof",
+    oracle=_te_oracle(),
+    doc="K-fold out-of-fold target encoding of event_type by mean "
+    f"event value ({_TE_FOLDS} folds keyed on a portable user_id "
+    "hash — group-aware: one entity never straddles folds), with "
+    f"empirical-Bayes smoothing (m={_TE_M}) against the fold's own "
+    "leakage-free global prior (Micci-Barreca 2001). The whole K-fold "
+    "family costs ONE map-side-combined groupBy(category, fold) scan; "
+    "every OOF mean is inclusion-exclusion over the bounded stats "
+    "frame (total minus own fold), never a second pass. Target sums "
+    "are exact decimals; each output is one double division, so the "
+    "gate hash-proves the encoder (operators/features.py)",
+    tags=("pipeline", "ml", "agg"),
+)
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        target_encode_oof,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return target_encode_oof(
+        ev, "event_type", "value", "user_id",
+        n_folds=_TE_FOLDS, m=_TE_M,
+    ).orderBy("category", "fold")

@@ -2854,3 +2854,60 @@ def test_mg_merge_guarantee_and_empty_bucket_error_carry(spark):
         if (b, i) in cs:
             adj = cs[(b, i)]
             assert adj <= true_c <= adj + err
+
+
+def test_target_encode_oof_is_leak_free_and_group_aware(spark):
+    """Every (category, fold) encoding equals the plain mean over rows
+    OUTSIDE that fold (no row sees itself), and the fold assignment is
+    entity-keyed: all rows of one fold_key share a fold."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.features import (
+        clear_features_caches,
+        target_encode_oof,
+    )
+
+    rows = [
+        (uid, "t%d" % (uid % 3), float(uid * 7 % 13) + 0.25)
+        for uid in range(120)
+        for _ in range(1 + uid % 3)
+    ]
+    df = spark.createDataFrame(rows, "uid LONG, cat STRING, y DOUBLE")
+    enc = target_encode_oof(df, "cat", "y", "uid", n_folds=3, m=10)
+    got = {
+        (r["category"], r["fold"]): (r["oof_cnt"], r["enc"])
+        for r in enc.collect()
+    }
+    # group-awareness: fold is a pure function of uid
+    from big_data_engineering_project_spark.operators.sketches import (
+        mg_bucket_sql,
+    )
+
+    folds = {
+        r["uid"]: r["f"]
+        for r in df.select(
+            "uid", F.expr(mg_bucket_sql("uid", 3)).alias("f")
+        ).distinct().collect()
+    }
+    # brute-force OOF means from the raw rows
+    from collections import defaultdict
+
+    sums: dict = defaultdict(float)
+    cnts: dict = defaultdict(int)
+    for uid, cat, y in rows:
+        sums[(cat, folds[uid])] += y
+        cnts[(cat, folds[uid])] += 1
+    cats = {c for _, c, _ in rows}
+    for cat in cats:
+        tot_s = sum(sums[(cat, f)] for f in range(3))
+        tot_n = sum(cnts[(cat, f)] for f in range(3))
+        for f in range(3):
+            oof_n = tot_n - cnts[(cat, f)]
+            if oof_n == 0:
+                assert (cat, f) not in got
+                continue
+            want = (tot_s - sums[(cat, f)]) / oof_n
+            got_n, got_enc = got[(cat, f)]
+            assert got_n == oof_n
+            assert abs(got_enc - want) < 1e-9
+    clear_features_caches()

@@ -639,3 +639,14 @@ def test_mg_heavy_hitters_windowgrouplimit_prune(plans):
     p = plans("q_mg_heavy_hitters")
     assert p.count("WindowGroupLimit") >= 3
     assert "HashAggregate" in p
+
+
+def test_target_encoding_single_fact_scan_via_pinned_stats(plans):
+    """q_target_encoding_oof: the four derived aggregates (per-
+    category totals, per-fold totals, global prior, the stats rows
+    themselves) must all consume the PINNED bounded stats frame — one
+    InMemoryRelation, so the fact table is scanned once, not once per
+    branch. The only cross join is the 1-row global-totals stamp."""
+    p = plans("q_target_encoding_oof")
+    assert p.count("InMemoryTableScan") >= 4
+    assert "InMemoryRelation" in p
