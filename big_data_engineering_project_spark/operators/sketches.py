@@ -559,3 +559,79 @@ def mg_merge(
         merged.select("bucket").distinct(), "bucket", "left_anti"
     ).select("bucket", F.col("err0").alias("err"))
     return counters, offsets.unionByName(empty_only)
+
+
+# --- AMS (tug-of-war) second frequency moment ---------------------------------
+#
+# F2 = Σ_items count(item)² — the self-join size of a key column, the
+# number the optimizer needs before planning a self-join / skew
+# mitigation (complements profiling.join_size_forecast, which computes
+# the cross-relation analog from exact per-key counts). Alon-Matias-
+# Szegedy 1996: Z_j = Σ_rows sign_j(key) with 4-wise-ish independent
+# ±1 hashes makes E[Z_j²] = F2. The Spark shape is the whole point:
+# ONE map-side-combined global aggregate — R running sums, NO per-key
+# state, NO groupBy(key) exchange. At 100 TB with a 1e9-key column the
+# exact computation shuffles a billion rows; the sketch ships R longs
+# per partition. Estimates use frozen portable sign hashes, so they
+# are bit-identical cross-engine — like cm_counters, the gate proves
+# the ESTIMATOR, not just the exact column beside it.
+
+AMS_ROWS: tuple[tuple[int, int], ...] = (
+    (2_654_435_761, 40_503),
+    (2_246_822_519, 104_729),
+    (3_266_489_917, 65_537),
+    (2_869_860_233, 92_821),
+    (2_147_483_659, 15_485_863),
+    (2_971_215_073, 49_979_687),
+    (3_323_784_349, 86_028_121),
+    (2_654_435_789, 67_867_967),
+)
+
+
+def ams_sign_sql(key: str, a: int, b: int) -> str:
+    """Portable ±1 sign of a non-negative integral expression (same
+    overflow discipline as mg_bucket_sql: inner mod keeps the product
+    under 2^63)."""
+    return f"(1 - 2 * (((({key} % {HASH_PRIME}) * {a} + {b}) % {MG_P}) % 2))"
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    relation: str,
+    n_rows: int = len(AMS_ROWS),
+) -> DataFrame:
+    """One-row frame: (relation, n_rows_scanned, exact_f2, ams_f2_est).
+    exact_f2 comes from the per-key aggregation (the thing the sketch
+    exists to avoid — kept beside the estimate so the gate and the
+    caller see both); ams_f2_est = floor-mean of the R squared sign
+    sums, all BIGINT (Z ≤ n_rows, so Z² is overflow-safe to ~3e9
+    rows per partition-merge — far past any single relation here)."""
+    sums = [
+        F.sum(F.expr(ams_sign_sql(key_col, a, b)))
+        .cast("long")
+        .alias(f"__z{j}")
+        for j, (a, b) in enumerate(AMS_ROWS[:n_rows])
+    ]
+    z = df.agg(F.count(F.lit(1)).cast("long").alias("__n"), *sums)
+    est = z.select(
+        "__n",
+        sum(
+            (F.col(f"__z{j}") * F.col(f"__z{j}") for j in range(n_rows)),
+            F.lit(0).cast("long"),
+        ).alias("__sq_sum"),
+    ).select(
+        "__n",
+        F.expr(f"__sq_sum div {int(n_rows)}").alias("__est"),
+    )
+    exact = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .agg(F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(relation).alias("relation"),
+        F.col("__n").alias("n_rows"),
+        F.col("__f2").alias("exact_f2"),
+        F.col("__est").alias("ams_f2_est"),
+    )

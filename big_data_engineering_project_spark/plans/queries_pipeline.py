@@ -3626,3 +3626,68 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "value", "user_id",
         n_folds=_TE_FOLDS, m=_TE_M,
     ).orderBy("category", "fold")
+
+
+# --- AMS F2 / self-join size --------------------------------------------------
+
+
+def _ams_oracle() -> str:
+    from big_data_engineering_project_spark.operators.sketches import (
+        AMS_ROWS,
+        ams_sign_sql,
+    )
+
+    def rel(table: str, key: str, label: str) -> str:
+        signs = ",\n         ".join(
+            f"CAST(SUM({ams_sign_sql(key, a, b)}) AS BIGINT) AS z{j}"
+            for j, (a, b) in enumerate(AMS_ROWS)
+        )
+        sq = " + ".join(f"z{j} * z{j}" for j in range(len(AMS_ROWS)))
+        return f"""
+SELECT '{label}' AS relation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+       (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {table} GROUP BY {key}
+        )) AS exact_f2,
+       CAST(({sq}) // {len(AMS_ROWS)} AS BIGINT) AS ams_f2_est
+FROM (
+  SELECT {signs}
+  FROM {table}
+)"""
+
+    return (
+        rel("events", "user_id", "events.user_id")
+        + "\nUNION ALL"
+        + rel("lineitem", "l_partkey", "lineitem.l_partkey")
+        + "\nORDER BY relation"
+    )
+
+
+@register(
+    "q_selfjoin_size_f2",
+    oracle=_ams_oracle(),
+    doc="Second frequency moment F2 = Σ count(key)² (the self-join "
+    "size — the pre-flight number for self-join/skew planning, the "
+    "single-relation complement of q_join_size_forecast) next to its "
+    "AMS tug-of-war estimate (Alon-Matias-Szegedy 1996): 8 frozen "
+    "portable ±1 sign hashes, est = mean of squared sign sums. The "
+    "sketch column is ONE map-side-combined global aggregate — 8 "
+    "running longs per partition, no per-key state, no groupBy(key) "
+    "exchange: at a 1e9-key column the exact F2 shuffles every "
+    "distinct key, the sketch ships 8 longs. All-integer arithmetic "
+    "so the gate proves the estimator bit-for-bit "
+    "(operators/sketches.py:ams_f2)",
+    tags=("pipeline", "sketch", "profiling"),
+)
+def q_selfjoin_size_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import ams_f2
+
+    ev = ams_f2(
+        load_table(spark, sf_dir, "events"), "user_id", "events.user_id"
+    )
+    li = ams_f2(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        "lineitem.l_partkey",
+    )
+    return ev.unionByName(li).orderBy("relation")

@@ -2911,3 +2911,37 @@ def test_target_encode_oof_is_leak_free_and_group_aware(spark):
             assert got_n == oof_n
             assert abs(got_enc - want) < 1e-9
     clear_features_caches()
+
+
+def test_ams_f2_sign_sums_merge_and_estimate_quality(spark):
+    """AMS tug-of-war: (a) Z sums are linear — sketching two disjoint
+    halves and adding Z's equals sketching the union (the mergeability
+    that makes it a one-pass distributed sketch); (b) on a synthetic
+    skewed fixture the frozen-hash estimate lands within 3× of exact
+    F2 (deterministic regression pin, not a probabilistic claim)."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        AMS_ROWS,
+        ams_f2,
+        ams_sign_sql,
+    )
+
+    rows = [(i % 37,) for i in range(800)] + [(7,)] * 200 + [(11,)] * 100
+    df = spark.createDataFrame(rows, "k LONG")
+    out = ams_f2(df, "k", "fixture").collect()[0]
+    assert out["n_rows"] == 1100
+    exact = out["exact_f2"]
+    est = out["ams_f2_est"]
+    assert exact > 0 and est > 0
+    assert est <= 3 * exact and exact <= 3 * est
+    # linearity: per-half Z vectors add to the whole's Z vector
+    half = df.withColumn("h", F.monotonically_increasing_id() % 2)
+    signs = [
+        F.sum(F.expr(ams_sign_sql("k", a, b))).cast("long").alias(f"z{j}")
+        for j, (a, b) in enumerate(AMS_ROWS)
+    ]
+    whole = df.agg(*signs).collect()[0]
+    parts = half.groupBy("h").agg(*signs).collect()
+    for j in range(len(AMS_ROWS)):
+        assert sum(p[f"z{j}"] for p in parts) == whole[f"z{j}"]

@@ -94,7 +94,8 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_important_parts": "1-row avg-threshold scalar subquery",
     "q_wealthy_inactive": "1-row avg-balance scalar subquery",
     "q_bloom_semi_orders": "1-row broadcast bloom bitmap",
-    "q_target_encoding_oof": "1-row global-totals stamp (OOF prior)",}
+    "q_target_encoding_oof": "1-row global-totals stamp (OOF prior)",
+    "q_selfjoin_size_f2": "1-row exact-F2 stamp beside the sketch",}
 
 # Deliberate Python row-path demos (reference parity), each with the
 # native scale twin named.
