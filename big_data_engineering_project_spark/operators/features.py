@@ -86,8 +86,26 @@ def target_encode_oof(
     id): fold = portable_hash(fold_key) % n_folds, so every row of one
     entity lands in one fold (group-aware splitting — the row-level
     alternative leaks entity-level signal across folds)."""
+    return oof_finish(oof_stats(df, category_col, target_col,
+                                fold_key, n_folds), m)
+
+
+def oof_stats(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    fold_key: str,
+    n_folds: int = DEFAULT_FOLDS,
+) -> DataFrame:
+    """The bounded sufficient-statistics frame: (category, fold, n_f,
+    s_f) with exact decimal target sums. MERGEABLE by (sum, sum) per
+    (category, fold) — two days' stats frames add; a streaming
+    maintainer folds per-batch frames by the same addition
+    (streaming/scd2.run_target_encoding_stream). s_f is pinned at
+    DECIMAL(30,6) so repeated merges keep one schema instead of
+    Spark's precision-widening ladder."""
     fold = F.expr(mg_bucket_sql(fold_key, n_folds)).alias("fold")
-    st = (
+    return (
         df.select(
             F.col(category_col).alias("category"),
             fold,
@@ -95,26 +113,46 @@ def target_encode_oof(
         )
         .groupBy("category", "fold")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__n_f"),
-            F.sum("__t").alias("__s_f"),
+            F.count(F.lit(1)).cast("long").alias("n_f"),
+            F.sum("__t").cast("decimal(30,6)").alias("s_f"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def oof_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two stats frames over disjoint inputs: counts and exact
+    decimal sums add per (category, fold)."""
+    return (
+        a.unionByName(b)
+        .groupBy("category", "fold")
+        .agg(
+            F.sum("n_f").cast("long").alias("n_f"),
+            F.sum("s_f").cast("decimal(30,6)").alias("s_f"),
+        )
+    )
+
+
+def oof_finish(st: DataFrame, m: int = DEFAULT_SMOOTH_M) -> DataFrame:
+    """Encodings from a (possibly merged) stats frame — the shared
+    finish step for the batch operator and the streaming maintainer,
+    so stream ≡ batch is equality of the SAME arithmetic over equal
+    states."""
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
     _OWNED_PERSISTS.append(st)
     tot = st.groupBy("category").agg(
-        F.sum("__n_f").cast("long").alias("__n_t"),
-        F.sum("__s_f").alias("__s_t"),
+        F.sum("n_f").cast("long").alias("__n_t"),
+        F.sum("s_f").alias("__s_t"),
     )
     gfold = st.groupBy("fold").agg(
-        F.sum("__n_f").cast("long").alias("__n_gf"),
-        F.sum("__s_f").alias("__s_gf"),
+        F.sum("n_f").cast("long").alias("__n_gf"),
+        F.sum("s_f").alias("__s_gf"),
     )
     gall = st.agg(
-        F.sum("__n_f").cast("long").alias("__n_all"),
-        F.sum("__s_f").alias("__s_all"),
+        F.sum("n_f").cast("long").alias("__n_all"),
+        F.sum("s_f").alias("__s_all"),
     )
-    oof_cnt = F.col("__n_t") - F.col("__n_f")
-    oof_sum_d = (F.col("__s_t") - F.col("__s_f")).cast("double")
+    oof_cnt = F.col("__n_t") - F.col("n_f")
+    oof_sum_d = (F.col("__s_t") - F.col("s_f")).cast("double")
     prior = (F.col("__s_all") - F.col("__s_gf")).cast("double") / (
         F.col("__n_all") - F.col("__n_gf")
     )

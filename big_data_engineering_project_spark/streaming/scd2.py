@@ -527,3 +527,61 @@ def run_ohlc_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_target_encoding_stream(
+    spark: SparkSession,
+    input_dir: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    category_col: str,
+    target_col: str,
+    fold_key: str,
+    n_folds: int = 4,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the OOF target-encoding sufficient-statistics frame
+    over a micro-batched stream: per-batch (category, fold, n, Σ)
+    partials fold into the stored state by exact decimal addition
+    (operators/features.oof_merge) — the same mergeable-sufficient-
+    statistics discipline as run_agg_maintenance_stream, specialized
+    to the feature-engineering table. State is BOUNDED at #categories
+    × n_folds rows regardless of stream volume; encodings are served
+    by features.oof_finish over the state, so the served feature table
+    after N batches is bit-identical to the batch encoder over the
+    union (checked per round: `target_encoding` in
+    tools/streaming_check.py). Decimal sums are associative, so
+    batch-boundary placement cannot change any served double."""
+    from big_data_engineering_project_spark.operators.features import (
+        oof_merge,
+        oof_stats,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        partial = oof_stats(
+            batch_df, category_col, target_col, fold_key, n_folds
+        )
+        try:
+            existing = spark_b.read.parquet(stats_path)
+            merged = oof_merge(existing, partial)
+        except Exception:  # first batch
+            merged = partial
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(stats_path)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1172,6 +1172,72 @@ def check_seasonal_stream(spark, root: str) -> dict:
     return res
 
 
+def check_target_encoding_stream(spark, root: str) -> dict:
+    """run_target_encoding_stream (per-batch fold of the (category,
+    fold, n, Σ) sufficient-statistics frame by exact decimal addition,
+    state bounded at #categories × n_folds rows) ≡ the batch OOF
+    encoder over the union of all records — encodings served from the
+    maintained state via the SHARED finish step, hash-equal doubles
+    included. The fixture skews categories across batches so the
+    inclusion-exclusion totals really cross batch boundaries."""
+    from big_data_engineering_project_spark.operators.features import (
+        oof_finish,
+        target_encode_oof,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_target_encoding_stream,
+    )
+
+    rng = random.Random(83)
+    recs = []
+    for i in range(480):
+        uid = rng.randrange(60)
+        cat = "c%d" % ((uid + i) % 5 if i < 240 else uid % 3)
+        recs.append({"uid": uid, "cat": cat,
+                     "y": round(rng.uniform(-5, 20), 3), "i": i})
+    in_dir = os.path.join(root, "te_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=60)  # 8 micro-batches
+
+    stats_path = os.path.join(root, "te_stats")
+    run_target_encoding_stream(
+        spark,
+        in_dir,
+        stats_path,
+        os.path.join(root, "te_cp"),
+        schema="uid LONG, cat STRING, y DOUBLE, i LONG",
+        category_col="cat",
+        target_col="y",
+        fold_key="uid",
+        n_folds=3,
+    )
+    served = oof_finish(spark.read.parquet(stats_path), m=10)
+    got = [
+        (r["category"], r["fold"], r["oof_cnt"], r["enc"], r["enc_smoothed"])
+        for r in served.orderBy("category", "fold").collect()
+    ]
+    bb = spark.read.schema("uid LONG, cat STRING, y DOUBLE, i LONG").json(
+        in_dir
+    )
+    want = [
+        (r["category"], r["fold"], r["oof_cnt"], r["enc"], r["enc_smoothed"])
+        for r in target_encode_oof(bb, "cat", "y", "uid", n_folds=3, m=10)
+        .orderBy("category", "fold")
+        .collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+    )
+    return res
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -1199,6 +1265,7 @@ def main() -> None:
         results["seasonal_anomalies"] = check_seasonal_stream(spark, root)
         results["interval_join_outer"] = check_interval_join_outer(spark, root)
         results["ohlc_bars"] = check_ohlc_stream(spark, root)
+        results["target_encoding"] = check_target_encoding_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
