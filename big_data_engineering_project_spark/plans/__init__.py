@@ -269,12 +269,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoted: q_top_supplier (gate-green r7, exact-oracle-green in
     # every FULL sweep).
     "q_dedup_containment",
+    # Second-session continuation rotation (newborn-slot policy): the
+    # three queries born this session — the Misra-Gries mergeable
+    # heavy-hitter summary (gate proves the deterministic summary AND
+    # the merge algebra), OOF target encoding (gate hash-proves the
+    # leakage-free encoder incl. its smoothed doubles), and the AMS
+    # tug-of-war F2 sketch (gate proves the one-pass estimator's
+    # integers). Demoted for them: q_min_cost_supplier,
+    # q_product_profit, q_disjunctive_revenue — each gate-green in the
+    # COMMITTED r7 artifact (the TPC-H suite was gated in full last
+    # round) and exact-oracle-green in every FULL sweep; the suite
+    # keeps q_volume_shipping under the gate plus its full-sweep rows.
+    "q_mg_heavy_hitters",
+    "q_target_encoding_oof",
+    "q_selfjoin_size_f2",
     # TPC-H analog suite — gated in full in the committed r7 artifact
     # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
-    "q_min_cost_supplier",
     "q_volume_shipping",
-    "q_product_profit",
-    "q_disjunctive_revenue",
 )
 
 
