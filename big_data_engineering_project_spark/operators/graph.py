@@ -587,3 +587,102 @@ def link_prediction(
         (scored["u"] == e["a"]) & (scored["v"] == e["b"]),
         "left_anti",
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the O(log n)-round alternative to
+    dedup.duplicate_clusters' min-label propagation, whose round count
+    is the graph DIAMETER. Near-dup components are usually tiny and
+    dense (min-label wins on constants), but chain-shaped components —
+    doc A quotes B quotes C quotes ... , version histories, reply
+    threads — have diameter ~ component size, and at 100 TB a
+    1e6-long chain means 1e6 shuffle rounds for min-label vs ~20
+    here. Same contract as duplicate_clusters: input (src, dst)
+    pairs, output (doc, keeper=component min) for every node that
+    appears in ≥ 1 pair; the fixpoint is engine-independent, so the
+    EXACT recursive-CTE oracle of the min-label query applies
+    verbatim.
+
+    Each round: large-star hangs every neighbor LARGER than u onto
+    the minimum of u's neighborhood (keeps star edges), then
+    small-star re-hangs the smaller-or-equal neighbors. Both steps
+    are groupBy(node).min + an equi-join back onto the adjacency —
+    map-side-combined aggregates and AQE-splittable joins; a
+    celebrity node's adjacency spreads across tasks in the agg, never
+    sorts in one window. Convergence = the edge multiset is unchanged
+    (checked with exceptAll both ways, one bounded count per round:
+    by then edges are star edges, |E| = n - #components).
+
+    Each round ends in an EAGER localCheckpoint, not a persist: the
+    round's plan nests joins + distincts, and without lineage
+    truncation Catalyst re-optimizes an exponentially deepening tree
+    (the probe showed minutes by round ~8; checkpointed rounds run in
+    constant time). Same per-iteration materialization discipline as
+    integer_pagerank's `materialize` hook, applied unconditionally
+    because the convergence check forces evaluation every round
+    anyway."""
+    e0 = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    nodes = (
+        e0.select(F.col("u").alias("doc"))
+        .unionAll(e0.select(F.col("v").alias("doc")))
+        .distinct()
+    )
+    edges = e0.distinct().localCheckpoint()
+    for _ in range(max_iters):
+        # ---- large-star: symmetrize; for each u, m = min(N(u) ∪ {u});
+        # emit (v, m) for v ∈ N(u), v > u. Star edges (v ≤ u side)
+        # are preserved by the v > u guard on the symmetrized set.
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__m0"))
+            .select("u", F.least("__m0", "u").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star: orient every edge large → small; for each
+        # u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
+        ori = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ori.join(mins2, "u")
+            .select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )  # hang each smaller neighbor on the min
+            .unionAll(
+                mins2.select(F.col("u"), F.col("m").alias("v"))
+            )  # and u itself
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # eager: truncates the iteration lineage
+        )
+        changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        edges = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"star-CC did not converge in {max_iters} rounds")
+    # Fixpoint edges are (node, component-min) stars; roots have no
+    # outgoing edge and label themselves.
+    return nodes.join(
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("__m")),
+        "doc",
+        "left",
+    ).select("doc", F.coalesce("__m", "doc").alias("keeper"))

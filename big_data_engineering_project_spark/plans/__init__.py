@@ -170,7 +170,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # KMV daily merge + HDR twin)
     "q_hll_distinct_users",
     "q_hll_daily_merge",
-    "q_hdr_quantile_merge",
+    # (q_hdr_quantile_merge, gate-green r7 + judge-verified, demoted
+    # for the session's star-contraction CC newborn below — the
+    # sketch family keeps five gated members: both HLL rows, approx
+    # contrast, MG heavy hitters, AMS F2)
+    "q_dedup_clusters_star",
     # Behavior analytics + robust stats (q_cohort_retention and
     # q_rolling_active_users, 2× gate-green each, demoted for the
     # round-7 newborns; the winsorized mean keeps the robust-stats

@@ -3691,3 +3691,39 @@ def q_selfjoin_size_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem.l_partkey",
     )
     return ev.unionByName(li).orderBy("relation")
+
+
+@register(
+    "q_dedup_clusters_star",
+    oracle=_clusters_oracle(),
+    doc="The same near-dup pairs → clusters question as "
+    "q_dedup_clusters, computed by alternating large-star/small-star "
+    "contraction (Kiveris et al. SoCC'14) instead of min-label "
+    "propagation: O(log n) rounds vs rounds = component DIAMETER — "
+    "the scale path for chain-shaped components (quote chains, "
+    "version histories) where a 1e6-long chain costs min-label 1e6 "
+    "shuffle rounds and this ~20. Per round: two map-side-combined "
+    "groupBy-min passes + AQE-splittable equi-joins, each round "
+    "ending in an eager localCheckpoint (the iteration-lineage "
+    "truncation the LPA analysis pinned). Identical fixpoint, "
+    "identical exact recursive-CTE oracle — the gate proves the two "
+    "algorithms agree (operators/graph.py:connected_components_star)",
+    tags=("pipeline", "dedup", "graph"),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+    )
+    return connected_components_star(pairs).orderBy("doc")

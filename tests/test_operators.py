@@ -2945,3 +2945,51 @@ def test_ams_f2_sign_sums_merge_and_estimate_quality(spark):
     parts = half.groupBy("h").agg(*signs).collect()
     for j in range(len(AMS_ROWS)):
         assert sum(p[f"z{j}"] for p in parts) == whole[f"z{j}"]
+
+
+def test_star_cc_equals_minlabel_and_beats_diameter(spark):
+    """connected_components_star ≡ duplicate_clusters on a mixed graph
+    (short path + dense blob + isolated pair), and on a 60-node PATH
+    (diameter 59 — the shape min-label propagation cannot finish
+    within its round budget, and the reason this operator exists) the
+    star algorithm converges inside a 12-round budget ≈ log-scale,
+    labeling the whole chain with its min."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from big_data_engineering_project_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # --- equality on a min-label-feasible graph (diameter 4:
+    # min-label's pure-lineage plan DOUBLES per round — the same
+    # Catalyst growth the LPA docstring pins — so the comparison
+    # fixture must stay as shallow as the near-dup graphs that
+    # operator was built for)
+    pairs = []
+    short_path = [(i * 3) % 5 + 100 for i in range(5)]
+    pairs += [(min(a, b), max(a, b)) for a, b in zip(short_path, short_path[1:])]
+    blob = [500, 501, 502, 503, 504]
+    pairs += [(a, b) for a in blob for b in blob if a < b]
+    pairs += [(900, 901)]
+    df = spark.createDataFrame(pairs, "doc_a LONG, doc_b LONG")
+    star = {
+        (r["doc"], r["keeper"])
+        for r in connected_components_star(df, max_iters=12).collect()
+    }
+    minl = {
+        (r["doc"], r["keeper"]) for r in duplicate_clusters(df).collect()
+    }
+    assert star == minl
+
+    # --- the diameter-59 chain: star-CC alone, 12-round budget
+    path_ids = [(i * 37) % 61 + 100 for i in range(60)]
+    chain = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in zip(path_ids, path_ids[1:])],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {
+        (r["doc"], r["keeper"])
+        for r in connected_components_star(chain, max_iters=12).collect()
+    }
+    assert got == {(d, min(path_ids)) for d in set(path_ids)}
