@@ -182,3 +182,58 @@ END"""
         .withColumn(out, tile.cast("int"))
         .drop("__rn", "__n")
     )
+
+
+def fellegi_sunter_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple[str, int, int]],
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter (1969) probabilistic record-linkage scoring over
+    blocked candidate pairs: every within-block pair gets a match
+    weight = Σ over compared fields of (w_agree if the field values
+    agree null-safely else w_disagree) — the log-likelihood-ratio
+    ladder of the classic model with the weights FROZEN as integers
+    (log(m/u) pre-scaled by the caller), so scores are exact and
+    engine-independent. This is the SCORING complement of the
+    candidate generators already here (sorted-neighborhood windows,
+    hash blocking): those bound which pairs are looked at; this ranks
+    them.
+
+    Plan: one groupBy(block) count to apply `max_block_size` (the
+    stop-shingle cut's ER twin — a degenerate block key, e.g. a NULL
+    city, otherwise contributes |block|² pairs), then a self-equi-join
+    on the block key with id_a < id_b, score as a row-local CASE sum.
+    Shuffles carry ids + the compared fields only.
+
+    fields: [(column, w_agree, w_disagree)] — compare columns must
+    already be derived (bands, prefixes, soundex-ish keys) so the
+    join projects no raw payload."""
+    cols = [id_col, *block_cols, *[c for c, _, _ in fields]]
+    base = df.select(*dict.fromkeys(cols))
+    if max_block_size is not None:
+        ok = (
+            base.groupBy(*block_cols)
+            .count()
+            .filter(F.col("count") <= int(max_block_size))
+            .select(*block_cols)
+        )
+        base = base.join(ok, block_cols, "left_semi")
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    score = None
+    for c, w_agree, w_disagree in fields:
+        term = F.when(
+            F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")),
+            F.lit(int(w_agree)),
+        ).otherwise(F.lit(int(w_disagree)))
+        score = term if score is None else score + term
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        score.cast("long").alias("score"),
+    )

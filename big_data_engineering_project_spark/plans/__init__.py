@@ -287,9 +287,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_mg_heavy_hitters",
     "q_target_encoding_oof",
     "q_selfjoin_size_f2",
-    # TPC-H analog suite — gated in full in the committed r7 artifact
-    # (q_nation_revenue (Q5 shape) demoted earlier, 6× green)
-    "q_volume_shipping",
+    # ...and the Fellegi-Sunter scoring newborn (the ER family's
+    # probabilistic ranking layer beside its candidate generators).
+    # Demoted for it: q_volume_shipping — the last TPC-H analog in
+    # the list, gate-green r7 like the whole suite (gated in full in
+    # the committed r7 artifact) and exact-oracle-green in every FULL
+    # sweep at both SFs.
+    "q_fs_linkage_scores",
 )
 
 

@@ -3727,3 +3727,92 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     )
     return connected_components_star(pairs).orderBy("doc")
+
+
+# --- Fellegi-Sunter record-linkage scoring ------------------------------------
+
+_FS_FIELDS_SQL = (
+    "(CASE WHEN a.bal_band IS NOT DISTINCT FROM b.bal_band "
+    "THEN 18 ELSE -7 END) + "
+    "(CASE WHEN a.bal_pos IS NOT DISTINCT FROM b.bal_pos "
+    "THEN 2 ELSE -12 END) + "
+    "(CASE WHEN a.name_par IS NOT DISTINCT FROM b.name_par "
+    "THEN 5 ELSE -5 END)"
+)
+
+_FS_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_acctbal >= 0 AS bal_pos,
+         CAST(RIGHT(c_name, 1) AS INTEGER) % 2 AS name_par
+  FROM customer
+),
+blocks AS (
+  SELECT nk, seg FROM base GROUP BY nk, seg HAVING COUNT(*) <= 500
+),
+b2 AS (SELECT base.* FROM base JOIN blocks USING (nk, seg)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST({_FS_FIELDS_SQL} AS BIGINT) AS score
+  FROM b2 a JOIN b2 b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+)
+SELECT score,
+       CASE WHEN score >= 20 THEN 'link'
+            WHEN score >= 0 THEN 'possible'
+            ELSE 'non-link' END AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2 ORDER BY score
+"""
+
+
+@register(
+    "q_fs_linkage_scores",
+    oracle=_FS_ORACLE,
+    doc="Fellegi-Sunter probabilistic record-linkage scoring over "
+    "(nation, segment)-blocked customer pairs: per-field agreement "
+    "weights as FROZEN integer log-odds (balance band +18/−7, "
+    "balance sign +2/−12, name-digit parity +5/−5), match score = "
+    "their sum, classified link/possible/non-link at 20/0 — the "
+    "SCORING layer of the ER family (sorted-neighborhood and hash "
+    "blocking bound the candidate space; this ranks it). Degenerate "
+    "blocks are cut at 500 rows before the self-join (the "
+    "stop-shingle discipline's ER twin), compare columns are derived "
+    "bands so the pair join carries no raw payload, and the output "
+    "aggregates to the score histogram — bounded rows out "
+    "(operators/linkage.py:fellegi_sunter_pairs)",
+    tags=("pipeline", "linkage", "join"),
+)
+def q_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        (F.col("c_acctbal") >= 0).alias("bal_pos"),
+        (F.expr("CAST(right(c_name, 1) AS INT)") % 2).alias("name_par"),
+    )
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "id",
+        ["nk", "seg"],
+        [("bal_band", 18, -7), ("bal_pos", 2, -12), ("name_par", 5, -5)],
+        max_block_size=500,
+    )
+    return (
+        pairs.groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "score",
+            F.when(F.col("score") >= 20, "link")
+            .when(F.col("score") >= 0, "possible")
+            .otherwise("non-link")
+            .alias("verdict"),
+            "n_pairs",
+        )
+        .orderBy("score")
+    )

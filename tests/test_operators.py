@@ -2993,3 +2993,43 @@ def test_star_cc_equals_minlabel_and_beats_diameter(spark):
         for r in connected_components_star(chain, max_iters=12).collect()
     }
     assert got == {(d, min(path_ids)) for d in set(path_ids)}
+
+
+def test_fellegi_sunter_scores_and_block_cut(spark):
+    """A planted duplicate pair (all three fields agree) scores the
+    full +25 'link' weight; a pair disagreeing everywhere scores the
+    floor; a degenerate block above max_block_size contributes no
+    pairs at all."""
+    from big_data_engineering_project_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        # block (1, 'A'): a planted dup (same band/sign/parity) + one off-by-all
+        (1, 1, "A", 5, True, 1),
+        (2, 1, "A", 5, True, 1),
+        (3, 1, "A", 9, False, 0),
+        # degenerate block (2, 'B'): 4 rows > max_block_size=3 → cut
+        (10, 2, "B", 1, True, 1),
+        (11, 2, "B", 1, True, 1),
+        (12, 2, "B", 1, True, 1),
+        (13, 2, "B", 1, True, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id LONG, nk INT, seg STRING, band LONG, pos BOOLEAN, par INT"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in fellegi_sunter_pairs(
+            df,
+            "id",
+            ["nk", "seg"],
+            [("band", 18, -7), ("pos", 2, -12), ("par", 5, -5)],
+            max_block_size=3,
+        ).collect()
+    }
+    assert got[(1, 2)] == 18 + 2 + 5
+    assert got[(1, 3)] == -7 - 12 - 5
+    assert got[(2, 3)] == -7 - 12 - 5
+    assert all(a < 10 for a, _ in got), "degenerate block leaked pairs"
+    assert len(got) == 3
