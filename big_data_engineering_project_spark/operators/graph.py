@@ -631,12 +631,16 @@ def connected_components_star(
     e0 = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    edges = e0.distinct().localCheckpoint()
+    # Node set from the CHECKPOINTED edges, not e0: the final labeling
+    # join must not re-derive the input pair generation (for near-dup
+    # graphs that is the whole shingle/inverted-index pipeline) a
+    # second time.
     nodes = (
-        e0.select(F.col("u").alias("doc"))
-        .unionAll(e0.select(F.col("v").alias("doc")))
+        edges.select(F.col("u").alias("doc"))
+        .unionAll(edges.select(F.col("v").alias("doc")))
         .distinct()
     )
-    edges = e0.distinct().localCheckpoint()
     for _ in range(max_iters):
         # ---- large-star: symmetrize; for each u, m = min(N(u) ∪ {u});
         # emit (v, m) for v ∈ N(u), v > u. Star edges (v ≤ u side)
