@@ -334,3 +334,68 @@ def test_ntile_closed_form_matches_sql_ntile(n, k):
         want.extend([tile] * size)
     got = [closed_form(rn) for rn in range(1, n + 1)]
     assert got == want
+
+
+@st.composite
+def mg_multisets(draw):
+    """Two disjoint-input multisets of small non-negative item ids,
+    weighted toward collisions and boundary ties (the all-equal-counts
+    bucket is the algebra's hard case)."""
+    items = st.integers(min_value=0, max_value=30)
+    a = draw(st.lists(items, min_size=0, max_size=120))
+    b = draw(st.lists(items, min_size=0, max_size=120))
+    return a, b
+
+
+@given(mg_multisets(), st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=3))
+@pyspark_settings
+def test_mg_algebra_guarantees_on_any_multiset(spark, ab, k, nb):
+    """On ANY pair of multisets and any (k, n_buckets): each side's
+    summary and the MERGED summary satisfy (a) ≤ k counters per
+    bucket, (b) every item with true count > its bucket's err is
+    present, (c) adj ≤ true ≤ adj + err — against exact counts of the
+    side / the union respectively. This is the PODS'12 mergeability
+    contract; ties, empty sides, and all-pruned buckets arise freely
+    from the generator."""
+    from collections import Counter
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        MG_A,
+        MG_P,
+        mg_merge,
+        mg_summary,
+    )
+    from big_data_engineering_project_spark.operators.dedup import HASH_PRIME
+
+    a_items, b_items = ab
+
+    def bucket(i: int) -> int:
+        return ((i % HASH_PRIME) * MG_A + 12345) % MG_P % nb
+
+    def check(counters_df, offsets_df, multiset):
+        cs = {
+            (r["bucket"], r["item"]): r["adj_cnt"]
+            for r in counters_df.collect()
+        }
+        errs = {r["bucket"]: r["err"] for r in offsets_df.collect()}
+        per_bucket = Counter(b for b, _ in cs)
+        assert all(v <= k for v in per_bucket.values())
+        exact = Counter((bucket(i), i) for i in multiset)
+        for (bk, it), true_c in exact.items():
+            err = errs.get(bk, 0)
+            if true_c > err:
+                assert (bk, it) in cs
+            if (bk, it) in cs:
+                assert cs[(bk, it)] <= true_c <= cs[(bk, it)] + err
+
+    da = spark.createDataFrame([(i,) for i in a_items] or [(None,)],
+                               "item_v LONG").filter(F.col("item_v").isNotNull())
+    db = spark.createDataFrame([(i,) for i in b_items] or [(None,)],
+                               "item_v LONG").filter(F.col("item_v").isNotNull())
+    ca, ea = mg_summary(da, "item_v", k=k, n_buckets=nb)
+    cb, eb = mg_summary(db, "item_v", k=k, n_buckets=nb)
+    check(ca, ea, a_items)
+    check(cb, eb, b_items)
+    cm, em = mg_merge(ca, ea, cb, eb, k=k)
+    check(cm, em, a_items + b_items)
