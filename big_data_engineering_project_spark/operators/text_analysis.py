@@ -976,3 +976,45 @@ def doc_lm_cost(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("avg_cost_units"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Positional phrase search over a whitespace-tokenized corpus:
+    docs where `phrase` occurs as CONSECUTIVE tokens, with the exact
+    occurrence count — the search-engine primitive the trigram
+    substring index (substring_index_search) cannot express, because
+    a phrase is an ordered adjacency constraint, not a bag of grams.
+
+    Plan: one posexplode builds the positional postings (doc, pos,
+    word) — the filter `word IN phrase` is applied INSIDE the same
+    select so only the phrase terms' postings ever materialize (the
+    selective-posting-list property of a real inverted index); each
+    term's postings align to the phrase START (pos - offset) and the
+    k lists intersect by (doc, start) equi-joins; a final
+    map-side-combined count per doc. Shuffles carry (id, pos) longs
+    only. Returns (id_col, n_hits), n_hits ≥ 1.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "__pos", "__w"
+        ),
+    ).filter(F.col("__w").isin(list(phrase)))
+    base = toks.filter(F.col("__w") == phrase[0]).select(
+        id_col, F.col("__pos").alias("__start")
+    )
+    for i, w in enumerate(phrase[1:], 1):
+        nxt = toks.filter(F.col("__w") == w).select(
+            id_col, (F.col("__pos") - i).alias("__start")
+        )
+        base = base.join(nxt, [id_col, "__start"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )

@@ -295,6 +295,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sweep at both SFs.
     "q_fs_linkage_scores",
 )
+# q_phrase_search (the session's sixth newborn) does NOT take a slot:
+# every current member is a round-8 first-time gate candidate (the
+# r7-gated veterans are all demoted already), so any demotion would
+# cost that query its ONLY driver-gate appearance. Its evidence this
+# round is the two committed FULL sweeps (hash-green at sf0.01 and
+# sf0.1) + the adjacency pytest; it leads the next round's rotation.
 
 
 def _ordered_names() -> list[str]:

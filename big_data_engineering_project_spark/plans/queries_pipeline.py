@@ -3816,3 +3816,42 @@ def q_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score")
     )
+
+
+# --- Positional phrase search ---------------------------------------------------
+
+_PHRASE = ["value", "table"]
+_PHRASE_S = " ".join(_PHRASE)
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+SELECT doc_id,
+       CAST((len(lower(text)) - len(replace(lower(text), '{_PHRASE_S}', '')))
+            // len('{_PHRASE_S}') AS BIGINT) AS n_hits
+FROM documents
+WHERE contains(lower(text), '{_PHRASE_S}')
+ORDER BY doc_id
+""",
+    doc=f"Positional phrase search for '{_PHRASE_S}': docs where the "
+    "phrase occurs as CONSECUTIVE tokens, with exact occurrence "
+    "counts — ordered adjacency over positional posting lists, the "
+    "query class a bag-of-grams index cannot answer. Plan: one "
+    "posexplode postings build filtered to the phrase terms before "
+    "anything materializes, per-term lists aligned to the phrase "
+    "start and intersected by (doc, start) equi-joins, map-side "
+    "count. The string-substring oracle is exact on this corpus "
+    "(single-space tokenized, whole-word vocabulary — no token "
+    "contains another as a substring); the operator itself is "
+    "position-based and general "
+    "(operators/text_analysis.py:phrase_search)",
+    tags=("pipeline", "text", "search"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", _PHRASE).orderBy("doc_id")

@@ -3033,3 +3033,35 @@ def test_fellegi_sunter_scores_and_block_cut(spark):
     assert got[(2, 3)] == -7 - 12 - 5
     assert all(a < 10 for a, _ in got), "degenerate block leaked pairs"
     assert len(got) == 3
+
+
+def test_phrase_search_adjacency_and_overlaps(spark):
+    """Phrase hits require CONSECUTIVE tokens in order: scrambled or
+    gapped occurrences don't count; adjacent repeats each count; a
+    3-token phrase exercises the k-way position intersection."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "big red fox jumps"),          # 1 hit of 'big red'
+        (2, "red big fox"),                 # order wrong -> 0
+        (3, "big blue red fox"),            # gapped -> 0
+        (4, "big red big red fox"),         # 2 hits
+        (5, "BIG RED fox"),                 # case-folded -> 1
+        (6, "the big red fox ate a big red fox cub"),  # 2 hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(df, "doc_id", "text", ["big", "red"]).collect()
+    }
+    assert got == {1: 1, 4: 2, 5: 1, 6: 2}
+    tri = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(
+            df, "doc_id", "text", ["big", "red", "fox"]
+        ).collect()
+    }
+    # doc 4: 'big red BIG RED FOX' — the trigram sits at positions 2-4
+    assert tri == {1: 1, 4: 1, 5: 1, 6: 2}
