@@ -706,3 +706,67 @@ def time_weighted_avg(
         )
         .drop("__integral")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bin_seconds: int,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """KEYLESS interval-overlap join: every pair (row of `a`, row of
+    `b`) whose closed integer-second intervals [s, e] overlap
+    (a.s ≤ b.e AND b.s ≤ a.e). Both inputs carry columns `s` and `e`
+    (epoch seconds, BIGINT, s ≤ e); all other columns pass through
+    with the given suffixes. Completes the temporal-join family:
+    as-of joins match a POINT to its nearest neighbor, the band join
+    matches a point to a time WINDOW — this matches WINDOW to WINDOW
+    (sessions × incidents, fulfillment spans × promotion windows),
+    which neither can express.
+
+    A naive formulation is a cross join with a range predicate — at
+    scale, |a|·|b| pairs examined. Here both sides replicate to the
+    fixed time bins their interval covers (explode of a bounded
+    sequence), the join is EQUI on the bin (shuffle-partitionable,
+    AQE-splittable, skew-salvageable — everything a cross join is
+    not), the overlap predicate verifies inside the join, and each
+    qualifying pair is emitted EXACTLY ONCE without any dedup pass:
+    only the canonical bin — the bin containing max(a.s, b.s), the
+    overlap's left edge, which both sides necessarily cover — may
+    emit (the standard emit-at-first-overlap-bin trick; a distinct()
+    over pair ids would be a second full shuffle).
+
+    `bin_seconds` is the honest knob: replication factor =
+    interval_length/bin_seconds + 1 per row, join width = rows per
+    bin. Choose it near the typical interval length — the same
+    trade-off as the band join's bucket width (temporal.py:band_join).
+    """
+    sfx_a, sfx_b = suffixes
+
+    def prep(df: DataFrame, sfx: str) -> DataFrame:
+        keep = [
+            F.col(c).alias(f"{c}{sfx}") for c in df.columns
+        ]
+        return df.select(
+            *keep,
+            F.explode(
+                F.sequence(
+                    F.expr(f"s DIV {int(bin_seconds)}"),
+                    F.expr(f"e DIV {int(bin_seconds)}"),
+                )
+            ).alias("__bin"),
+        )
+
+    ea, eb = prep(a, sfx_a), prep(b, sfx_b)
+    s_a, e_a = F.col(f"s{sfx_a}"), F.col(f"e{sfx_a}")
+    s_b, e_b = F.col(f"s{sfx_b}"), F.col(f"e{sfx_b}")
+    canonical = F.expr(
+        f"greatest(s{sfx_a}, s{sfx_b}) DIV {int(bin_seconds)}"
+    )
+    return ea.join(
+        eb,
+        (ea["__bin"] == eb["__bin"])
+        & (s_a <= e_b)
+        & (s_b <= e_a)
+        & (ea["__bin"] == canonical),
+    ).drop("__bin")

@@ -606,3 +606,94 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["event_type"], time_col="ts", value_col="value",
         id_col="event_id", bucket="day",
     ).orderBy("event_type", "bucket_ts")
+
+
+# --- Keyless interval-overlap join ---------------------------------------------
+
+_IOJ_TOP_HOURS = 20
+_IOJ_BIN_S = 7 * 24 * 3600  # weekly bins ~ typical fulfillment span
+
+
+@register(
+    "q_spike_order_overlap",
+    oracle=f"""
+WITH oi AS (
+  SELECT o.o_orderkey,
+         CAST(epoch(o.o_orderdate) AS BIGINT) AS s,
+         CAST(epoch(li.mx) AS BIGINT) AS e,
+         o.o_totalprice
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS mx
+        FROM lineitem GROUP BY 1) li
+    ON o.o_orderkey = li.l_orderkey
+),
+spikes AS (
+  SELECT hr, CAST(epoch(hr) AS BIGINT) AS s,
+         CAST(epoch(hr) + 3599 AS BIGINT) AS e
+  FROM (
+    SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+    FROM events GROUP BY 1
+    ORDER BY c DESC, hr ASC LIMIT {_IOJ_TOP_HOURS}
+  )
+)
+SELECT spikes.hr AS spike_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(oi.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS overlap_value
+FROM spikes JOIN oi ON oi.s <= spikes.e AND spikes.s <= oi.e
+GROUP BY 1 ORDER BY 1
+""",
+    doc=f"Keyless interval-overlap join: the {_IOJ_TOP_HOURS} busiest "
+    "event hours (total-order top-k) overlapped against every order's "
+    "fulfillment span [orderdate, last shipdate] — window×window "
+    "temporal matching, the join shape neither the as-of (point→"
+    "nearest) nor the band join (point→window) can express. Plan: "
+    "both interval sets replicate to weekly bins (bounded explode), "
+    "EQUI-join on the bin (AQE-splittable — the naive form is a "
+    "cross join with a range filter), overlap verified in-join, each "
+    "pair emitted exactly once via the canonical max-start bin (no "
+    "dedup shuffle). Oracle is that naive quadratic join; decimal "
+    "value sums (operators/temporal.py:interval_overlap_join)",
+    tags=("temporal", "join"),
+)
+def q_spike_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = (
+        orders.join(
+            li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx")),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("s"),
+            F.unix_timestamp("mx").alias("e"),
+            "o_totalprice",
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    spikes = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("hr").asc())
+        .limit(_IOJ_TOP_HOURS)
+        .select(
+            "hr",
+            F.unix_timestamp("hr").alias("s"),
+            (F.unix_timestamp("hr") + 3599).alias("e"),
+        )
+    )
+    pairs = interval_overlap_join(oi, spikes, _IOJ_BIN_S)
+    dec = F.col("o_totalprice_a").cast("decimal(18,6)")
+    return (
+        pairs.groupBy(F.col("hr_b").alias("spike_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(dec).cast("double").alias("overlap_value"),
+        )
+        .orderBy("spike_hour")
+    )
