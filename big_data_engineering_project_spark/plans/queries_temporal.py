@@ -612,6 +612,14 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IOJ_TOP_HOURS = 20
 _IOJ_BIN_S = 7 * 24 * 3600  # weekly bins ~ typical fulfillment span
+# The events table lives in 2024-01 while the order book spans
+# 1995-2001 (TESTDATA.md) — raw hours can never overlap a fulfillment
+# span. The query REPLAYS each spike hour 27 years back
+# (epoch('2024-01-01') - epoch('1997-01-01'), a frozen integer) so the
+# replayed windows land mid-book and the overlap join is exercised on
+# a non-empty pair set at every SF. spike_hour keeps the original 2024
+# identity; only the interval endpoints shift.
+_IOJ_REPLAY_SHIFT_S = 851_990_400
 
 
 @register(
@@ -628,8 +636,8 @@ WITH oi AS (
     ON o.o_orderkey = li.l_orderkey
 ),
 spikes AS (
-  SELECT hr, CAST(epoch(hr) AS BIGINT) AS s,
-         CAST(epoch(hr) + 3599 AS BIGINT) AS e
+  SELECT hr, CAST(epoch(hr) AS BIGINT) - {_IOJ_REPLAY_SHIFT_S} AS s,
+         CAST(epoch(hr) + 3599 AS BIGINT) - {_IOJ_REPLAY_SHIFT_S} AS e
   FROM (
     SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
     FROM events GROUP BY 1
@@ -644,7 +652,9 @@ FROM spikes JOIN oi ON oi.s <= spikes.e AND spikes.s <= oi.e
 GROUP BY 1 ORDER BY 1
 """,
     doc=f"Keyless interval-overlap join: the {_IOJ_TOP_HOURS} busiest "
-    "event hours (total-order top-k) overlapped against every order's "
+    "event hours (total-order top-k), replayed 27 years back into the "
+    "order-book epoch (frozen integer shift — the fixtures' event and "
+    "order clocks are disjoint), overlapped against every order's "
     "fulfillment span [orderdate, last shipdate] — window×window "
     "temporal matching, the join shape neither the as-of (point→"
     "nearest) nor the band join (point→window) can express. Plan: "
@@ -683,8 +693,10 @@ def q_spike_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IOJ_TOP_HOURS)
         .select(
             "hr",
-            F.unix_timestamp("hr").alias("s"),
-            (F.unix_timestamp("hr") + 3599).alias("e"),
+            (F.unix_timestamp("hr") - F.lit(_IOJ_REPLAY_SHIFT_S)).alias("s"),
+            (F.unix_timestamp("hr") + 3599 - F.lit(_IOJ_REPLAY_SHIFT_S)).alias(
+                "e"
+            ),
         )
     )
     pairs = interval_overlap_join(oi, spikes, _IOJ_BIN_S)
