@@ -111,7 +111,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stays gated via q_key_skew_report) and q_revenue_rollup
     # (gate-green r7; grouping-sets keeps the pivot member).
     "q_window_funnel",
-    "q_substring_index_search",
+    # Round-9 rotation (r8 verdict task 2 — the 5 never-gated members
+    # + the replayed spike-overlap fixture whose plan changed this
+    # round): q_phrase_search takes the search-family slot from
+    # q_substring_index_search (gate-green r8); q_dimension_asof and
+    # q_spike_order_overlap take temporal slots from
+    # q_gap_fill_interp_6h (gate-green r8; LOCF/interp twins stay
+    # exact-oracle-green in every FULL sweep); q_hop_distance and
+    # q_label_propagation_deep take graph slots from
+    # q_cheapest_part_paths (gate-green r8; the graph family keeps
+    # k-core + link prediction + star-CC under the gate);
+    # q_priority_sample_weighted takes the sampling slot from
+    # q_reservoir_sample_merge (gate-green r8). Rows-only demotions
+    # q_compression_ratio and q_hll_distinct_users each hold an r8
+    # gate row WITH their pytest-invariant ids; the HLL family keeps
+    # q_hll_daily_merge gated. After this rotation EVERY registry
+    # member holds ≥1 committed gate row (the r7 goal, finished).
+    "q_phrase_search",
+    "q_dimension_asof",
+    "q_spike_order_overlap",
+    "q_hop_distance",
+    "q_label_propagation_deep",
+    "q_priority_sample_weighted",
     # ...and the final three of the round: k-core (graph family's
     # coreness member), interpolation gap-fill (the LOCF twin's other
     # mode) and the join-size forecast (pre-flight planning). Demoted:
@@ -120,7 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_value_rank_distribution (each gate-green r7; both families
     # hold exact-oracle rows in every FULL sweep).
     "q_kcore_parts",
-    "q_gap_fill_interp_6h",
+    # "q_gap_fill_interp_6h" demoted r9 (gate-green r8)
     "q_join_size_forecast",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
@@ -135,11 +156,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # every registry member has appeared in at least one committed
     # gate artifact (r7 verdict task 3). Rows-only gate rows carry
     # their pytest invariant names via the registry's `invariants`.
-    "q_compression_ratio",
+    # "q_compression_ratio" demoted r9 (gate-green r8)
     # LLM-pipeline: sampling — q_weighted_sample_ht (gate-green r6)
     # demoted for the round-8 newborn mergeable reservoir sample
     # (merged ≡ direct under the gate, newborn-slot policy)
-    "q_reservoir_sample_merge",
+    # "q_reservoir_sample_merge" demoted r9 (gate-green r8)
     # Temporal: the as-of matrix {backward,forward}×{plain,salted} is
     # represented by the two salted members (each oracle = direct ASOF
     # JOIN, so salted ≡ unsalted is proven each round), the forward
@@ -168,7 +189,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # rows-only verdict + pytest invariant names land in a committed
     # artifact; the exact-oracle sketch algebra stays covered by the
     # KMV daily merge + HDR twin)
-    "q_hll_distinct_users",
+    # "q_hll_distinct_users" demoted r9 (gate-green r8)
     "q_hll_daily_merge",
     # (q_hdr_quantile_merge, gate-green r7 + judge-verified, demoted
     # for the session's star-contraction CC newborn below — the
@@ -201,7 +222,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_pagerank_event_graph, multi-gated and headline-benched,
     # demoted — the iterative-fixed-point class stays gated via LPA
     # and the deep-LPA auto-checkpoint query in FULL sweeps)
-    "q_cheapest_part_paths",
+    # "q_cheapest_part_paths" demoted r9 (gate-green r8)
     "q_link_prediction",
     "q_pareto_parts",
     # Join strategies: bloom-pruned semi (q_topk_lineitems_sharded,
@@ -295,12 +316,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sweep at both SFs.
     "q_fs_linkage_scores",
 )
-# q_phrase_search (the session's sixth newborn) does NOT take a slot:
-# every current member is a round-8 first-time gate candidate (the
-# r7-gated veterans are all demoted already), so any demotion would
-# cost that query its ONLY driver-gate appearance. Its evidence this
-# round is the two committed FULL sweeps (hash-green at sf0.01 and
-# sf0.1) + the adjacency pytest; it leads the next round's rotation.
+# (r9: q_phrase_search led this round's rotation as promised above —
+# it now holds a gate slot along with the other four never-gated
+# members and the replayed spike-overlap query.)
 
 
 def _ordered_names() -> list[str]:
