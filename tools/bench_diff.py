@@ -16,11 +16,68 @@ import json
 import sys
 
 
+def _balanced_object(text: str, start: int) -> str | None:
+    """The substring of `text` from the '{' at `start` to its matching
+    '}' (string-literal aware), or None if unbalanced (truncated)."""
+    depth, in_str, esc = 0, False, False
+    for i in range(start, len(text)):
+        ch = text[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start : i + 1]
+    return None
+
+
+def salvage(tail: str) -> dict:
+    """Reconstruct the fields bench_diff needs from a driver `tail`
+    whose JSON line was truncated at the HEAD (the driver keeps only
+    the last 2000 stdout chars; BENCH_r07.json lost its opening brace
+    and `parsed` is null). Brace-matches the `queries` and
+    `calibration` sub-objects — both live near the line's start, so
+    head-truncation that reaches them means the artifact is truly
+    unusable and we raise."""
+    doc: dict = {}
+    for key in ("queries", "calibration"):
+        at = tail.find(f'"{key}"')
+        if at < 0:
+            continue
+        brace = tail.find("{", at)
+        if brace < 0:
+            continue
+        obj = _balanced_object(tail, brace)
+        if obj is not None:
+            try:
+                doc[key] = json.loads(obj)
+            except json.JSONDecodeError:
+                pass
+    if "queries" not in doc:
+        raise ValueError(
+            "tail salvage failed: no balanced 'queries' object in tail"
+        )
+    return doc
+
+
 def load(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
-    if "parsed" in doc and doc["parsed"]:
-        doc = doc["parsed"]
+    if "parsed" in doc:
+        if doc["parsed"]:
+            doc = doc["parsed"]
+        else:  # truncated driver capture (e.g. BENCH_r07.json)
+            doc = salvage(doc.get("tail", ""))
     return doc
 
 
