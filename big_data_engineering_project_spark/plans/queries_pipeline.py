@@ -904,6 +904,10 @@ def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # Porter stemming is not SQL-expressible → rows-only check
     doc="UD5: Porter stemmer over token arrays as Arrow-batched pandas UDF — NB cell 65",
     tags=("pipeline", "text", "udf"),
+    invariants=(
+        "tests/test_functions.py::test_porter_stem_published_vectors",
+        "tests/test_properties.py::test_porter_stem_fixpoint_and_nonempty",
+    ),
 )
 def q_stemmed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.functions.stemmer import stem_tokens_udf
@@ -926,6 +930,11 @@ def q_stemmed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consistency tests in tests/test_operators.py.
     doc="Hyperplane-LSH bucketed ANN top-k (scan restricted to query's bucket)",
     tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_lsh_topk_recall",
+        "tests/test_operators.py::test_lsh_topk_high_recall_on_planted_neighbors",
+        "tests/test_operators.py::test_ann_recall_floors_on_fixture",
+    ),
 )
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -984,6 +993,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are covered in tests/test_operators.py.
     doc="IVF-style ANN: coarse cells + n_probe nearest-cell scan (scale path)",
     tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivf_topk_recall_and_exact_cosines",
+        "tests/test_operators.py::test_ivf_topk_high_recall_on_planted_neighbors",
+        "tests/test_operators.py::test_ivf_with_kmeans_centroids_probe_all_equals_brute_force",
+    ),
 )
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1338,6 +1352,10 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="KMeans(k=4) semantic clusters over embeddings: cluster sizes "
     "(SemDeDup-style cluster-then-prune backbone)",
     tags=("pipeline", "similarity", "ml"),
+    invariants=(
+        "tests/test_pipeline_ops.py::test_kmeans_deterministic_and_covering",
+        "tests/test_pipeline_ops.py::test_kmeans_beats_arbitrary_partition",
+    ),
 )
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.ml import kmeans_assignments
@@ -1504,6 +1522,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment is a written partition column and pruning reads one "
     "cluster at a time",
     tags=("pipeline", "similarity", "dedup", "ml"),
+    invariants=(
+        "tests/test_operators.py::test_semantic_dedup_pairs_are_true_tau_pairs",
+    ),
 )
 def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.ml import kmeans_assignments

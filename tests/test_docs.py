@@ -41,3 +41,24 @@ def test_every_query_has_oracle_or_known_rows_only():
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only
+
+
+def test_rows_only_queries_carry_resolvable_invariants():
+    # Every rows-only query must name the pytest invariants that DO
+    # verify it (the artifact writer copies them into each sweep row),
+    # and each node id must resolve to a real test function — a rename
+    # must break here, not in the judge's read of the artifact.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        assert spec.invariants, f"{name}: rows-only with no invariants"
+        for node in spec.invariants:
+            path, _, func = node.partition("::")
+            func = func.split("[")[0]
+            fp = os.path.join(root, path)
+            assert os.path.exists(fp), f"{name}: missing file {path}"
+            src = open(fp).read()
+            assert re.search(
+                rf"^def {re.escape(func)}\b", src, re.M
+            ), f"{name}: invariant {node} does not resolve"

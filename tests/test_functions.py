@@ -156,3 +156,26 @@ def test_treebank_tokenizer_splits_punct(spark):
 
     out = one(spark, treebank_tokenize(F.col("s")), s="hello, world!! (ok)")
     assert out == ["hello", ",", "world", "!!", "(", "ok", ")"]
+
+
+def test_porter_stem_published_vectors():
+    # UD5 invariant anchor for the rows-only q_stemmed_docs: the
+    # classic example set from Porter (1980), "An algorithm for
+    # suffix stripping" — one vector per rule family (plurals, -eed,
+    # -ing with consonant doubling, -ational/-tional, y→i, and the
+    # m>1 suffix strips).
+    from big_data_engineering_project_spark.functions.stemmer import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "sing": "sing",
+        "hopping": "hop", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "happy": "happi", "generalization": "gener",
+        "oscillators": "oscil", "adjustable": "adjust",
+        "defensible": "defens", "probate": "probat", "rate": "rate",
+        "controlling": "control",
+    }
+    got = {w: porter_stem(w) for w in vectors}
+    assert got == vectors
