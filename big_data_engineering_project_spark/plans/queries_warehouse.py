@@ -506,6 +506,13 @@ def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_MIN_SUPPORT = 2
+# Hub-center cap for q_link_prediction, applied on BOTH engines: the
+# wedge join's quadratic guard (d*(d-1)/2 wedges per center). Sized
+# well above the fixture's max co-order degree (13 at sf0.01, 6 at
+# sf0.1) so the registered result is cap-invariant here, while any
+# real-data celebrity vertex is excluded with bounded RA error
+# (contribution ≤ ra_scale/d per pair — see operators/graph.py).
+_LINKPRED_MAX_CENTER_DEG = 64
 
 
 @register(
@@ -1317,6 +1324,7 @@ deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1),
 ctr AS (
   SELECT und.a AS z, und.b AS n, 1000000000 // deg.deg AS ra
   FROM und JOIN deg ON deg.a = und.a
+  WHERE deg.deg <= {_LINKPRED_MAX_CENTER_DEG}
 ),
 w AS (
   SELECT l.n AS u, r.n AS v, l.ra
@@ -1338,7 +1346,11 @@ ORDER BY u, v
     "shared neighbors, in integer micro-units so ranking is exact "
     "cross-engine) — 'parts likely to be co-bought next'. Wedge self-"
     "join on the center + anti-join of existing edges; the hub-center "
-    "cap (the quadratic-term guard) is exercised by pytest "
+    "cap (the quadratic-term guard) is ON in this registration on BOTH "
+    "engines (max_center_degree, sized above the fixture's max degree "
+    "— 13 at sf0.01, 6 at sf0.1 — so it binds only on celebrity "
+    "vertices; the exclusion itself is pinned by pytest "
+    "test_link_prediction_hub_cut_excludes_celebrity_center) "
     "(operators/graph.py:link_prediction)",
     headline=True,
     tags=("warehouse", "graph", "join"),
@@ -1353,7 +1365,11 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair_support") >= _TRI_MIN_SUPPORT
     )
     return link_prediction(
-        edges, src="item_a", dst="item_b", min_common=2
+        edges,
+        src="item_a",
+        dst="item_b",
+        min_common=2,
+        max_center_degree=_LINKPRED_MAX_CENTER_DEG,
     ).orderBy("u", "v")
 
 

@@ -541,6 +541,9 @@ def test_link_prediction_equi_wedges_anti_edges(plans):
     p = plans("q_link_prediction")
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+    # r9: the hub-center cap (quadratic-term guard) must be ON in the
+    # registered query — visible as a degree filter in the plan.
+    assert "<= 64" in p
 
 
 def test_attribution_keyed_join_single_conv_window(plans):
