@@ -300,6 +300,7 @@ def table_diff_incremental(
     key: str,
     compare_cols: Sequence[str],
     old_digests: DataFrame | None = None,
+    new_digests: DataFrame | None = None,
 ) -> DataFrame:
     """table_diff, sub-linear in SHUFFLED bytes for mostly-identical
     snapshots: level 1 compares n_buckets (bucket_digest, n_rows)
@@ -319,13 +320,23 @@ def table_diff_incremental(
     are unavoidable without storage-level change tracking; what the
     index removes is the full-table row-digest SHUFFLE, which is the
     cost that scales with snapshot width × row count.
+
+    `new_digests`: the symmetric persisted index for the NEW side —
+    the continuous-reconciliation shape, where a streaming maintainer
+    (streaming/scd2.py:run_table_diff_stream) keeps the replica's
+    bucket digests current via XOR deltas per micro-batch; with both
+    indexes supplied, level 1 costs zero table scans.
     """
     bd_old = (
         bucket_digests(old, key, compare_cols)
         if old_digests is None
         else old_digests
     )
-    bd_new = bucket_digests(new, key, compare_cols)
+    bd_new = (
+        bucket_digests(new, key, compare_cols)
+        if new_digests is None
+        else new_digests
+    )
     o = bd_old.select(
         "bucket",
         F.col("bucket_digest").alias("__do"),

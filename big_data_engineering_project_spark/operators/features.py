@@ -55,6 +55,23 @@ DEFAULT_SMOOTH_M = 100
 # operator cannot unpersist its own frame; long-lived sessions reclaim
 # via clear_features_caches() (wired into caches.clear_all_owned_caches).
 _OWNED_PERSISTS: list[DataFrame] = []
+# r8 ADVICE #4: a long-lived serving loop that repeatedly finishes the
+# streaming-maintained state would otherwise accumulate pinned frames
+# without bound — cap the registry and evict oldest-first (unpersist
+# is always safe: any still-lazy consumer of an evicted frame simply
+# recomputes its bounded #categories × n_folds rows).
+_MAX_OWNED_PERSISTS = 8
+
+
+def _pin(st: DataFrame) -> DataFrame:
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    _OWNED_PERSISTS.append(st)
+    while len(_OWNED_PERSISTS) > _MAX_OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop(0).unpersist()
+        except Exception:
+            pass
+    return st
 
 
 def clear_features_caches() -> None:
@@ -136,9 +153,14 @@ def oof_finish(st: DataFrame, m: int = DEFAULT_SMOOTH_M) -> DataFrame:
     """Encodings from a (possibly merged) stats frame — the shared
     finish step for the batch operator and the streaming maintainer,
     so stream ≡ batch is equality of the SAME arithmetic over equal
-    states."""
-    st = st.persist(StorageLevel.MEMORY_AND_DISK)
-    _OWNED_PERSISTS.append(st)
+    states.
+
+    EVERY call pins the stats frame (four derived aggregates consume
+    it — see the _OWNED_PERSISTS comment); the registry is capped at
+    _MAX_OWNED_PERSISTS with oldest-first eviction, so a serving loop
+    that re-finishes the streaming-maintained state cannot accumulate
+    pins. clear_features_caches() reclaims everything immediately."""
+    st = _pin(st)
     tot = st.groupBy("category").agg(
         F.sum("n_f").cast("long").alias("__n_t"),
         F.sum("s_f").alias("__s_t"),

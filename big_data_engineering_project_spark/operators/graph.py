@@ -677,9 +677,17 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()  # eager: truncates the iteration lineage
         )
-        changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        # Both sides are distinct() sets, so set equality is "same
+        # cardinality AND one-sided difference empty" — one exceptAll
+        # shuffle per round instead of two (r8 ADVICE #3; the counts
+        # are off the already-checkpointed frames, so the count pass
+        # is a scan, not a recompute).
+        converged = (
+            ss.count() == edges.count()
+            and ss.exceptAll(edges).count() == 0
+        )
         edges = ss
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(f"star-CC did not converge in {max_iters} rounds")

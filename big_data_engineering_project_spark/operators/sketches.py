@@ -419,16 +419,20 @@ MG_P = 4_294_967_291  # largest 32-bit prime
 
 
 def mg_bucket_sql(item: str, n_buckets: int, mod: str = "%") -> str:
-    """Portable bucket index of a NON-NEGATIVE integral expression —
-    the same affine scramble in Spark SQL and DuckDB. BIGINT-safe by
+    """Portable bucket index of an integral expression — the same
+    affine scramble in Spark SQL and DuckDB. BIGINT-safe by
     construction: the inner mod bounds the multiplicand at ~1e9, so
     the product stays < 2.7e18 < 2^63 (DuckDB raises on BIGINT
     overflow; Spark non-ANSI would silently wrap — both avoided, not
-    relied on)."""
-    return (
-        f"((({item} % {HASH_PRIME}) * {MG_A} + 12345) % {MG_P})"
-        f" {mod} {n_buckets}"
-    )
+    relied on). Sign-safe on BOTH engines (r8 ADVICE #5): % keeps the
+    dividend's sign in Spark and DuckDB, so a signed item would have
+    yielded buckets in (-n_buckets, n_buckets) — 2·n_buckets-1 of
+    them; the ((x % p) + p) % p fold pins the scramble to [0, MG_P)
+    before the bucket mod, a no-op for non-negative inputs (existing
+    bucket assignments unchanged) and the portable pmod for negative
+    ones. The +MG_P sum peaks below 2·MG_P ≈ 8.6e9 — no overflow."""
+    scram = f"(({item} % {HASH_PRIME}) * {MG_A} + 12345) % {MG_P}"
+    return f"((({scram}) + {MG_P}) % {MG_P}) {mod} {n_buckets}"
 
 
 def _mg_prune(

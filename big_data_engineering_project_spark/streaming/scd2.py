@@ -43,6 +43,8 @@ IDENTICAL history table as the batch operator over the union.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -61,6 +63,46 @@ HISTORY_COLS = (
     "version",
     "is_current",
 )
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current state table, or None ONLY when it genuinely does
+    not exist yet (first micro-batch). Missing-path is detected
+    explicitly — a transient IO/permission/corruption error during
+    the read RAISES, so the checkpoint retry re-runs the batch against
+    intact state instead of silently restarting state from the current
+    micro-batch (r8 ADVICE #1). Local-FS paths here; on object
+    storage the existence probe is a HEAD on the _SUCCESS marker.
+    Also completes a swap interrupted between _write_state_swap's two
+    renames, so a crash mid-swap is recoverable, not data loss."""
+    bak = path + ".swap-old"
+    if not os.path.exists(path):
+        if os.path.exists(bak):
+            os.rename(bak, path)
+        else:
+            return None
+    return spark.read.parquet(path)
+
+
+def _write_state_swap(merged: DataFrame, path: str) -> None:
+    """Replace the state table with `merged` WITHOUT overwriting the
+    files its own lineage reads: the new table fully materializes
+    into a sibling temp dir first (any task retry / lost-cached-block
+    recomputation still reads the intact current table), then swaps
+    in via two directory renames (r8 ADVICE #2 — persist()+count()
+    before an in-place overwrite still recomputes from already-
+    deleted files if cached blocks drop). A crash between the renames
+    leaves `.swap-old`, which _read_state restores. Delta/Iceberg
+    MERGE INTO is the deployment-scale form of this whole dance."""
+    tmp = path + ".swap-tmp"
+    bak = path + ".swap-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def scd2_merge_batch(
@@ -192,18 +234,11 @@ def run_scd2_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        try:
-            history = spark_b.read.parquet(history_path)
-        except Exception:  # first batch: no table yet
-            history = None
+        history = _read_state(spark_b, history_path)
         merged = scd2_merge_batch(
             history, batch_df, key, ts_col, attr, tiebreak
         )
-        # materialize before overwriting the path being read
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(history_path)
-        merged.unpersist()
+        _write_state_swap(merged, history_path)
 
     stream = (
         spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
@@ -249,19 +284,15 @@ def run_cm_sketch_stream(
         batch_c = cm_counters(
             batch_df.selectExpr(f"{hash_expr} AS __h"), "__h"
         )
-        try:
-            existing = spark_b.read.parquet(counters_path)
-            merged = (
-                existing.unionByName(batch_c)
-                .groupBy("seed", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except Exception:  # first batch
-            merged = batch_c
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(counters_path)
-        merged.unpersist()
+        existing = _read_state(spark_b, counters_path)
+        merged = (
+            batch_c
+            if existing is None
+            else existing.unionByName(batch_c)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        _write_state_swap(merged, counters_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -316,23 +347,19 @@ def run_kmv_stream(
             k=k,
             n_shards=n_shards,
         )
-        try:
-            existing = spark_b.read.parquet(sketch_path)
-            merged = (
-                existing.unionByName(batch_s)
-                .groupBy(*key_cols)
-                .agg(
-                    kmv_merge_expr(
-                        F.collect_list("kmv_sketch"), k
-                    ).alias("kmv_sketch")
+        existing = _read_state(spark_b, sketch_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy(*key_cols)
+            .agg(
+                kmv_merge_expr(F.collect_list("kmv_sketch"), k).alias(
+                    "kmv_sketch"
                 )
             )
-        except Exception:  # first batch
-            merged = batch_s
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(sketch_path)
-        merged.unpersist()
+        )
+        _write_state_swap(merged, sketch_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -379,15 +406,11 @@ def run_agg_maintenance_stream(
             keys,
             "__v",
         )
-        try:
-            existing = spark_b.read.parquet(state_path)
-            merged = agg_merge(existing, batch_s, keys)
-        except Exception:  # first batch
-            merged = batch_s
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        existing = _read_state(spark_b, state_path)
+        merged = (
+            batch_s if existing is None else agg_merge(existing, batch_s, keys)
+        )
+        _write_state_swap(merged, state_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -505,15 +528,9 @@ def run_ohlc_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         part = ohlc_partial(batch_df, key, time_col, value_col, id_col, bucket)
-        try:
-            existing = spark_b.read.parquet(state_path)
-            merged = ohlc_merge(existing, part, key)
-        except Exception:  # first batch
-            merged = part
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        existing = _read_state(spark_b, state_path)
+        merged = part if existing is None else ohlc_merge(existing, part, key)
+        _write_state_swap(merged, state_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -563,15 +580,162 @@ def run_target_encoding_stream(
         partial = oof_stats(
             batch_df, category_col, target_col, fold_key, n_folds
         )
-        try:
-            existing = spark_b.read.parquet(stats_path)
-            merged = oof_merge(existing, partial)
-        except Exception:  # first batch
-            merged = partial
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(stats_path)
-        merged.unpersist()
+        existing = _read_state(spark_b, stats_path)
+        merged = partial if existing is None else oof_merge(existing, partial)
+        _write_state_swap(merged, stats_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def run_table_diff_stream(
+    spark: SparkSession,
+    input_dir: str,
+    snapshot_path: str,
+    digests_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: str,
+    compare_cols: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous snapshot reconciliation — the streaming twin of
+    `operators/cdc.py:table_diff_incremental` (r8 verdict task 6,
+    completing the CDC family's speed layer beside scd2_maintenance).
+
+    Scenario: a REPLICA table (`snapshot_path`) drifts away from a
+    reference snapshot as keyed upserts/deletes stream in; the
+    Merkle-bucket digest index (`digests_path`) must stay current so
+    the periodic reference-vs-replica diff runs at level-1 cost (zero
+    table scans when both sides' indexes are persisted — the
+    `new_digests` parameter of table_diff_incremental).
+
+    Per micro-batch (foreachBatch, AvailableNow bounded-run):
+
+    1. Collapse the batch to its LATEST row per key (event-time +
+       tiebreak order — the same per-key-monotonic CDC contract as
+       scd2_merge_batch).
+    2. XOR-delta the digest index: bucket digests are bit_xor-linear
+       over row multisets, so replacing key k's row XORs OUT the old
+       row digest and XORs IN the new one — touched buckets only,
+       never a rescan of the replica (bucket counts adjust by the
+       batch's net insert/delete balance). An upsert echoing the
+       current row XORs to zero: invisible, exactly like the batch
+       index rebuilt from scratch.
+    3. MERGE the replica: batch keys replace/delete their rows
+       (broadcast-semi on batch keys; the snapshot's unchanged rows
+       never shuffle).
+
+    Both tables persist via the same atomic swap as the other
+    runners. State size: replica rows + ≤4096 digest rows —
+    independent of stream volume. Stream ≡ batch equality (the
+    maintained index vs `bucket_digests` of the final replica, AND
+    the served diff vs `table_diff` of the full snapshots) is checked
+    per round (tools/streaming_check.py `table_diff_maintenance`).
+
+    `op_col`: 'D' rows are tombstones (key leaves the replica);
+    anything else is an upsert carrying `compare_cols`.
+
+    Redelivery-idempotent WITHOUT a ts guard: the deltas are computed
+    against the CURRENT replica, so re-applying an already-applied
+    batch XORs each touched row out and straight back in (net zero,
+    counts included) and the replica merge re-replaces rows with
+    themselves — state after the retry equals state after the first
+    application.
+    """
+    from big_data_engineering_project_spark.operators.cdc import (
+        _row_digest_cols,
+    )
+
+    cols = list(compare_cols)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        order = [F.col(ts_col).desc()] + [
+            F.col(c).desc() for c in tiebreak
+        ]
+        latest = (
+            batch_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(*order)
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        digest, bucket = _row_digest_cols(key, cols)
+
+        snap = _read_state(spark_b, snapshot_path)
+        digests = _read_state(spark_b, digests_path)
+        if snap is None:
+            raise ValueError(
+                "run_table_diff_stream maintains a PRE-SEEDED replica "
+                "(write the initial snapshot + its bucket_digests "
+                "before starting the stream) — an absent table here "
+                "is a deployment error, not a first batch"
+            )
+
+        batch_keys = latest.select(F.col(key)).distinct()
+        # rows the batch replaces or deletes: XOR OUT of their buckets
+        old_rows = snap.join(F.broadcast(batch_keys), key, "left_semi")
+        out_delta = old_rows.select(
+            bucket.alias("bucket"),
+            digest.alias("__d"),
+            F.lit(-1).cast("long").alias("__n"),
+        )
+        # surviving upserts: XOR IN
+        survivors = latest.filter(F.col(op_col) != F.lit("D")).select(
+            key, *cols
+        )
+        in_delta = survivors.select(
+            bucket.alias("bucket"),
+            digest.alias("__d"),
+            F.lit(1).cast("long").alias("__n"),
+        )
+        delta = (
+            out_delta.unionByName(in_delta)
+            .groupBy("bucket")
+            .agg(
+                F.bit_xor("__d").alias("__dd"),
+                F.sum("__n").alias("__dn"),
+            )
+        )
+        merged_digests = (
+            digests.join(delta, "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.expr(
+                    "coalesce(bucket_digest, CAST(0 AS BIGINT))"
+                ).bitwiseXOR(
+                    F.coalesce(F.col("__dd"), F.lit(0).cast("long"))
+                ).alias("bucket_digest"),
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("__dn"), F.lit(0).cast("long"))
+                ).alias("n_rows"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        merged_snap = snap.join(
+            F.broadcast(batch_keys), key, "left_anti"
+        ).unionByName(survivors)
+
+        _write_state_swap(merged_digests, digests_path)
+        _write_state_swap(merged_snap, snapshot_path)
 
     stream = (
         spark.readStream.schema(schema)

@@ -3065,3 +3065,46 @@ def test_phrase_search_adjacency_and_overlaps(spark):
     }
     # doc 4: 'big red BIG RED FOX' — the trigram sits at positions 2-4
     assert tri == {1: 1, 4: 1, 5: 1, 6: 2}
+
+
+def test_mg_bucket_sql_sign_safe_and_stable(spark):
+    """Signed fold/item keys must land in [0, n_buckets) on BOTH
+    engines (Spark and DuckDB % keep the dividend's sign — the fold
+    pins the scramble non-negative), and the fix must NOT move any
+    non-negative input's bucket (committed oracle hashes depend on
+    the assignment)."""
+    import duckdb
+
+    from big_data_engineering_project_spark.operators.dedup import HASH_PRIME
+    from big_data_engineering_project_spark.operators.sketches import (
+        MG_A,
+        MG_P,
+        mg_bucket_sql,
+    )
+
+    vals = [-(10**10), -7, -1, 0, 1, 42, 10**10]
+    expr = mg_bucket_sql("x", 8)
+    got_spark = {
+        r["x"]: r["b"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x LONG")
+        .selectExpr("x", f"{expr} AS b")
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        x: b
+        for x, b in con.execute(
+            f"SELECT x, {expr} AS b FROM (SELECT unnest({vals}) AS x)"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    assert all(0 <= b < 8 for b in got_spark.values())
+    legacy = (
+        f"(((x % {HASH_PRIME}) * {MG_A} + 12345) % {MG_P}) % 8"
+    )
+    for v in vals:
+        if v >= 0:
+            old = con.execute(
+                f"SELECT {legacy} FROM (SELECT CAST({v} AS BIGINT) AS x)"
+            ).fetchone()[0]
+            assert old == got_spark[v], v

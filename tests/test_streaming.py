@@ -883,3 +883,95 @@ def test_ohlc_partial_merge_fold_equals_batch(spark):
     # 901's value (max struct -> higher id wins at equal ts)
     x0 = [r for r in got if r[0] == "X" and r[1] == base][0]
     assert x0[5] == 44.4
+
+
+def test_table_diff_stream_maintains_exact_digest_index(spark, tmp_path):
+    """run_table_diff_stream: after a 3-micro-batch changelog with a
+    value change, an echo, a new key, a delete, and a delete-then-
+    reinsert, the XOR-delta-maintained digest index must equal
+    bucket_digests rebuilt from the final replica EXACTLY, and the
+    maintained replica must equal the expected final rows."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from big_data_engineering_project_spark.operators.cdc import (
+        bucket_digests,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_table_diff_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "red", 10), (2, "green", 20), (3, None, 30), (4, "blue", 40)],
+        "key LONG, color STRING, amount LONG",
+    )
+    snap_path = str(tmp_path / "replica")
+    dig_path = str(tmp_path / "digests")
+    ref.write.parquet(snap_path)
+    bucket_digests(ref, "key", ["color", "amount"]).write.parquet(dig_path)
+
+    batches = [
+        # change key 1; echo key 2 (must be digest-invisible)
+        [
+            {"key": 1, "event_id": 0, "ts": "2026-02-02T00:00:00",
+             "op": "U", "color": "black", "amount": 11},
+            {"key": 2, "event_id": 1, "ts": "2026-02-02T00:01:00",
+             "op": "U", "color": "green", "amount": 20},
+        ],
+        # delete key 3; insert new key 9
+        [
+            {"key": 3, "event_id": 2, "ts": "2026-02-02T00:02:00",
+             "op": "D", "color": None, "amount": None},
+            {"key": 9, "event_id": 3, "ts": "2026-02-02T00:03:00",
+             "op": "U", "color": "red", "amount": 90},
+        ],
+        # reinsert key 3 with a NULL color (null-tag path)
+        [
+            {"key": 3, "event_id": 4, "ts": "2026-02-02T00:04:00",
+             "op": "U", "color": None, "amount": 33},
+        ],
+    ]
+    in_dir = tmp_path / "chg"
+    in_dir.mkdir()
+    t0 = _time.time() - 600
+    for b, recs in enumerate(batches):
+        fp = str(in_dir / f"{b}.json")
+        with open(fp, "w") as fh:
+            for r in recs:
+                fh.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (t0 + b, t0 + b))
+
+    run_table_diff_stream(
+        spark,
+        str(in_dir),
+        snap_path,
+        dig_path,
+        str(tmp_path / "cp"),
+        schema=(
+            "key LONG, event_id LONG, ts TIMESTAMP, op STRING, "
+            "color STRING, amount LONG"
+        ),
+        key="key",
+        compare_cols=["color", "amount"],
+        ts_col="ts",
+        tiebreak=("event_id",),
+    )
+
+    final = spark.read.parquet(snap_path)
+    got_rows = sorted(tuple(r) for r in final.collect())
+    assert got_rows == [
+        (1, "black", 11),
+        (2, "green", 20),
+        (3, None, 33),
+        (4, "blue", 40),
+        (9, "red", 90),
+    ]
+    got_dig = sorted(
+        tuple(r) for r in spark.read.parquet(dig_path).collect()
+    )
+    want_dig = sorted(
+        tuple(r)
+        for r in bucket_digests(final, "key", ["color", "amount"]).collect()
+    )
+    assert got_dig == want_dig

@@ -61,6 +61,12 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         mergeable OHLC partial state, one row per
                         (key, bucket)) ≡ batch ohlc_resample over the
                         union, incl. cross-batch same-ts tie-breaks
+  table_diff_maintenance run_table_diff_stream (XOR-delta maintenance
+                        of a replica snapshot + its Merkle bucket-
+                        digest index from an upsert/tombstone
+                        changelog) ≡ bucket_digests rebuilt from the
+                        final replica AND table_diff over the full
+                        snapshots, both EXACT
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -1238,6 +1244,185 @@ def check_target_encoding_stream(spark, root: str) -> dict:
     return res
 
 
+def check_table_diff_stream(spark, root: str) -> dict:
+    """run_table_diff_stream (foreachBatch XOR-delta maintenance of a
+    replica snapshot + its Merkle bucket-digest index from a
+    micro-batched upsert/tombstone changelog) ≡ the batch pair: the
+    maintained index must equal bucket_digests() rebuilt from the
+    final replica EXACTLY, and the level-1-from-persisted-indexes diff
+    (table_diff_incremental with old_digests AND new_digests) must
+    equal table_diff over the full snapshots. The changelog plants
+    value changes, echoes (must be digest-invisible), brand-new keys,
+    deletes, and delete-then-reinsert across micro-batch boundaries.
+    This is the continuous-reconciliation form of the r8 newborn
+    incremental diff (operators/cdc.py:table_diff_incremental)."""
+    from big_data_engineering_project_spark.operators.cdc import (
+        bucket_digests,
+        table_diff,
+        table_diff_incremental,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_table_diff_stream,
+    )
+
+    rng = random.Random(31)
+    base = dt.datetime(2026, 2, 2)
+    colors = ["red", "green", "blue", None]
+
+    ref_rows = [
+        (k, rng.choice(colors), rng.randrange(1000)) for k in range(200)
+    ]
+    ref = spark.createDataFrame(
+        ref_rows, "key LONG, color STRING, amount LONG"
+    )
+    ref_path = os.path.join(root, "tds_ref")
+    ref.write.parquet(ref_path)
+    ref = spark.read.parquet(ref_path)
+
+    # the replica starts as a copy of the reference; both digest
+    # tables start identical (the old side's stays frozen)
+    snap_path = os.path.join(root, "tds_replica")
+    dig_path = os.path.join(root, "tds_replica_digests")
+    ref_dig_path = os.path.join(root, "tds_ref_digests")
+    ref.write.parquet(snap_path)
+    bucket_digests(ref, "key", ["color", "amount"]).write.parquet(dig_path)
+    bucket_digests(ref, "key", ["color", "amount"]).write.parquet(
+        ref_dig_path
+    )
+
+    by_key = {k: (c, a) for k, c, a in ref_rows}
+    recs = []
+    deleted: set[int] = set()
+    for i in range(240):
+        ts = (base + dt.timedelta(minutes=i)).strftime("%Y-%m-%dT%H:%M:%S")
+        roll = rng.random()
+        if roll < 0.12:  # brand-new key
+            k = 200 + rng.randrange(20)
+            op, color, amount = "U", rng.choice(colors), rng.randrange(1000)
+            by_key[k] = (color, amount)
+            deleted.discard(k)
+        elif roll < 0.24:  # tombstone (sometimes later reinserted)
+            k = rng.randrange(220)
+            op, color, amount = "D", None, None
+            by_key.pop(k, None)
+            deleted.add(k)
+        elif roll < 0.34 and by_key:  # echo: digest must not move
+            k = rng.choice(sorted(by_key))
+            color, amount = by_key[k]
+            op = "U"
+        else:  # value change
+            k = rng.randrange(220)
+            op, color, amount = "U", rng.choice(colors), rng.randrange(1000)
+            by_key[k] = (color, amount)
+            deleted.discard(k)
+        recs.append(
+            {
+                "key": k,
+                "event_id": i,
+                "ts": ts,
+                "op": op,
+                "color": color,
+                "amount": amount,
+            }
+        )
+    in_dir = os.path.join(root, "tds_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=30)  # 8 micro-batches
+
+    run_table_diff_stream(
+        spark,
+        in_dir,
+        snap_path,
+        dig_path,
+        os.path.join(root, "tds_cp"),
+        schema=(
+            "key LONG, event_id LONG, ts TIMESTAMP, op STRING, "
+            "color STRING, amount LONG"
+        ),
+        key="key",
+        compare_cols=["color", "amount"],
+        ts_col="ts",
+        tiebreak=("event_id",),
+    )
+
+    # batch twin of the final replica: latest change per key applied
+    # over the initial copy, tombstones dropped
+    chg = (
+        spark.read.schema(
+            "key LONG, event_id LONG, ts TIMESTAMP, op STRING, "
+            "color STRING, amount LONG"
+        )
+        .json(in_dir)
+    )
+    seed = ref.select(
+        "key",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit("1970-01-01").cast("timestamp").alias("ts"),
+        F.lit("U").alias("op"),
+        "color",
+        "amount",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc_nulls_last()
+    )
+    final_batch = (
+        seed.unionByName(chg)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select("key", "color", "amount")
+    )
+
+    got_dig = [
+        tuple(r)
+        for r in spark.read.parquet(dig_path)
+        .orderBy("bucket")
+        .collect()
+    ]
+    want_dig = [
+        tuple(r)
+        for r in bucket_digests(final_batch, "key", ["color", "amount"])
+        .orderBy("bucket")
+        .collect()
+    ]
+
+    got_diff = [
+        tuple(r)
+        for r in table_diff_incremental(
+            ref,
+            spark.read.parquet(snap_path),
+            "key",
+            ["color", "amount"],
+            old_digests=spark.read.parquet(ref_dig_path),
+            new_digests=spark.read.parquet(dig_path),
+        )
+        .orderBy("key")
+        .collect()
+    ]
+    want_diff = [
+        tuple(r)
+        for r in table_diff(ref, final_batch, "key", ["color", "amount"])
+        .orderBy("key")
+        .collect()
+    ]
+    res = {
+        "rows_stream": len(got_diff),
+        "rows_batch": len(want_diff),
+        "digest_rows": len(got_dig),
+        "hash_stream": _rows_hash(got_diff),
+        "hash_batch": _rows_hash(want_diff),
+        "hash_digests_stream": _rows_hash(got_dig),
+        "hash_digests_batch": _rows_hash(want_dig),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and len(got_dig) == len(want_dig) > 0
+        and res["hash_digests_stream"] == res["hash_digests_batch"]
+    )
+    return res
+
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -1266,6 +1451,7 @@ def main() -> None:
         results["interval_join_outer"] = check_interval_join_outer(spark, root)
         results["ohlc_bars"] = check_ohlc_stream(spark, root)
         results["target_encoding"] = check_target_encoding_stream(spark, root)
+        results["table_diff_maintenance"] = check_table_diff_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
