@@ -639,3 +639,232 @@ def ams_f2(
         F.col("__f2").alias("exact_f2"),
         F.col("__est").alias("ams_f2_est"),
     )
+
+
+# --- Deterministic KLL-style quantile summary (certified rank error) -----------
+#
+# The histogram/HDR pair above trades error for VALUE-RANGE knowledge
+# (bucket width / log resolution). This is the distribution-independent
+# member the family lacked (r8 verdict task 8): a Munro-Paterson/KLL-
+# shaped compactor hierarchy — level-h items carry weight 2^h; an
+# overfull level sorts and promotes every other item — made fully
+# DETERMINISTIC (no random coin: the keep-even/keep-odd choice
+# alternates with a per-level compaction counter, and shard inputs are
+# sorted before insertion), and SELF-CERTIFYING: every compaction at
+# level h perturbs any rank query by at most 2^h (the classic
+# telescoping argument — half the 2m items move by one w_h slot), so
+# the summary carries err_bound = Σ 2^h over the compactions that
+# built it, and |true_rank(answer) − target| ≤ err_bound HOLDS, not
+# "holds with probability": the property test asserts it on arbitrary
+# multisets (tests/test_properties.py). Deterministic alternation
+# costs the randomized KLL's √-improvement — the bound here is the
+# deterministic O((n/k)·log(n/k)) — but buys bit-identical results
+# under retry/replay, the engine-wide discipline.
+#
+# Scale shape: the SAME two-level MG/KMV pattern — per-shard bounded
+# summaries built in one applyInPandas pass (shard = id-hash, so the
+# result is partition-layout-invariant), merged by one final
+# applyInPandas over n_shards bounded rows (KBs). Merging concatenates
+# per-level buffers and re-compacts; err_bounds ADD, never multiply.
+
+_KLL_MAX_LEVELS = 40
+
+
+def _kll_build(values, k: int):
+    """Compactor hierarchy over a SORTED iterable of ints. Returns
+    (levels, err_bound, n) with levels[h] sorted, len ≤ k."""
+    levels: list[list[int]] = [[]]
+    n_compactions: list[int] = [0]
+    err = 0
+    for v in values:
+        levels[0].append(int(v))
+        h = 0
+        while len(levels[h]) > k:
+            levels[h].sort()
+            if h + 1 == len(levels):
+                levels.append([])
+                n_compactions.append(0)
+            off = n_compactions[h] & 1
+            levels[h + 1].extend(levels[h][off::2])
+            n_compactions[h] += 1
+            err += 1 << h
+            levels[h] = []
+            h += 1
+    for lv in levels:
+        lv.sort()
+    return levels, err, None
+
+
+def _kll_merge_levels(levels_list, errs, k: int):
+    """Concatenate per-level buffers of several summaries, then
+    re-compact bottom-up with the same deterministic rule."""
+    H = max(len(ls) for ls in levels_list)
+    levels = [[] for _ in range(H)]
+    for ls in levels_list:
+        for h, lv in enumerate(ls):
+            levels[h].extend(lv)
+    err = sum(errs)
+    n_compactions = [0] * (H + 1)
+    h = 0
+    while h < len(levels):
+        if len(levels[h]) > k:
+            levels[h].sort()
+            if h + 1 == len(levels):
+                levels.append([])
+                n_compactions.append(0)
+            off = n_compactions[h] & 1
+            levels[h + 1].extend(levels[h][off::2])
+            n_compactions[h] += 1
+            err += 1 << h
+            # keep the un-promoted half? No: the classic compactor
+            # EMPTIES the buffer — every item either promotes or is
+            # dropped, its mass covered by the promoted twin's
+            # doubled weight. (That is what the 2^h bound certifies.)
+            levels[h] = []
+            continue  # re-check the same level (merge can overfill twice)
+        h += 1
+    for lv in levels:
+        lv.sort()
+    return levels, err
+
+
+def _kll_rows_to_levels(vs, ws):
+    levels: list[list[int]] = []
+    for v, w in zip(vs, ws):
+        h = int(w).bit_length() - 1
+        while len(levels) <= h:
+            levels.append([])
+        levels[h].append(int(v))
+    for lv in levels:
+        lv.sort()
+    return levels
+
+
+def _kll_levels_to_rows(levels):
+    vs: list[int] = []
+    ws: list[int] = []
+    for h, lv in enumerate(levels):
+        for v in lv:
+            vs.append(v)
+            ws.append(1 << h)
+    return vs, ws
+
+
+def kll_summary(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    n_shards: int = 32,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-shard deterministic KLL summaries of an integral column:
+    one row per shard (shard, n, err_bound, vs, ws). Sharding hashes
+    `id_col` (or the value itself), so the summary depends on the
+    MULTISET, never the physical partitioning; shard inputs are
+    sorted before insertion, so it is bit-deterministic too."""
+    import pandas as pd
+
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col if id_col else value_col)),
+        F.lit(n_shards),
+    ).alias("shard")
+    src = df.select(shard, F.col(value_col).cast("long").alias("__v"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(int(v) for v in pdf["__v"].dropna())
+        levels, err, _ = _kll_build(vals, k)
+        vs, ws = _kll_levels_to_rows(levels)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n": [len(vals)],
+                "err_bound": [err],
+                "vs": [vs],
+                "ws": [ws],
+            }
+        )
+
+    return src.groupBy("shard").applyInPandas(
+        build,
+        "shard long, n long, err_bound long, vs array<long>, ws array<long>",
+    )
+
+
+def kll_merge_all(summaries: DataFrame, k: int = 256) -> DataFrame:
+    """Merge shard summaries into ONE (n, err_bound, vs, ws) row.
+    Input is n_shards bounded rows (KBs) — the single-task final fold
+    every two-level sketch in this module ends with (MG/KMV/CM
+    analog); shards fold in ascending shard order, so the result is
+    deterministic."""
+    import pandas as pd
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard")
+        levels_list = [
+            _kll_rows_to_levels(r.vs, r.ws) for r in pdf.itertuples()
+        ]
+        if not levels_list:
+            levels_list, errs = [[[]]], [0]
+        else:
+            errs = [int(e) for e in pdf["err_bound"]]
+        levels, err = _kll_merge_levels(levels_list, errs, k)
+        vs, ws = _kll_levels_to_rows(levels)
+        return pd.DataFrame(
+            {
+                "n": [int(pdf["n"].sum())],
+                "err_bound": [err],
+                "vs": [vs],
+                "ws": [ws],
+            }
+        )
+
+    return (
+        summaries.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            merge,
+            "n long, err_bound long, vs array<long>, ws array<long>",
+        )
+        .drop("__g")
+    )
+
+
+def kll_quantiles(
+    merged: DataFrame, qs: list[tuple[int, int, str]]
+) -> DataFrame:
+    """Quantile read-off from a merged summary: for each (num, den,
+    alias), the summary value at certified weighted rank ceil(q·n)
+    (integer target, the histogram_quantile convention). Output one
+    row per quantile: (q_label, value, n, err_bound) — the bound is
+    the summary's certificate: the returned value's TRUE rank lies
+    within err_bound of the target. Pure pandas over the single
+    summary row."""
+    import pandas as pd
+
+    def read(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            pairs = sorted(zip(r.vs, r.ws))
+            n, err = int(r.n), int(r.err_bound)
+            for num, den, label in qs:
+                target = -(-num * n // den)  # ceil in integers
+                acc = 0
+                val = pairs[-1][0] if pairs else None
+                for v, w in pairs:
+                    acc += int(w)
+                    if acc >= target:
+                        val = int(v)
+                        break
+                out.append((label, val, n, err))
+        return pd.DataFrame(
+            out, columns=["q_label", "value", "n", "err_bound"]
+        )
+
+    return (
+        merged.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            read, "q_label string, value long, n long, err_bound long"
+        )
+        .drop("__g")
+    )

@@ -1333,7 +1333,7 @@ w AS (
 scored AS (
   SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
          CAST(SUM(ra) AS BIGINT) AS ra_units
-  FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2
+  FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 1
 )
 SELECT s.u, s.v, s.common_neighbors, s.ra_units
 FROM scored s
@@ -1341,7 +1341,10 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.x = s.u AND p.y = s.v)
 ORDER BY u, v
 """,
     doc="Link prediction over the part co-order graph: for every non-"
-    "adjacent pair with >= 2 common neighbors, the common-neighbor "
+    "adjacent pair with >= 1 common neighbor (>= 2 is vacuous at "
+    "sf0.1 — the co-order graph THINS with scale as the part "
+    "universe outgrows basket sizes; min_common=1 keeps the overlap "
+    "semantics exercised at both committed SFs), the common-neighbor "
     "count and the resource-allocation index (sum of 1/deg(z) over "
     "shared neighbors, in integer micro-units so ranking is exact "
     "cross-engine) — 'parts likely to be co-bought next'. Wedge self-"
@@ -1368,7 +1371,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         src="item_a",
         dst="item_b",
-        min_common=2,
+        min_common=1,
         max_center_degree=_LINKPRED_MAX_CENTER_DEG,
     ).orderBy("u", "v")
 

@@ -1,0 +1,249 @@
+"""Candidate-discipline growth probe (r8 verdict task 7).
+
+For the four round-8 pair-generating operators — TF-cosine near-dups,
+shingle-containment near-supersets, cosine-LSH embedding near-dups,
+and link prediction's wedge join — measures CANDIDATES GENERATED vs
+PAIRS VERIFIED at two scale factors, so SCALING.md can pin that the
+candidate cuts (DF band, stop-shingle analog, max_bucket_fraction,
+hub-center cap) actually bound growth instead of merely existing.
+
+Each candidate stage below replicates the operator's own candidate
+sub-plan (file:line cited inline); the verified count is the REAL
+operator/registered-query output. If an operator's candidate rule
+changes, update the matching stanza here — the numbers land in
+SCALING.md's round table either way, so drift is visible as a
+discontinuity.
+
+Usage: python tools/growth_probe.py [sf_dir ...]
+Prints one JSON line per (operator, sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_engineering_project_spark.session import get_spark  # noqa: E402
+from big_data_engineering_project_spark.sources.catalog import load_table  # noqa: E402
+
+
+def tf_cosine(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/dedup.py:tf_cosine_pairs — pairs
+    # sharing >=1 term with df in [2, 0.1*n]; verified = registered
+    # q_tf_cosine_neardups output
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    rare = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= int(0.1 * n_docs)))
+        .select("w")
+    )
+    tfr = tf.join(rare, "w")
+    cand = (
+        tfr.alias("a")
+        .join(
+            tfr.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    verified = REGISTRY["q_tf_cosine_neardups"].builder(spark, sf_dir).count()
+    return {"n_docs": n_docs, "candidates": cand, "verified": verified}
+
+
+def containment(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/dedup.py:shingle_containment_pairs —
+    # distinct pairs sharing >=1 NON-STOP shingle (the inverted-index
+    # join after the registered query's stop-shingle cut, before the
+    # integer threshold); verified = q_dedup_containment
+    from big_data_engineering_project_spark.operators.dedup import (
+        hashed_shingle_table,
+    )
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        MAX_SHINGLE_DF_FRAC,
+        MIN_SHINGLE_DF_CUT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    hashed = hashed_shingle_table(docs, "doc_id", "text", 3).persist()
+    inv = hashed.select("doc", F.explode("hv").alias("s"))
+    cut = max(MIN_SHINGLE_DF_CUT, int(MAX_SHINGLE_DF_FRAC * n_docs), 1)
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cut)
+        .select("s")
+    )
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    verified = REGISTRY["q_dedup_containment"].builder(spark, sf_dir).count()
+    hashed.unpersist()
+    return {"n_docs": n_docs, "candidates": cand, "verified": verified}
+
+
+def cosine_lsh(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/similarity.py:cosine_lsh_neardups —
+    # distinct pairs sharing an allowed (band, bkey) bucket, with the
+    # same max_bucket_fraction cut as the registered query; verified =
+    # q_embedding_lsh_neardups output
+    from big_data_engineering_project_spark.operators.similarity import (
+        neardup_sign_matrix,
+        spread,
+    )
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    dims, n_bits, band_bits, scale, frac = 64, 24, 6, 1000, 0.1
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = spread(emb).select(
+        F.col("vec_id").alias("_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("_qv"),
+    )
+    signs = neardup_sign_matrix(dims, n_bits)
+    sgn = spark.createDataFrame(
+        [(i, j, signs[i][j]) for i in range(dims) for j in range(n_bits)],
+        "i int, j int, s int",
+    )
+    comp = q.select("_id", F.posexplode("_qv").alias("i", "v"))
+    proj = (
+        comp.join(F.broadcast(sgn), "i")
+        .groupBy("_id", "j")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("_p"))
+    )
+    bands = (
+        proj.groupBy("_id", (F.col("j") - F.col("j") % band_bits).alias("_j0"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_p") >= 0,
+                    F.expr(f"shiftleft(1, j % {band_bits})"),
+                ).otherwise(F.lit(0))
+            ).alias("bkey")
+        )
+        .select(
+            "_id",
+            (F.col("_j0") / band_bits).cast("int").alias("band"),
+            F.col("bkey").cast("long").alias("bkey"),
+        )
+    )
+    n = q.count()
+    allowed = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= int(-(-frac * n // 1)))
+        .select("band", "bkey")
+    )
+    bands = bands.join(F.broadcast(allowed), ["band", "bkey"], "left_semi")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    verified = (
+        REGISTRY["q_embedding_lsh_neardups"].builder(spark, sf_dir).count()
+    )
+    return {"n_vectors": n, "candidates": cand, "verified": verified}
+
+
+def link_pred(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/graph.py:link_prediction — wedges
+    # through capped centers (the registered hub cap, plans/
+    # queries_warehouse.py:_LINKPRED_MAX_CENTER_DEG); verified =
+    # q_link_prediction output (>=1 common neighbor, non-adjacent)
+    from big_data_engineering_project_spark.operators.association import (
+        frequent_pairs,
+    )
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_warehouse import (
+        _LINKPRED_MAX_CENTER_DEG,
+        _TRI_MIN_SUPPORT,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        frequent_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_support") >= _TRI_MIN_SUPPORT)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") <= _LINKPRED_MAX_CENTER_DEG)
+    )
+    ctr = und.join(deg, "a").select(F.col("a").alias("z"), F.col("b").alias("n"))
+    wedges = (
+        ctr.alias("l")
+        .join(
+            ctr.alias("r"),
+            (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n")),
+        )
+        .count()
+    )
+    verified = REGISTRY["q_link_prediction"].builder(spark, sf_dir).count()
+    return {
+        "n_edges": e.count(),
+        "candidates": wedges,
+        "verified": verified,
+    }
+
+
+PROBES = {
+    "tf_cosine_neardups": tf_cosine,
+    "containment_neardups": containment,
+    "cosine_lsh_neardups": cosine_lsh,
+    "link_prediction": link_pred,
+}
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    spark = get_spark("growth-probe")
+    for sf_dir in sf_dirs:
+        for name, fn in PROBES.items():
+            row = {"op": name, "sf_dir": sf_dir, **fn(spark, sf_dir)}
+            print(json.dumps(row), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
