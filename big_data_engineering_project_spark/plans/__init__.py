@@ -203,7 +203,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_mad_outliers, gate-green r7, demoted for the never-gated
     # q_approx_quantile_contrast — the engine-approx member of the
     # quantile family gets its rows-only gate row)
-    "q_approx_quantile_contrast",
+    # (q_approx_quantile_contrast, rows-only gate row committed r8
+    # WITH its invariants, demoted for the round-9 newborn: the
+    # deterministic certified-bound KLL summary takes the quantile
+    # family's engine-approx slot — newborn-slot policy)
+    "q_kll_value_quantiles",
     # (q_winsorized_value_by_type, gate-green r7 + judge-verified,
     # demoted for the newborn media perceptual hash — which also
     # restores a multimodal slot to the gate; robust stats stay gated

@@ -3876,3 +3876,52 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, "doc_id", "text", _PHRASE).orderBy("doc_id")
+
+
+# --- deterministic KLL quantile summary (operators/sketches.py) ----------------
+
+
+@register(
+    "q_kll_value_quantiles",
+    oracle=None,  # the compactor hierarchy is iterative/imperative —
+    # not SQL-expressible; rows-only. The certified rank-error bound,
+    # determinism, and the exact small-n path are pytest-pinned (the
+    # invariants below), which is a STRONGER contract than the
+    # engine-approx t-digest row (q_approx_quantile_contrast) carries.
+    doc="Deterministic self-certifying KLL quantile summary over event "
+    "values in integer micro-units: per-shard compactor hierarchies "
+    "(applyInPandas over id-hash shards — layout-invariant), one "
+    "bounded merge, p01/p25/p50/p75/p99 read-offs each carrying the "
+    "summary's certified err_bound — |true_rank(value) − ceil(q·n)| "
+    "≤ err_bound holds deterministically, not w.h.p. The "
+    "distribution-independent member of the quantile-sketch family "
+    "(histogram needs a width, HDR a log resolution) "
+    "(operators/sketches.py:kll_summary)",
+    tags=("pipeline", "sketch", "rows-only"),
+    invariants=(
+        "tests/test_properties.py::test_kll_certified_rank_bound_on_any_multiset",
+        "tests/test_properties.py::test_kll_deterministic_and_weight_exact_total",
+        "tests/test_operators.py::test_kll_spark_pipeline_bound_and_determinism",
+    ),
+)
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_merge_all,
+        kll_quantiles,
+        kll_summary,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v")
+    )
+    s = kll_summary(ev, "v", k=256, n_shards=32, id_col="event_id")
+    return kll_quantiles(
+        kll_merge_all(s, k=256),
+        [
+            (1, 100, "p01"),
+            (1, 4, "p25"),
+            (1, 2, "p50"),
+            (3, 4, "p75"),
+            (99, 100, "p99"),
+        ],
+    ).orderBy("q_label")

@@ -38,6 +38,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_approx_quantile_contrast",  # t-digest internals engine-specific (error-bound pytest)
         "q_hll_daily_merge",  # DataSketches registers engine-internal (merged==direct + error-bound pytest)
         "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
+        "q_kll_value_quantiles",  # iterative compactor hierarchy (certified-bound property pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only

@@ -3108,3 +3108,53 @@ def test_mg_bucket_sql_sign_safe_and_stable(spark):
                 f"SELECT {legacy} FROM (SELECT CAST({v} AS BIGINT) AS x)"
             ).fetchone()[0]
             assert old == got_spark[v], v
+
+
+def test_kll_spark_pipeline_bound_and_determinism(spark, sf_dir):
+    """End-to-end two-level KLL over the events fixture: the merged
+    summary's quantile answers respect the certified bound against
+    exact order statistics, twice-built summaries are identical
+    (layout-invariant sharding + deterministic compaction), and the
+    exact small-n path returns true order statistics with bound 0."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_merge_all,
+        kll_quantiles,
+        kll_summary,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", (F.col("value") * 1000).cast("long").alias("v")
+    )
+    qs = [(1, 100, "p01"), (1, 2, "p50"), (99, 100, "p99")]
+
+    def run():
+        s = kll_summary(ev, "v", k=64, n_shards=8, id_col="event_id")
+        return kll_quantiles(kll_merge_all(s, k=64), qs).collect()
+
+    got1 = {r["q_label"]: r for r in run()}
+    got2 = {r["q_label"]: r for r in run()}
+    assert {k: tuple(v) for k, v in got1.items()} == {
+        k: tuple(v) for k, v in got2.items()
+    }
+
+    exact = sorted(r["v"] for r in ev.collect())
+    n = len(exact)
+    import bisect
+
+    for num, den, label in qs:
+        r = got1[label]
+        assert r["n"] == n
+        target = -(-num * n // den)
+        lo = bisect.bisect_left(exact, r["value"])
+        hi = bisect.bisect_right(exact, r["value"])
+        assert lo - r["err_bound"] <= target <= hi + r["err_bound"]
+
+    # exact path: 50 rows through k=64 → no compactions anywhere
+    small = ev.orderBy("event_id").limit(50)
+    s = kll_summary(small, "v", k=64, n_shards=4, id_col="event_id")
+    out = {r["q_label"]: r for r in kll_quantiles(kll_merge_all(s, 64), qs).collect()}
+    svals = sorted(r["v"] for r in small.collect())
+    for num, den, label in qs:
+        target = -(-num * 50 // den)
+        assert out[label]["err_bound"] == 0
+        assert out[label]["value"] == svals[target - 1]

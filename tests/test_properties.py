@@ -399,3 +399,79 @@ def test_mg_algebra_guarantees_on_any_multiset(spark, ab, k, nb):
     check(cb, eb, b_items)
     cm, em = mg_merge(ca, ea, cb, eb, k=k)
     check(cm, em, a_items + b_items)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=600,
+    ),
+    k=st.sampled_from([8, 16, 32]),
+    n_shards=st.sampled_from([1, 3]),
+)
+@settings(max_examples=60, deadline=None)
+def test_kll_certified_rank_bound_on_any_multiset(vals, k, n_shards):
+    """The deterministic KLL summary's self-certified err_bound is a
+    HARD guarantee on arbitrary multisets: for every quantile target,
+    the returned value's true-rank window is within err_bound of the
+    target; with no compactions (n <= k per shard, merge under k) the
+    bound is 0 and quantiles are exact order statistics. Pure-Python
+    path (the same functions the Spark operators call per shard)."""
+    import bisect
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        _kll_build,
+        _kll_levels_to_rows,
+        _kll_merge_levels,
+    )
+
+    shards = [sorted(vals[i::n_shards]) for i in range(n_shards)]
+    built = [_kll_build(s, k) for s in shards]
+    levels, err = _kll_merge_levels(
+        [b[0] for b in built], [b[1] for b in built], k
+    )
+    vs, ws = _kll_levels_to_rows(levels)
+    pairs = sorted(zip(vs, ws))
+    n = len(vals)
+    assert sum(ws) <= n + err  # weight conservation up to drops
+    svals = sorted(vals)
+    for num, den in [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]:
+        target = -(-num * n // den)
+        acc = 0
+        est = pairs[-1][0] if pairs else None
+        for v, w in pairs:
+            acc += w
+            if acc >= target:
+                est = v
+                break
+        lo = bisect.bisect_left(svals, est)
+        hi = bisect.bisect_right(svals, est)
+        assert lo - err <= target <= hi + err, (target, est, lo, hi, err)
+        if err == 0:
+            # exact path: est IS the ceil(q*n)-th order statistic
+            assert est == svals[target - 1]
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_kll_deterministic_and_weight_exact_total(vals):
+    """Building twice yields identical summaries (no random coin), and
+    total retained weight + certified drops account for every item:
+    each compaction at level h drops exactly len/2 items of weight 2^h
+    and doubles the promoted half, so total weight stays within
+    err_bound of n."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        _kll_build,
+        _kll_levels_to_rows,
+    )
+
+    a = _kll_build(sorted(vals), 16)
+    b = _kll_build(sorted(vals), 16)
+    assert a[0] == b[0] and a[1] == b[1]
+    vs, ws = _kll_levels_to_rows(a[0])
+    assert abs(sum(ws) - len(vals)) <= a[1]
