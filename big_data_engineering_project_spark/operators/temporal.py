@@ -770,3 +770,85 @@ def interval_overlap_join(
         & (s_b <= e_a)
         & (ea["__bin"] == canonical),
     ).drop("__bin")
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket: str = "month",
+) -> DataFrame:
+    """Sweep-line concurrency: per key, the MAXIMUM number of
+    simultaneously-open closed intervals [start, end] and the first
+    instant it is reached — peak load of open orders / sessions /
+    incidents, the classic event-boundary aggregation (interval
+    endpoints become +1/-1 deltas; concurrency is the running sum).
+
+    Scale shape — the naive form is ONE window ordered over every
+    boundary of a key: a low-cardinality key (5 order priorities,
+    one global profile) funnels millions of boundaries into a single
+    sort task. Here the prefix sum is TWO-LEVEL, the
+    linkage.py global-row-number trick applied to time: boundaries
+    aggregate to (key, instant) net deltas (partial-aggregable), the
+    within-`bucket` running sum is a window over one bucket's
+    instants, and each bucket's STARTING offset is the rolling sum of
+    per-bucket totals — a window over (key, bucket) rows, bounded by
+    the calendar, not the data. No task ever sorts more than one
+    (key, bucket) of boundary instants; the skew knob is `bucket`.
+
+    Determinism: counts are integers; the peak instant is the FIRST
+    time the max is reached (total order on instants — equal-instant
+    deltas pre-collapse into one net row).
+
+    Closed-interval convention: an interval [s, e] is open AT e and
+    closes just after — the -1 boundary sits at e + 1 time unit
+    (dates here: exact semantics mirrored by the oracle's e +
+    INTERVAL 1 DAY). Swap in +1 second for timestamp data.
+    """
+    plus = intervals.select(
+        *key_cols, F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    minus = intervals.select(
+        *key_cols,
+        F.date_add(F.col(end_col), 1).cast("timestamp").alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy(*key_cols, "t")
+        .agg(F.sum("d").cast("long").alias("nd"))
+        .withColumn("b", F.date_trunc(bucket, F.col("t")))
+    )
+    w_in = (
+        Window.partitionBy(*key_cols, "b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = deltas.withColumn("run_in", F.sum("nd").over(w_in))
+    per_bucket = deltas.groupBy(*key_cols, "b").agg(
+        F.sum("nd").alias("bucket_total")
+    )
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = per_bucket.withColumn(
+        "off", F.coalesce(F.sum("bucket_total").over(w_off), F.lit(0))
+    ).select(*key_cols, "b", "off")
+    runs = within.join(offsets, [*key_cols, "b"]).withColumn(
+        "conc", (F.col("run_in") + F.col("off")).cast("long")
+    )
+    peak = F.struct(
+        F.col("conc").alias("c"), (-F.unix_timestamp("t")).alias("negt")
+    )
+    return (
+        runs.groupBy(*key_cols)
+        .agg(F.max(peak).alias("__p"))
+        .select(
+            *key_cols,
+            F.col("__p.c").alias("max_concurrent"),
+            F.timestamp_seconds(-F.col("__p.negt")).alias("peak_ts"),
+        )
+    )

@@ -250,7 +250,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_ri_orphan_audit (each gate-green r7; the warehouse family
     # keeps SCD2 + basket lift under the gate, and both demotions
     # stay exact-oracle-green in every FULL sweep).
-    "q_bpe_merges",
+    # (q_bpe_merges, rows-only gate row committed r8 WITH its
+    # reference-equality invariant, demoted for the round-9 sweep-line
+    # newborn — newborn-slot policy)
+    "q_order_concurrency",
     "q_profile_drift",
     # Session continuation rotation (newborn-slot policy): the three
     # queries born this session — keep-best survivor selection (the

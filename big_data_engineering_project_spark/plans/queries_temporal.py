@@ -709,3 +709,73 @@ def q_spike_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("spike_hour")
     )
+
+
+# --- sweep-line concurrency profile ---------------------------------------------
+
+
+@register(
+    "q_order_concurrency",
+    oracle="""
+WITH oi AS (
+  SELECT o.o_orderpriority AS pri, o.o_orderdate AS s,
+         li.mx + INTERVAL 1 DAY AS e1
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS mx
+        FROM lineitem GROUP BY 1) li
+    ON o.o_orderkey = li.l_orderkey
+),
+deltas AS (
+  SELECT pri, t, SUM(d) AS nd FROM (
+    SELECT pri, s AS t, 1 AS d FROM oi
+    UNION ALL
+    SELECT pri, e1 AS t, -1 AS d FROM oi
+  ) GROUP BY 1, 2
+),
+runs AS (
+  SELECT pri, t,
+         SUM(nd) OVER (PARTITION BY pri ORDER BY t) AS conc
+  FROM deltas
+),
+picked AS (
+  SELECT pri, t, conc,
+         ROW_NUMBER() OVER (PARTITION BY pri
+                            ORDER BY conc DESC, t ASC) AS rn
+  FROM runs
+)
+SELECT pri AS o_orderpriority,
+       CAST(conc AS BIGINT) AS max_concurrent,
+       t AS peak_ts
+FROM picked WHERE rn = 1 ORDER BY 1
+""",
+    doc="Sweep-line concurrency: per order priority, the PEAK number "
+    "of simultaneously-open fulfillment spans [orderdate, last "
+    "shipdate] and the first day it is reached — the capacity-"
+    "planning question (peak open orders / live sessions / active "
+    "incidents) as an event-boundary aggregation. The prefix sum is "
+    "TWO-LEVEL (within-month window + rolling per-month offsets), so "
+    "a 5-value key never funnels every boundary into one sort task — "
+    "the low-cardinality-key hazard the naive single window has; the "
+    "oracle IS that naive window (operators/temporal.py:"
+    "concurrency_profile)",
+    headline=True,
+    tags=("temporal", "window"),
+)
+def q_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.temporal import (
+        concurrency_profile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = orders.join(
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx")),
+        orders["o_orderkey"] == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").alias("s"),
+        F.col("mx").alias("e"),
+    )
+    return concurrency_profile(
+        oi, ["o_orderpriority"], "s", "e", bucket="month"
+    ).orderBy("o_orderpriority")

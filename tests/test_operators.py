@@ -3158,3 +3158,40 @@ def test_kll_spark_pipeline_bound_and_determinism(spark, sf_dir):
         target = -(-num * 50 // den)
         assert out[label]["err_bound"] == 0
         assert out[label]["value"] == svals[target - 1]
+
+
+def test_concurrency_profile_closed_interval_semantics(spark):
+    """Closed intervals: [d1,d3] and [d3,d4] overlap AT d3 (max 2);
+    [d1,d2] and [d3,d4] do not (the -1 boundary sits at end+1 day);
+    peak_ts is the FIRST instant the max is reached. Also checks the
+    two-level prefix sum across bucket boundaries (intervals spanning
+    months)."""
+    import datetime as dt
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        concurrency_profile,
+    )
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # key a: [jan1,jan3], [jan3,jan4] → conc 2 at jan3
+        ("a", d("1995-01-01"), d("1995-01-03")),
+        ("a", d("1995-01-03"), d("1995-01-04")),
+        # key b: disjoint [jan1,jan2], [jan4,jan5] → max 1 at jan1
+        ("b", d("1995-01-01"), d("1995-01-02")),
+        ("b", d("1995-01-04"), d("1995-01-05")),
+        # key c: three spans crossing a MONTH boundary, all open feb2
+        ("c", d("1995-01-15"), d("1995-02-10")),
+        ("c", d("1995-01-20"), d("1995-02-05")),
+        ("c", d("1995-02-02"), d("1995-02-03")),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s TIMESTAMP, e TIMESTAMP")
+    got = {
+        r["k"]: (r["max_concurrent"], r["peak_ts"])
+        for r in concurrency_profile(df, ["k"], "s", "e", "month").collect()
+    }
+    assert got == {
+        "a": (2, d("1995-01-03")),
+        "b": (1, d("1995-01-01")),
+        "c": (3, d("1995-02-02")),
+    }

@@ -653,3 +653,14 @@ def test_target_encoding_single_fact_scan_via_pinned_stats(plans):
     p = plans("q_target_encoding_oof")
     assert p.count("InMemoryTableScan") >= 4
     assert "InMemoryRelation" in p
+
+
+def test_order_concurrency_two_level_prefix_sum(plans):
+    """q_order_concurrency: the sweep-line prefix sum must be the
+    two-level form — within-bucket running sums plus per-bucket
+    offsets — i.e. at least two Window nodes partitioned differently,
+    and never a cartesian/nested-loop join."""
+    p = plans("q_order_concurrency")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 2
