@@ -168,3 +168,44 @@ def dq_validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit before a table is shared: k-anonymity and
+    l-diversity per quasi-identifier equivalence class (Sweeney 2002;
+    Machanavajjhala et al. 2006). A row is re-identifiable when its
+    QI combination is shared by < k rows; a class leaks its sensitive
+    attribute when it holds < l distinct sensitive values even if it
+    is large (the homogeneity attack k-anonymity alone misses).
+
+    Output: one row per equivalence class — (qi_cols..., class_size,
+    sensitive_diversity, below_k, below_l) — the release-gate
+    evidence table; the release decision is `WHERE below_k OR
+    below_l` being empty. Plan: ONE partial-aggregable groupBy over
+    the QI columns (count + count distinct sensitive); the exchange
+    carries QI values + counters, never full rows — the same
+    counters-only discipline as erasure_audit. NULL QI values form
+    their own class (NULL-keyed grouping is exactly how a release
+    would be joined back); NULL sensitive values count as one
+    distinct leak-relevant value.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            (
+                F.countDistinct(F.col(sensitive_col))
+                + F.max(F.col(sensitive_col).isNull().cast("int"))
+            )
+            .cast("long")
+            .alias("sensitive_diversity"),
+        )
+        .withColumn("below_k", F.col("class_size") < int(k))
+        .withColumn("below_l", F.col("sensitive_diversity") < int(l))
+    )

@@ -190,7 +190,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # artifact; the exact-oracle sketch algebra stays covered by the
     # KMV daily merge + HDR twin)
     # "q_hll_distinct_users" demoted r9 (gate-green r8)
-    "q_hll_daily_merge",
+    # (q_hll_daily_merge, rows-only gate row committed r8 WITH its
+    # merged==direct invariant, demoted for the round-9 privacy
+    # release gate newborn — newborn-slot policy; the sketch family
+    # keeps KMV daily-merge + HDR + MG + AMS exact-oracle slots)
+    "q_k_anonymity_audit",
     # (q_hdr_quantile_merge, gate-green r7 + judge-verified, demoted
     # for the session's star-contraction CC newborn below — the
     # sketch family keeps five gated members: both HLL rows, approx

@@ -1624,3 +1624,49 @@ def q_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_finish(agg_merge(state, delta, ["event_type"]), ["event_type"]).orderBy(
         "event_type"
     )
+
+
+# --- privacy release gate: k-anonymity / l-diversity ---------------------------
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT sens)
+            + MAX(CASE WHEN sens IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS sensitive_diversity,
+       COUNT(*) < 10 AS below_k,
+       (COUNT(DISTINCT sens)
+        + MAX(CASE WHEN sens IS NULL THEN 1 ELSE 0 END)) < 3 AS below_l
+FROM (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+  FROM customer
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Privacy release gate: k-anonymity (class_size < 10) and "
+    "l-diversity (< 3 distinct sensitive balance-bands — the "
+    "homogeneity attack k alone misses) per (nation, segment) "
+    "quasi-identifier class over customer. One partial-aggregable "
+    "groupBy; the exchange carries QI values + counters, never rows "
+    "— the governance family's sharing-side complement to the "
+    "erasure audit (operators/governance.py:k_anonymity_audit)",
+    tags=("warehouse", "governance"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.governance import (
+        k_anonymity_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sens", k=10, l=3
+    ).orderBy("c_nationkey", "c_mktsegment")

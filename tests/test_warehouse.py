@@ -692,3 +692,36 @@ def test_dq_validate_rules(spark):
     assert got["v_max"]["passed"] is True and got["v_max"]["observed"] == 7.0
     assert got["t_domain"]["passed"] is False           # 'zz'
     assert got["t_domain"]["observed"] == 1.0
+
+
+def test_k_anonymity_audit_null_and_homogeneity_semantics(spark):
+    """NULL QI values form their own class; NULL sensitive counts as
+    one distinct value; a large-but-homogeneous class flags below_l
+    while passing k (the homogeneity attack)."""
+    from big_data_engineering_project_spark.operators.governance import (
+        k_anonymity_audit,
+    )
+
+    rows = [
+        # class (1, 'A'): 3 rows, all sens=7 → passes k=3, below_l (1 value)
+        (1, "A", 7), (1, "A", 7), (1, "A", 7),
+        # class (NULL, 'B'): 2 rows, sens {1, NULL} → diversity 2, below_k
+        (None, "B", 1), (None, "B", None),
+        # class (2, 'C'): 1 row → below both
+        (2, "C", 5),
+    ]
+    df = spark.createDataFrame(rows, "qi1 INT, qi2 STRING, sens INT")
+    got = {
+        (r["qi1"], r["qi2"]): (
+            r["class_size"],
+            r["sensitive_diversity"],
+            r["below_k"],
+            r["below_l"],
+        )
+        for r in k_anonymity_audit(df, ["qi1", "qi2"], "sens", k=3, l=2).collect()
+    }
+    assert got == {
+        (1, "A"): (3, 1, False, True),
+        (None, "B"): (2, 2, True, False),
+        (2, "C"): (1, 1, True, True),
+    }
