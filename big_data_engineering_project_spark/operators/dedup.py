@@ -1275,3 +1275,78 @@ def shingle_containment_pairs(
         .withColumn("containment", cont)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def minhash_calibration_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Estimator-calibration table for the MinHash family: for EVERY
+    LSH candidate pair (no Jaccard threshold — the unverified
+    candidate set), the signature agreement next to the exact truth:
+    (doc_a, doc_b, sig_matches, inter, uni, est_jaccard, jaccard).
+
+    P[minhash_i(A) = minhash_i(B)] = J(A,B), so sig_matches/k is an
+    unbiased J estimate and this table IS the operating evidence for
+    the band/row choice: how far the estimator sits from truth on
+    real candidates, and how many sub-threshold pairs banding lets
+    through (the verify stage's workload). All ranking-relevant
+    columns are integers; est_jaccard = matches/16 is a division by a
+    power of two (exactly representable), jaccard is the one
+    correctly-rounded division — both hash-stable cross-engine.
+
+    Plan: same shape as minhash_lsh_pairs (signatures shuffle-free,
+    banded candidates, hashed-long verify join) with the filter
+    removed — cost is bounded by the SAME candidate discipline.
+    """
+    if hashed is None:
+        hashed = _persist_owned(hashed_shingle_table(df, id_col, text_col, n))
+    sigs = with_minhash_signature(hashed).select("doc", "sig")
+    buckets = minhash_band_buckets(sigs)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("__sb"))
+    sh = hashed.select("doc", "hv")
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("hv", "__ha"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("hv", "__hb"), "doc_b")
+        .withColumn("sig_matches", matches)
+        .withColumn(
+            "inter", F.size(F.array_intersect("__ha", "__hb")).cast("long")
+        )
+        .withColumn(
+            "uni",
+            (F.size("__ha") + F.size("__hb") - F.col("inter")).cast("long"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            "inter",
+            "uni",
+            (F.col("sig_matches") / F.lit(len(MINHASH_SEEDS)).cast("double")).alias(
+                "est_jaccard"
+            ),
+            (F.col("inter") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+    )

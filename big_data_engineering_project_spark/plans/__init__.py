@@ -216,7 +216,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoted for the newborn media perceptual hash — which also
     # restores a multimodal slot to the gate; robust stats stay gated
     # via CUSUM + the seasonal member below)
-    "q_media_phash_groups",
+    # (q_media_phash_groups, gate-green r8, demoted for the round-9
+    # estimator-calibration newborn — newborn-slot policy; the
+    # multimodal trio keeps exact-oracle rows in every FULL sweep)
+    "q_minhash_calibration",
     "q_ks_value_drift",
     # Round-8 late newborns: the anomaly family's seasonal member and
     # the sufficient-statistics OLS trend. Demoted for them:

@@ -3925,3 +3925,81 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (99, 100, "p99"),
         ],
     ).orderBy("q_label")
+
+
+# --- MinHash estimator calibration ----------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {P}))"
+        for a, b in MINHASH_SEEDS
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        combine = " + ".join(
+            f"sig[{band * LSH_ROWS + r + 1}] * {B ** r}" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc, {band} AS band, ({combine}) % {P} AS bucket FROM sig"
+        )
+    buckets = "\n  UNION ALL ".join(band_selects)
+    k = len(MINHASH_SEEDS)
+    match_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+sig AS (SELECT doc, [{sig_items}] AS sig FROM hs),
+buckets AS (
+  {buckets}
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+  CAST(({match_terms}) AS BIGINT) AS sig_matches,
+  CAST(len(list_intersect(ha.hv, hb.hv)) AS BIGINT) AS inter,
+  CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv))
+       AS BIGINT) AS uni,
+  ({match_terms}) / CAST({k} AS DOUBLE) AS est_jaccard,
+  len(list_intersect(ha.hv, hb.hv))
+    / CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv))
+           AS DOUBLE) AS jaccard
+FROM cands
+JOIN sig sa ON doc_a = sa.doc
+JOIN sig sb ON doc_b = sb.doc
+JOIN hs ha ON doc_a = ha.doc
+JOIN hs hb ON doc_b = hb.doc
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="MinHash estimator calibration: every LSH candidate pair "
+    "(UNVERIFIED — the set banding actually emits) with its "
+    "signature agreement count beside the exact Jaccard — "
+    "P[minhash_i(A)=minhash_i(B)] = J, so sig_matches/16 is the "
+    "unbiased estimate and this table is the operating evidence for "
+    "the band/row choice (estimator error on real candidates + the "
+    "sub-threshold passthrough the verify stage must absorb). "
+    "est_jaccard divides by 2^4 (exactly representable); all ranking "
+    "columns integer (operators/dedup.py:minhash_calibration_pairs)",
+    tags=("pipeline", "dedup", "sketch"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_calibration_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
+    ).orderBy("doc_a", "doc_b")
