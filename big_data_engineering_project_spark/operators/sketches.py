@@ -868,3 +868,108 @@ def kll_quantiles(
         )
         .drop("__g")
     )
+
+
+def kll_summary_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    n_shards: int = 32,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key deterministic KLL summaries — the production shape of
+    kll_summary: build per (key, shard) in one applyInPandas pass,
+    merge per KEY in a second (each key's merge folds its own
+    ≤ n_shards bounded rows — parallel across keys, no global
+    single-task fold anywhere). Output one row per key:
+    (key_cols..., n, err_bound, vs, ws)."""
+    import pandas as pd
+
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col if id_col else value_col)),
+        F.lit(n_shards),
+    ).alias("__shard")
+    src = df.select(
+        *key_cols, shard, F.col(value_col).cast("long").alias("__v")
+    )
+
+    def build(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(int(v) for v in pdf["__v"].dropna())
+        levels, err, _ = _kll_build(vals, k)
+        vs, ws = _kll_levels_to_rows(levels)
+        return pd.DataFrame(
+            {
+                **{c: [keys[i]] for i, c in enumerate(key_cols)},
+                "__shard": [keys[len(key_cols)]],
+                "n": [len(vals)],
+                "err_bound": [err],
+                "vs": [vs],
+                "ws": [ws],
+            }
+        )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    per_shard = src.groupBy(*key_cols, "__shard").applyInPandas(
+        build,
+        f"{key_schema}, __shard long, n long, err_bound long, "
+        "vs array<long>, ws array<long>",
+    )
+
+    def merge(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__shard")
+        levels_list = [
+            _kll_rows_to_levels(r.vs, r.ws) for r in pdf.itertuples()
+        ]
+        errs = [int(e) for e in pdf["err_bound"]]
+        levels, err = _kll_merge_levels(levels_list, errs, k)
+        vs, ws = _kll_levels_to_rows(levels)
+        return pd.DataFrame(
+            {
+                **{c: [keys[i]] for i, c in enumerate(key_cols)},
+                "n": [int(pdf["n"].sum())],
+                "err_bound": [err],
+                "vs": [vs],
+                "ws": [ws],
+            }
+        )
+
+    return per_shard.groupBy(*key_cols).applyInPandas(
+        merge,
+        f"{key_schema}, n long, err_bound long, "
+        "vs array<long>, ws array<long>",
+    )
+
+
+def kll_quantiles_by_key(
+    summaries: DataFrame, key_cols: list[str], qs: list[tuple[int, int, str]]
+) -> DataFrame:
+    """Per-key quantile read-offs from kll_summary_by_key output: one
+    row per (key, quantile) with the certified bound."""
+    import pandas as pd
+
+    def read(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            pairs = sorted(zip(r.vs, r.ws))
+            n, err = int(r.n), int(r.err_bound)
+            for num, den, label in qs:
+                target = -(-num * n // den)
+                acc = 0
+                val = pairs[-1][0] if pairs else None
+                for v, w in pairs:
+                    acc += int(w)
+                    if acc >= target:
+                        val = int(v)
+                        break
+                out.append((*keys, label, val, n, err))
+        return pd.DataFrame(
+            out,
+            columns=[*key_cols, "q_label", "value", "n", "err_bound"],
+        )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    return summaries.groupBy(*key_cols).applyInPandas(
+        read,
+        f"{key_schema}, q_label string, value long, n long, err_bound long",
+    )

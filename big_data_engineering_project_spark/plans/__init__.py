@@ -220,7 +220,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # estimator-calibration newborn — newborn-slot policy; the
     # multimodal trio keeps exact-oracle rows in every FULL sweep)
     "q_minhash_calibration",
-    "q_ks_value_drift",
+    # (q_ks_value_drift, gate-green r8, demoted for the round-9
+    # per-key KLL newborn — newborn-slot policy; the anomaly family
+    # keeps seasonal + trend + Theil-Sen under the gate)
+    "q_kll_quantiles_by_type",
     # Round-8 late newborns: the anomaly family's seasonal member and
     # the sufficient-statistics OLS trend. Demoted for them:
     # q_user_set_ops (gate-green r7; semi/anti planning stays gated

@@ -4003,3 +4003,39 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=NGRAM_N,
         hashed=_shared_hashed(spark, sf_dir, NGRAM_N),
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_kll_quantiles_by_type",
+    oracle=None,  # iterative compactor hierarchy — rows-only; the
+    # per-key certified bound + by-key ≡ global-path equality are
+    # pytest-pinned (invariants below).
+    doc="Per-event-type certified-bound KLL quantiles — the "
+    "production shape: per-(key, shard) builds, then per-KEY merges "
+    "(each key folds its own ≤ n_shards bounded rows; parallel "
+    "across keys, no global single-task fold anywhere). p50/p90 per "
+    "type with the summary's certified rank-error bound "
+    "(operators/sketches.py:kll_summary_by_key)",
+    tags=("pipeline", "sketch", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_kll_by_key_bound_per_key_and_matches_global_path",
+        "tests/test_properties.py::test_kll_certified_rank_bound_on_any_multiset",
+    ),
+)
+def q_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_quantiles_by_key,
+        kll_summary_by_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v"),
+    )
+    s = kll_summary_by_key(
+        ev, ["event_type"], "v", k=256, n_shards=32, id_col="event_id"
+    )
+    return kll_quantiles_by_key(
+        s, ["event_type"], [(1, 2, "p50"), (9, 10, "p90")]
+    ).orderBy("event_type", "q_label")

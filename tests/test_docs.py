@@ -39,6 +39,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_hll_daily_merge",  # DataSketches registers engine-internal (merged==direct + error-bound pytest)
         "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
         "q_kll_value_quantiles",  # iterative compactor hierarchy (certified-bound property pytest)
+        "q_kll_quantiles_by_type",  # per-key compactor hierarchy (per-key bound + path-equality pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only

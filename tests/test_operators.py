@@ -3195,3 +3195,62 @@ def test_concurrency_profile_closed_interval_semantics(spark):
         "b": (1, d("1995-01-01")),
         "c": (3, d("1995-02-02")),
     }
+
+
+def test_kll_by_key_bound_per_key_and_matches_global_path(spark, sf_dir):
+    """Per-key KLL: every key's certified bound holds against its own
+    exact order statistics, and a single-key input through the by-key
+    path equals the global kll_summary + kll_merge_all path exactly
+    (same deterministic build/merge folds)."""
+    import bisect
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_merge_all,
+        kll_quantiles,
+        kll_quantiles_by_key,
+        kll_summary,
+        kll_summary_by_key,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        (F.col("value") * 1000).cast("long").alias("v"),
+    )
+    qs = [(1, 2, "p50"), (9, 10, "p90")]
+    s = kll_summary_by_key(
+        ev, ["event_type"], "v", k=64, n_shards=8, id_col="event_id"
+    )
+    got = kll_quantiles_by_key(s, ["event_type"], qs).collect()
+    exact = {}
+    for r in ev.collect():
+        exact.setdefault(r["event_type"], []).append(r["v"])
+    for vals in exact.values():
+        vals.sort()
+    assert {r["event_type"] for r in got} == set(exact)
+    for r in got:
+        vals = exact[r["event_type"]]
+        assert r["n"] == len(vals)
+        num, den = {"p50": (1, 2), "p90": (9, 10)}[r["q_label"]]
+        target = -(-num * len(vals) // den)
+        lo = bisect.bisect_left(vals, r["value"])
+        hi = bisect.bisect_right(vals, r["value"])
+        assert lo - r["err_bound"] <= target <= hi + r["err_bound"]
+
+    one = ev.filter(F.col("event_type") == "click")
+    by_key = kll_quantiles_by_key(
+        kll_summary_by_key(
+            one, ["event_type"], "v", k=32, n_shards=4, id_col="event_id"
+        ),
+        ["event_type"],
+        qs,
+    ).collect()
+    global_ = kll_quantiles(
+        kll_merge_all(
+            kll_summary(one, "v", k=32, n_shards=4, id_col="event_id"), 32
+        ),
+        qs,
+    ).collect()
+    assert {
+        (r["q_label"], r["value"], r["n"], r["err_bound"]) for r in by_key
+    } == {(r["q_label"], r["value"], r["n"], r["err_bound"]) for r in global_}
