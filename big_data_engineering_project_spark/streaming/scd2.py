@@ -749,3 +749,64 @@ def run_table_diff_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_reservoir_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sample_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_cols: list[str],
+    id_col: str,
+    k: int = 32,
+    n_shards: int = 32,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain per-key bounded uniform samples over a micro-batched
+    stream by per-batch reservoir MERGE: the content-hash bottom-k
+    reservoir (operators/sampling.py:reservoir_sample_agg) composes
+    by k-smallest-of-union — the SAME algebra as KMV — so
+    sample(union of batches) = merge of per-batch samples EXACTLY
+    (struct-array equality, not distribution similarity; redelivered
+    ids dedupe by identical (score, id)). State is one ≤ k-long
+    struct array per key regardless of stream volume — the
+    keep-a-representative-sample-of-everything-ever-seen primitive a
+    serving layer wants next to its counters. Checked per round
+    (tools/streaming_check.py `reservoir_maintenance`)."""
+    from big_data_engineering_project_spark.operators.sampling import (
+        reservoir_merge_expr,
+        reservoir_sample_agg,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_s = reservoir_sample_agg(
+            batch_df, key_cols, id_col, k=k, n_shards=n_shards
+        )
+        existing = _read_state(spark_b, sample_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy(*key_cols)
+            .agg(
+                reservoir_merge_expr(
+                    F.collect_list("reservoir"), k
+                ).alias("reservoir")
+            )
+        )
+        _write_state_swap(merged, sample_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

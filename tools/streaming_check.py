@@ -67,6 +67,11 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         changelog) ≡ bucket_digests rebuilt from the
                         final replica AND table_diff over the full
                         snapshots, both EXACT
+  reservoir_maintenance run_reservoir_stream (per-batch bottom-k
+                        reservoir merge per key) ≡ batch
+                        reservoir_sample_agg over the union, EXACT
+                        (score, id) arrays incl. cross-batch
+                        redeliveries + the < k enumeration path
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -1423,6 +1428,71 @@ def check_table_diff_stream(spark, root: str) -> dict:
 
 
 
+def check_reservoir_stream(spark, root: str) -> dict:
+    """run_reservoir_stream (foreachBatch bottom-k reservoir merge per
+    key) ≡ batch reservoir_sample_agg over the union — EXACT
+    (score, id) struct-array equality, the KMV-style algebra proof.
+    The fixture plants id redeliveries across batch boundaries (must
+    dedupe to identical structs) and a key whose total ids are < k
+    (exact-enumeration path)."""
+    from big_data_engineering_project_spark.operators.sampling import (
+        reservoir_sample_agg,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_reservoir_stream,
+    )
+
+    rng = random.Random(37)
+    recs = []
+    for i in range(400):
+        key = rng.choice(["alpha", "beta", "gamma"])
+        recs.append({"k": key, "id": rng.randrange(3000)})
+    # redeliveries: echo 40 earlier rows later in the stream
+    recs.extend(recs[50:90])
+    # sparse key: fewer than k distinct ids in total
+    recs.extend({"k": "sparse", "id": i} for i in range(7))
+    in_dir = os.path.join(root, "rsv_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=56)  # 8 micro-batches
+
+    sample_path = os.path.join(root, "rsv_state")
+    run_reservoir_stream(
+        spark,
+        in_dir,
+        sample_path,
+        os.path.join(root, "rsv_cp"),
+        schema="k STRING, id LONG",
+        key_cols=["k"],
+        id_col="id",
+        k=16,
+    )
+    got = sorted(
+        (r["k"], tuple(map(tuple, r["reservoir"])))
+        for r in spark.read.parquet(sample_path).collect()
+    )
+    bb = spark.read.schema("k STRING, id LONG").json(in_dir)
+    want = sorted(
+        (r["k"], tuple(map(tuple, r["reservoir"])))
+        for r in reservoir_sample_agg(bb, ["k"], "id", k=16).collect()
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "sparse_key_exact": any(
+            k == "sparse" and len(r) == 7 for k, r in got
+        ),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["sparse_key_exact"]
+    )
+    return res
+
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -1452,6 +1522,7 @@ def main() -> None:
         results["ohlc_bars"] = check_ohlc_stream(spark, root)
         results["target_encoding"] = check_target_encoding_stream(spark, root)
         results["table_diff_maintenance"] = check_table_diff_stream(spark, root)
+        results["reservoir_maintenance"] = check_reservoir_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
