@@ -64,3 +64,28 @@ def test_rows_only_queries_carry_resolvable_invariants():
             assert re.search(
                 rf"^def {re.escape(func)}\b", src, re.M
             ), f"{name}: invariant {node} does not resolve"
+
+
+def test_committed_artifacts_are_clean_and_current():
+    # Tripwire against committing stale or failing evidence: the
+    # NEWEST committed streaming artifact must be all-pass, and the
+    # newest committed plan audit must cover the full registry with
+    # zero flags. (Regenerate the artifacts after registry changes —
+    # tools/streaming_check.py / tools/plan_audit.py — rather than
+    # relaxing this test.)
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    streams = sorted(glob.glob(os.path.join(root, "STREAMING_r*.json")))
+    assert streams, "no committed streaming artifact"
+    s = json.load(open(streams[-1]))
+    assert s["n_pass"] == s["n_total"] > 0, streams[-1]
+
+    pa = json.load(open(os.path.join(root, "PLANAUDIT.json")))
+    assert pa["n_flagged"] == 0, pa["n_flagged"]
+    assert pa["stale_allowlist"] == []
+    assert pa["n_queries"] >= len(REGISTRY) - 5, (
+        pa["n_queries"],
+        len(REGISTRY),
+    )
