@@ -335,3 +335,83 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(
         hash_batches, PHASH_SCHEMA
     )
+
+
+FRAME_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_frame", IntegerType()),
+        StructField("peak_energy", LongType()),
+    ]
+)
+
+
+def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Audio waveform framing + energy — the audio-path member of the
+    multimodal family, and the one that needs NO codec seam: the
+    payload bytes ARE the samples (unsigned 8-bit PCM convention,
+    centered at 128), so the whole decode→frame→energy pipeline is
+    real arithmetic, not a stub. Per audio blob: non-overlapping
+    frames of `frame_len` samples (tail partial frame dropped — the
+    standard STFT framing convention), energy(f) = Σ (s−128)² over
+    the frame; emits n_frames, total energy over full frames, and
+    the peak frame (ties → smallest index). All INTEGER, so the
+    closed-form fixture oracle is exact.
+
+    Scale shape: same Arrow-batched mapInPandas seam as decode_media
+    — blob bytes stop at the UDF, only 5 small columns leave; kind
+    pruning happens on the partition column before any byte is read.
+    A real 16-bit/real-codec deployment swaps np.frombuffer's dtype /
+    adds the decoder inside the same seam."""
+    import numpy as np
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "blob")
+
+    def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "n_frames": [],
+                "total_energy": [],
+                "peak_frame": [],
+                "peak_energy": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC:
+                    raise NotImplementedError(
+                        "real media decoding requires codec libraries "
+                        "not present in this environment"
+                    )
+                w, h = struct.unpack(">HH", blob[4:8])
+                samples = (
+                    np.frombuffer(blob[8 : 8 + w * h], dtype=np.uint8)
+                    .astype(np.int64)
+                    - 128
+                )
+                nf = len(samples) // frame_len
+                if nf == 0:
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(0)
+                    rows["total_energy"].append(0)
+                    rows["peak_frame"].append(-1)
+                    rows["peak_energy"].append(0)
+                    continue
+                fr = samples[: nf * frame_len].reshape(nf, frame_len)
+                en = (fr * fr).sum(axis=1)
+                peak = int(en.argmax())  # argmax returns FIRST max: tie rule
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["total_energy"].append(int(en.sum()))
+                rows["peak_frame"].append(peak)
+                rows["peak_energy"].append(int(en[peak]))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(energize, FRAME_ENERGY_SCHEMA)

@@ -230,7 +230,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # via bloom + Q21) and q_revenue_cube (gate-green r7; the
     # grouping-sets family keeps rollup + pivot).
     "q_seasonal_anomalies",
-    "q_value_trend_by_type",
+    # (q_value_trend_by_type, gate-green r8, demoted for the round-9
+    # audio-path newborn — newborn-slot policy; the trend family keeps
+    # Theil-Sen under the gate and OLS stays sweep-green)
+    "q_audio_frame_energy",
     # Graph: communities + triangles + the late-round newborns k-core
     # (above) and Bellman-Ford cheapest paths (newborn-slot policy;
     # q_pagerank_event_graph, multi-gated and headline-benched,

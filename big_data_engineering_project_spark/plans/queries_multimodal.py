@@ -221,3 +221,53 @@ def q_media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_media")
     )
+
+
+@register(
+    "q_audio_frame_energy",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+au AS (
+  SELECT media_id, width * height AS len FROM m WHERE kind = 'audio'
+),
+en AS (
+  SELECT au.media_id, CAST(g.i // 64 AS INT) AS frame,
+         SUM(CAST(((au.media_id + g.i * 31) % 256 - 128)
+             * ((au.media_id + g.i * 31) % 256 - 128) AS BIGINT)) AS e
+  FROM au, unnest(generate_series(0, au.len - 1)) AS g(i)
+  WHERE g.i < (au.len // 64) * 64
+  GROUP BY 1, 2
+),
+picked AS (
+  SELECT media_id, frame, e,
+         ROW_NUMBER() OVER (PARTITION BY media_id
+                            ORDER BY e DESC, frame ASC) AS rn
+  FROM en
+)
+SELECT en.media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(en.e) AS BIGINT) AS total_energy,
+       CAST(MAX(CASE WHEN p.rn = 1 THEN p.frame END) AS INT) AS peak_frame,
+       CAST(MAX(CASE WHEN p.rn = 1 THEN p.e END) AS BIGINT) AS peak_energy
+FROM en
+JOIN picked p ON p.media_id = en.media_id AND p.frame = en.frame
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Audio waveform framing + energy over the binary media column "
+    "— the multimodal family's audio path, and the one needing NO "
+    "codec seam (payload bytes ARE u8-PCM samples): 64-sample "
+    "non-overlapping frames, integer energy Σ(s−128)² per frame, "
+    "peak frame first-index tie rule; bytes stop at the Arrow-"
+    "batched mapInPandas, 5 small columns leave. Exact oracle "
+    "re-derives every sample from the closed-form fixture "
+    "(multimodal/columns.py:frame_energy)",
+    tags=("multimodal",),
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.multimodal.columns import (
+        frame_energy,
+    )
+
+    media = load_media(spark, sf_dir)
+    return frame_energy(media, frame_len=64).orderBy("media_id")

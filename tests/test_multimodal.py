@@ -116,3 +116,33 @@ def test_perceptual_hash_groups_visual_duplicates(spark):
     assert hashes[0] == hashes[1]  # exact visual duplicate collides
     assert hashes[0] == hashes[2]  # brightness-shifted still collides
     assert hashes[0] != hashes[3]  # different picture separates
+
+
+def test_frame_energy_framing_tie_and_subframe(spark):
+    """64-sample framing over the synthetic fixture: counts match
+    len//64, tail samples are dropped, peak is the FIRST max frame,
+    and energies re-derive from the closed-form bytes exactly."""
+    from big_data_engineering_project_spark.multimodal.columns import (
+        frame_energy,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    got = {
+        r["media_id"]: r
+        for r in frame_energy(media, frame_len=64).collect()
+    }
+    audio = {i: (8 + (i % 5) * 4, 8 + (i % 3) * 4) for i in range(12) if i % 3 == 1}
+    assert set(got) == set(audio)
+    for mid, (w, h) in audio.items():
+        samples = [((mid + i * 31) % 256) - 128 for i in range(w * h)]
+        nf = len(samples) // 64
+        ens = [
+            sum(s * s for s in samples[f * 64 : (f + 1) * 64])
+            for f in range(nf)
+        ]
+        r = got[mid]
+        assert r["n_frames"] == nf
+        assert r["total_energy"] == sum(ens)
+        assert r["peak_energy"] == max(ens)
+        assert r["peak_frame"] == ens.index(max(ens))
