@@ -35,7 +35,7 @@ Reference anchor: extends the reference's per-record enrichment UDFs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -193,4 +193,88 @@ def oof_finish(st: DataFrame, m: int = DEFAULT_SMOOTH_M) -> DataFrame:
                 / (oof_cnt + F.lit(int(m)))
             ).alias("enc_smoothed"),
         )
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    key_cols: list[str] | None = None,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """EXACT ROC AUC from the Mann-Whitney rank-sum — the model-eval
+    primitive next to the trainers: AUC = U / (n_pos·n_neg) with
+    U = Σ ranks(positives) − n_pos(n_pos+1)/2, ties handled by
+    midranks (the textbook definition; equivalent to trapezoidal ROC
+    integration). Everything except the final division is INTEGER:
+    midranks are kept ×2 (2·cum_before + cnt + 1), so u2 =
+    2U is exact and auc = u2 / (2·n_pos·n_neg) is one correctly-
+    rounded division — hash-stable cross-engine.
+
+    Scale shape: scores collapse to the DISTINCT-value table first
+    (one partial-aggregable groupBy — the weighted_median
+    discipline), then the cumulative rank prefix sum is TWO-LEVEL
+    like concurrency_profile: a window inside each `bucket_width`
+    score bucket plus rolling per-bucket offsets — continuous scores
+    (distinct ≈ n) never funnel into one sort task; the naive single
+    window IS the oracle. Output one row (per key): (key_cols...,
+    n_pos, n_neg, u2, auc); auc is NULL when either class is empty.
+
+    `label_col`: boolean/int, positive = truthy and non-null.
+    """
+    keys = list(key_cols or [])
+    pos = F.when(
+        F.col(label_col).isNotNull() & F.col(label_col).cast("boolean"),
+        1,
+    ).otherwise(0)
+    g = (
+        df.select(*keys, F.col(score_col).alias("__s"), pos.alias("__p"))
+        .groupBy(*keys, "__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum("__p").cast("long").alias("__pos"),
+        )
+        .withColumn("__b", F.floor(F.col("__s") / F.lit(float(bucket_width))))
+    )
+    w_in = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    within = g.withColumn(
+        "__cum_in", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
+    )
+    per_bucket = g.groupBy(*keys, "__b").agg(
+        F.sum("__cnt").alias("__btot")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
+    ).select(*keys, "__b", "__off")
+    ranked = within.join(offsets, [*keys, "__b"]).withColumn(
+        "__midrank2",
+        2 * (F.col("__cum_in") + F.col("__off")) + F.col("__cnt") + 1,
+    )
+    grp = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    agg = grp.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        (F.sum("__cnt") - F.sum("__pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("__pos") * F.col("__midrank2")).cast("long").alias("__r2"),
+    )
+    u2 = F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
     )

@@ -267,7 +267,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # reference-equality invariant, demoted for the round-9 sweep-line
     # newborn — newborn-slot policy)
     "q_order_concurrency",
-    "q_profile_drift",
+    # (q_profile_drift, gate-green r8, demoted for the round-9 exact
+    # AUC newborn — newborn-slot policy; profiling stays exact-oracle
+    # green in every FULL sweep)
+    "q_purchase_auc",
     # Session continuation rotation (newborn-slot policy): the three
     # queries born this session — keep-best survivor selection (the
     # dedup keep list, gated the round the operator is born),

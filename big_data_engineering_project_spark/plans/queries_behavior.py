@@ -1489,3 +1489,56 @@ def q_purchase_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - rad) / denom).alias("wilson_lo"),
         ((center + rad) / denom).alias("wilson_hi"),
     ).orderBy("hr")
+
+
+# --- exact ROC AUC (operators/features.py:auc_exact) ---------------------------
+
+
+@register(
+    "q_purchase_auc",
+    oracle="""
+WITH g AS (
+  SELECT "value" AS s, COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+       CAST(SUM(pos * (2 * cb + cnt + 1))
+            - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u2,
+       (SUM(pos * (2 * cb + cnt + 1)) - SUM(pos) * (SUM(pos) + 1))
+         / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
+FROM r
+""",
+    doc="Exact ROC AUC of `value` as a purchase classifier — the "
+    "model-eval primitive beside the trainers: Mann-Whitney rank-sum "
+    "with midrank tie handling (≡ trapezoidal ROC integration), "
+    "integer throughout (midranks ×2), one final division. Scores "
+    "collapse to the distinct-value table, then the rank prefix sum "
+    "is the TWO-LEVEL concurrency_profile form (within-bucket window "
+    "+ rolling per-bucket offsets) so continuous scores never funnel "
+    "one sort task; the oracle IS the naive single window "
+    "(operators/features.py:auc_exact)",
+    tags=("behavior", "ml", "window"),
+)
+def q_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return auc_exact(
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        bucket_width=10.0,
+    )

@@ -3254,3 +3254,47 @@ def test_kll_by_key_bound_per_key_and_matches_global_path(spark, sf_dir):
     assert {
         (r["q_label"], r["value"], r["n"], r["err_bound"]) for r in by_key
     } == {(r["q_label"], r["value"], r["n"], r["err_bound"]) for r in global_}
+
+
+def test_auc_exact_matches_pairwise_definition_with_ties(spark):
+    """AUC from the two-level midrank form must equal the O(n²)
+    pairwise definition (P[s_pos > s_neg] + ½P[=]) on a fixture with
+    ties across classes, NULL labels (excluded as negatives? no —
+    non-null falsy = negative, null label = negative by contract),
+    and per-key grouping."""
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+    )
+
+    rows = [
+        ("a", 0.1, 0), ("a", 0.4, 0), ("a", 0.35, 1),
+        ("a", 0.8, 1), ("a", 0.8, 0), ("a", 0.8, 1),
+        ("b", 1.0, 1), ("b", 2.0, 0),  # inverted: AUC 0
+        ("c", 5.0, 1), ("c", 5.0, 0),  # pure tie: AUC 0.5
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, y INT")
+    got = {
+        r["k"]: r
+        for r in auc_exact(
+            df, "s", "y", key_cols=["k"], bucket_width=0.25
+        ).collect()
+    }
+
+    def ref(pairs):
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    by_key = {}
+    for k, s, y in rows:
+        by_key.setdefault(k, []).append((s, y))
+    for k, pairs in by_key.items():
+        assert got[k]["auc"] == ref(pairs), k
+    assert got["b"]["auc"] == 0.0 and got["c"]["auc"] == 0.5
+
+    # empty-class guard: all-positive key yields NULL auc
+    one = spark.createDataFrame([("z", 1.0, 1)], "k STRING, s DOUBLE, y INT")
+    r = auc_exact(one, "s", "y", key_cols=["k"]).collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0

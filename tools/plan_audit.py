@@ -57,7 +57,8 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     # group-cardinality-bounded margin/total windows
     "q_pmi_type_hour": "margins over the n_types x 24 cells frame",
     "q_vocab_growth": "cumulative over the 10-row decile grid",
-    "q_vocab_coverage": "vocabulary-sized rank window",}
+    "q_vocab_coverage": "vocabulary-sized rank window",
+    "q_purchase_auc": "rolling offsets over the <= score-range/width bucket table",}
 
 # Queries allowed a nested-loop/cross join because the broadcast side
 # is a 1-row (or group-cardinality-bounded) aggregate stamp.
