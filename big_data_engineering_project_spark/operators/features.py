@@ -278,3 +278,52 @@ def auc_exact(
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall at FIXED thresholds — the operating-point
+    companion to auc_exact (AUC ranks the model; deployment needs a
+    threshold). One row per threshold: (threshold, tp, fp, fn,
+    precision, recall); a row whose threshold admits nothing has
+    precision NULL.
+
+    Scale shape: the threshold list is a literal array — each input
+    row explodes ×|thresholds| and map-side combine collapses every
+    partition to ≤ |thresholds| groups before the exchange, so the
+    shuffle carries |thresholds| counter rows per partition at ANY
+    input size. No windows, no distinct-score table (contrast
+    auc_exact, which needs the full rank structure). Counts are
+    integers; precision/recall are one division each.
+    """
+    ts = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    pos = F.col(label_col).isNotNull() & F.col(label_col).cast("boolean")
+    ex = df.select(
+        F.col(score_col).alias("__s"),
+        pos.cast("int").alias("__y"),
+        F.explode(ts).alias("threshold"),
+    )
+    above = (F.col("__s") >= F.col("threshold")).cast("int")
+    agg = ex.groupBy("threshold").agg(
+        F.sum(F.col("__y") * above).cast("long").alias("tp"),
+        F.sum((1 - F.col("__y")) * above).cast("long").alias("fp"),
+        F.sum(F.col("__y") * (1 - above)).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+    )

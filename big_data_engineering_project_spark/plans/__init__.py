@@ -283,7 +283,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # shape the three demotions exercise.
     "q_dedup_keep_best",
     "q_pmi_type_hour",
-    "q_vocab_growth",
+    # (q_vocab_growth, gate-green r8, demoted for the round-9 PR-curve
+    # newborn — newborn-slot policy; text analysis keeps doc-LM cost +
+    # PMI under the gate)
+    "q_purchase_pr_curve",
     # ...and the incremental aggregate maintenance newborn (merged
     # sufficient-statistic states ≡ full recompute under the gate);
     # demoted for it: q_excess_shippers (gate-green in the committed

@@ -1542,3 +1542,54 @@ def q_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_purchase",
         bucket_width=10.0,
     )
+
+
+_PR_THRESHOLDS = (50.0, 100.0, 150.0, 190.0, 250.0)
+
+
+@register(
+    "q_purchase_pr_curve",
+    oracle=f"""
+WITH t AS (SELECT unnest([{", ".join(str(t) for t in _PR_THRESHOLDS)}]) AS threshold),
+c AS (
+  SELECT t.threshold,
+         SUM(CASE WHEN e.event_type = 'purchase'
+                   AND e."value" >= t.threshold THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN e.event_type <> 'purchase'
+                   AND e."value" >= t.threshold THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN e.event_type = 'purchase'
+                   AND e."value" < t.threshold THEN 1 ELSE 0 END) AS fn
+  FROM events e, t GROUP BY 1
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0
+            THEN tp / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN tp / CAST(tp + fn AS DOUBLE) END AS recall
+FROM c ORDER BY threshold
+""",
+    doc="Precision/recall operating points of `value` as a purchase "
+    "classifier at five fixed thresholds — the deployment companion "
+    "to q_purchase_auc (AUC ranks, a threshold ships): rows explode "
+    "×|thresholds| and map-side combine collapses every partition to "
+    "≤ 5 counter groups before the exchange — no windows, no "
+    "distinct-score table, shuffle carries 5 rows per partition at "
+    "any input size (operators/features.py:pr_curve)",
+    tags=("behavior", "ml"),
+)
+def q_purchase_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        pr_curve,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return pr_curve(
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        list(_PR_THRESHOLDS),
+    ).orderBy("threshold")

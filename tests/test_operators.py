@@ -3298,3 +3298,27 @@ def test_auc_exact_matches_pairwise_definition_with_ties(spark):
     one = spark.createDataFrame([("z", 1.0, 1)], "k STRING, s DOUBLE, y INT")
     r = auc_exact(one, "s", "y", key_cols=["k"]).collect()[0]
     assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_pr_curve_counts_and_edge_thresholds(spark):
+    """tp/fp/fn partition the relevant populations at every threshold;
+    a threshold above every score yields tp=fp=0 with NULL precision
+    and recall 0; one below every score yields recall 1."""
+    from big_data_engineering_project_spark.operators.features import (
+        pr_curve,
+    )
+
+    rows = [(0.2, 1), (0.4, 0), (0.6, 1), (0.9, 0), (0.9, 1)]
+    df = spark.createDataFrame(rows, "s DOUBLE, y INT")
+    got = {
+        r["threshold"]: r
+        for r in pr_curve(df, "s", "y", [0.0, 0.5, 2.0]).collect()
+    }
+    n_pos, n_neg = 3, 2
+    for t, r in got.items():
+        assert r["tp"] + r["fn"] == n_pos
+        exp_tp = sum(1 for s, y in rows if y and s >= t)
+        exp_fp = sum(1 for s, y in rows if not y and s >= t)
+        assert (r["tp"], r["fp"]) == (exp_tp, exp_fp), t
+    assert got[2.0]["precision"] is None and got[2.0]["recall"] == 0.0
+    assert got[0.0]["recall"] == 1.0 and got[0.0]["fp"] == n_neg
