@@ -16,8 +16,8 @@ family — LLM-pipeline ops (dedup, ANN, text analysis, sampling, PII,
 temporal joins) lead, reference/TPC-H families each hold a slot in the
 first 50, and the remainder (all driver-green in committed
 CORRECTNESS_r0*.json artifacts) follow. tools/oracle_check.py runs the
-FULL registry; its committed full-sweep artifacts are
-CORRECTNESS_FULL_r06.json (sf0.01) and CORRECTNESS_FULL_r06_sf0.1.json.
+FULL registry; the committed full-sweep artifacts are the latest
+CORRECTNESS_FULL_r0N.json (sf0.01) and CORRECTNESS_FULL_r0N_sf0.1.json.
 """
 
 from __future__ import annotations
