@@ -3322,3 +3322,45 @@ def test_pr_curve_counts_and_edge_thresholds(spark):
         assert (r["tp"], r["fp"]) == (exp_tp, exp_fp), t
     assert got[2.0]["precision"] is None and got[2.0]["recall"] == 0.0
     assert got[0.0]["recall"] == 1.0 and got[0.0]["fp"] == n_neg
+
+
+def test_interval_overlap_join_exactly_once_vs_brute_force(spark):
+    """Keyless interval-overlap join must emit every overlapping pair
+    EXACTLY once even when a pair shares many bins (long intervals ≫
+    bin width — the canonical max-start-bin rule), match the O(n·m)
+    brute force on a seeded fixture, and emit nothing for touching-
+    but-disjoint intervals ([0,9] vs [10,19] with closed semantics)."""
+    import random
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    A = []
+    for i in range(40):
+        s = rng.randrange(0, 1000)
+        A.append((i, s, s + rng.randrange(0, 400)))  # up to 4 bins wide
+    B = []
+    for j in range(30):
+        s = rng.randrange(0, 1000)
+        B.append((j, s, s + rng.randrange(0, 250)))
+    B.append((98, 0, 999))   # spans EVERY bin: max multi-bin overlap
+    B.append((99, 10, 19))   # adjacency probe vs A-side [.., 9]
+    A.append((98, 0, 9))
+    da = spark.createDataFrame(A, "ida LONG, s LONG, e LONG")
+    db = spark.createDataFrame(B, "idb LONG, s LONG, e LONG")
+    got = sorted(
+        (r["ida_a"], r["idb_b"])
+        for r in interval_overlap_join(da, db, bin_seconds=100).collect()
+    )
+    brute = sorted(
+        (ia, jb)
+        for ia, sa, ea in A
+        for jb, sb, eb in B
+        if sa <= eb and sb <= ea
+    )
+    assert got == brute                      # exact pair multiset
+    assert len(got) == len(set(got))         # exactly-once emission
+    assert (98, 99) not in got               # [0,9] vs [10,19] disjoint
+    assert (98, 98) in got                   # full-span interval matches
