@@ -327,3 +327,43 @@ def pr_curve(
             F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
         ).alias("recall"),
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Reliability-diagram bins — the third of the eval trio (AUC
+    ranks the model, the PR curve picks the threshold, calibration
+    checks whether the score MEANS anything as a probability/rate):
+    fixed-width score bins with observed positive rate per bin, one
+    row per non-empty bin: (bin, n, n_pos, mean_score, pos_rate).
+
+    ONE partial-aggregable groupBy; mean_score sums in exact
+    DECIMAL(18,6) (combine-order independent — the registry rule) and
+    each output is one double division. Fixed-width bins rather than
+    quantile bins by default: they need no rank structure (zero
+    windows) and are directly comparable across days/models; feed
+    ntile_scalable output as the score for equal-mass bins."""
+    pos = F.col(label_col).isNotNull() & F.col(label_col).cast("boolean")
+    b = F.floor(F.col(score_col) / F.lit(float(bin_width))).cast("long")
+    return (
+        df.select(
+            b.alias("bin"),
+            pos.cast("long").alias("__y"),
+            F.col(score_col).cast("decimal(18,6)").alias("__s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            (
+                F.sum("__s").cast("double") / F.count(F.lit(1))
+            ).alias("mean_score"),
+        )
+        .withColumn(
+            "pos_rate", F.col("n_pos").cast("double") / F.col("n")
+        )
+    )

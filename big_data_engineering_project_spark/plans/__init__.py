@@ -282,7 +282,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sweep; the suite keeps 11 gated members covering every join/agg
     # shape the three demotions exercise.
     "q_dedup_keep_best",
-    "q_pmi_type_hour",
+    # (q_pmi_type_hour, gate-green r8, demoted for the round-9
+    # calibration newborn — newborn-slot policy; the association
+    # family stays exact-oracle green in every FULL sweep)
+    "q_purchase_calibration",
     # (q_vocab_growth, gate-green r8, demoted for the round-9 PR-curve
     # newborn — newborn-slot policy; text analysis keeps doc-LM cost +
     # PMI under the gate)

@@ -1593,3 +1593,42 @@ def q_purchase_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_purchase",
         list(_PR_THRESHOLDS),
     ).orderBy("threshold")
+
+
+@register(
+    "q_purchase_calibration",
+    oracle="""
+SELECT CAST(FLOOR("value" / 25.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS mean_score,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Reliability diagram of `value` as a purchase score: fixed-"
+    "width bins (width 25) with observed purchase rate and exact-"
+    "decimal mean score per bin — the calibration member of the eval "
+    "trio (q_purchase_auc ranks, q_purchase_pr_curve picks the "
+    "threshold). One partial-aggregable groupBy, zero windows "
+    "(operators/features.py:score_calibration)",
+    tags=("behavior", "ml"),
+)
+def q_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        score_calibration,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return score_calibration(
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        bin_width=25.0,
+    ).orderBy("bin")
