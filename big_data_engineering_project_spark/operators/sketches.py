@@ -728,6 +728,42 @@ def _kll_merge_levels(levels_list, errs, k: int):
     return levels, err
 
 
+def _kll_build_weighted(pairs, k: int):
+    """Compactor hierarchy from (value, count) pairs — the
+    weighted-insert form of _kll_build: each count decomposes into
+    powers of two (an EXACT zero-error representation, so the insert
+    itself certifies err 0), values land in the level matching each
+    set bit, then the hierarchy re-compacts bottom-up with the same
+    deterministic rule as merge. Sorting the pairs first makes the
+    result a pure function of the weighted multiset. Returns
+    (levels, err_bound)."""
+    levels: list[list[int]] = [[]]
+    for v, c in sorted(pairs):
+        c = int(c)
+        h = 0
+        while c:
+            if c & 1:
+                while len(levels) <= h:
+                    levels.append([])
+                levels[h].append(int(v))
+            c >>= 1
+            h += 1
+    return _kll_merge_levels([levels], [0], k)
+
+
+def _kll_auto_shards(
+    n_rows: int, rows_per_shard_target: int = 1_000_000
+) -> int:
+    """Shard count from a row-count estimate so no build group holds
+    more than ~rows_per_shard_target rows even BEFORE the
+    weighted-distinct collapse shrinks it further (r9 verdict: the
+    fixed 32-shard default materialized O(n/32) rows per pandas
+    group — ~3 TB per task at 100 TB input). Deterministic in the
+    multiset (depends only on n), capped at 4096 like the Merkle
+    digest index."""
+    return max(1, min(4096, -(-int(n_rows) // int(rows_per_shard_target))))
+
+
 def _kll_rows_to_levels(vs, ws):
     levels: list[list[int]] = []
     for v, w in zip(vs, ws):
@@ -754,30 +790,49 @@ def kll_summary(
     df: DataFrame,
     value_col: str,
     k: int = 256,
-    n_shards: int = 32,
+    n_shards: int | None = 32,
     id_col: str | None = None,
+    rows_per_shard_target: int = 1_000_000,
 ) -> DataFrame:
     """Per-shard deterministic KLL summaries of an integral column:
     one row per shard (shard, n, err_bound, vs, ws). Sharding hashes
     `id_col` (or the value itself), so the summary depends on the
-    MULTISET, never the physical partitioning; shard inputs are
-    sorted before insertion, so it is bit-deterministic too."""
+    MULTISET, never the physical partitioning.
+
+    Build-stage group size is BOUNDED two ways (r9 verdict task 2):
+    (1) the input pre-collapses to weighted distinct values per shard
+    (groupBy(shard, value).count() — a plain partial-aggregable
+    shuffle), so each pandas group holds one row per DISTINCT value,
+    not per input row, and the build inserts counts exactly via
+    binary weight decomposition (_kll_build_weighted, zero insert
+    error); (2) pass n_shards=None to auto-scale the shard count from
+    the row count so even an all-distinct column stays under
+    ~rows_per_shard_target rows per group. Both paths are
+    bit-deterministic in the multiset."""
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
     shard = F.pmod(
         F.xxhash64(F.col(id_col if id_col else value_col)),
         F.lit(n_shards),
     ).alias("shard")
-    src = df.select(shard, F.col(value_col).cast("long").alias("__v"))
+    src = (
+        df.select(shard, F.col(value_col).cast("long").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("shard", "__v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(int(v) for v in pdf["__v"].dropna())
-        levels, err, _ = _kll_build(vals, k)
+        pairs = list(zip(pdf["__v"], pdf["__w"]))
+        n = int(pdf["__w"].sum())
+        levels, err = _kll_build_weighted(pairs, k)
         vs, ws = _kll_levels_to_rows(levels)
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],
-                "n": [len(vals)],
+                "n": [n],
                 "err_bound": [err],
                 "vs": [vs],
                 "ws": [ws],
@@ -870,46 +925,67 @@ def kll_quantiles(
     )
 
 
+def _key_schema_ddl(df: DataFrame, key_cols: list[str]) -> str:
+    """DDL fragment for key columns with their TRUE types from
+    df.schema — hardcoding `string` silently coerces or fails a LONG
+    key at the Arrow boundary (r9 ADVICE #2)."""
+    return ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+
+
 def kll_summary_by_key(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     k: int = 256,
-    n_shards: int = 32,
+    n_shards: int | None = 32,
     id_col: str | None = None,
+    rows_per_shard_target: int = 1_000_000,
 ) -> DataFrame:
     """Per-key deterministic KLL summaries — the production shape of
     kll_summary: build per (key, shard) in one applyInPandas pass,
     merge per KEY in a second (each key's merge folds its own
     ≤ n_shards bounded rows — parallel across keys, no global
     single-task fold anywhere). Output one row per key:
-    (key_cols..., n, err_bound, vs, ws)."""
+    (key_cols..., n, err_bound, vs, ws). Build groups are bounded the
+    same two ways as kll_summary: weighted-distinct pre-collapse per
+    (key, shard) plus optional n_shards=None auto-scaling from the
+    row count. Key columns keep their true schema types."""
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
     shard = F.pmod(
         F.xxhash64(F.col(id_col if id_col else value_col)),
         F.lit(n_shards),
     ).alias("__shard")
-    src = df.select(
-        *key_cols, shard, F.col(value_col).cast("long").alias("__v")
+    src = (
+        df.select(
+            *key_cols, shard, F.col(value_col).cast("long").alias("__v")
+        )
+        .where(F.col("__v").isNotNull())
+        .groupBy(*key_cols, "__shard", "__v")
+        .agg(F.count(F.lit(1)).alias("__w"))
     )
 
     def build(keys, pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(int(v) for v in pdf["__v"].dropna())
-        levels, err, _ = _kll_build(vals, k)
+        pairs = list(zip(pdf["__v"], pdf["__w"]))
+        n = int(pdf["__w"].sum())
+        levels, err = _kll_build_weighted(pairs, k)
         vs, ws = _kll_levels_to_rows(levels)
         return pd.DataFrame(
             {
                 **{c: [keys[i]] for i, c in enumerate(key_cols)},
                 "__shard": [keys[len(key_cols)]],
-                "n": [len(vals)],
+                "n": [n],
                 "err_bound": [err],
                 "vs": [vs],
                 "ws": [ws],
             }
         )
 
-    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    key_schema = _key_schema_ddl(df, key_cols)
     per_shard = src.groupBy(*key_cols, "__shard").applyInPandas(
         build,
         f"{key_schema}, __shard long, n long, err_bound long, "
@@ -968,7 +1044,7 @@ def kll_quantiles_by_key(
             columns=[*key_cols, "q_label", "value", "n", "err_bound"],
         )
 
-    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    key_schema = _key_schema_ddl(summaries, key_cols)
     return summaries.groupBy(*key_cols).applyInPandas(
         read,
         f"{key_schema}, q_label string, value long, n long, err_bound long",

@@ -802,16 +802,30 @@ def concurrency_profile(
     deltas pre-collapse into one net row).
 
     Closed-interval convention: an interval [s, e] is open AT e and
-    closes just after — the -1 boundary sits at e + 1 time unit
-    (dates here: exact semantics mirrored by the oracle's e +
-    INTERVAL 1 DAY). Swap in +1 second for timestamp data.
+    closes just after — the -1 boundary sits at e + 1 time unit,
+    chosen from the END column's type: DATE ends close at e + 1 day
+    (the oracle's e + INTERVAL 1 DAY), TIMESTAMP ends at e + 1 second
+    (r9 ADVICE #3: F.date_add on a timestamp would silently truncate
+    intraday closes to midnight).
     """
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    end_type = intervals.schema[end_col].dataType
+    if isinstance(end_type, DateType):
+        close = F.date_add(F.col(end_col), 1).cast("timestamp")
+    elif isinstance(end_type, (TimestampType, TimestampNTZType)):
+        close = F.col(end_col) + F.expr("INTERVAL 1 SECOND")
+    else:
+        raise TypeError(
+            f"concurrency_profile: end column '{end_col}' must be "
+            f"DATE or TIMESTAMP, got {end_type.simpleString()}"
+        )
     plus = intervals.select(
         *key_cols, F.col(start_col).alias("t"), F.lit(1).alias("d")
     )
     minus = intervals.select(
         *key_cols,
-        F.date_add(F.col(end_col), 1).cast("timestamp").alias("t"),
+        close.alias("t"),
         F.lit(-1).alias("d"),
     )
     deltas = (

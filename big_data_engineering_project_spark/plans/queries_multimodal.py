@@ -243,15 +243,23 @@ picked AS (
          ROW_NUMBER() OVER (PARTITION BY media_id
                             ORDER BY e DESC, frame ASC) AS rn
   FROM en
+),
+agg AS (
+  SELECT en.media_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(en.e) AS BIGINT) AS total_energy,
+         CAST(MAX(CASE WHEN p.rn = 1 THEN p.frame END) AS INT) AS peak_frame,
+         CAST(MAX(CASE WHEN p.rn = 1 THEN p.e END) AS BIGINT) AS peak_energy
+  FROM en
+  JOIN picked p ON p.media_id = en.media_id AND p.frame = en.frame
+  GROUP BY 1
 )
-SELECT en.media_id,
-       CAST(COUNT(*) AS BIGINT) AS n_frames,
-       CAST(SUM(en.e) AS BIGINT) AS total_energy,
-       CAST(MAX(CASE WHEN p.rn = 1 THEN p.frame END) AS INT) AS peak_frame,
-       CAST(MAX(CASE WHEN p.rn = 1 THEN p.e END) AS BIGINT) AS peak_energy
-FROM en
-JOIN picked p ON p.media_id = en.media_id AND p.frame = en.frame
-GROUP BY 1
+SELECT au.media_id,
+       COALESCE(agg.n_frames, CAST(0 AS BIGINT)) AS n_frames,
+       COALESCE(agg.total_energy, CAST(0 AS BIGINT)) AS total_energy,
+       COALESCE(agg.peak_frame, CAST(-1 AS INT)) AS peak_frame,
+       COALESCE(agg.peak_energy, CAST(0 AS BIGINT)) AS peak_energy
+FROM au LEFT JOIN agg ON agg.media_id = au.media_id
 ORDER BY 1
 """,
     doc="Audio waveform framing + energy over the binary media column "

@@ -84,7 +84,54 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def _write_state_swap(merged: DataFrame, path: str) -> None:
+_BATCH_MARKER = "_applied_batch"
+
+
+def _applied_batch_id(path: str) -> int | None:
+    """The last micro-batch id committed INTO this state table, or
+    None if the table predates batch tracking (pre-seeded snapshots,
+    first batch). The marker lives INSIDE the swapped directory —
+    Spark's parquet reader skips `_`-prefixed files — so it commits
+    atomically with the state it describes: there is no window where
+    the state reflects batch N but the marker says N-1."""
+    marker = os.path.join(path, _BATCH_MARKER)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return int(fh.read().strip())
+
+
+def _write_state_tmp(
+    merged: DataFrame, path: str, batch_id: int | None = None
+) -> str:
+    """Materialize `merged` into the sibling `.swap-tmp` dir (plus
+    the batch-id marker) WITHOUT swapping it in — lineage still reads
+    the intact current table. Returns the tmp path for _swap_in."""
+    tmp = path + ".swap-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
+            fh.write(str(batch_id))
+    return tmp
+
+
+def _swap_in(path: str) -> None:
+    """Promote the fully-written `.swap-tmp` dir to `path` via two
+    renames; a crash between them leaves `.swap-old`, which
+    _read_state restores."""
+    tmp = path + ".swap-tmp"
+    bak = path + ".swap-old"
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _write_state_swap(
+    merged: DataFrame, path: str, batch_id: int | None = None
+) -> None:
     """Replace the state table with `merged` WITHOUT overwriting the
     files its own lineage reads: the new table fully materializes
     into a sibling temp dir first (any task retry / lost-cached-block
@@ -93,16 +140,16 @@ def _write_state_swap(merged: DataFrame, path: str) -> None:
     before an in-place overwrite still recomputes from already-
     deleted files if cached blocks drop). A crash between the renames
     leaves `.swap-old`, which _read_state restores. Delta/Iceberg
-    MERGE INTO is the deployment-scale form of this whole dance."""
-    tmp = path + ".swap-tmp"
-    bak = path + ".swap-old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(bak, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak, ignore_errors=True)
+    MERGE INTO is the deployment-scale form of this whole dance.
+
+    `batch_id` rides inside the swapped dir (`_applied_batch`), so
+    runners whose merge is NOT naturally redelivery-idempotent
+    (SUM-folding CM counters, agg_merge sufficient statistics) can
+    no-op a replayed batch: a crash AFTER the swap but BEFORE the
+    streaming checkpoint commits would otherwise double-apply the
+    batch's counts on restart (r9 ADVICE #5)."""
+    _write_state_tmp(merged, path, batch_id)
+    _swap_in(path)
 
 
 def scd2_merge_batch(
@@ -274,13 +321,21 @@ def run_cm_sketch_stream(
     whole point of sketch-backed serving (reference anchor: the
     driver-held exact counters of S/kinesis_processing_2.py:42-43,
     made bounded). Exact stream ≡ batch equality is checked per
-    round (tools/streaming_check.py `cm_sketch_merge`)."""
+    round (tools/streaming_check.py `cm_sketch_merge`).
+
+    SUM-folding is NOT redelivery-idempotent, so the state carries
+    the last applied batch id and a replayed batch no-ops — a crash
+    after the state swap but before the checkpoint commit can no
+    longer double-count (r9 ADVICE #5)."""
     from big_data_engineering_project_spark.operators.sketches import (
         cm_counters,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        last = _applied_batch_id(counters_path)
+        if last is not None and batch_id <= last:
+            return
         batch_c = cm_counters(
             batch_df.selectExpr(f"{hash_expr} AS __h"), "__h"
         )
@@ -292,7 +347,7 @@ def run_cm_sketch_stream(
             .groupBy("seed", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        _write_state_swap(merged, counters_path)
+        _write_state_swap(merged, counters_path, batch_id=batch_id)
 
     stream = (
         spark.readStream.schema(schema)
@@ -393,7 +448,12 @@ def run_agg_maintenance_stream(
     is bit-identical to one batch agg over the union (checked per
     round: tools/streaming_check.py `agg_maintenance`). State is one
     row per key regardless of stream volume; the serving read is
-    agg_finish over the state table."""
+    agg_finish over the state table.
+
+    agg_merge's (n, Σ, Σ²) addition is NOT redelivery-idempotent, so
+    the state carries the last applied batch id and a replayed batch
+    no-ops — a crash after the state swap but before the checkpoint
+    commit can no longer double-apply the batch (r9 ADVICE #5)."""
     from big_data_engineering_project_spark.operators.ivm import (
         agg_merge,
         agg_state,
@@ -401,6 +461,9 @@ def run_agg_maintenance_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path)
+        if last is not None and batch_id <= last:
+            return
         batch_s = agg_state(
             batch_df.selectExpr(*keys, f"{value_expr} AS __v"),
             keys,
@@ -410,7 +473,7 @@ def run_agg_maintenance_stream(
         merged = (
             batch_s if existing is None else agg_merge(existing, batch_s, keys)
         )
-        _write_state_swap(merged, state_path)
+        _write_state_swap(merged, state_path, batch_id=batch_id)
 
     stream = (
         spark.readStream.schema(schema)
@@ -640,11 +703,21 @@ def run_table_diff_stream(
        never shuffle).
 
     Both tables persist via the same atomic swap as the other
-    runners. State size: replica rows + ≤4096 digest rows —
-    independent of stream volume. Stream ≡ batch equality (the
-    maintained index vs `bucket_digests` of the final replica, AND
-    the served diff vs `table_diff` of the full snapshots) is checked
-    per round (tools/streaming_check.py `table_diff_maintenance`).
+    runners, and the PAIR commits consistently (r9 ADVICE #1): both
+    new tables fully materialize into their tmp dirs BEFORE either
+    swaps (so neither lineage ever reads a half-updated peer), each
+    swap stamps the batch id inside the swapped dir, and on entry the
+    two markers are compared — a crash between the pair's two renames
+    leaves them disagreeing, in which case the digest index (a pure
+    derivation) is REBUILT from the replica (the source of truth)
+    before any batch applies. The replica swaps first, so after
+    recovery the already-applied batch is also skipped by the
+    batch-id guard instead of re-XORed against the wrong base.
+    State size: replica rows + ≤4096 digest rows — independent of
+    stream volume. Stream ≡ batch equality (the maintained index vs
+    `bucket_digests` of the final replica, AND the served diff vs
+    `table_diff` of the full snapshots) is checked per round
+    (tools/streaming_check.py `table_diff_maintenance`).
 
     `op_col`: 'D' rows are tombstones (key leaves the replica);
     anything else is an upsert carrying `compare_cols`.
@@ -658,12 +731,32 @@ def run_table_diff_stream(
     """
     from big_data_engineering_project_spark.operators.cdc import (
         _row_digest_cols,
+        bucket_digests,
     )
 
     cols = list(compare_cols)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        snap_bid = _applied_batch_id(snapshot_path)
+        dig_bid = _applied_batch_id(digests_path)
+        if snap_bid != dig_bid:
+            # Crash landed between the pair's two swaps: the digest
+            # index is stale relative to the replica. Rebuild it from
+            # the replica (pure derivation) before touching anything.
+            snap_now = _read_state(spark_b, snapshot_path)
+            if snap_now is None:
+                raise ValueError(
+                    "run_table_diff_stream: replica missing during "
+                    "marker-disagree recovery"
+                )
+            _write_state_swap(
+                bucket_digests(snap_now, key, cols),
+                digests_path,
+                batch_id=snap_bid,
+            )
+        if snap_bid is not None and batch_id <= snap_bid:
+            return
         order = [F.col(ts_col).desc()] + [
             F.col(c).desc() for c in tiebreak
         ]
@@ -734,8 +827,14 @@ def run_table_diff_stream(
             F.broadcast(batch_keys), key, "left_anti"
         ).unionByName(survivors)
 
-        _write_state_swap(merged_digests, digests_path)
-        _write_state_swap(merged_snap, snapshot_path)
+        # Materialize BOTH new tables before either swaps: each
+        # lineage reads both current tables, so a tmp write after a
+        # peer swap would read half-updated state. Replica swaps
+        # first — see the docstring's recovery contract.
+        _write_state_tmp(merged_snap, snapshot_path, batch_id=batch_id)
+        _write_state_tmp(merged_digests, digests_path, batch_id=batch_id)
+        _swap_in(snapshot_path)
+        _swap_in(digests_path)
 
     stream = (
         spark.readStream.schema(schema)

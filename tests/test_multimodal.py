@@ -146,3 +146,31 @@ def test_frame_energy_framing_tie_and_subframe(spark):
         assert r["total_energy"] == sum(ens)
         assert r["peak_energy"] == max(ens)
         assert r["peak_frame"] == ens.index(max(ens))
+
+
+def test_frame_energy_zero_frame_blob(spark):
+    """r9 ADVICE #4: an audio blob shorter than frame_len emits the
+    documented (n_frames=0, peak_frame=-1) row — and the registered
+    oracle now LEFT JOINs from the audio universe so both sides agree
+    on such blobs instead of passing by fixture luck."""
+    import struct as _s
+
+    from big_data_engineering_project_spark.multimodal.columns import (
+        MAGIC,
+        MEDIA_SCHEMA,
+        frame_energy,
+    )
+    from pyspark.sql import Row
+
+    short = MAGIC + _s.pack(">HH", 5, 6) + bytes(range(30))  # 30 < 64
+    full = MAGIC + _s.pack(">HH", 8, 16) + bytes(i % 256 for i in range(128))
+    rows = [
+        Row(media_id=1, kind="audio", width=5, height=6, blob=short),
+        Row(media_id=2, kind="audio", width=8, height=16, blob=full),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in frame_energy(df, frame_len=64).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_frames"], got[1]["peak_frame"]) == (0, -1)
+    assert (got[1]["total_energy"], got[1]["peak_energy"]) == (0, 0)
+    assert got[2]["n_frames"] == 2

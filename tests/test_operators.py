@@ -3160,6 +3160,100 @@ def test_kll_spark_pipeline_bound_and_determinism(spark, sf_dir):
         assert out[label]["value"] == svals[target - 1]
 
 
+def test_kll_build_group_rows_bounded_on_skewed_fixture(spark):
+    """The r9 scale-killer fix: the KLL build stage feeds each pandas
+    group WEIGHTED DISTINCT values, not raw rows — on a heavily
+    skewed fixture (20 000 rows over 7 distinct values) the largest
+    build group holds ≤ 7 rows regardless of shard count, and the
+    quantiles still satisfy the certified bound. Also exercises
+    n_shards=None auto-scaling (row-count-derived shard count)."""
+    import bisect
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        _kll_auto_shards,
+        kll_merge_all,
+        kll_quantiles,
+        kll_summary,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id") * F.col("id"), F.lit(7)).alias("v"),
+    )
+    # the exact frame the build stage groups on (mirrors kll_summary)
+    shard = F.pmod(F.xxhash64(F.col("event_id")), F.lit(16))
+    collapsed = (
+        df.select(shard.alias("shard"), F.col("v").cast("long").alias("__v"))
+        .groupBy("shard", "__v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+    )
+    max_group = (
+        collapsed.groupBy("shard")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_group <= 7  # distinct values bound the group, not n/shards
+
+    qs = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]
+    s = kll_summary(df, "v", k=64, n_shards=16, id_col="event_id")
+    got = {
+        r["q_label"]: r
+        for r in kll_quantiles(kll_merge_all(s, k=64), qs).collect()
+    }
+    exact = sorted(r["v"] for r in df.collect())
+    for num, den, label in qs:
+        r = got[label]
+        assert r["n"] == n
+        target = -(-num * n // den)
+        lo = bisect.bisect_left(exact, r["value"])
+        hi = bisect.bisect_right(exact, r["value"])
+        assert lo - r["err_bound"] <= target <= hi + r["err_bound"]
+
+    # auto-scaled shards: deterministic in n, bounded, and usable
+    assert _kll_auto_shards(n, rows_per_shard_target=1000) == 20
+    assert _kll_auto_shards(10**12) == 4096
+    assert _kll_auto_shards(1) == 1
+    s_auto = kll_summary(
+        df, "v", k=64, n_shards=None, id_col="event_id",
+        rows_per_shard_target=5000,
+    )
+    assert s_auto.select("shard").distinct().count() <= 4
+    got_auto = {
+        r["q_label"]: r["value"]
+        for r in kll_quantiles(kll_merge_all(s_auto, k=64), qs).collect()
+    }
+    for label in got_auto:
+        lo = bisect.bisect_left(exact, got_auto[label])
+        assert lo >= 0
+
+
+def test_kll_by_key_long_key_schema(spark):
+    """r9 ADVICE #2: a non-string key column (LONG) must survive the
+    applyInPandas Arrow boundary with its true type, end to end."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_quantiles_by_key,
+        kll_summary_by_key,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    s = kll_summary_by_key(
+        df, ["grp"], "v", k=32, n_shards=4, id_col="event_id"
+    )
+    assert dict(s.dtypes)["grp"] == "bigint"
+    out = kll_quantiles_by_key(s, ["grp"], [(1, 2, "p50")])
+    assert dict(out.dtypes)["grp"] == "bigint"
+    rows = out.collect()
+    assert sorted(r["grp"] for r in rows) == [0, 1, 2]
+    for r in rows:
+        assert isinstance(r["grp"], int)
+
+
 def test_concurrency_profile_closed_interval_semantics(spark):
     """Closed intervals: [d1,d3] and [d3,d4] overlap AT d3 (max 2);
     [d1,d2] and [d3,d4] do not (the -1 boundary sits at end+1 day);
@@ -3195,6 +3289,46 @@ def test_concurrency_profile_closed_interval_semantics(spark):
         "b": (1, d("1995-01-01")),
         "c": (3, d("1995-02-02")),
     }
+
+
+def test_concurrency_profile_intraday_timestamps(spark):
+    """r9 ADVICE #3: TIMESTAMP ends must close at end + 1 SECOND, not
+    be date-truncated. Three same-day sessions: [09:00,10:00],
+    [10:00,10:30], [10:00:01,11:00] → [09:00,10:00] is still open AT
+    10:00 (closed interval) giving conc 2, but closed by 10:00:01, so
+    the max is 2 (at 10:00) — a day-granularity close would keep all
+    three open simultaneously and wrongly report 3. Also: DATE
+    columns keep the +1-day convention, and other types raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from big_data_engineering_project_spark.operators.temporal import (
+        concurrency_profile,
+    )
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        ("k", d("2024-03-01T09:00:00"), d("2024-03-01T10:00:00")),
+        ("k", d("2024-03-01T10:00:00"), d("2024-03-01T10:30:00")),
+        ("k", d("2024-03-01T10:00:01"), d("2024-03-01T11:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s TIMESTAMP, e TIMESTAMP")
+    got = concurrency_profile(df, ["k"], "s", "e", "day").collect()[0]
+    assert got["max_concurrent"] == 2
+    assert got["peak_ts"] == d("2024-03-01T10:00:00")
+
+    dates = spark.createDataFrame(
+        [("k", dt.date(2024, 3, 1), dt.date(2024, 3, 2)),
+         ("k", dt.date(2024, 3, 2), dt.date(2024, 3, 3))],
+        "k STRING, s DATE, e DATE",
+    )
+    gd = concurrency_profile(dates, ["k"], "s", "e", "month").collect()[0]
+    assert gd["max_concurrent"] == 2  # closed intervals meet AT mar 2
+
+    bad = spark.createDataFrame([("k", 1, 2)], "k STRING, s INT, e INT")
+    with _pytest.raises(TypeError, match="must be DATE or TIMESTAMP"):
+        concurrency_profile(bad, ["k"], "s", "e")
 
 
 def test_kll_by_key_bound_per_key_and_matches_global_path(spark, sf_dir):

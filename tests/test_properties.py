@@ -475,3 +475,72 @@ def test_kll_deterministic_and_weight_exact_total(vals):
     assert a[0] == b[0] and a[1] == b[1]
     vs, ws = _kll_levels_to_rows(a[0])
     assert abs(sum(ws) - len(vals)) <= a[1]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=1, max_value=10**4),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.sampled_from([8, 16, 32]),
+)
+@settings(max_examples=60, deadline=None)
+def test_kll_weighted_build_certified_bound(pairs, k):
+    """_kll_build_weighted (the weighted-distinct collapse path the
+    Spark operators use since r10) satisfies the SAME hard certificate
+    as unit-weight builds: binary weight decomposition inserts
+    exactly, so all error comes from compactions and every quantile's
+    true-rank window lies within err_bound of its target — even with
+    counts up to 10^4 per value (heavy skew). Also: deterministic,
+    and weight conservation holds within the bound."""
+    from collections import Counter
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        _kll_build_weighted,
+        _kll_levels_to_rows,
+    )
+
+    # collapse duplicate values like the Spark groupBy does
+    counts = Counter()
+    for v, c in pairs:
+        counts[v] += c
+    collapsed = sorted(counts.items())
+    n = sum(counts.values())
+
+    a = _kll_build_weighted(collapsed, k)
+    b = _kll_build_weighted(list(reversed(collapsed)), k)
+    assert a == b  # input order cannot matter
+    levels, err = a
+    vs, ws = _kll_levels_to_rows(levels)
+    assert abs(sum(ws) - n) <= err
+    summary = sorted(zip(vs, ws))
+
+    # exact rank window [lo, hi] of each distinct value in the
+    # expanded multiset, without materializing it
+    rank_lo, rank_hi, acc = {}, {}, 0
+    for v, c in collapsed:
+        rank_lo[v], rank_hi[v] = acc + 1, acc + c
+        acc += c
+
+    for num, den in [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]:
+        target = -(-num * n // den)
+        acc_w = 0
+        est = summary[-1][0] if summary else None
+        for v, w in summary:
+            acc_w += w
+            if acc_w >= target:
+                est = v
+                break
+        # est is always a real input value; its true rank window:
+        assert est in rank_lo, est
+        assert rank_lo[est] - 1 - err <= target <= rank_hi[est] + err, (
+            target,
+            est,
+            err,
+        )
+        if err == 0:
+            assert rank_lo[est] <= target <= rank_hi[est]
