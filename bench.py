@@ -372,7 +372,66 @@ def bench_streaming(spark, reps: int) -> dict:
     return out
 
 
+def ab_adjudicate(query_names: list[str], rounds: int = 8) -> None:
+    """Interleaved same-session A/B for flagged round-over-round
+    deltas on UNCHANGED code (r9 verdict task 1): two independent
+    arms of the IDENTICAL plan alternate A/B/A/B within one session,
+    with a 1-rep calibration sample between every pair. If the two
+    arms of the same plan disperse as much as the flagged
+    round-over-round ratio, the flag is measured (not inferred)
+    noise; if arm medians agree tightly but both sit above the old
+    artifact after probe normalization, the regression is real.
+    Prints a JSON verdict per query (arrays, medians, arm ratio,
+    dispersion) for SCALING.md."""
+    import statistics as _stats
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bde-ab")
+    spark.range(1000).agg(F.sum("id")).collect()
+    probe0 = calibration_probe(spark, reps=1, warmups=1)["runs"][0]
+    out = {}
+    for name in query_names:
+        spec = REGISTRY[name]
+        spec.builder(spark, sf_dir).count()  # warm-up
+        spec.builder(spark, sf_dir).count()
+        arms: dict[str, list[float]] = {"A": [], "B": []}
+        probes: list[float] = []
+        for _ in range(rounds):
+            for arm in ("A", "B"):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).count()
+                arms[arm].append(round(time.perf_counter() - t0, 3))
+            probes.append(calibration_probe(spark, reps=1, warmups=0)["runs"][0])
+        med_a, med_b = (statistics.median(arms[a]) for a in ("A", "B"))
+        allruns = sorted(arms["A"] + arms["B"])
+        n = len(allruns)
+        iqr = allruns[(3 * n) // 4] - allruns[n // 4]
+        out[name] = {
+            "A": arms["A"],
+            "B": arms["B"],
+            "median_A": round(med_a, 3),
+            "median_B": round(med_b, 3),
+            "arm_ratio": round(max(med_a, med_b) / min(med_a, med_b), 3),
+            "spread_max_over_min": round(allruns[-1] / allruns[0], 3),
+            "iqr_over_median": round(iqr / _stats.median(allruns), 3),
+            "probes": probes,
+        }
+        print(f"# ab {name}: {out[name]}", file=sys.stderr)
+    out["probe_first"] = probe0
+    out["load_avg"] = os.getloadavg()
+    print(json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        names = [a for a in sys.argv[2:] if not a.startswith("--")]
+        rounds = 8
+        for a in sys.argv[2:]:
+            if a.startswith("--rounds="):
+                rounds = int(a.split("=", 1)[1])
+        ab_adjudicate(names, rounds)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -392,7 +451,20 @@ def main() -> None:
     )
 
     headliners = [spec for spec in REGISTRY.values() if spec.headline]
+    # One probe SAMPLE before each ~16-query segment (r9 verdict task
+    # 1): host-speed drift WITHIN the run becomes visible per segment,
+    # so a mid-run tenancy window can be localized to the queries it
+    # actually touched instead of inferred from pre/post only.
+    seg_len = 16
+    cal_segments: list[float] = []
     for i, spec in enumerate(headliners):
+        if i % seg_len == 0:
+            seg_probe = calibration_probe(spark, reps=1, warmups=0)
+            cal_segments.append(seg_probe["runs"][0])
+            print(
+                f"# calibration segment @q{i}: {seg_probe['runs'][0]}s",
+                file=sys.stderr,
+            )
         # Orphaned operator-owned persists from the previous query's
         # reps would creep executor memory across a 60-headliner run
         # (each rep builds a fresh plan; old cached frames are never
@@ -427,7 +499,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "calibration": {"pre_sec": cal_pre["sec"], "post_sec": cal_post["sec"]},
+        "calibration": {
+            "pre_sec": cal_pre["sec"],
+            "post_sec": cal_post["sec"],
+            "segments": cal_segments,
+        },
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": {
@@ -462,6 +538,7 @@ def main() -> None:
         "calibration": {
             "pre_sec": round(cal_pre["sec"], 3),
             "post_sec": round(cal_post["sec"], 3),
+            "segments": cal_segments,
         },
         "sf": payload["sf"],
     }

@@ -823,6 +823,16 @@ def kll_summary(
         .groupBy("shard", "__v")
         .agg(F.count(F.lit(1)).alias("__w"))
     )
+    return kll_summary_from_weighted(src, k)
+
+
+def kll_summary_from_weighted(src: DataFrame, k: int = 256) -> DataFrame:
+    """Per-shard KLL summaries from a weighted-distinct table
+    (shard, __v, __w) — the build stage kll_summary feeds itself, and
+    the serving read of the streaming KLL maintenance (the state
+    there IS this table, maintained by exact count addition). Pure
+    function of the weighted multiset per shard."""
+    import pandas as pd
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pairs = list(zip(pdf["__v"], pdf["__w"]))

@@ -87,32 +87,73 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
 _BATCH_MARKER = "_applied_batch"
 
 
-def _applied_batch_id(path: str) -> int | None:
-    """The last micro-batch id committed INTO this state table, or
-    None if the table predates batch tracking (pre-seeded snapshots,
-    first batch). The marker lives INSIDE the swapped directory —
-    Spark's parquet reader skips `_`-prefixed files — so it commits
-    atomically with the state it describes: there is no window where
-    the state reflects batch N but the marker says N-1."""
+def _read_marker(path: str) -> tuple[str, int] | None:
+    """(checkpoint, batch_id) of the last micro-batch committed INTO
+    this state table, or None if the table predates batch tracking
+    (pre-seeded snapshots, first batch). The marker lives INSIDE the
+    swapped directory — Spark's parquet reader skips `_`-prefixed
+    files — so it commits atomically with the state it describes:
+    there is no window where the state reflects batch N but the
+    marker says N-1."""
     marker = os.path.join(path, _BATCH_MARKER)
     if not os.path.exists(marker):
         return None
+    import json as _json
+
     with open(marker) as fh:
-        return int(fh.read().strip())
+        d = _json.loads(fh.read())
+    return (d["ckpt"], int(d["batch_id"]))
+
+
+def _lineage_id(checkpoint_dir: str) -> str:
+    """Identity of the streaming query lineage this batch belongs to:
+    the query id Spark persists in `<checkpoint>/metadata` at stream
+    start (stable across restarts of the same checkpoint, fresh for a
+    new one, and — unlike the path — stable if the checkpoint is
+    relocated). foreachBatch runs after the metadata file exists;
+    the realpath fallback only covers exotic checkpoint layouts."""
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if os.path.exists(meta):
+        import json as _json
+
+        with open(meta) as fh:
+            return str(_json.load(fh)["id"])
+    return os.path.realpath(checkpoint_dir)
+
+
+def _applied_batch_id(path: str, checkpoint_dir: str) -> int | None:
+    """The last batch id committed into this state FROM THIS
+    checkpoint lineage, else None. Batch ids are checkpoint-scoped
+    (a fresh checkpoint restarts at 0 while legitimately carrying new
+    data), so the replay guard only compares ids within one lineage —
+    a new stream against existing state always applies."""
+    m = _read_marker(path)
+    if m is None or m[0] != _lineage_id(checkpoint_dir):
+        return None
+    return m[1]
 
 
 def _write_state_tmp(
-    merged: DataFrame, path: str, batch_id: int | None = None
+    merged: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    checkpoint_dir: str | None = None,
+    marker: tuple[str, int] | None = None,
 ) -> str:
     """Materialize `merged` into the sibling `.swap-tmp` dir (plus
-    the batch-id marker) WITHOUT swapping it in — lineage still reads
-    the intact current table. Returns the tmp path for _swap_in."""
+    the (checkpoint, batch_id) marker) WITHOUT swapping it in —
+    lineage still reads the intact current table. Returns the tmp
+    path for _swap_in."""
     tmp = path + ".swap-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
+    if marker is None and batch_id is not None and checkpoint_dir:
+        marker = (_lineage_id(checkpoint_dir), batch_id)
+    if marker is not None:
+        import json as _json
+
         with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(_json.dumps({"ckpt": marker[0], "batch_id": marker[1]}))
     return tmp
 
 
@@ -130,7 +171,11 @@ def _swap_in(path: str) -> None:
 
 
 def _write_state_swap(
-    merged: DataFrame, path: str, batch_id: int | None = None
+    merged: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    checkpoint_dir: str | None = None,
+    marker: tuple[str, int] | None = None,
 ) -> None:
     """Replace the state table with `merged` WITHOUT overwriting the
     files its own lineage reads: the new table fully materializes
@@ -142,13 +187,16 @@ def _write_state_swap(
     leaves `.swap-old`, which _read_state restores. Delta/Iceberg
     MERGE INTO is the deployment-scale form of this whole dance.
 
-    `batch_id` rides inside the swapped dir (`_applied_batch`), so
-    runners whose merge is NOT naturally redelivery-idempotent
-    (SUM-folding CM counters, agg_merge sufficient statistics) can
-    no-op a replayed batch: a crash AFTER the swap but BEFORE the
-    streaming checkpoint commits would otherwise double-apply the
-    batch's counts on restart (r9 ADVICE #5)."""
-    _write_state_tmp(merged, path, batch_id)
+    A (checkpoint, batch_id) marker rides inside the swapped dir
+    (`_applied_batch`), so runners whose merge is NOT naturally
+    redelivery-idempotent (SUM-folding CM counters, agg_merge
+    sufficient statistics, KLL count addition) can no-op a replayed
+    batch: a crash AFTER the swap but BEFORE the streaming checkpoint
+    commits would otherwise double-apply the batch's counts on
+    restart (r9 ADVICE #5). The marker is checkpoint-SCOPED — batch
+    ids restart at 0 under a fresh checkpoint, which is a new
+    lineage, not a replay."""
+    _write_state_tmp(merged, path, batch_id, checkpoint_dir, marker)
     _swap_in(path)
 
 
@@ -333,7 +381,7 @@ def run_cm_sketch_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        last = _applied_batch_id(counters_path)
+        last = _applied_batch_id(counters_path, checkpoint_dir)
         if last is not None and batch_id <= last:
             return
         batch_c = cm_counters(
@@ -347,7 +395,10 @@ def run_cm_sketch_stream(
             .groupBy("seed", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        _write_state_swap(merged, counters_path, batch_id=batch_id)
+        _write_state_swap(
+            merged, counters_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -461,7 +512,7 @@ def run_agg_maintenance_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        last = _applied_batch_id(state_path)
+        last = _applied_batch_id(state_path, checkpoint_dir)
         if last is not None and batch_id <= last:
             return
         batch_s = agg_state(
@@ -473,7 +524,10 @@ def run_agg_maintenance_stream(
         merged = (
             batch_s if existing is None else agg_merge(existing, batch_s, keys)
         )
-        _write_state_swap(merged, state_path, batch_id=batch_id)
+        _write_state_swap(
+            merged, state_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -738,12 +792,13 @@ def run_table_diff_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        snap_bid = _applied_batch_id(snapshot_path)
-        dig_bid = _applied_batch_id(digests_path)
-        if snap_bid != dig_bid:
+        snap_m = _read_marker(snapshot_path)
+        dig_m = _read_marker(digests_path)
+        if snap_m != dig_m:
             # Crash landed between the pair's two swaps: the digest
             # index is stale relative to the replica. Rebuild it from
-            # the replica (pure derivation) before touching anything.
+            # the replica (pure derivation) before touching anything,
+            # stamping the replica's own marker so the pair agrees.
             snap_now = _read_state(spark_b, snapshot_path)
             if snap_now is None:
                 raise ValueError(
@@ -753,8 +808,9 @@ def run_table_diff_stream(
             _write_state_swap(
                 bucket_digests(snap_now, key, cols),
                 digests_path,
-                batch_id=snap_bid,
+                marker=snap_m,
             )
+        snap_bid = _applied_batch_id(snapshot_path, checkpoint_dir)
         if snap_bid is not None and batch_id <= snap_bid:
             return
         order = [F.col(ts_col).desc()] + [
@@ -831,10 +887,147 @@ def run_table_diff_stream(
         # lineage reads both current tables, so a tmp write after a
         # peer swap would read half-updated state. Replica swaps
         # first — see the docstring's recovery contract.
-        _write_state_tmp(merged_snap, snapshot_path, batch_id=batch_id)
-        _write_state_tmp(merged_digests, digests_path, batch_id=batch_id)
+        _write_state_tmp(
+            merged_snap, snapshot_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+        _write_state_tmp(
+            merged_digests, digests_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
         _swap_in(snapshot_path)
         _swap_in(digests_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_cols: list[str],
+    item_expr: str,
+    lgk: int = 14,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain per-key HLL distinct-count sketches over a
+    micro-batched stream by per-batch sketch UNION — the HLL member
+    of the mergeable-sketch maintenance family (r9 verdict task 3;
+    CM/KMV/reservoir/OHLC/IVM/OOF twins already exist): HLL registers
+    compose by element-wise MAX, so sketch(union of batches) = union
+    of per-batch sketches, and union at EQUAL lgK is lossless — the
+    served estimate after any batch partition equals the batch
+    hll_sketch_agg over the full input exactly (the same identity
+    q_hll_daily_merge's pytest pins for the daily rollup). State is
+    one ≤ 2^lgk-register binary per key regardless of stream volume.
+    Register-max union is naturally REDELIVERY-IDEMPOTENT (re-maxing
+    the same registers is a no-op), so no batch-id guard is needed.
+    Serving read: hll_sketch_estimate over the state table. Checked
+    per round (tools/streaming_check.py `hll_maintenance`)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_s = (
+            batch_df.selectExpr(*key_cols, f"{item_expr} AS __item")
+            .groupBy(*key_cols)
+            .agg(F.hll_sketch_agg("__item", F.lit(lgk)).alias("hll"))
+        )
+        existing = _read_state(spark_b, sketch_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy(*key_cols)
+            .agg(F.hll_union_agg("hll").alias("hll"))
+        )
+        _write_state_swap(merged, sketch_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def run_kll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    value_expr: str,
+    n_shards: int = 32,
+    shard_expr: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the KLL quantile summary's BUILD STATE over a
+    micro-batched stream (r9 verdict task 3, the 19th stream≡batch
+    twin): the state is the weighted-distinct value table
+    (shard, __v, __w) — exactly what the batch kll_summary pre-
+    collapses to since r10 — maintained by plain integer count
+    addition per batch. Addition over (shard, value) cells is
+    order-insensitive, so state(union of batches) = one groupBy count
+    over the union, EXACT hash equality; the served summary/quantiles
+    are then kll_summary_from_weighted → kll_merge_all →
+    kll_quantiles, a deterministic pure function of that state — so
+    the whole served read is hash-equal to the batch pipeline too.
+
+    State size is O(distinct values), not O(rows) — the right shape
+    for the latency/price/score columns quantile summaries serve; a
+    genuinely high-cardinality value column should quantize inside
+    `value_expr` (e.g. `CAST(v * 100 AS LONG)` buckets), the same
+    knob the batch operator has. Count addition is NOT redelivery-
+    idempotent, so the state carries the last applied batch id (same
+    guard as the CM/agg runners). `shard_expr` defaults to hashing
+    the value itself (the batch default when id_col is None)."""
+    sh = shard_expr if shard_expr else f"xxhash64({value_expr})"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        batch_s = (
+            batch_df.selectExpr(
+                f"pmod({sh}, {n_shards}) AS shard",
+                f"CAST({value_expr} AS LONG) AS __v",
+            )
+            .where(F.col("__v").isNotNull())
+            .groupBy("shard", "__v")
+            .agg(F.count(F.lit(1)).alias("__w"))
+        )
+        existing = _read_state(spark_b, state_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy("shard", "__v")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        _write_state_swap(
+            merged, state_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
 
     stream = (
         spark.readStream.schema(schema)

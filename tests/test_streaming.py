@@ -975,3 +975,293 @@ def test_table_diff_stream_maintains_exact_digest_index(spark, tmp_path):
         for r in bucket_digests(final, "key", ["color", "amount"]).collect()
     )
     assert got_dig == want_dig
+
+
+def _write_ordered_json(in_dir, batches):
+    """One JSON-lines file per micro-batch with increasing mtimes so
+    maxFilesPerTrigger=1 replays them in order."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 600
+    for b, recs in enumerate(batches):
+        fp = str(in_dir / f"{b}.json")
+        with open(fp, "w") as fh:
+            for r in recs:
+                fh.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (t0 + b, t0 + b))
+
+
+def test_hll_stream_estimates_match_batch(spark, tmp_path):
+    """run_hll_stream: per-batch HLL unions over 3 micro-batches with
+    heavy cross-batch user overlap serve the IDENTICAL estimate table
+    as one batch hll_sketch_agg over the union (same-lgK union is
+    lossless in register space)."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_hll_stream,
+    )
+
+    batches = [
+        [{"k": "a", "u": i % 40} for i in range(60)],
+        [{"k": "a", "u": i % 55} for i in range(60)]
+        + [{"k": "b", "u": i} for i in range(10)],
+        [{"k": "b", "u": i % 7} for i in range(30)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, batches)
+    sk_path = str(tmp_path / "hll")
+    run_hll_stream(
+        spark,
+        str(in_dir),
+        sk_path,
+        str(tmp_path / "cp"),
+        schema="k STRING, u LONG",
+        key_cols=["k"],
+        item_expr="u",
+        lgk=12,
+    )
+    got = sorted(
+        (r["k"], r["est"])
+        for r in spark.read.parquet(sk_path)
+        .select("k", F.hll_sketch_estimate("hll").cast("long").alias("est"))
+        .collect()
+    )
+    bb = spark.read.schema("k STRING, u LONG").json(str(in_dir))
+    want = sorted(
+        (r["k"], r["est"])
+        for r in bb.groupBy("k")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(12)))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    )
+    assert got == want
+    # and at this tiny cardinality the estimate is exact
+    assert dict(got) == {"a": 55, "b": 10}
+
+
+def test_kll_stream_state_and_quantiles_match_batch(spark, tmp_path):
+    """run_kll_stream: the weighted-distinct state after 3 micro-
+    batches equals one batch groupBy count over the union (exact
+    addition algebra), and the served KLL quantiles from that state
+    equal the batch kll_summary pipeline bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_merge_all,
+        kll_quantiles,
+        kll_summary,
+        kll_summary_from_weighted,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_kll_stream,
+    )
+
+    batches = [
+        [{"v": (i * 17) % 50} for i in range(100)],
+        [{"v": (i * 17) % 50} for i in range(100)],  # exact replays
+        [{"v": 200 + i} for i in range(40)],  # fresh tail values
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, batches)
+    st_path = str(tmp_path / "kll")
+    run_kll_stream(
+        spark,
+        str(in_dir),
+        st_path,
+        str(tmp_path / "cp"),
+        schema="v LONG",
+        value_expr="v",
+        n_shards=4,
+    )
+    state = spark.read.parquet(st_path)
+    got_state = sorted(tuple(r) for r in state.collect())
+    bb = spark.read.schema("v LONG").json(str(in_dir))
+    want_state = sorted(
+        tuple(r)
+        for r in bb.selectExpr(
+            "pmod(xxhash64(v), 4) AS shard", "CAST(v AS LONG) AS __v"
+        )
+        .groupBy("shard", "__v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .collect()
+    )
+    assert got_state == want_state
+    qs = [(1, 2, "p50"), (9, 10, "p90")]
+    served = sorted(
+        tuple(r)
+        for r in kll_quantiles(
+            kll_merge_all(kll_summary_from_weighted(state, k=32), k=32), qs
+        ).collect()
+    )
+    batch_q = sorted(
+        tuple(r)
+        for r in kll_quantiles(
+            kll_merge_all(kll_summary(bb, "v", k=32, n_shards=4), k=32), qs
+        ).collect()
+    )
+    assert served == batch_q
+
+
+def test_batch_id_guard_skips_replayed_batches(spark, tmp_path):
+    """r9 ADVICE #5: replaying an already-applied micro-batch against
+    committed state must NOT double-apply non-idempotent merges.
+    Simulates the crash-after-swap-before-checkpoint-commit window by
+    deleting the LAST commit file from the checkpoint: on restart
+    with the SAME checkpoint, Spark re-executes that batch, and the
+    (checkpoint, batch_id) marker inside the state dir makes it a
+    no-op — counters stay equal to the single-pass batch counters
+    instead of doubling. A FRESH checkpoint, by contrast, is a new
+    lineage whose ids restart at 0 — its batches must APPLY (doubling
+    is then the user-requested re-ingest), which is why the marker is
+    checkpoint-scoped."""
+    import os as _os
+
+    from big_data_engineering_project_spark.operators.sketches import (
+        cm_counters,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        _applied_batch_id,
+        run_cm_sketch_stream,
+    )
+
+    batches = [
+        [{"x": i % 13} for i in range(50)],
+        [{"x": i % 7} for i in range(50)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, batches)
+    ctr_path = str(tmp_path / "cm")
+    cp1 = str(tmp_path / "cp1")
+
+    def counters():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(ctr_path).collect()
+        )
+
+    run_cm_sketch_stream(
+        spark, str(in_dir), ctr_path, cp1, schema="x LONG", hash_expr="x"
+    )
+    once = counters()
+    assert _applied_batch_id(ctr_path, cp1) == 1
+    bb = spark.read.schema("x LONG").json(str(in_dir))
+    want = sorted(
+        tuple(r)
+        for r in cm_counters(bb.selectExpr("x AS __h"), "__h").collect()
+    )
+    assert once == want
+
+    # crash window: state swap committed batch 1, checkpoint did not.
+    # Relocate the checkpoint (same metadata query id = same lineage;
+    # a new path also dodges the session's cached commit-log handle)
+    # and drop the batch-1 commit so restart re-executes batch 1.
+    import shutil as _shutil
+
+    cp1b = str(tmp_path / "cp1_relocated")
+    _shutil.copytree(cp1, cp1b)
+    _os.remove(_os.path.join(cp1b, "commits", "1"))
+    _os.remove(_os.path.join(cp1b, "commits", ".1.crc"))
+    run_cm_sketch_stream(
+        spark, str(in_dir), ctr_path, cp1b, schema="x LONG", hash_expr="x"
+    )
+    assert counters() == want  # replayed batch 1 no-oped
+
+    # fresh checkpoint = new lineage: the same files re-ingest and
+    # every count doubles (marker scoping, not id comparison alone)
+    run_cm_sketch_stream(
+        spark,
+        str(in_dir),
+        ctr_path,
+        str(tmp_path / "cp2"),
+        schema="x LONG",
+        hash_expr="x",
+    )
+    doubled = {(r[0], r[1]): r[2] for r in counters()}
+    for (seed, bucket), cnt in (
+        (r[:2], r[2]) for r in want
+    ):
+        assert doubled[(seed, bucket)] == 2 * cnt
+
+
+def test_table_diff_stream_marker_disagree_rebuild(spark, tmp_path):
+    """r9 ADVICE #1 (medium): a crash between the replica swap and
+    the digest swap leaves the pair's batch markers disagreeing; the
+    next batch must REBUILD the digest index from the replica before
+    applying, so the maintained index can never stay silently stale.
+    Simulated by overwriting the digest dir with a stale copy (old
+    content, no marker) after a completed run, then streaming one
+    more batch."""
+    import shutil as _shutil
+
+    from big_data_engineering_project_spark.operators.cdc import (
+        bucket_digests,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_table_diff_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "red", 10), (2, "green", 20)],
+        "key LONG, color STRING, amount LONG",
+    )
+    snap_path = str(tmp_path / "replica")
+    dig_path = str(tmp_path / "digests")
+    ref.write.parquet(snap_path)
+    bucket_digests(ref, "key", ["color", "amount"]).write.parquet(dig_path)
+    stale_dig = str(tmp_path / "stale_digests")
+    _shutil.copytree(dig_path, stale_dig)
+
+    in1 = tmp_path / "chg1"
+    in1.mkdir()
+    _write_ordered_json(
+        in1,
+        [[{"key": 1, "event_id": 0, "ts": "2026-02-02T00:00:00",
+           "op": "U", "color": "black", "amount": 11}]],
+    )
+    kw = dict(
+        schema=(
+            "key LONG, event_id LONG, ts TIMESTAMP, op STRING, "
+            "color STRING, amount LONG"
+        ),
+        key="key",
+        compare_cols=["color", "amount"],
+        ts_col="ts",
+        tiebreak=("event_id",),
+    )
+    run_table_diff_stream(
+        spark, str(in1), snap_path, dig_path, str(tmp_path / "cp1"), **kw
+    )
+
+    # simulate the crash window: replica is committed at batch 0 but
+    # the digest dir still holds the PRE-RUN table with no marker
+    _shutil.rmtree(dig_path)
+    _shutil.copytree(stale_dig, dig_path)
+
+    in2 = tmp_path / "chg2"
+    in2.mkdir()
+    _write_ordered_json(
+        in2,
+        [[{"key": 9, "event_id": 1, "ts": "2026-02-02T00:01:00",
+           "op": "U", "color": "blue", "amount": 90}]],
+    )
+    run_table_diff_stream(
+        spark, str(in2), snap_path, dig_path, str(tmp_path / "cp2"), **kw
+    )
+
+    final = spark.read.parquet(snap_path)
+    got_rows = sorted(tuple(r) for r in final.collect())
+    assert got_rows == [(1, "black", 11), (2, "green", 20), (9, "blue", 90)]
+    got_dig = sorted(tuple(r) for r in spark.read.parquet(dig_path).collect())
+    want_dig = sorted(
+        tuple(r)
+        for r in bucket_digests(final, "key", ["color", "amount"]).collect()
+    )
+    assert got_dig == want_dig

@@ -1008,6 +1008,171 @@ def check_kmv_stream(spark, root: str) -> dict:
     return res
 
 
+def check_hll_stream(spark, root: str) -> dict:
+    """run_hll_stream (per-batch HLL sketch UNION, one binary per
+    key) ≡ hll_sketch_agg over the union of all records — the served
+    ESTIMATE table is hash-equal (same-lgK union is lossless in
+    register space, the identity q_hll_daily_merge's pytest pins).
+    The fixture replays user ids across micro-batches so register
+    max — not per-batch counting — is what the equality exercises."""
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_hll_stream,
+    )
+
+    rng = random.Random(91)
+    recs = [
+        {
+            "etype": rng.choice(["click", "view", "buy"]),
+            "uid": rng.randint(0, 3000),
+            "i": i,
+        }
+        for i in range(600)
+    ]
+    in_dir = os.path.join(root, "hll_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=75)  # 8 micro-batches
+
+    sketch_path = os.path.join(root, "hll_sketch")
+    run_hll_stream(
+        spark,
+        in_dir,
+        sketch_path,
+        os.path.join(root, "hll_cp"),
+        schema="etype STRING, uid LONG, i LONG",
+        key_cols=["etype"],
+        item_expr="uid",
+        lgk=12,
+    )
+    got = [
+        (r["etype"], r["est"])
+        for r in spark.read.parquet(sketch_path)
+        .select(
+            "etype",
+            F.hll_sketch_estimate("hll").cast("long").alias("est"),
+        )
+        .collect()
+    ]
+    bb = spark.read.schema("etype STRING, uid LONG, i LONG").json(in_dir)
+    want = [
+        (r["etype"], r["est"])
+        for r in bb.groupBy("etype")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12)))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    ]
+    exact = {
+        r["etype"]: r["x"]
+        for r in bb.groupBy("etype")
+        .agg(F.countDistinct("uid").alias("x"))
+        .collect()
+    }
+    # estimate sanity beside the equality: within 5% of exact at lgk=12
+    est_ok = all(
+        abs(est - exact[k]) <= max(1, int(0.05 * exact[k]))
+        for k, est in want
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(sorted(got)),
+        "hash_batch": _rows_hash(sorted(want)),
+        "estimates_within_5pct": est_ok,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and est_ok
+    )
+    return res
+
+
+def check_kll_stream(spark, root: str) -> dict:
+    """run_kll_stream (weighted-distinct value state per shard,
+    maintained by exact count addition) ≡ the batch KLL build over
+    the union: BOTH the maintained state table and the served
+    quantile read-offs are hash-equal to the batch pipeline (the
+    state algebra is order-insensitive addition; the summary is a
+    deterministic pure function of the state). Values repeat heavily
+    across batches so the weighted-distinct collapse — not per-batch
+    pass-through — carries the weight."""
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_merge_all,
+        kll_quantiles,
+        kll_summary,
+        kll_summary_from_weighted,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_kll_stream,
+    )
+
+    rng = random.Random(17)
+    recs = [
+        {"v": int(rng.gauss(500, 150)) % 997, "i": i} for i in range(800)
+    ]
+    in_dir = os.path.join(root, "kll_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=100)  # 8 micro-batches
+
+    state_path = os.path.join(root, "kll_state")
+    run_kll_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "kll_cp"),
+        schema="v LONG, i LONG",
+        value_expr="v",
+        n_shards=8,
+    )
+    state = spark.read.parquet(state_path)
+    got_state = sorted(
+        (r["shard"], r["__v"], r["__w"]) for r in state.collect()
+    )
+    bb = spark.read.schema("v LONG, i LONG").json(in_dir)
+    want_state = sorted(
+        (r["shard"], r["__v"], r["__w"])
+        for r in bb.selectExpr(
+            "pmod(xxhash64(v), 8) AS shard", "CAST(v AS LONG) AS __v"
+        )
+        .groupBy("shard", "__v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .collect()
+    )
+    qs = [(1, 4, "p25"), (1, 2, "p50"), (99, 100, "p99")]
+    served = sorted(
+        tuple(r)
+        for r in kll_quantiles(
+            kll_merge_all(kll_summary_from_weighted(state, k=64), k=64),
+            qs,
+        ).collect()
+    )
+    batch_q = sorted(
+        tuple(r)
+        for r in kll_quantiles(
+            kll_merge_all(
+                kll_summary(bb, "v", k=64, n_shards=8), k=64
+            ),
+            qs,
+        ).collect()
+    )
+    res = {
+        "rows_stream": len(got_state),
+        "rows_batch": len(want_state),
+        "hash_stream": _rows_hash(got_state),
+        "hash_batch": _rows_hash(want_state),
+        "hash_quantiles_stream": _rows_hash(served),
+        "hash_quantiles_batch": _rows_hash(batch_q),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["hash_quantiles_stream"] == res["hash_quantiles_batch"]
+    )
+    return res
+
+
 def check_agg_maintenance_stream(spark, root: str) -> dict:
     """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
     max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
@@ -1523,6 +1688,8 @@ def main() -> None:
         results["target_encoding"] = check_target_encoding_stream(spark, root)
         results["table_diff_maintenance"] = check_table_diff_stream(spark, root)
         results["reservoir_maintenance"] = check_reservoir_stream(spark, root)
+        results["hll_maintenance"] = check_hll_stream(spark, root)
+        results["kll_maintenance"] = check_kll_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
