@@ -415,3 +415,92 @@ def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(energize, FRAME_ENERGY_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_cuts", LongType()),
+        StructField("first_cut", IntegerType()),
+        StructField("max_diff", LongType()),
+        StructField("total_diff", LongType()),
+    ]
+)
+
+
+def scene_cuts(media: DataFrame, threshold: int = 100_000) -> DataFrame:
+    """Video scene-cut detection — the video-path member of the
+    multimodal family that, like the audio `frame_energy`, needs NO
+    codec seam: the fixture layout already treats the payload as
+    `height` frames of `width` pixels (the same frame-row convention
+    `sample_frames` strides over), so the whole decode → frame-diff →
+    threshold pipeline is real integer arithmetic. Per video blob:
+    diff energy d(i) = Σ_j (frame_i[j] − frame_{i−1}[j])² for
+    i = 1..h−1, a cut wherever d(i) ≥ threshold; emits frame count,
+    cut count, FIRST cut frame (the index of the new scene's first
+    frame; −1 when none), max and total diff energy. All INTEGER, so
+    the closed-form fixture oracle is exact. Videos with fewer than
+    two frames emit (n_cuts=0, first_cut=−1, max=total=0), mirrored
+    by the oracle's left join from the video universe (the r9
+    audio-path zero-frame lesson, applied on day one here).
+
+    Scale shape: identical to frame_energy — blob bytes stop at the
+    Arrow mapInPandas seam, six small integer columns leave; the
+    kind='video' filter prunes partitions before any byte moves. A
+    real deployment swaps the frombuffer reshape for the ffmpeg
+    decode inside the same seam and keeps the plan.
+    """
+    import numpy as np
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+    video = media.filter(F.col("kind") == "video").select("media_id", "blob")
+
+    def cutize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "n_frames": [],
+                "n_cuts": [],
+                "first_cut": [],
+                "max_diff": [],
+                "total_diff": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC:
+                    raise NotImplementedError(
+                        "real media decoding requires codec libraries "
+                        "not present in this environment"
+                    )
+                w, h = struct.unpack(">HH", blob[4:8])
+                rows["media_id"].append(mid)
+                if h < 2 or w == 0:
+                    rows["n_frames"].append(int(h))
+                    rows["n_cuts"].append(0)
+                    rows["first_cut"].append(-1)
+                    rows["max_diff"].append(0)
+                    rows["total_diff"].append(0)
+                    continue
+                frames = (
+                    np.frombuffer(blob[8 : 8 + w * h], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                d = ((frames[1:] - frames[:-1]) ** 2).sum(axis=1)
+                cuts = np.nonzero(d >= threshold)[0]
+                rows["n_frames"].append(int(h))
+                rows["n_cuts"].append(int(len(cuts)))
+                # d[i-1] is the diff INTO frame i: report the frame idx
+                rows["first_cut"].append(
+                    int(cuts[0]) + 1 if len(cuts) else -1
+                )
+                rows["max_diff"].append(int(d.max()))
+                rows["total_diff"].append(int(d.sum()))
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(cutize, SCENE_CUT_SCHEMA)

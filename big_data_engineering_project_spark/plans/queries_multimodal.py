@@ -279,3 +279,64 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = load_media(spark, sf_dir)
     return frame_energy(media, frame_len=64).orderBy("media_id")
+
+
+_SCENE_CUT_T = 100_000
+
+
+@register(
+    "q_video_scene_cuts",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+vu AS (
+  SELECT media_id, width AS w, height AS h FROM m WHERE kind = 'video'
+),
+dd AS (
+  SELECT vu.media_id, CAST(g.i // vu.w AS INT) AS frame,
+         SUM(CAST(
+           ((vu.media_id + g.i * 31) % 256
+             - (vu.media_id + (g.i - vu.w) * 31) % 256)
+           * ((vu.media_id + g.i * 31) % 256
+             - (vu.media_id + (g.i - vu.w) * 31) % 256) AS BIGINT)) AS d
+  FROM vu, unnest(generate_series(0, vu.w * vu.h - 1)) AS g(i)
+  WHERE g.i >= vu.w
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN d >= {_SCENE_CUT_T} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cuts,
+         CAST(COALESCE(MIN(CASE WHEN d >= {_SCENE_CUT_T} THEN frame END),
+                       -1) AS INT) AS first_cut,
+         CAST(MAX(d) AS BIGINT) AS max_diff,
+         CAST(SUM(d) AS BIGINT) AS total_diff
+  FROM dd GROUP BY 1
+)
+SELECT vu.media_id,
+       CAST(vu.h AS BIGINT) AS n_frames,
+       COALESCE(agg.n_cuts, CAST(0 AS BIGINT)) AS n_cuts,
+       COALESCE(agg.first_cut, CAST(-1 AS INT)) AS first_cut,
+       COALESCE(agg.max_diff, CAST(0 AS BIGINT)) AS max_diff,
+       COALESCE(agg.total_diff, CAST(0 AS BIGINT)) AS total_diff
+FROM vu LEFT JOIN agg ON agg.media_id = vu.media_id
+ORDER BY 1
+""",
+    doc="Video scene-cut detection over the binary media column — "
+    "the video-path member completing the image/audio/video modality "
+    "triple with NO codec seam (the payload IS height frames of "
+    "width pixels, the frame-row convention sample_frames strides): "
+    "per-frame difference energy Σ(f_i−f_{i−1})², integer threshold "
+    "cut rule, first-cut frame index. Bytes stop at the Arrow "
+    "mapInPandas; six integer columns leave; the kind filter prunes "
+    "partitions before any blob is read. Exact oracle re-derives "
+    "every pixel pair from the closed-form fixture "
+    "(multimodal/columns.py:scene_cuts)",
+    tags=("multimodal",),
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.multimodal.columns import (
+        scene_cuts,
+    )
+
+    media = load_media(spark, sf_dir)
+    return scene_cuts(media, threshold=_SCENE_CUT_T).orderBy("media_id")

@@ -523,6 +523,60 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embedding_ivf_incremental",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 1)
+SELECT vec_id, {_COS} AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 12
+""",
+    doc="PERSISTED incremental IVF index, served end-to-end (r9 "
+    "verdict task 4): day-0 builds the index on disk — frozen "
+    "centroids + the corpus partitioned BY CELL — day-1 APPENDS only "
+    "the new vectors' cells (the corpus is never re-read or "
+    "re-clustered; the ANN analog of the persisted R-S shingle "
+    "index), and the query reads the index back from parquet. "
+    "Probe-all here makes the top-k EXACT (probe-all over the index "
+    "≡ brute force bit-for-bit — the fold cosine is engine-stable), "
+    "so the oracle is the full-corpus scan; the n_probe < n_cells "
+    "recall trade and the partition-pruned probe I/O are pinned by "
+    "tests/test_operators.py::test_ivf_index_persist_append_probe "
+    "(operators/similarity.py:build_ivf_index)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivf_index_persist_append_probe",
+    ),
+)
+def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    n_cells = 8
+    # deterministic offline quantizer stand-in (result is centroid-
+    # independent under probe-all; the kmeans fit is the pytest path)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.orderBy("vec_id").limit(n_cells).collect()
+    ]
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        "bde_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    similarity.build_ivf_index(corpus, index_path, cents)
+    similarity.ivf_index_append(day1, index_path)
+    return similarity.ivf_index_topk(
+        spark, index_path, query, k=12, n_probe=n_cells
+    )
+
+
 # τ sits below the fixture's max within-block cosine (≈0.475 at
 # sf0.01) so the oracle compares real pairs (26 at sf0.01) — a τ above
 # the max would hash-match an empty result, proving nothing.

@@ -174,3 +174,47 @@ def test_frame_energy_zero_frame_blob(spark):
     assert (got[1]["n_frames"], got[1]["peak_frame"]) == (0, -1)
     assert (got[1]["total_energy"], got[1]["peak_energy"]) == (0, 0)
     assert got[2]["n_frames"] == 2
+
+
+def test_scene_cuts_reference_and_edge_cases(spark):
+    """scene_cuts vs a pure-python re-derivation on the fixture
+    (diff-into-frame indexing, first-cut tie rule), plus the
+    sub-2-frame edge row the oracle left-joins for."""
+    import struct as _s
+
+    from big_data_engineering_project_spark.multimodal.columns import (
+        MAGIC,
+        MEDIA_SCHEMA,
+        scene_cuts,
+        synthetic_media,
+    )
+    from pyspark.sql import Row
+
+    media = synthetic_media(spark, n=12)
+    T = 100_000
+    got = {r["media_id"]: r for r in scene_cuts(media, T).collect()}
+    vids = {i: (8 + (i % 5) * 4, 8 + (i % 3) * 4) for i in range(12) if i % 3 == 2}
+    assert set(got) == set(vids)
+    for mid, (w, h) in vids.items():
+        p = [(mid + k * 31) % 256 for k in range(w * h)]
+        d = [
+            sum((p[i * w + j] - p[(i - 1) * w + j]) ** 2 for j in range(w))
+            for i in range(1, h)
+        ]
+        cuts = [i + 1 for i, e in enumerate(d) if e >= T]
+        r = got[mid]
+        assert r["n_frames"] == h
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut"] == (cuts[0] if cuts else -1)
+        assert r["max_diff"] == max(d)
+        assert r["total_diff"] == sum(d)
+
+    # single-frame video: no diffs, documented sentinel row
+    one = MAGIC + _s.pack(">HH", 6, 1) + bytes(range(6))
+    df = spark.createDataFrame(
+        [Row(media_id=7, kind="video", width=6, height=1, blob=one)],
+        MEDIA_SCHEMA,
+    )
+    r = scene_cuts(df, T).collect()[0]
+    assert (r["n_frames"], r["n_cuts"], r["first_cut"]) == (1, 0, -1)
+    assert (r["max_diff"], r["total_diff"]) == (0, 0)

@@ -3498,3 +3498,110 @@ def test_interval_overlap_join_exactly_once_vs_brute_force(spark):
     assert len(got) == len(set(got))         # exactly-once emission
     assert (98, 99) not in got               # [0,9] vs [10,19] disjoint
     assert (98, 98) in got                   # full-span interval matches
+
+
+def test_ivf_index_persist_append_probe(spark, sf_dir, tmp_path):
+    """Persisted incremental IVF index (r9 verdict task 4), two-day
+    discipline like the R-S shingle index test: (a) day-0 build +
+    day-1 APPEND then probe-all equals brute force over the full
+    corpus exactly (bit-identical fold cosine); (b) the day-1 append
+    assigns against the FROZEN stored centroids — reading them back
+    round-trips exactly; (c) probing n_probe < n_cells reads ONLY the
+    probed cells' partition directories (real partition pruning, not
+    a post-scan filter) and achieves nonzero recall vs the exact
+    top-k; (d) the kmeans-trained quantizer path works end-to-end."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+
+    cents = kmeans_centers(corpus, k=6, seed=7)  # offline quantizer fit
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, idx, cents)
+    # frozen centroids round-trip exactly (day-2 assigns identically)
+    assert load_ivf_centroids(spark, idx) == [
+        [float(x) for x in c] for c in cents
+    ]
+    ivf_index_append(day1, idx)
+
+    k = 15
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") != 1), query, k=k
+        ).collect()
+    ]
+    # (a) probe-all over the persisted two-day index == brute force
+    got_all = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(spark, idx, query, k=k, n_probe=6).collect()
+    ]
+    assert got_all == exact
+
+    # (c) partial probe: the isin on the partition column lands in
+    # the scan's PartitionFilters (directory pruning — ~n_probe/
+    # n_cells of the index does I/O), not a post-scan Filter
+    probed = ivf_index_topk(spark, idx, query, k=k, n_probe=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "cell" in pf and "IN" in pf.upper(), pf
+    got_ids = {r["vec_id"] for r in probed.collect()}
+    exact_ids = {v for v, _ in exact}
+    recall = len(got_ids & exact_ids) / k
+    assert recall >= 0.4, recall  # kmeans cells concentrate neighbors
+
+
+def test_auc_range_derived_bucket_width(spark):
+    """r9 verdict 'what's wrong' #3: probability-like [0,1] scores
+    must NOT degenerate the two-level rank into one bucket. With the
+    default (range-derived) width, a [0,1] fixture spreads over many
+    buckets (plan carries a real per-bucket window); an explicit
+    width wider than the range raises instead of silently
+    single-tasking; AUC values equal the pairwise definition."""
+    import pytest as _pytest
+
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+    )
+
+    n = 2000
+    df = spark.range(n).select(
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) / 1000.0).alias("s"),
+        (F.pmod(F.col("id"), F.lit(3)) == 0).cast("int").alias("y"),
+    )
+    got = auc_exact(df, "s", "y").collect()[0]
+    # internal bucketing check: the derived width splits [0,1) into
+    # ~1024 buckets — reproduce the bucket column the operator builds
+    width = (999 / 1000.0 - 0.0) / 1024.0
+    n_buckets = (
+        df.select(F.floor(F.col("s") / F.lit(width)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 100  # not a single-bucket degenerate plan
+
+    rows = df.collect()
+    pos = sorted(r["s"] for r in rows if r["y"])
+    neg = sorted(r["s"] for r in rows if not r["y"])
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    ties = sum(
+        bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+        for p in pos
+    )
+    assert got["auc"] == (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    with _pytest.raises(ValueError, match="one bucket"):
+        auc_exact(df, "s", "y", bucket_width=5.0)
