@@ -684,6 +684,7 @@ def simhash_neardup_pairs(
     bits: int = 60,
     max_hamming: int = 3,
     strategy: str = "auto",
+    max_bucket_fraction: float | None = None,
 ) -> DataFrame:
     """Doc pairs whose simhash fingerprints differ in ≤ `max_hamming`
     bits — real simhash dedup, not just identical-fingerprint buckets.
@@ -705,6 +706,20 @@ def simhash_neardup_pairs(
       (bits=60, k=3: 4 keys per doc vs 34 281 flip masks).
 
     'auto' picks variants for k ≤ 1, bands otherwise.
+
+    `max_bucket_fraction` (bands only, default None = exact): drop
+    (band, value) buckets holding more than frac·n docs before the
+    candidate join. The r10 growth probe measured the UNCAPPED band
+    join at a flat ~3.7% of n² candidates on the documents fixture —
+    band values concentrate when token distributions correlate, so a
+    hot bucket is the one quadratic hazard in this operator at
+    corpus scale. The cap bounds every bucket but TRADES THE
+    PIGEONHOLE EXACTNESS: a true pair whose only shared band is hot
+    is lost (measured on the fixture: frac 0.05 cuts candidates ~45%
+    and loses 31→27 / 1548→1160 verified pairs at sf0.01/sf0.1).
+    Prefer the MinHash-LSH or cosine-LSH members when the corpus
+    correlates — both measured flat-to-falling candidate fractions
+    WITH high precision (SCALING.md round-10 table).
     """
     simhash = (
         simhash_mixed_col(tokens_col(F.col(text_col)), bits=bits)
@@ -774,6 +789,15 @@ def simhash_neardup_pairs(
     banded = fp.select(
         "doc", "simhash", F.explode(F.array(*keys)).alias("bk")
     ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    if max_bucket_fraction is not None:
+        n_docs = fp.count()
+        hot = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > int(max_bucket_fraction * n_docs))
+            .select("band", "val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -1294,9 +1318,11 @@ def minhash_calibration_pairs(
     the band/row choice: how far the estimator sits from truth on
     real candidates, and how many sub-threshold pairs banding lets
     through (the verify stage's workload). All ranking-relevant
-    columns are integers; est_jaccard = matches/16 is a division by a
-    power of two (exactly representable), jaccard is the one
-    correctly-rounded division — both hash-stable cross-engine.
+    columns are integers; est_jaccard = matches/len(MINHASH_SEEDS)
+    (= MINHASH_K, 16 today — the literal in the registered oracle is
+    generated from the same constant), a division by a power of two
+    (exactly representable); jaccard is the one correctly-rounded
+    division — both hash-stable cross-engine.
 
     Plan: same shape as minhash_lsh_pairs (signatures shuffle-free,
     banded candidates, hashed-long verify join) with the filter

@@ -4040,12 +4040,14 @@ ORDER BY doc_a, doc_b
     doc="MinHash estimator calibration: every LSH candidate pair "
     "(UNVERIFIED — the set banding actually emits) with its "
     "signature agreement count beside the exact Jaccard — "
-    "P[minhash_i(A)=minhash_i(B)] = J, so sig_matches/16 is the "
-    "unbiased estimate and this table is the operating evidence for "
-    "the band/row choice (estimator error on real candidates + the "
-    "sub-threshold passthrough the verify stage must absorb). "
-    "est_jaccard divides by 2^4 (exactly representable); all ranking "
-    "columns integer (operators/dedup.py:minhash_calibration_pairs)",
+    "P[minhash_i(A)=minhash_i(B)] = J, so sig_matches/MINHASH_K "
+    "(= len(MINHASH_SEEDS) = 16 today; the oracle literal is "
+    "generated from the same constant) is the unbiased estimate and "
+    "this table is the operating evidence for the band/row choice "
+    "(estimator error on real candidates + the sub-threshold "
+    "passthrough the verify stage must absorb). est_jaccard divides "
+    "by a power of two (exactly representable); all ranking columns "
+    "integer (operators/dedup.py:minhash_calibration_pairs)",
     tags=("pipeline", "dedup", "sketch"),
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3605,3 +3605,41 @@ def test_auc_range_derived_bucket_width(spark):
 
     with _pytest.raises(ValueError, match="one bucket"):
         auc_exact(df, "s", "y", bucket_width=5.0)
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """The r10 scale knob on simhash banding: with a planted hot
+    (band, value) bucket, max_bucket_fraction drops it — candidates
+    from the hot bucket disappear, pairs matching on a COLD band
+    survive, and the default (None) keeps the exact pigeonhole
+    semantics."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    # many docs sharing one common phrase (correlated fingerprints →
+    # a hot band bucket) + one genuinely near-dup pair
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common + f" filler{i} unique{i * 7}") for i in range(40)]
+    rows += [
+        (100, "zebra quantum praline xylophone marmalade cathedral"),
+        (101, "zebra quantum praline xylophone marmalade cathedrals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    exact = simhash_neardup_pairs(
+        df, "doc_id", "text", bits=60, max_hamming=3, strategy="bands"
+    )
+    capped = simhash_neardup_pairs(
+        df, "doc_id", "text", bits=60, max_hamming=3, strategy="bands",
+        max_bucket_fraction=0.2,
+    )
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert capped_pairs <= exact_pairs  # the cap only drops
+    # an aggressive cap that drops everything leaves no candidates
+    none_left = simhash_neardup_pairs(
+        df, "doc_id", "text", bits=60, max_hamming=3, strategy="bands",
+        max_bucket_fraction=0.0,
+    )
+    assert none_left.count() == 0

@@ -223,11 +223,102 @@ def link_pred(spark, sf_dir: str) -> dict:
     }
 
 
+def minhash_lsh(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/dedup.py:minhash_lsh_pairs — distinct
+    # doc pairs sharing >=1 (band, bucket) from minhash_band_buckets
+    # over the same shared shingle frame the registered query uses;
+    # verified = q_dedup_minhash_lsh output (Jaccard >= threshold)
+    from big_data_engineering_project_spark.operators.dedup import (
+        minhash_band_buckets,
+        with_minhash_signature,
+    )
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        NGRAM_N,
+        _shared_hashed,
+    )
+
+    hashed = _shared_hashed(spark, sf_dir, NGRAM_N)
+    n_docs = hashed.count()
+    sigs = with_minhash_signature(hashed).select("doc", "sig")
+    buckets = minhash_band_buckets(sigs)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    verified = REGISTRY["q_dedup_minhash_lsh"].builder(spark, sf_dir).count()
+    return {"n_docs": n_docs, "candidates": cand, "verified": verified}
+
+
+def simhash_bands(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/dedup.py:simhash_neardup_pairs
+    # (strategy='bands'): distinct doc pairs matching >=1 of the
+    # max_hamming+1 pigeonhole bands of the 60-bit mixed fingerprint;
+    # verified = q_simhash_neardups output (popcount(xor) <= k)
+    from big_data_engineering_project_spark.operators import dedup
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        _NEARDUP_BITS,
+        _NEARDUP_MAX_HAMMING,
+    )
+    from big_data_engineering_project_spark.sources.catalog import spread
+
+    bits, k = _NEARDUP_BITS, _NEARDUP_MAX_HAMMING
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    fp = docs.select(
+        F.col("doc_id").alias("doc"),
+        dedup.simhash_mixed_col(
+            dedup.tokens_col(F.col("text")), bits=bits
+        ).alias("simhash"),
+    )
+    n_bands = k + 1
+    width = bits // n_bands
+    keys = []
+    for band in range(n_bands):
+        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
+        keys.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), width * band)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+    banded = fp.select(
+        "doc", F.explode(F.array(*keys)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    verified = REGISTRY["q_simhash_neardups"].builder(spark, sf_dir).count()
+    return {"n_docs": n_docs, "candidates": cand, "verified": verified}
+
+
 PROBES = {
     "tf_cosine_neardups": tf_cosine,
     "containment_neardups": containment,
     "cosine_lsh_neardups": cosine_lsh,
     "link_prediction": link_pred,
+    "minhash_lsh_neardups": minhash_lsh,
+    "simhash_band_neardups": simhash_bands,
 }
 
 
