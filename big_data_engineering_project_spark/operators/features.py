@@ -395,3 +395,81 @@ def score_calibration(
             "pos_rate", F.col("n_pos").cast("double") / F.col("n")
         )
     )
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """Frozen INTEGER discount ladder for NDCG@k: w(i) =
+    round(1e9 / log2(i+1)) for rank i = 1..k. The only irrational in
+    NDCG is the log discount; freezing it to integer literals (the
+    Fellegi-Sunter log-odds discipline) makes DCG/IDCG exact integer
+    sums — combine-order independent, hash-stable cross-engine — and
+    the oracle embeds the SAME literals, generated from this
+    function."""
+    import math
+
+    return [round(1_000_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query key — the RANKING member of the eval family
+    (auc_exact ranks the classifier, pr_curve picks its threshold,
+    score_calibration checks probability meaning; this scores a
+    RANKED LIST against graded relevance — the similarity-search /
+    recommender eval). DCG = Σ_{i≤k} rel(i)·w(i) over items ordered
+    by (score DESC, item ASC — a total order, so ties are
+    deterministic); IDCG re-ranks by (rel DESC, item ASC); ndcg =
+    dcg/idcg, NULL when the key has no positive relevance. With the
+    frozen integer ladder (ndcg_weights) both sums are exact
+    integers and ndcg is ONE correctly-rounded double division.
+
+    Scale shape: two windows, both partitioned by the query key —
+    per-key item lists sort within their key's partition, never
+    globally (queries are many; a single global ranking should go
+    through the two-level rank like auc_exact). Output one row per
+    key: (key_cols..., dcg, idcg, ndcg)."""
+    ws = ndcg_weights(k)
+    warr = F.array(*[F.lit(w).cast("long") for w in ws])
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(item_col).alias("__i"),
+        F.col(score_col).alias("__s"),
+        F.col(rel_col).cast("long").alias("__r"),
+    )
+    w_score = Window.partitionBy(*keys).orderBy(
+        F.desc("__s"), F.asc("__i")
+    )
+    w_ideal = Window.partitionBy(*keys).orderBy(
+        F.desc("__r"), F.asc("__i")
+    )
+    ranked = base.withColumn("__rk", F.row_number().over(w_score)).withColumn(
+        "__ik", F.row_number().over(w_ideal)
+    )
+    dcg_term = F.when(
+        F.col("__rk") <= k,
+        F.col("__r") * F.element_at(warr, F.col("__rk").cast("int")),
+    ).otherwise(F.lit(0))
+    idcg_term = F.when(
+        F.col("__ik") <= k,
+        F.col("__r") * F.element_at(warr, F.col("__ik").cast("int")),
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(dcg_term).cast("long").alias("dcg"),
+        F.sum(idcg_term).cast("long").alias("idcg"),
+    )
+    return agg.select(
+        *keys,
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0,
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+        ).alias("ndcg"),
+    )

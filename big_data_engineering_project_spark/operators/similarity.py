@@ -295,9 +295,18 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         index_path + "/centroids"
     )
+    # Each ingest batch owns a directory under vectors/ (partition
+    # discovery exposes `batch` and `cell` as columns): appends never
+    # touch existing data, and REPLAYING an ingest overwrites its own
+    # directory — exactly-once by construction, the property the
+    # streaming twin (streaming/scd2.py:run_ivf_append_stream) rides.
+    # A build is a full REBUILD: prior batch dirs are cleared.
+    import shutil
+
+    shutil.rmtree(index_path + "/vectors", ignore_errors=True)
     _assign_cells(vectors, cents, id_col, vec_col).write.mode(
         "overwrite"
-    ).partitionBy("cell").parquet(index_path + "/vectors")
+    ).partitionBy("cell").parquet(index_path + "/vectors/batch=base")
 
 
 def _assign_cells(
@@ -327,20 +336,34 @@ def load_ivf_centroids(spark, index_path: str) -> list[list[float]]:
 def ivf_index_append(
     new_vectors: DataFrame,
     index_path: str,
+    tag: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Day-N ingest: assign ONLY the new vectors against the frozen
-    centroids and append their cell partitions — the corpus is never
-    re-read, re-clustered, or re-written (the ANN analog of appending
-    shingle rows to the persisted R-S dedup index). Periodic centroid
-    refits are a REBUILD (new index path, atomic swap at the catalog
-    level), not an append."""
+    centroids and write them as their own `batch=<tag>` directory —
+    the corpus is never re-read, re-clustered, or re-written (the ANN
+    analog of appending shingle rows to the persisted R-S dedup
+    index), and re-running the same tag REPLACES that batch instead
+    of duplicating it (idempotent ingest). `tag` defaults to
+    d<number-of-existing-batches>. Periodic centroid refits are a
+    REBUILD (new index path, atomic swap at the catalog level), not
+    an append."""
+    import os
+
     spark = new_vectors.sparkSession
+    if tag is None:
+        vecs_dir = index_path + "/vectors"
+        existing = (
+            [d for d in os.listdir(vecs_dir) if d.startswith("batch=")]
+            if os.path.isdir(vecs_dir)
+            else []
+        )
+        tag = f"d{len(existing)}"
     cents = load_ivf_centroids(spark, index_path)
     _assign_cells(new_vectors, cents, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(index_path + "/vectors")
+        "overwrite"
+    ).partitionBy("cell").parquet(index_path + f"/vectors/batch={tag}")
 
 
 def ivf_index_topk(

@@ -303,7 +303,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_vocab_growth, gate-green r8, demoted for the round-9 PR-curve
     # newborn — newborn-slot policy; text analysis keeps doc-LM cost +
     # PMI under the gate)
-    "q_purchase_pr_curve",
+    # (q_purchase_pr_curve, gate-green r9 + judge-verified, demoted
+    # for the round-10 NDCG newborn — the eval family's ranking
+    # member joins AUC-by-cohort + calibration under the gate; the PR
+    # curve stays exact-oracle-green in every FULL sweep)
+    "q_value_ndcg",
     # ...and the incremental aggregate maintenance newborn (merged
     # sufficient-statistic states ≡ full recompute under the gate);
     # demoted for it: q_excess_shippers (gate-green in the committed

@@ -1687,3 +1687,78 @@ def q_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_purchase",
         bin_width=25.0,
     ).orderBy("bin")
+
+
+_NDCG_K = 10
+# frozen integer discount ladder — generated by features.ndcg_weights(10);
+# the oracle embeds the SAME literals (test_ndcg pins the generator)
+_NDCG_W = (1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826)
+
+
+@register(
+    "q_value_ndcg",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         event_id AS item,
+         epoch(ts) AS s,
+         CASE WHEN "value" >= 150 THEN 3
+              WHEN "value" >= 100 THEN 2
+              WHEN "value" >= 50 THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+ranked AS (
+  SELECT event_type, rel,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, item ASC) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rel DESC, item ASC) AS ik
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN rk <= 10 THEN CAST(rel AS BIGINT) * ([1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826][rk]) ELSE 0 END)
+         AS BIGINT) AS dcg,
+    CAST(SUM(CASE WHEN ik <= 10 THEN CAST(rel AS BIGINT) * ([1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826][ik]) ELSE 0 END)
+         AS BIGINT) AS idcg
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, dcg, idcg,
+       CASE WHEN idcg > 0
+            THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+FROM agg ORDER BY event_type
+""",
+    doc="NDCG@10 per event type — the RANKING member of the eval "
+    "family (AUC ranks the classifier, PR picks the threshold, "
+    "calibration checks probability meaning; NDCG scores a ranked "
+    "list against graded relevance — the similarity-search / "
+    "recommender eval): does recency rank high-value events first? "
+    "The log2 discount is FROZEN to an integer ladder "
+    "(features.ndcg_weights — the Fellegi-Sunter literal discipline), "
+    "so DCG/IDCG are exact integer sums, ties break on a total order "
+    "(score DESC, id ASC), and ndcg is one correctly-rounded "
+    "division; both windows partition by the query key, so no global "
+    "sort (operators/features.py:ndcg_at_k)",
+    tags=("behavior", "ml", "window"),
+)
+def q_value_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        ndcg_at_k,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("value") >= 150, 3)
+        .when(F.col("value") >= 100, 2)
+        .when(F.col("value") >= 50, 1)
+        .otherwise(0)
+    )
+    base = ev.select(
+        "event_type",
+        F.col("event_id").alias("item"),
+        F.unix_timestamp("ts").alias("s"),
+        rel.alias("rel"),
+    )
+    return ndcg_at_k(
+        base, ["event_type"], "item", "s", "rel", k=_NDCG_K
+    ).orderBy("event_type")

@@ -1043,6 +1043,67 @@ def run_kll_stream(
     query.awaitTermination()
 
 
+def run_ivf_append_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the persisted IVF ANN index over a micro-batched
+    embedding stream — the speed-layer twin of the batch
+    `operators/similarity.py:ivf_index_append` (the r10 persisted-
+    index family's 20th stream≡batch check): each micro-batch's
+    vectors are assigned against the index's FROZEN centroids and
+    written as their own `batch=<lineage>-<id>` directory. Directory-
+    per-batch makes redelivery EXACTLY-ONCE by construction — a
+    replayed batch overwrites its own directory instead of appending
+    duplicates — so no batch-id marker is needed; the lineage id in
+    the tag keeps a fresh checkpoint (legitimate re-ingest) from
+    colliding with a previous stream's directories. The index must be
+    pre-built (build_ivf_index) — a missing centroid table is a
+    deployment error, same contract as run_table_diff_stream's
+    pre-seeded replica. Probe-all reads of the maintained index equal
+    brute force over base ∪ all streamed batches exactly (checked per
+    round: tools/streaming_check.py `ivf_index_maintenance`)."""
+    import re
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        ivf_index_append,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # lineage resolved HERE (the checkpoint metadata exists once
+        # the query runs, not when this runner is called) and
+        # sanitized — the tag becomes a directory name
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        ivf_index_append(
+            batch_df,
+            index_path,
+            tag=f"{lineage}-{batch_id}",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_reservoir_stream(
     spark: SparkSession,
     input_dir: str,

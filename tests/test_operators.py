@@ -3643,3 +3643,57 @@ def test_simhash_bucket_cap_bounds_candidates(spark):
         max_bucket_fraction=0.0,
     )
     assert none_left.count() == 0
+
+
+def test_ndcg_at_k_reference_ties_and_weights(spark):
+    """ndcg_at_k vs a pure-python reference on a fixture with score
+    ties (total-order tie break), a perfect-ranking key (ndcg = 1),
+    an all-zero-relevance key (ndcg NULL), and k < n truncation; the
+    frozen weight ladder pins to its generator formula."""
+    import math
+
+    from big_data_engineering_project_spark.operators.features import (
+        ndcg_at_k,
+        ndcg_weights,
+    )
+
+    ws = ndcg_weights(10)
+    assert ws[0] == 1_000_000_000
+    for i, w in enumerate(ws, start=1):
+        assert w == round(1_000_000_000 / math.log2(i + 1))
+
+    rows = [
+        # key p: perfect — score order == relevance order
+        ("p", 1, 9.0, 3), ("p", 2, 8.0, 2), ("p", 3, 7.0, 1),
+        # key m: mixed with a score TIE (items 11 vs 12 both 5.0 —
+        # item ASC breaks it: 11 before 12)
+        ("m", 10, 6.0, 0), ("m", 11, 5.0, 3), ("m", 12, 5.0, 1),
+        ("m", 13, 4.0, 2),
+        # key z: no positive relevance
+        ("z", 20, 1.0, 0), ("z", 21, 2.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, item LONG, s DOUBLE, rel INT")
+    got = {
+        r["k"]: r
+        for r in ndcg_at_k(df, ["k"], "item", "s", "rel", k=3).collect()
+    }
+
+    def ref(pairs, k=3):
+        byscore = sorted(pairs, key=lambda t: (-t[1], t[0]))[:k]
+        byrel = sorted(pairs, key=lambda t: (-t[2], t[0]))[:k]
+        dcg = sum(r * ws[i] for i, (_, _, r) in enumerate(byscore))
+        idcg = sum(r * ws[i] for i, (_, _, r) in enumerate(byrel))
+        return dcg, idcg
+
+    by_key = {}
+    for k_, item, s, rel in rows:
+        by_key.setdefault(k_, []).append((item, s, rel))
+    for k_, pairs in by_key.items():
+        dcg, idcg = ref(pairs)
+        assert got[k_]["dcg"] == dcg, k_
+        assert got[k_]["idcg"] == idcg, k_
+    assert got["p"]["ndcg"] == 1.0
+    assert got["z"]["ndcg"] is None
+    # the tie broke 11-before-12: rank-1 slot carries rel 0 (item 10
+    # scored highest), rank 2 = item 11 (rel 3), rank 3 = item 12
+    assert got["m"]["ndcg"] < 1.0

@@ -1265,3 +1265,59 @@ def test_table_diff_stream_marker_disagree_rebuild(spark, tmp_path):
         for r in bucket_digests(final, "key", ["color", "amount"]).collect()
     )
     assert got_dig == want_dig
+
+
+def test_ivf_append_stream_exactly_once_by_directory(spark, tmp_path):
+    """run_ivf_append_stream: a replayed micro-batch (commit file
+    dropped, same lineage) overwrites its OWN batch directory instead
+    of appending duplicates — the maintained index equals the batch
+    build over base ∪ stream both before and after the replay."""
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_ivf_append_stream,
+    )
+
+    def vec(i):
+        return [round(math.cos(0.3 * i + j), 6) for j in range(6)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, [vec(0), vec(7), vec(14)])
+
+    batches = [
+        [{"vec_id": 100 + i, "embedding": vec(100 + i)} for i in range(8)],
+        [{"vec_id": 200 + i, "embedding": vec(200 + i)} for i in range(8)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, batches)
+    cp1 = str(tmp_path / "cp1")
+    kw = dict(schema="vec_id LONG, embedding ARRAY<DOUBLE>")
+    run_ivf_append_stream(spark, str(in_dir), idx, cp1, **kw)
+
+    def index_ids():
+        return sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(idx + "/vectors").collect()
+        )
+
+    want = sorted(list(range(20)) + [100 + i for i in range(8)]
+                  + [200 + i for i in range(8)])
+    assert index_ids() == want
+
+    # replay batch 1 within the same lineage (relocated checkpoint,
+    # dropped commit): the directory overwrite absorbs it
+    cp1b = str(tmp_path / "cp1b")
+    _shutil.copytree(cp1, cp1b)
+    _os.remove(_os.path.join(cp1b, "commits", "1"))
+    _os.remove(_os.path.join(cp1b, "commits", ".1.crc"))
+    run_ivf_append_stream(spark, str(in_dir), idx, cp1b, **kw)
+    assert index_ids() == want  # no duplicates

@@ -1173,6 +1173,92 @@ def check_kll_stream(spark, root: str) -> dict:
     return res
 
 
+def check_ivf_index_stream(spark, root: str) -> dict:
+    """run_ivf_append_stream (per-batch directory appends against the
+    frozen centroids) ≡ one batch build over base ∪ all streamed
+    vectors: probe-all top-k over the MAINTAINED index is hash-equal
+    to probe-all over a from-scratch index AND to brute force over
+    the union (the exactness anchor of the persisted-ANN family).
+    The fixture streams 3 micro-batches of synthetic 8-dim vectors."""
+    import math
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_ivf_append_stream,
+    )
+
+    def vec(i: int) -> list[float]:
+        return [
+            round(math.sin(0.7 * i + j * 1.3), 6) for j in range(8)
+        ]
+
+    base_rows = [(i, vec(i)) for i in range(60)]
+    stream_rows = [(100 + i, vec(100 + i)) for i in range(45)]
+    base = spark.createDataFrame(
+        base_rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = [vec(i * 9) for i in range(5)]
+    idx = os.path.join(root, "ivf_idx")
+    build_ivf_index(base, idx, cents)
+
+    in_dir = os.path.join(root, "ivf_in")
+    os.makedirs(in_dir)
+    _write_batches(
+        in_dir,
+        [{"vec_id": i, "embedding": v} for i, v in stream_rows],
+        batch_size=15,
+    )
+    run_ivf_append_stream(
+        spark,
+        in_dir,
+        idx,
+        os.path.join(root, "ivf_cp"),
+        schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    query = spark.createDataFrame(
+        [(vec(42),)], "embedding ARRAY<DOUBLE>"
+    )
+    k = 12
+    got = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in ivf_index_topk(spark, idx, query, k=k, n_probe=5).collect()
+    ]
+    # from-scratch batch index over the union
+    union = base.unionByName(
+        spark.createDataFrame(
+            stream_rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+    )
+    idx2 = os.path.join(root, "ivf_idx_batch")
+    build_ivf_index(union, idx2, cents)
+    want = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in ivf_index_topk(spark, idx2, query, k=k, n_probe=5).collect()
+    ]
+    brute = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in brute_force_topk(union, query, k=k).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "probe_all_equals_brute": got == brute,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["probe_all_equals_brute"]
+    )
+    return res
+
+
 def check_agg_maintenance_stream(spark, root: str) -> dict:
     """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
     max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
@@ -1690,6 +1776,7 @@ def main() -> None:
         results["reservoir_maintenance"] = check_reservoir_stream(spark, root)
         results["hll_maintenance"] = check_hll_stream(spark, root)
         results["kll_maintenance"] = check_kll_stream(spark, root)
+        results["ivf_index_maintenance"] = check_ivf_index_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
