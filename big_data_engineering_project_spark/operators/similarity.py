@@ -19,7 +19,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_project_spark.sources.catalog import spread
@@ -670,3 +670,63 @@ def int8_topk(
         ).alias("qcosine"),
     )
     return scored.orderBy(F.desc("qcosine"), F.asc(id_col)).limit(k)
+
+
+RRF_SCALE = 2_000_000_000_000
+
+
+def rrf_fuse(
+    scored: list[DataFrame],
+    item_col: str,
+    score_col: str,
+    k0: int = 60,
+    shortlist: int = 100,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion over per-signal candidate lists — the
+    hybrid-retrieval layer that combines this module's rankers (a
+    lexical tf/BM25-ish score, an embedding cosine, ...) into one
+    list: RRF(item) = Σ_signals w(rank_i(item)) with w(r) =
+    RRF_SCALE DIV (k0 + r) — INTEGER division of a frozen scale, so
+    every weight, sum, and comparison is exact integer arithmetic on
+    both engines (the NDCG frozen-ladder discipline, closed-form
+    instead of a literal table). Items missing from a signal's
+    shortlist contribute 0 from it, the standard RRF convention.
+
+    Scale shape: each signal first collapses to its own TOP-`shortlist`
+    by (score DESC, item ASC) — a TakeOrderedAndProject over the full
+    corpus (per-partition heaps, no global sort) — and only then takes
+    a row_number over those ≤`shortlist` rows; fusion is one groupBy
+    over ≤ signals·shortlist rows. The single-partition window is over
+    the SHORTLIST, never the corpus — retrieval fusion's inherent
+    shape (rank is only defined relative to a bounded candidate list).
+    Output: (item, rrf_score, n_lists), top_k by (rrf DESC, item ASC).
+    """
+    parts = []
+    for df in scored:
+        short = (
+            df.select(
+                F.col(item_col).alias("__item"),
+                F.col(score_col).alias("__s"),
+            )
+            .orderBy(F.desc("__s"), F.asc("__item"))
+            .limit(shortlist)
+        )
+        w = Window.orderBy(F.desc("__s"), F.asc("__item"))
+        ranked = short.withColumn("__r", F.row_number().over(w)).select(
+            "__item",
+            F.expr(f"{RRF_SCALE} DIV ({k0} + __r)").alias("__w"),
+        )
+        parts.append(ranked)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(F.col("__item").alias(item_col))
+        .agg(
+            F.sum("__w").cast("long").alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(item_col))
+        .limit(top_k)
+    )

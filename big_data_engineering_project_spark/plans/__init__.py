@@ -132,7 +132,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gate row WITH their pytest-invariant ids; the HLL family keeps
     # q_hll_daily_merge gated. After this rotation EVERY registry
     # member holds ≥1 committed gate row (the r7 goal, finished).
-    "q_phrase_search",
+    # (q_phrase_search, gate-green r9, demoted for the round-10
+    # hybrid-retrieval newborn — newborn-slot policy; the search
+    # family keeps a gate member via the RRF fusion layer, and the
+    # trigram phrase index stays exact-oracle-green in every FULL
+    # sweep)
+    "q_hybrid_search_rrf",
     "q_dimension_asof",
     "q_spike_order_overlap",
     "q_hop_distance",

@@ -4095,3 +4095,91 @@ def q_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles_by_key(
         s, ["event_type"], [(1, 2, "p50"), (9, 10, "p90")]
     ).orderBy("event_type", "q_label")
+
+
+_RRF_K0 = 60
+_RRF_SHORTLIST = 50
+_RRF_TOPK = 20
+_RRF_TERM = "data"
+
+
+@register(
+    "q_hybrid_search_rrf",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id AS item,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x = '{_RRF_TERM}')) AS s
+  FROM documents
+),
+lex_short AS (
+  SELECT item, ROW_NUMBER() OVER (ORDER BY s DESC, item ASC) AS r
+  FROM lex ORDER BY s DESC, item ASC LIMIT {_RRF_SHORTLIST}
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1),
+vec AS (
+  SELECT vec_id AS item, embedding::DOUBLE[] AS e FROM embeddings
+),
+vecscore AS (
+  SELECT item, {_COS} AS s FROM vec, q
+),
+vec_short AS (
+  SELECT item, ROW_NUMBER() OVER (ORDER BY s DESC, item ASC) AS r
+  FROM vecscore ORDER BY s DESC, item ASC LIMIT {_RRF_SHORTLIST}
+),
+unioned AS (
+  SELECT item, 2000000000000 // ({_RRF_K0} + r) AS w FROM lex_short
+  UNION ALL
+  SELECT item, 2000000000000 // ({_RRF_K0} + r) AS w FROM vec_short
+)
+SELECT item, CAST(SUM(w) AS BIGINT) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM unioned GROUP BY item
+ORDER BY rrf_score DESC, item ASC
+LIMIT {_RRF_TOPK}
+""",
+    doc="Hybrid retrieval fusion — reciprocal-rank fusion of a "
+    f"LEXICAL ranking (term frequency of '{_RRF_TERM}' over "
+    "documents) and a VECTOR ranking (fold cosine to the vec_id=1 "
+    "query embedding) over the aligned doc/vec id space: each signal "
+    f"collapses to its top-{_RRF_SHORTLIST} shortlist "
+    "(TakeOrderedAndProject — per-partition heaps, no global sort), "
+    "ranks are taken over the shortlist only, and RRF weights are "
+    "RRF_SCALE DIV (k0 + rank) — pure integer division, so the fused "
+    "scores are exact integers on both engines "
+    "(operators/similarity.py:rrf_fuse)",
+    tags=("pipeline", "similarity"),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.similarity import (
+        as_double,
+        cosine_col,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = docs.select(
+        F.col("doc_id").alias("item"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x == F.lit(_RRF_TERM),
+            )
+        ).alias("s"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 1).select(
+        as_double(F.col("embedding")).alias("_q")
+    )
+    vec = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("item"),
+        cosine_col(as_double(F.col("embedding")), F.col("_q")).alias("s"),
+    )
+    return rrf_fuse(
+        [lex, vec],
+        "item",
+        "s",
+        k0=_RRF_K0,
+        shortlist=_RRF_SHORTLIST,
+        top_k=_RRF_TOPK,
+    )

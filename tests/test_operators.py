@@ -3697,3 +3697,36 @@ def test_ndcg_at_k_reference_ties_and_weights(spark):
     # the tie broke 11-before-12: rank-1 slot carries rel 0 (item 10
     # scored highest), rank 2 = item 11 (rel 3), rank 3 = item 12
     assert got["m"]["ndcg"] < 1.0
+
+
+def test_rrf_fuse_conventions(spark):
+    """RRF semantics: an item in both shortlists beats same-rank
+    single-list items; an item missing from one list contributes 0
+    from it; weights are exact integer RRF_SCALE DIV (k0+r); output
+    order is a total order (score DESC, item ASC)."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0)], "item LONG, s DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(2, 100.0), (4, 50.0)], "item LONG, s DOUBLE"
+    )
+    out = rrf_fuse([a, b], "item", "s", k0=60, shortlist=10, top_k=10)
+    rows = {r["item"]: r for r in out.collect()}
+    w = lambda r: RRF_SCALE // (60 + r)  # noqa: E731
+    assert rows[1]["rrf_score"] == w(1) and rows[1]["n_lists"] == 1
+    assert rows[2]["rrf_score"] == w(2) + w(1) and rows[2]["n_lists"] == 2
+    assert rows[3]["rrf_score"] == w(3)
+    assert rows[4]["rrf_score"] == w(2)
+    order = [r["item"] for r in out.collect()]
+    assert order[0] == 2  # in both lists → fused winner
+    # shortlist truncation: an item ranked past the shortlist vanishes
+    c = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(1, 6)], "item LONG, s DOUBLE"
+    )
+    out2 = rrf_fuse([c], "item", "s", k0=60, shortlist=3, top_k=10)
+    assert sorted(r["item"] for r in out2.collect()) == [1, 2, 3]
