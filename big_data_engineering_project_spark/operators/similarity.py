@@ -315,10 +315,21 @@ def _assign_cells(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    return spread(vectors).select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("vec"),
-    ).withColumn("cell", _cell_expr(centroids, F.col("vec")))
+    # repartition on the partition column before the partitioned
+    # write: without it every input partition writes a sliver into
+    # every cell directory (32×n_cells tiny files per ingest — the
+    # small-file problem at any scale); with it each cell's data
+    # arrives in one place. At 100 TB raise the partition count
+    # (repartition(n, "cell")) so one cell isn't one task.
+    return (
+        spread(vectors)
+        .select(
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("cell", _cell_expr(centroids, F.col("vec")))
+        .repartition("cell")
+    )
 
 
 def load_ivf_centroids(spark, index_path: str) -> list[list[float]]:
