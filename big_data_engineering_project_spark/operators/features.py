@@ -473,3 +473,75 @@ def ndcg_at_k(
             F.col("dcg").cast("double") / F.col("idcg").cast("double"),
         ).alias("ndcg"),
     )
+
+
+def ap_weights(k: int) -> tuple[int, list[int]]:
+    """(L, [L/i for i=1..k]) with L = lcm(1..k): the exact-rational
+    scaffolding for average precision — P@i = hits_i/i becomes the
+    INTEGER hits_i·(L/i) over denominator L, so AP@k sums exactly
+    with no float accumulation (the ndcg_weights discipline, with an
+    lcm instead of a rounded ladder because 1/i is rational)."""
+    import math
+
+    L = 1
+    for i in range(2, k + 1):
+        L = L * i // math.gcd(L, i)
+    return L, [L // i for i in range(1, k + 1)]
+
+
+def map_at_k(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Average precision @ k per query key — NDCG's binary-relevance
+    sibling (NDCG grades positions with graded relevance; AP grades
+    the PRECISION PROFILE of the hits). AP@k = Σ_{i≤k, rel(i)}
+    P@i / min(R, k) with R = the key's total relevant count; with the
+    lcm scaffolding (ap_weights) the numerator is the exact integer
+    Σ hits_i·(L/i) and the denominator L·min(R,k), so ap is ONE
+    correctly-rounded division and the whole row is hash-stable.
+    Ties break on the total order (score DESC, item ASC); keys with
+    R = 0 return NULL ap. Same scale shape as ndcg_at_k: the ranking
+    window partitions by the query key."""
+    L, ws = ap_weights(k)
+    warr = F.array(*[F.lit(w).cast("long") for w in ws])
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(item_col).alias("__i"),
+        F.col(score_col).alias("__s"),
+        F.when(
+            F.col(rel_col).isNotNull() & F.col(rel_col).cast("boolean"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("__r"),
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(F.desc("__s"), F.asc("__i"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.withColumn("__rk", F.row_number().over(w_rank)).withColumn(
+        "__hits", F.sum("__r").over(w_cum)
+    )
+    term = F.when(
+        (F.col("__rk") <= k) & (F.col("__r") == 1),
+        F.col("__hits") * F.element_at(warr, F.col("__rk").cast("int")),
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(term).cast("long").alias("ap_num"),
+        F.sum("__r").cast("long").alias("n_rel"),
+    )
+    den = F.lit(L).cast("long") * F.least(F.col("n_rel"), F.lit(k))
+    return agg.select(
+        *keys,
+        "ap_num",
+        den.alias("ap_den"),
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("ap_num").cast("double") / den.cast("double"),
+        ).alias("ap"),
+    )

@@ -138,7 +138,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # trigram phrase index stays exact-oracle-green in every FULL
     # sweep)
     "q_hybrid_search_rrf",
-    "q_dimension_asof",
+    # (q_dimension_asof, gate-green r9, demoted for the round-10
+    # MAP@k newborn — newborn-slot policy; the temporal family keeps
+    # TWAP + spike-overlap + order-concurrency under the gate and the
+    # dimension as-of stays exact-oracle-green in every FULL sweep)
+    "q_purchase_map",
     "q_spike_order_overlap",
     "q_hop_distance",
     "q_label_propagation_deep",

@@ -1762,3 +1762,73 @@ def q_value_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(
         base, ["event_type"], "item", "s", "rel", k=_NDCG_K
     ).orderBy("event_type")
+
+
+_AP_K = 10
+# lcm(1..10) scaffolding — generated by features.ap_weights(10);
+# the oracle embeds the SAME integers (test_map_at_k pins the generator)
+_AP_L = 2520
+_AP_W = (2520, 1260, 840, 630, 504, 420, 360, 315, 280, 252)
+
+
+@register(
+    "q_purchase_map",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         event_id AS item,
+         epoch(ts) AS s,
+         CASE WHEN "value" >= 150 THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+ranked AS (
+  SELECT event_type, rel,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, item ASC) AS rk,
+         SUM(rel) OVER (PARTITION BY event_type
+                        ORDER BY s DESC, item ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS hits
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN rk <= {_AP_K} AND rel = 1
+             THEN CAST(hits AS BIGINT) * ([{", ".join(str(w) for w in _AP_W)}][rk])
+             ELSE 0 END) AS BIGINT) AS ap_num,
+    CAST(SUM(rel) AS BIGINT) AS n_rel
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, ap_num,
+       CAST({_AP_L} AS BIGINT) * LEAST(n_rel, {_AP_K}) AS ap_den,
+       n_rel,
+       CASE WHEN n_rel > 0
+            THEN CAST(ap_num AS DOUBLE)
+                 / ({_AP_L} * LEAST(n_rel, {_AP_K})) END AS ap
+FROM agg ORDER BY event_type
+""",
+    doc="Average precision @ 10 per event type — the binary-"
+    "relevance sibling of q_value_ndcg completing the ranking-eval "
+    "pair: does recency put high-value (≥150) events at the top? "
+    "P@i = hits/i becomes the exact integer hits·(lcm(1..k)/i) "
+    "(features.ap_weights — rational sums need an lcm, not a rounded "
+    "ladder), so ap_num/ap_den are exact integers and ap is one "
+    "correctly-rounded division; the rank window partitions by the "
+    "query key (operators/features.py:map_at_k)",
+    tags=("behavior", "ml", "window"),
+)
+def q_purchase_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        map_at_k,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("event_id").alias("item"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.col("value") >= 150).alias("rel"),
+    )
+    return map_at_k(
+        base, ["event_type"], "item", "s", "rel", k=_AP_K
+    ).orderBy("event_type")

@@ -3730,3 +3730,52 @@ def test_rrf_fuse_conventions(spark):
     )
     out2 = rrf_fuse([c], "item", "s", k0=60, shortlist=3, top_k=10)
     assert sorted(r["item"] for r in out2.collect()) == [1, 2, 3]
+
+
+def test_map_at_k_reference_and_weights(spark):
+    """map_at_k vs the textbook AP definition on a fixture with a
+    perfect ranking (ap=1), an inverted ranking, R > k truncation,
+    and a zero-relevant key (NULL ap); the lcm scaffolding pins to
+    its generator."""
+    import math
+
+    from big_data_engineering_project_spark.operators.features import (
+        ap_weights,
+        map_at_k,
+    )
+
+    L, ws = ap_weights(10)
+    assert L == 2520
+    for i, w in enumerate(ws, start=1):
+        assert w == L // i and L % i == 0
+    assert math.gcd(L, 1) == 1
+
+    rows = [
+        # key p: both relevant items at the top → AP 1
+        ("p", 1, 9.0, 1), ("p", 2, 8.0, 1), ("p", 3, 7.0, 0),
+        # key m: relevant at ranks 2 and 4 → AP = (1/2 + 2/4) / 2
+        ("m", 10, 9.0, 0), ("m", 11, 8.0, 1),
+        ("m", 12, 7.0, 0), ("m", 13, 6.0, 1),
+        # key z: nothing relevant
+        ("z", 20, 1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, item LONG, s DOUBLE, rel INT")
+    got = {
+        r["k"]: r
+        for r in map_at_k(df, ["k"], "item", "s", "rel", k=10).collect()
+    }
+    assert got["p"]["ap"] == 1.0
+    assert got["m"]["ap"] == (0.5 + 0.5) / 2
+    assert got["z"]["ap"] is None and got["z"]["ap_num"] == 0
+    # exact integer form agrees with the double
+    m = got["m"]
+    assert m["ap_num"] / m["ap_den"] == m["ap"]
+
+    # R > k: 12 relevant items, k=10 → denominator uses k
+    many = spark.createDataFrame(
+        [("q", i, float(100 - i), 1) for i in range(12)],
+        "k STRING, item LONG, s DOUBLE, rel INT",
+    )
+    r = map_at_k(many, ["k"], "item", "s", "rel", k=10).collect()[0]
+    assert r["n_rel"] == 12 and r["ap_den"] == 2520 * 10
+    assert r["ap"] == 1.0  # all top-10 are relevant
