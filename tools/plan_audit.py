@@ -58,7 +58,13 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     "q_pmi_type_hour": "margins over the n_types x 24 cells frame",
     "q_vocab_growth": "cumulative over the 10-row decile grid",
     "q_vocab_coverage": "vocabulary-sized rank window",
-    "q_purchase_auc": "rolling offsets over the <= score-range/width bucket table",}
+    "q_purchase_auc": "rolling offsets over the <= score-range/width bucket table",
+    "q_hybrid_search_rrf": (
+        "rank window over each signal's <= shortlist(50)-row frame "
+        "(TakeOrderedAndProject collapses the corpus FIRST; rank is "
+        "only defined relative to the bounded candidate list)"
+    ),
+}
 
 # Queries allowed a nested-loop/cross join because the broadcast side
 # is a 1-row (or group-cardinality-bounded) aggregate stamp.
@@ -83,6 +89,7 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_rfm_segments": "1-row count stamp per ntile (x3)",
     "q_kmv_set_ops": "1-row sketch x 1-row sketch",
     "q_join_size_forecast": "1-row forecast stamp",
+    "q_hybrid_search_rrf": "1-row broadcast query vector (vector signal)",
     "q_vocab_coverage": "1-row totals stamp",
     # judge-audited r7: "all 18 crossJoin sites carry 1-row or
     # group-cardinality aggregates" — the scalar-subquery stamps below
