@@ -566,9 +566,14 @@ def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in corpus.orderBy("vec_id").limit(n_cells).collect()
     ]
+    # per-process path: the index is rebuilt per call anyway, and two
+    # concurrent sessions (sweep + pytest) racing one shared path
+    # would read each other's half-written builds
     index_path = os.path.join(
         tempfile.gettempdir(),
-        "bde_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "bde_ivf_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     similarity.build_ivf_index(corpus, index_path, cents)
     similarity.ivf_index_append(day1, index_path)

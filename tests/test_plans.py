@@ -664,3 +664,47 @@ def test_order_concurrency_two_level_prefix_sum(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Window") >= 2
+
+
+def test_ivf_incremental_prunes_probed_cells(plans):
+    """q_embedding_ivf_incremental reads the persisted index back
+    from parquet: the cell predicate must land in PartitionFilters
+    (directory pruning over the batch=*/cell=* layout — probe-all
+    here, but the filter shape is what a partial probe prunes with),
+    and the final top-k must be a TakeOrderedAndProject, not a global
+    sort."""
+    p = plans("q_embedding_ivf_incremental")
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "cell" in pf
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rrf_shortlists_are_takeordered_then_fused(plans):
+    """q_hybrid_search_rrf: each signal collapses via
+    TakeOrderedAndProject (per-partition heaps) BEFORE its rank
+    window, and the fusion is one hash aggregate — no global sort of
+    either corpus and no per-corpus Window."""
+    p = plans("q_hybrid_search_rrf")
+    assert p.count("TakeOrderedAndProject") >= 3  # 2 shortlists + final
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ranking_evals_window_partitioned_by_key(plans):
+    """q_value_ndcg / q_purchase_map / q_purchase_auc_by_cohort: the
+    rank windows must partition by the query key (the plan's
+    windowspecdefinition carries the key before the order spec — no
+    empty partition spec = no single-task global sort)."""
+    for name, key in (
+        ("q_value_ndcg", "event_type"),
+        ("q_purchase_map", "event_type"),
+        ("q_purchase_auc_by_cohort", "cohort"),
+    ):
+        p = plans(name, "extended")
+        import re as _re
+
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert specs, name
+        for spec in specs:
+            assert spec.split(",")[0].strip().startswith(key), (name, spec)
