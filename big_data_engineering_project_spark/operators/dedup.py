@@ -677,6 +677,38 @@ def simhash_col(tokens: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_band_table(
+    fp: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """(doc, simhash, band, val): each fingerprint exploded into its
+    max_hamming+1 disjoint pigeonhole band keys (trailing band absorbs
+    the remainder bits). THE single definition of the band layout —
+    the operator's candidate join and tools/growth_probe.py's
+    candidate-rule replica both call this, so the probe can never
+    silently measure a different rule than the one shipped."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    keys = []
+    for band in range(n_bands):
+        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
+        keys.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), width * band)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+    return fp.select(
+        "doc", "simhash", F.explode(F.array(*keys)).alias("bk")
+    ).select(
+        "doc",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -736,6 +768,14 @@ def simhash_neardup_pairs(
         )
     if strategy == "auto":
         strategy = "variants" if max_hamming <= 1 else "bands"
+    if max_bucket_fraction is not None and strategy != "bands":
+        # the cap only exists on the bands path; silently ignoring the
+        # knob would leave the caller's quadratic hazard unbounded
+        raise ValueError(
+            "max_bucket_fraction applies to strategy='bands' only "
+            f"(resolved strategy: {strategy!r}); pass strategy='bands' "
+            "explicitly to combine a bucket cap with small max_hamming"
+        )
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")
@@ -773,22 +813,7 @@ def simhash_neardup_pairs(
 
     if strategy != "bands":
         raise ValueError(f"unknown strategy {strategy!r}")
-    n_bands = max_hamming + 1
-    width = bits // n_bands  # trailing band absorbs the remainder bits
-    keys = []
-    for band in range(n_bands):
-        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
-        keys.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.shiftright(F.col("simhash"), width * band)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-        )
-    banded = fp.select(
-        "doc", "simhash", F.explode(F.array(*keys)).alias("bk")
-    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    banded = simhash_band_table(fp, bits, max_hamming)
     if max_bucket_fraction is not None:
         n_docs = fp.count()
         hot = (

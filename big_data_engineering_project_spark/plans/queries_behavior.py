@@ -1572,10 +1572,10 @@ ORDER BY cohort
     doc="PER-KEY exact ROC AUC (the production evaluation shape — "
     "one AUC per segment from one pass) with the RANGE-DERIVED "
     "bucket width: bucket_width=None measures (max−min)/1024 in one "
-    "agg, closing the r9 degenerate-default hazard where [0,1]-range "
-    "scores all landed in bucket 0 and the two-level rank silently "
-    "became a single-task sort; an explicit width that cannot split "
-    "the observed range now raises. Cohort key = event_id % 4 "
+    "eager agg, closing the r9 degenerate-default hazard where "
+    "[0,1]-range scores all landed in bucket 0 and the two-level "
+    "rank silently became a single-task sort (explicit widths stay "
+    "lazy and are documented as trusted). Cohort key = event_id % 4 "
     "(independent of the purchase label, so both classes appear per "
     "key); the oracle is the naive per-key window "
     "(operators/features.py:auc_exact)",
@@ -1701,7 +1701,7 @@ _NDCG_W = (1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 33
 WITH base AS (
   SELECT event_type,
          event_id AS item,
-         epoch(ts) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
          CASE WHEN "value" >= 150 THEN 3
               WHEN "value" >= 100 THEN 2
               WHEN "value" >= 50 THEN 1 ELSE 0 END AS rel
@@ -1777,7 +1777,7 @@ _AP_W = (2520, 1260, 840, 630, 504, 420, 360, 315, 280, 252)
 WITH base AS (
   SELECT event_type,
          event_id AS item,
-         epoch(ts) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
          CASE WHEN "value" >= 150 THEN 1 ELSE 0 END AS rel
   FROM events
 ),

@@ -568,13 +568,28 @@ def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # per-process path: the index is rebuilt per call anyway, and two
     # concurrent sessions (sweep + pytest) racing one shared path
-    # would read each other's half-written builds
-    index_path = os.path.join(
+    # would read each other's half-written builds. Siblings left by
+    # DEAD processes are reaped here so repeated sweeps/benches can't
+    # accumulate stale index copies in /tmp.
+    import glob
+    import shutil
+
+    stem = os.path.join(
         tempfile.gettempdir(),
-        "bde_ivf_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        + f"_{os.getpid()}",
+        "bde_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
+    for old in glob.glob(stem + "_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # 0-signal probe: raises if pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave its index
+    index_path = f"{stem}_{os.getpid()}"
     similarity.build_ivf_index(corpus, index_path, cents)
     similarity.ivf_index_append(day1, index_path)
     return similarity.ivf_index_topk(

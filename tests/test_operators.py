@@ -3567,10 +3567,8 @@ def test_auc_range_derived_bucket_width(spark):
     must NOT degenerate the two-level rank into one bucket. With the
     default (range-derived) width, a [0,1] fixture spreads over many
     buckets (plan carries a real per-bucket window); an explicit
-    width wider than the range raises instead of silently
-    single-tasking; AUC values equal the pairwise definition."""
-    import pytest as _pytest
-
+    width stays fully lazy (trusted, documented); AUC values equal
+    the pairwise definition."""
     from big_data_engineering_project_spark.operators.features import (
         auc_exact,
     )
@@ -3603,8 +3601,9 @@ def test_auc_range_derived_bucket_width(spark):
     )
     assert got["auc"] == (wins + 0.5 * ties) / (len(pos) * len(neg))
 
-    with _pytest.raises(ValueError, match="one bucket"):
-        auc_exact(df, "s", "y", bucket_width=5.0)
+    # explicit width: fully lazy (no plan-build job) and still correct
+    explicit = auc_exact(df, "s", "y", bucket_width=0.01)
+    assert explicit.collect()[0]["auc"] == got["auc"]
 
 
 def test_simhash_bucket_cap_bounds_candidates(spark):

@@ -280,22 +280,7 @@ def simhash_bands(spark, sf_dir: str) -> dict:
             dedup.tokens_col(F.col("text")), bits=bits
         ).alias("simhash"),
     )
-    n_bands = k + 1
-    width = bits // n_bands
-    keys = []
-    for band in range(n_bands):
-        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
-        keys.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.shiftright(F.col("simhash"), width * band)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-        )
-    banded = fp.select(
-        "doc", F.explode(F.array(*keys)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    banded = dedup.simhash_band_table(fp, bits, k).drop("simhash")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
