@@ -331,6 +331,7 @@ ORDER BY 1
     "partitions before any blob is read. Exact oracle re-derives "
     "every pixel pair from the closed-form fixture "
     "(multimodal/columns.py:scene_cuts)",
+    headline=True,
     tags=("multimodal",),
 )
 def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4168,6 +4168,7 @@ LIMIT {_RRF_TOPK}
     "RRF_SCALE DIV (k0 + rank) — pure integer division, so the fused "
     "scores are exact integers on both engines "
     "(operators/similarity.py:rrf_fuse)",
+    headline=True,
     tags=("pipeline", "similarity"),
 )
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
