@@ -195,6 +195,39 @@ def calibration_probe(spark, reps: int = 3, warmups: int = 1) -> dict:
     return {"runs": runs, "sec": round(statistics.median(runs), 3)}
 
 
+def calibration_probe_python(spark, reps: int = 3, warmups: int = 1) -> dict:
+    """Python-path yardstick beside the JVM-CPU probe: a fixed
+    mapInPandas job (Arrow transfer + pandas arithmetic over a
+    generated range) whose time moves with Python-worker health —
+    spin-up, Arrow throughput, GIL-side contention — which the
+    JVM-only probe cannot see. The r10 final bench measured a
+    multimodal mapInPandas query drifting 2.5× raw while every
+    JVM-side query normalized to 1.00×; this probe makes that
+    resource class separately normalizable."""
+    import pandas as pd
+
+    def job():
+        def tf(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
+
+        return (
+            spark.range(0, 4_000_000, 1, 16)
+            .mapInPandas(tf, "s long")
+            .agg(F.sum("s").alias("t"))
+        )
+
+    for _ in range(warmups):
+        job().collect()
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        row = job().collect()[0]
+        runs.append(round(time.perf_counter() - t0, 3))
+    assert row["t"] == 4_000_000 * (4_000_000 - 1) // 2, row
+    return {"runs": runs, "sec": round(statistics.median(runs), 3)}
+
+
 def bench_streaming(spark, reps: int) -> dict:
     """Streaming throughput (rows/sec) through the two stateful
     pipelines, so state-store/enrichment regressions show up
@@ -444,6 +477,8 @@ def main() -> None:
     # Host-speed yardstick, before and (below) after the query block.
     cal_pre = calibration_probe(spark)
     print(f"# calibration pre: {cal_pre}", file=sys.stderr)
+    cal_py_pre = calibration_probe_python(spark)
+    print(f"# python probe pre: {cal_py_pre}", file=sys.stderr)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     from big_data_engineering_project_spark.caches import (
@@ -492,6 +527,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cal_post = calibration_probe(spark)
     print(f"# calibration post: {cal_post}", file=sys.stderr)
+    cal_py_post = calibration_probe_python(spark)
+    print(f"# python probe post: {cal_py_post}", file=sys.stderr)
     stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2"))
     streaming = bench_streaming(spark, reps=stream_reps)
     payload = {
@@ -503,6 +540,8 @@ def main() -> None:
             "pre_sec": cal_pre["sec"],
             "post_sec": cal_post["sec"],
             "segments": cal_segments,
+            "python_pre_sec": cal_py_pre["sec"],
+            "python_post_sec": cal_py_post["sec"],
         },
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -535,10 +574,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        # segments live in BENCH_DETAIL.json / stderr only: the
+        # driver parses the LAST 2000 stdout chars and the 66-query
+        # dict already sits near that budget
         "calibration": {
             "pre_sec": round(cal_pre["sec"], 3),
             "post_sec": round(cal_post["sec"], 3),
-            "segments": cal_segments,
+            "py_pre": round(cal_py_pre["sec"], 3),
+            "py_post": round(cal_py_post["sec"], 3),
         },
         "sf": payload["sf"],
     }
