@@ -142,6 +142,28 @@ def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unpack_checked_header(mid, blob: bytes) -> tuple[int, int]:
+    """(width, height) of a BDE1 blob after validating the magic AND
+    that the payload really holds width·height bytes: a truncated
+    blob must fail with a per-row error naming the media_id, not an
+    opaque frombuffer/reshape ValueError deep inside the Arrow
+    worker (r10 ADVICE #3). Non-BDE1 magic stays the codec seam
+    (NotImplementedError)."""
+    if blob[:4] != MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries "
+            "not present in this environment"
+        )
+    w, h = struct.unpack(">HH", blob[4:8])
+    if len(blob) < 8 + w * h:
+        raise ValueError(
+            f"media_id={mid}: truncated blob — header declares "
+            f"{w}x{h} = {8 + w * h} bytes incl. header, blob holds "
+            f"{len(blob)}"
+        )
+    return w, h
+
+
 def _decode_one(blob: bytes) -> tuple[int, int, int, float]:
     if blob[:4] != MAGIC:
         # The production seam: plug PIL/soundfile/ffmpeg in here.
@@ -304,12 +326,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             ids, his, los = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 blob = bytes(blob)
-                if blob[:4] != MAGIC:
-                    raise NotImplementedError(
-                        "real media decoding requires codec libraries "
-                        "not present in this environment"
-                    )
-                w, h = struct.unpack(">HH", blob[4:8])
+                w, h = _unpack_checked_header(mid, blob)
                 arr = np.frombuffer(
                     blob[8 : 8 + w * h], dtype=np.uint8
                 ).astype(np.int64).reshape(h, w)
@@ -385,12 +402,7 @@ def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
             }
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 blob = bytes(blob)
-                if blob[:4] != MAGIC:
-                    raise NotImplementedError(
-                        "real media decoding requires codec libraries "
-                        "not present in this environment"
-                    )
-                w, h = struct.unpack(">HH", blob[4:8])
+                w, h = _unpack_checked_header(mid, blob)
                 samples = (
                     np.frombuffer(blob[8 : 8 + w * h], dtype=np.uint8)
                     .astype(np.int64)
@@ -472,12 +484,7 @@ def scene_cuts(media: DataFrame, threshold: int = 100_000) -> DataFrame:
             }
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 blob = bytes(blob)
-                if blob[:4] != MAGIC:
-                    raise NotImplementedError(
-                        "real media decoding requires codec libraries "
-                        "not present in this environment"
-                    )
-                w, h = struct.unpack(">HH", blob[4:8])
+                w, h = _unpack_checked_header(mid, blob)
                 rows["media_id"].append(mid)
                 if h < 2 or w == 0:
                     rows["n_frames"].append(int(h))

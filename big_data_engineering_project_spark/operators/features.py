@@ -230,18 +230,20 @@ def auc_exact(
     rank cannot silently degenerate: the r9 verdict caught the old
     fixed 1.0 default collapsing every [0,1]-range classifier score
     into bucket 0, which sorted ALL distinct scores in one task.
-    An EXPLICIT width keeps the function fully lazy and is trusted —
-    pass one only when you know the score scale; a width wider than
-    the range reproduces the one-bucket hazard (use None if unsure).
+    An EXPLICIT width keeps the function fully lazy and is mostly
+    trusted — pass one only when you know the score scale — but a
+    width wider than HALF the observed score range FAILS LOUDLY at
+    execution (a plan-embedded raise_error guard on a broadcast 1-row
+    min/max of the distinct-score table): a too-wide explicit width is
+    exactly the r9 silent scale-killer, and it must never silently
+    reproduce the one-bucket single-task sort (use None if unsure).
     """
     keys = list(key_cols or [])
-    if bucket_width is None:
+    explicit_width = bucket_width is not None
+    if not explicit_width:
         # ONE eager min/max agg (the only time this function runs a
         # job at plan-build): derive a width that actually splits the
-        # observed range. Explicit widths stay fully lazy — but a
-        # width wider than HALF the score range still fails loudly,
-        # because a wrong explicit width is the r9 silent scale-killer
-        # (all [0,1] scores in bucket 0 → one-task sort).
+        # observed range.
         rng = df.agg(
             F.min(F.col(score_col).cast("double")).alias("lo"),
             F.max(F.col(score_col).cast("double")).alias("hi"),
@@ -264,6 +266,50 @@ def auc_exact(
         )
         .withColumn("__b", F.floor(F.col("__s") / F.lit(float(bucket_width))))
     )
+    if explicit_width:
+        # Loud-failure guard, still lazy: broadcast a 1-row min/max of
+        # the distinct-score table onto it and raise_error() at
+        # execution when the explicit width exceeds HALF the observed
+        # range (the width then cannot split the range — (nearly) all
+        # distinct scores land in one bucket and the two-level rank
+        # degenerates into a single-task sort, the r9 hazard). The
+        # guard term is arithmetic 0 on the pass path and is folded
+        # into __cnt so Catalyst cannot prune the check away. Empty
+        # input → NULL bounds → comparison NULL → pass (nothing to
+        # sort either way).
+        grng = g.groupBy().agg(
+            F.min(F.col("__s").cast("double")).alias("__lo"),
+            F.max(F.col("__s").cast("double")).alias("__hi"),
+        )
+        bad = (F.col("__hi") > F.col("__lo")) & (
+            F.lit(float(bucket_width))
+            > (F.col("__hi") - F.col("__lo")) / F.lit(2.0)
+        )
+        guard = (
+            F.when(
+                bad,
+                F.raise_error(
+                    F.format_string(
+                        "auc_exact: explicit bucket_width=%s exceeds half "
+                        "the observed score range [%s, %s]; (nearly) all "
+                        "distinct scores would fall into one bucket and "
+                        "the two-level rank would degenerate into a "
+                        "single-task sort. Pass bucket_width=None to "
+                        "derive a safe width from the range.",
+                        F.lit(str(float(bucket_width))),
+                        F.col("__lo"),
+                        F.col("__hi"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__guard")
+        )
+        g = (
+            g.crossJoin(F.broadcast(grng.select(guard)))
+            .withColumn("__cnt", F.col("__cnt") + F.col("__guard"))
+            .drop("__guard")
+        )
     w_in = (
         Window.partitionBy(*keys, "__b")
         .orderBy("__s")

@@ -273,6 +273,40 @@ def _rank_cells(
 # partition pruning on the parquet layout, not a post-scan filter).
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for `path` resolved through the session's
+    Hadoop configuration — the seam every index-directory operation
+    goes through so the SAME code runs against file://, hdfs://,
+    s3a://, abfs://... A driver-local os.listdir/shutil.rmtree only
+    exists on POSIX paths (r10 verdict task 1: the one part of the
+    persisted index that could not run on a real cluster)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_list_batches(spark, vectors_dir: str) -> list[str]:
+    """Sorted tags of the existing `batch=<tag>` child directories
+    under the index's vectors/ dir, via the Hadoop FileSystem API;
+    an absent dir is simply zero batches."""
+    fs, jpath = _hadoop_fs(spark, vectors_dir)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()[len("batch=") :]
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (the
+    rmtree analog that also exists on HDFS/S3); absent → no-op."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def build_ivf_index(
     vectors: DataFrame,
     index_path: str,
@@ -300,10 +334,9 @@ def build_ivf_index(
     # touch existing data, and REPLAYING an ingest overwrites its own
     # directory — exactly-once by construction, the property the
     # streaming twin (streaming/scd2.py:run_ivf_append_stream) rides.
-    # A build is a full REBUILD: prior batch dirs are cleared.
-    import shutil
-
-    shutil.rmtree(index_path + "/vectors", ignore_errors=True)
+    # A build is a full REBUILD: prior batch dirs are cleared (via the
+    # Hadoop FS API, so the clear works on HDFS/S3 paths too).
+    _fs_delete(spark, index_path + "/vectors")
     _assign_cells(vectors, cents, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(index_path + "/vectors/batch=base")
@@ -356,21 +389,20 @@ def ivf_index_append(
     the corpus is never re-read, re-clustered, or re-written (the ANN
     analog of appending shingle rows to the persisted R-S dedup
     index), and re-running the same tag REPLACES that batch instead
-    of duplicating it (idempotent ingest). `tag` defaults to
-    d<number-of-existing-batches>. Periodic centroid refits are a
-    REBUILD (new index path, atomic swap at the catalog level), not
-    an append."""
-    import os
-
+    of duplicating it (idempotent ingest). A default `tag` starts at
+    d<number-of-existing-batches> and PROBES FORWARD past any name
+    already taken (an explicitly-tagged or stream-written batch can
+    occupy the count-based name — overwriting it would silently drop
+    that batch's vectors); only an EXPLICIT tag may replace a batch.
+    Periodic centroid refits are a REBUILD (new index path, atomic
+    swap at the catalog level), not an append."""
     spark = new_vectors.sparkSession
     if tag is None:
-        vecs_dir = index_path + "/vectors"
-        existing = (
-            [d for d in os.listdir(vecs_dir) if d.startswith("batch=")]
-            if os.path.isdir(vecs_dir)
-            else []
-        )
-        tag = f"d{len(existing)}"
+        existing = set(_fs_list_batches(spark, index_path + "/vectors"))
+        n = len(existing)
+        while f"d{n}" in existing:
+            n += 1
+        tag = f"d{n}"
     cents = load_ivf_centroids(spark, index_path)
     _assign_cells(new_vectors, cents, id_col, vec_col).write.mode(
         "overwrite"

@@ -790,7 +790,7 @@ def kll_summary(
     df: DataFrame,
     value_col: str,
     k: int = 256,
-    n_shards: int | None = 32,
+    n_shards: int | None = None,
     id_col: str | None = None,
     rows_per_shard_target: int = 1_000_000,
 ) -> DataFrame:
@@ -805,10 +805,15 @@ def kll_summary(
     shuffle), so each pandas group holds one row per DISTINCT value,
     not per input row, and the build inserts counts exactly via
     binary weight decomposition (_kll_build_weighted, zero insert
-    error); (2) pass n_shards=None to auto-scale the shard count from
-    the row count so even an all-distinct column stays under
-    ~rows_per_shard_target rows per group. Both paths are
-    bit-deterministic in the multiset."""
+    error); (2) the DEFAULT n_shards=None auto-scales the shard count
+    from the row count so even an all-distinct CONTINUOUS column
+    stays under ~rows_per_shard_target rows per group — the scale-
+    safe path is the default (r10 verdict: a fixed 32 silently
+    recreates O(n/32)-row pandas groups on all-distinct columns);
+    pass an explicit integer only to pin a layout (the registered
+    queries pin 32 for artifact stability — their FLOOR(value*1000)
+    quantization bounds distinct-per-shard regardless). Both paths
+    are bit-deterministic in the multiset (auto depends only on n)."""
     import pandas as pd
 
     if n_shards is None:
@@ -949,7 +954,7 @@ def kll_summary_by_key(
     key_cols: list[str],
     value_col: str,
     k: int = 256,
-    n_shards: int | None = 32,
+    n_shards: int | None = None,
     id_col: str | None = None,
     rows_per_shard_target: int = 1_000_000,
 ) -> DataFrame:
@@ -960,8 +965,9 @@ def kll_summary_by_key(
     single-task fold anywhere). Output one row per key:
     (key_cols..., n, err_bound, vs, ws). Build groups are bounded the
     same two ways as kll_summary: weighted-distinct pre-collapse per
-    (key, shard) plus optional n_shards=None auto-scaling from the
-    row count. Key columns keep their true schema types."""
+    (key, shard) plus the DEFAULT n_shards=None auto-scaling from the
+    row count (explicit integers only pin a layout — see kll_summary).
+    Key columns keep their true schema types."""
     import pandas as pd
 
     if n_shards is None:

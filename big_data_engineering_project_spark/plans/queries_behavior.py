@@ -1575,7 +1575,9 @@ ORDER BY cohort
     "eager agg, closing the r9 degenerate-default hazard where "
     "[0,1]-range scores all landed in bucket 0 and the two-level "
     "rank silently became a single-task sort (explicit widths stay "
-    "lazy and are documented as trusted). Cohort key = event_id % 4 "
+    "lazy but carry a plan-embedded raise_error guard that fails any "
+    "width wider than half the observed range). Cohort key = "
+    "event_id % 4 "
     "(independent of the purchase label, so both classes appear per "
     "key); the oracle is the naive per-key window "
     "(operators/features.py:auc_exact)",

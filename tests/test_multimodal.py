@@ -218,3 +218,17 @@ def test_scene_cuts_reference_and_edge_cases(spark):
     r = scene_cuts(df, T).collect()[0]
     assert (r["n_frames"], r["n_cuts"], r["first_cut"]) == (1, 0, -1)
     assert (r["max_diff"], r["total_diff"]) == (0, 0)
+
+    # r10 ADVICE #3: a TRUNCATED blob (header declares more payload
+    # than the blob holds) must fail with a descriptive per-row error
+    # naming the media_id, not an opaque reshape ValueError
+    import pytest
+
+    trunc = MAGIC + _s.pack(">HH", 6, 4) + bytes(range(10))  # needs 24
+    bad = spark.createDataFrame(
+        [Row(media_id=13, kind="video", width=6, height=4, blob=trunc)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        scene_cuts(bad, T).collect()
+    assert "media_id=13" in str(exc.value) and "truncated" in str(exc.value)
