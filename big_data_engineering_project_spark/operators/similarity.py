@@ -426,7 +426,13 @@ def ivf_index_topk(
     exact scan — probe-all over the index equals brute_force_topk
     over the same vectors bit-for-bit (same double fold), which is
     the registered query's oracle anchor; recall at n_probe <
-    n_cells is the usual IVF trade (pytest-pinned on the fixture)."""
+    n_cells is the usual IVF trade (pytest-pinned on the fixture).
+
+    SINGLE-query-per-call shape: the query vector is pulled with
+    `first()` so the probe list can be a literal isin (static
+    partition pruning). Serving a BATCH of queries this way would run
+    one job per query — use `ivf_index_topk_batch`, which keeps the
+    queries distributed and probes via dynamic partition pruning."""
     cents = load_ivf_centroids(spark, index_path)
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
     probe_cells = _rank_cells(qvec, cents, n_probe)
@@ -440,6 +446,69 @@ def ivf_index_topk(
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_index_topk_batch(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve MANY queries against the persisted IVF index in ONE plan
+    — the retrieval serving shape (r10 verdict task 8;
+    `ivf_index_topk` is the single-query special case):
+
+    1. Probe selection is PURE CATALYST: the query frame broadcast-
+       crossJoins the stored centroid table (≤ n_cells tiny rows) and
+       a per-query row_number keeps the n_probe highest-affinity
+       cells (same fold cosine the cells were assigned with; ties →
+       lowest cell, matching _rank_cells). No collect of the queries.
+    2. The vector scan equi-joins the broadcast (query, cell, qvec)
+       probe pairs ON THE PARTITION COLUMN — Spark's dynamic
+       partition pruning turns the broadcast side into a runtime
+       partition filter on the parquet layout, the multi-query analog
+       of the single-query literal isin (plan-asserted in pytest).
+    3. Scoring touches only (vector, query) pairs sharing a probed
+       cell (each vector lives in exactly one cell, so a pair scores
+       at most once); per-query top-k is row_number over
+       Window.partitionBy(query) — WindowGroupLimit per-partition
+       heaps, never a single-partition sort.
+
+    Output: (query_id, vec_id, cosine), k rows per query ranked by
+    (cosine DESC, vec_id ASC). n_probe = n_cells degrades to exact
+    per-query brute force over the index — the registered query's
+    oracle anchor; recall at n_probe < n_cells is pytest-pinned."""
+    cent = spark.read.parquet(index_path + "/centroids")
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        as_double(F.col(vec_col)).alias("__q"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.desc("__aff"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__aff", cosine_col(F.col("__q"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("__qid", "__q", "cell")
+    )
+    vecs = spark.read.parquet(index_path + "/vectors")
+    scored = vecs.join(F.broadcast(probes), "cell").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_col(F.col("vec"), F.col("__q")).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 
@@ -772,4 +841,69 @@ def rrf_fuse(
         )
         .orderBy(F.desc("rrf_score"), F.asc(item_col))
         .limit(top_k)
+    )
+
+
+def rrf_fuse_by_key(
+    scored: list[DataFrame],
+    key_col: str,
+    item_col: str,
+    score_col: str,
+    k0: int = 60,
+    shortlist: int = 100,
+    top_k: int = 20,
+) -> DataFrame:
+    """PER-QUERY reciprocal-rank fusion — the production shape of
+    `rrf_fuse` (r10 verdict task 3: hybrid search serves thousands of
+    queries per batch, each fusing its own per-signal candidate
+    lists). Each `scored` frame carries (key, item, score) rows for
+    EVERY query key; per signal, ranks come from row_number over
+    Window.partitionBy(key).orderBy(score DESC, item ASC) with
+    rank ≤ shortlist — Catalyst's WindowGroupLimit pushes the rank
+    filter into per-partition top-shortlist heaps before the window
+    shuffle, and there is NO single-partition window anywhere
+    (strictly better than the global form, whose one allowlisted
+    single-partition sort this keyed form eliminates). Fusion is one
+    groupBy on (key, item) over ≤ keys·signals·shortlist rows; the
+    final per-key top_k is another keyed window over the fused rows.
+    Weights are the same frozen-integer RRF_SCALE DIV (k0 + rank) as
+    rrf_fuse, so fused scores are exact integers on both engines.
+    Output: (key, item, rrf_score, n_lists), top_k rows per key by
+    (rrf DESC, item ASC). `rrf_fuse` is the degenerate single-key
+    case of this shape."""
+    parts = []
+    for df in scored:
+        w = Window.partitionBy("__k").orderBy(
+            F.desc("__s"), F.asc("__item")
+        )
+        parts.append(
+            df.select(
+                F.col(key_col).alias("__k"),
+                F.col(item_col).alias("__item"),
+                F.col(score_col).alias("__s"),
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= shortlist)
+            .select(
+                "__k",
+                "__item",
+                F.expr(f"{RRF_SCALE} DIV ({k0} + __r)").alias("__w"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(
+        F.col("__k").alias(key_col), F.col("__item").alias(item_col)
+    ).agg(
+        F.sum("__w").cast("long").alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    wk = Window.partitionBy(key_col).orderBy(
+        F.desc("rrf_score"), F.asc(item_col)
+    )
+    return (
+        fused.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= top_k)
+        .drop("__rk")
     )

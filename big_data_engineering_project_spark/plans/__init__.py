@@ -137,7 +137,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # family keeps a gate member via the RRF fusion layer, and the
     # trigram phrase index stays exact-oracle-green in every FULL
     # sweep)
-    "q_hybrid_search_rrf",
+    # (q_hybrid_search_rrf, gate-green r10 + judge-verified, demoted
+    # for the round-11 KEYED RRF newborn — the production per-query
+    # fusion shape, of which the global form is the degenerate
+    # single-key case; the global query stays exact-oracle-green in
+    # every FULL sweep)
+    "q_hybrid_search_rrf_by_query",
     # (q_dimension_asof, gate-green r9, demoted for the round-10
     # MAP@k newborn — newborn-slot policy; the temporal family keeps
     # TWAP + spike-overlap + order-concurrency under the gate and the
@@ -194,7 +199,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # + the r7 HDR log-bucket relative-error twin
     # (q_kmv_set_ops, 2× gate-green, demoted for the newborn
     # q_top_journeys — the daily merge keeps the KMV algebra gated)
-    "q_embedding_int8_topk",
+    # (q_embedding_int8_topk, 3× gate-green r8/r9/r10, demoted for
+    # the round-11 BATCHED IVF serving newborn — newborn-slot policy;
+    # the int8 quantized ANN stays exact-oracle-green in every FULL
+    # sweep, and the similarity family keeps LSH-neardups + the
+    # persisted-IVF member + both RRF registrations across gate+sweep)
+    "q_embedding_ivf_batch_topk",
     # (q_top_journeys, gate-green r7 + headline-benched, demoted for
     # the round-8 newborn Merkle-bucket incremental diff)
     "q_incremental_snapshot_diff",
@@ -237,7 +247,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_ks_value_drift, gate-green r8, demoted for the round-9
     # per-key KLL newborn — newborn-slot policy; the anomaly family
     # keeps seasonal + trend + Theil-Sen under the gate)
-    "q_kll_quantiles_by_type",
+    # (q_kll_quantiles_by_type, rows-only gate rows committed r9+r10
+    # WITH invariants, demoted for the round-11 BIGINT-keyed KLL
+    # newborn — same by-key code path but the key column is LONG
+    # end-to-end, pinning the r9 ADVICE #2 dtype-derivation fix
+    # under the committed gate; the string-keyed row stays in every
+    # FULL sweep)
+    "q_kll_quantiles_by_user",
     # Round-8 late newborns: the anomaly family's seasonal member and
     # the sufficient-statistics OLS trend. Demoted for them:
     # q_user_set_ops (gate-green r7; semi/anti planning stays gated

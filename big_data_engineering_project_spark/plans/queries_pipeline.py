@@ -523,6 +523,39 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pid_scoped_index_path(prefix: str, sf_dir: str) -> str:
+    """Per-process /tmp index location for a fixture-built ANN index:
+    two concurrent sessions (sweep + pytest) racing one shared path
+    would read each other's half-written builds, so each process owns
+    `<stem>_<pid>`. Siblings left by DEAD processes are reaped so
+    repeated sweeps/benches can't accumulate stale index copies in
+    /tmp. (POSIX calls are fine HERE — this is the fixture-temp-dir
+    layer, not the index plumbing, which goes through the Hadoop FS
+    seam in operators/similarity.py.)"""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    stem = os.path.join(
+        tempfile.gettempdir(),
+        prefix + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    for old in glob.glob(stem + "_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # 0-signal probe: raises if pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave its index
+    return f"{stem}_{os.getpid()}"
+
+
 @register(
     "q_embedding_ivf_incremental",
     oracle=f"""
@@ -551,10 +584,6 @@ LIMIT 12
     ),
 )
 def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
     day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
@@ -566,35 +595,78 @@ def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in corpus.orderBy("vec_id").limit(n_cells).collect()
     ]
-    # per-process path: the index is rebuilt per call anyway, and two
-    # concurrent sessions (sweep + pytest) racing one shared path
-    # would read each other's half-written builds. Siblings left by
-    # DEAD processes are reaped here so repeated sweeps/benches can't
-    # accumulate stale index copies in /tmp.
-    import glob
-    import shutil
-
-    stem = os.path.join(
-        tempfile.gettempdir(),
-        "bde_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    for old in glob.glob(stem + "_*"):
-        try:
-            pid = int(old.rsplit("_", 1)[1])
-        except ValueError:
-            continue
-        try:
-            os.kill(pid, 0)  # 0-signal probe: raises if pid is gone
-        except ProcessLookupError:
-            shutil.rmtree(old, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another user: leave its index
-    index_path = f"{stem}_{os.getpid()}"
+    index_path = _pid_scoped_index_path("bde_ivf_", sf_dir)
     similarity.build_ivf_index(corpus, index_path, cents)
     similarity.ivf_index_append(day1, index_path)
     return similarity.ivf_index_topk(
         spark, index_path, query, k=12, n_probe=n_cells
     )
+
+
+_IVF_BATCH_K = 8
+
+
+@register(
+    "q_embedding_ivf_batch_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id NOT IN (1, 2, 3)),
+scored AS (SELECT query_id, vec_id, {_COS} AS cosine FROM d, q)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {_IVF_BATCH_K}
+ORDER BY query_id, cosine DESC, vec_id ASC
+""",
+    doc="BATCHED IVF index serving (r10 verdict task 8 — the "
+    "retrieval shape at scale: thousands of queries per batch, one "
+    "plan): three query vectors rank the persisted index's frozen "
+    "centroids per query IN CATALYST (broadcast centroid crossJoin + "
+    "keyed row_number — no per-query driver round-trip), the vector "
+    "scan joins the broadcast probe pairs on the PARTITION column "
+    "(dynamic partition pruning, the multi-query analog of the "
+    "single-query literal isin), and per-query top-k is a keyed "
+    "WindowGroupLimit. Probe-all makes every per-query top-k EXACT — "
+    "the oracle is per-query brute force over the corpus; the "
+    "n_probe < n_cells recall trade and the DPP plan shape are "
+    "pytest-pinned. Headline: the pid-scoped index is built once and "
+    "reused across bench reps (build-if-absent marker), so the timed "
+    "path is the SERVE, not the build "
+    "(operators/similarity.py:ivf_index_topk_batch)",
+    headline=True,
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivf_index_topk_batch_dpp_and_recall",
+    ),
+)
+def q_embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_cells = 8
+    index_path = _pid_scoped_index_path("bde_ivfb_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    # build-if-absent: index content is deterministic per sf_dir and
+    # the path is pid-scoped, so repeated calls (bench reps, sweep +
+    # gate in one process) reuse one build instead of rebuilding
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(n_cells).collect()
+        ]
+        similarity.build_ivf_index(corpus, index_path, cents)
+        open(marker, "w").close()
+    return similarity.ivf_index_topk_batch(
+        spark, index_path, queries, k=_IVF_BATCH_K, n_probe=n_cells
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
 
 
 # τ sits below the fixture's max within-block cosine (≈0.475 at
@@ -4117,6 +4189,46 @@ def q_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q_label")
 
 
+@register(
+    "q_kll_quantiles_by_user",
+    oracle=None,  # iterative compactor hierarchy — rows-only; the
+    # LONG-key Arrow round-trip + per-key certified bound are
+    # pytest-pinned (invariants below).
+    doc="Per-user-cohort certified-bound KLL quantiles keyed on a "
+    "BIGINT column end-to-end (r10 verdict task 4: every other "
+    "registered keyed-sketch query keys on a string, so the r9 "
+    "ADVICE #2 dtype-derivation fix — key schemas read from "
+    "df.schema at the applyInPandas Arrow boundary, "
+    "operators/sketches.py:_key_schema_ddl — sat only under pytest; "
+    "this row pins it under the driver gate permanently). Cohort = "
+    "pmod(user_id, 8) stays LONG through build, merge, and read-off "
+    "(operators/sketches.py:kll_summary_by_key)",
+    tags=("pipeline", "sketch", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_kll_by_key_long_key_schema",
+        "tests/test_operators.py::test_kll_by_key_bound_per_key_and_matches_global_path",
+        "tests/test_properties.py::test_kll_certified_rank_bound_on_any_multiset",
+    ),
+)
+def q_kll_quantiles_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sketches import (
+        kll_quantiles_by_key,
+        kll_summary_by_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("user_cohort"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v"),
+    )
+    s = kll_summary_by_key(
+        ev, ["user_cohort"], "v", k=256, n_shards=32, id_col="event_id"
+    )
+    return kll_quantiles_by_key(
+        s, ["user_cohort"], [(1, 2, "p50"), (9, 10, "p90")]
+    ).orderBy("user_cohort", "q_label")
+
+
 _RRF_K0 = 60
 _RRF_SHORTLIST = 50
 _RRF_TOPK = 20
@@ -4204,3 +4316,127 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_RRF_SHORTLIST,
         top_k=_RRF_TOPK,
     )
+
+
+# Keyed hybrid search: three concurrent queries, each a (term, query
+# embedding) pair over the aligned doc/vec id space. Key = query id.
+_RRF_QUERIES = ((1, "join"), (2, "scan"), (3, "merge"))
+_RRF_BY_QUERY_TOPK = 10
+
+
+def _rrf_by_query_oracle() -> str:
+    terms_values = ", ".join(f"({qk}, '{t}')" for qk, t in _RRF_QUERIES)
+    qids = ", ".join(str(qk) for qk, _t in _RRF_QUERIES)
+    return f"""
+WITH terms(qk, term) AS (VALUES {terms_values}),
+lex AS (
+  SELECT CAST(t.qk AS BIGINT) AS qk, d.doc_id AS item,
+         len(list_filter(string_split(lower(d.text), ' '),
+                         x -> x = t.term)) AS s
+  FROM documents d, terms t
+),
+lex_short AS (
+  SELECT qk, item, r FROM (
+    SELECT qk, item,
+           ROW_NUMBER() OVER (PARTITION BY qk
+                              ORDER BY s DESC, item ASC) AS r
+    FROM lex
+  ) WHERE r <= {_RRF_SHORTLIST}
+),
+q AS (
+  SELECT vec_id AS qk, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+vecscore AS (
+  SELECT q.qk, v.item, {_COS} AS s
+  FROM (SELECT vec_id AS item, embedding::DOUBLE[] AS e
+        FROM embeddings) v, q
+),
+vec_short AS (
+  SELECT qk, item, r FROM (
+    SELECT qk, item,
+           ROW_NUMBER() OVER (PARTITION BY qk
+                              ORDER BY s DESC, item ASC) AS r
+    FROM vecscore
+  ) WHERE r <= {_RRF_SHORTLIST}
+),
+unioned AS (
+  SELECT qk, item, 2000000000000 // ({_RRF_K0} + r) AS w FROM lex_short
+  UNION ALL
+  SELECT qk, item, 2000000000000 // ({_RRF_K0} + r) AS w FROM vec_short
+),
+fused AS (
+  SELECT qk, item, CAST(SUM(w) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM unioned GROUP BY qk, item
+)
+SELECT qk, item, rrf_score, n_lists FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qk
+                               ORDER BY rrf_score DESC, item ASC) AS rk
+  FROM fused
+) WHERE rk <= {_RRF_BY_QUERY_TOPK}
+ORDER BY qk, rrf_score DESC, item ASC
+"""
+
+
+@register(
+    "q_hybrid_search_rrf_by_query",
+    oracle=_rrf_by_query_oracle(),
+    doc="PER-QUERY hybrid retrieval fusion (r10 verdict task 3 — the "
+    "production shape): three concurrent queries, each a (lexical "
+    "term, query embedding) pair, fuse their own candidate lists via "
+    "reciprocal-rank fusion keyed by query id. Per signal the "
+    "shortlist is row_number over Window.partitionBy(query key) with "
+    "rank ≤ shortlist — WindowGroupLimit per-partition heaps, NO "
+    "single-partition window anywhere (the global q_hybrid_search_rrf "
+    "is the degenerate single-key case); fusion is one groupBy on "
+    "(key, item), and the per-key top-k is a second keyed window over "
+    "the fused rows. Frozen integer RRF_SCALE DIV (k0 + rank) weights "
+    "— fused scores exact on both engines "
+    "(operators/similarity.py:rrf_fuse_by_key)",
+    headline=True,
+    tags=("pipeline", "similarity"),
+)
+def q_hybrid_search_rrf_by_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_engineering_project_spark.operators.similarity import (
+        as_double,
+        cosine_col,
+        rrf_fuse_by_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        list(_RRF_QUERIES), "qk LONG, term STRING"
+    )
+    lex = docs.crossJoin(F.broadcast(terms)).select(
+        "qk",
+        F.col("doc_id").alias("item"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x == F.col("term"),
+            )
+        ).alias("s"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [qk for qk, _t in _RRF_QUERIES]
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qk"),
+        as_double(F.col("embedding")).alias("_q"),
+    )
+    vec = emb.crossJoin(F.broadcast(qv)).select(
+        "qk",
+        F.col("vec_id").alias("item"),
+        cosine_col(as_double(F.col("embedding")), F.col("_q")).alias("s"),
+    )
+    return rrf_fuse_by_key(
+        [lex, vec],
+        "qk",
+        "item",
+        "s",
+        k0=_RRF_K0,
+        shortlist=_RRF_SHORTLIST,
+        top_k=_RRF_BY_QUERY_TOPK,
+    ).orderBy("qk", F.desc("rrf_score"), "item")

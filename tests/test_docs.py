@@ -40,6 +40,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
         "q_kll_value_quantiles",  # iterative compactor hierarchy (certified-bound property pytest)
         "q_kll_quantiles_by_type",  # per-key compactor hierarchy (per-key bound + path-equality pytest)
+        "q_kll_quantiles_by_user",  # BIGINT-keyed compactor hierarchy (LONG-key Arrow round-trip pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only

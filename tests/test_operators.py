@@ -3603,6 +3603,68 @@ def test_ivf_index_persist_append_probe(spark, sf_dir, tmp_path):
     assert recall >= 0.4, recall  # kmeans cells concentrate neighbors
 
 
+def test_ivf_index_topk_batch_dpp_and_recall(spark, sf_dir, tmp_path):
+    """Batched IVF serving (r10 verdict task 8): (a) probe-all over
+    the index equals per-query brute force bit-for-bit for EVERY
+    query in the batch; (b) the partial-probe scan's PartitionFilters
+    carry a dynamicpruning expression on the cell column — the
+    broadcast probe pairs prune index partitions at runtime, the
+    multi-query analog of the single-query literal isin; (c) partial
+    probes still reach useful recall; (d) per-query output is capped
+    at k via the keyed window."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [1, 2, 3]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centers(corpus, k=6, seed=7)
+    idx = str(tmp_path / "ivf_batch")
+    build_ivf_index(corpus, idx, cents)
+
+    k = 10
+    got = ivf_index_topk_batch(spark, idx, queries, k=k, n_probe=6)
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert sorted(by_q) == qids
+    for qid in qids:
+        q1 = emb.filter(F.col("vec_id") == qid).select("embedding")
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(corpus, q1, k=k).collect()
+        ]
+        assert (
+            sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == exact
+        ), qid
+
+    partial = ivf_index_topk_batch(spark, idx, queries, k=k, n_probe=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        partial._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "dynamicpruning" in pf.lower(), pf
+    hits = 0
+    pk: dict = {}
+    for r in partial.collect():
+        pk.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        assert len(pk[qid]) <= k
+        q1 = emb.filter(F.col("vec_id") == qid).select("embedding")
+        exact_ids = {
+            r["vec_id"] for r in brute_force_topk(corpus, q1, k=k).collect()
+        }
+        hits += len(exact_ids & {v for v, _ in pk[qid]})
+    assert hits / (k * len(qids)) >= 0.4  # kmeans cells concentrate
+
+
 def test_ivf_index_hadoop_fs_scheme_and_tag_probe(spark, sf_dir, tmp_path):
     """r10 verdict task 1 + ADVICE #2: every index-directory operation
     goes through the Hadoop FileSystem API, so the full build → append
@@ -3658,6 +3720,54 @@ def test_ivf_index_hadoop_fs_scheme_and_tag_probe(spark, sf_dir, tmp_path):
     build_ivf_index(corpus, idx, cents)
     assert _fs_list_batches(spark, idx + "/vectors") == ["base"]
     assert spark.read.parquet(idx + "/vectors").count() == corpus.count()
+
+
+def test_rrf_fuse_by_key_matches_global_per_key(spark):
+    """Keyed RRF (r10 verdict task 3): for every key, the keyed fusion
+    equals running the global rrf_fuse on that key's slice alone; and
+    the keyed plan carries NO single-partition window — the rank ≤
+    shortlist filter runs as WindowGroupLimit per-partition heaps."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        rrf_fuse,
+        rrf_fuse_by_key,
+    )
+
+    # two signals over two query keys with different rankings per key
+    sig1 = spark.createDataFrame(
+        [(k, i, float((i * 7 + k * 13) % 50)) for k in (1, 2) for i in range(40)],
+        "k LONG, item LONG, s DOUBLE",
+    )
+    sig2 = spark.createDataFrame(
+        [(k, i, float((i * 11 + k * 3) % 50)) for k in (1, 2) for i in range(40)],
+        "k LONG, item LONG, s DOUBLE",
+    )
+    keyed = rrf_fuse_by_key(
+        [sig1, sig2], "k", "item", "s", k0=60, shortlist=15, top_k=5
+    )
+    rows = keyed.collect()
+    assert sorted({r["k"] for r in rows}) == [1, 2]
+    for key in (1, 2):
+        per_key = sorted(
+            (r["item"], r["rrf_score"], r["n_lists"])
+            for r in rows
+            if r["k"] == key
+        )
+        glob = rrf_fuse(
+            [sig1.filter(F.col("k") == key), sig2.filter(F.col("k") == key)],
+            "item",
+            "s",
+            k0=60,
+            shortlist=15,
+            top_k=5,
+        )
+        assert per_key == sorted(
+            (r["item"], r["rrf_score"], r["n_lists"]) for r in glob.collect()
+        )
+        assert len(per_key) == 5
+    plan = keyed._sc._jvm.PythonSQLUtils.explainString(
+        keyed._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
 
 
 def test_auc_range_derived_bucket_width(spark):

@@ -90,6 +90,20 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_kmv_set_ops": "1-row sketch x 1-row sketch",
     "q_join_size_forecast": "1-row forecast stamp",
     "q_hybrid_search_rrf": "1-row broadcast query vector (vector signal)",
+    "q_hybrid_search_rrf_by_query": (
+        "broadcast query-batch tables: |queries|-row term list + "
+        "|queries|-row query-vector frame (3 here; bounded by the "
+        "serving batch, never the corpus)"
+    ),
+    "q_embedding_ivf_batch_topk": (
+        "broadcast <= n_cells centroid table for the Catalyst probe "
+        "ranking (queries x n_cells affinity grid; n_cells <= 4096 "
+        "by index construction)"
+    ),
+    "q_purchase_auc": (
+        "1-row min/max guard stamp (the explicit-bucket-width "
+        "raise_error guard broadcast onto the distinct-score table)"
+    ),
     "q_vocab_coverage": "1-row totals stamp",
     # judge-audited r7: "all 18 crossJoin sites carry 1-row or
     # group-cardinality aggregates" — the scalar-subquery stamps below
