@@ -519,7 +519,16 @@ def main() -> None:
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[spec.name] = round(statistics.median(runs), 3)
-        detail[spec.name] = {"runs": runs, "n": reps, "rows": n}
+        # {sec, runs}: the median IS the round-over-round number, the
+        # runs array is the drift-adjudication evidence (r10 verdict
+        # task 5 — per-run arrays live in the committed artifact, not
+        # just stderr/SCALING.md tables)
+        detail[spec.name] = {
+            "sec": timings[spec.name],
+            "runs": runs,
+            "n": reps,
+            "rows": n,
+        }
         print(
             f"# {spec.name}: median={timings[spec.name]}s runs={runs} rows={n}",
             file=sys.stderr,

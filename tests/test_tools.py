@@ -37,6 +37,51 @@ def test_salvage_raises_when_queries_gone():
         bench_diff.salvage('"calibration": {"pre_sec": 1}}')
 
 
+def test_query_sec_reads_both_artifact_shapes():
+    # scalar (BENCH_r*.json), {sec, runs} (BENCH_DETAIL.json), and the
+    # legacy {runs}-only detail entry (pre-r11 BENCH_DETAIL shape)
+    assert bench_diff._query_sec(1.25) == 1.25
+    assert bench_diff._query_sec({"sec": 0.9, "runs": [1.0, 0.9, 0.8]}) == 0.9
+    assert bench_diff._query_sec({"runs": [1.0, 0.9, 0.8]}) == 0.9
+
+
+def test_load_prefers_detail_map_and_dual_probe(tmp_path):
+    detail = {
+        "queries": {"q_a": 1.0},
+        "queries_detail": {"q_a": {"sec": 1.1, "runs": [1.2, 1.1, 1.0]}},
+        "calibration": {
+            "pre_sec": 2.0,
+            "post_sec": 2.2,
+            "python_pre_sec": 0.5,
+            "python_post_sec": 0.7,
+        },
+    }
+    p = tmp_path / "detail.json"
+    p.write_text(json.dumps(detail))
+    doc = bench_diff.load(str(p))
+    assert bench_diff._query_sec(doc["queries"]["q_a"]) == 1.1
+    assert bench_diff.probe_sec(doc, "jvm") == 2.1
+    assert bench_diff.probe_sec(doc, "py") == 0.6
+    # compact stdout-line key spelling for the Python probe
+    compact = {"queries": {"q_a": 1.0},
+               "calibration": {"py_pre": 0.4, "py_post": 0.6}}
+    p2 = tmp_path / "compact.json"
+    p2.write_text(json.dumps(compact))
+    assert bench_diff.probe_sec(bench_diff.load(str(p2)), "py") == 0.5
+
+
+def test_planaudit_python_path_classification():
+    path = os.path.join(ROOT, "PLANAUDIT.json")
+    classes = bench_diff.load_python_path_classes(path)
+    # the Arrow-seam families must classify as python-path; pure
+    # Catalyst queries must not
+    assert "q_media_histogram_topk" in classes
+    assert "q_video_scene_cuts" in classes
+    assert "q_kll_value_quantiles" in classes
+    assert "q_counts_by_type" not in classes
+    assert "q_hybrid_search_rrf_by_query" not in classes
+
+
 def test_load_reads_every_committed_bench_artifact():
     import glob
 

@@ -3,16 +3,32 @@ BENCH artifact, with the noise ledger's thresholds applied.
 
 Usage: python tools/bench_diff.py BENCH_r04.json BENCH_r05.json
        python tools/bench_diff.py BENCH_r04.json /tmp/bench_now.json
+       python tools/bench_diff.py --planaudit PLANAUDIT.json OLD NEW
 
-Accepts either the driver artifact shape ({"parsed": {...}}) or
-bench.py's raw stdout line shape ({"queries": {...}}). Queries present
-in only one file are listed separately so added/removed headliners
-can't silently skew the total.
+Accepts the driver artifact shape ({"parsed": {...}}), bench.py's raw
+stdout line shape ({"queries": {...}}), and BENCH_DETAIL.json's
+{sec, runs} per-query entries (the runs arrays ride along and are
+shown for flagged queries). Queries present in only one file are
+listed separately so added/removed headliners can't silently skew the
+total.
+
+DUAL-PROBE normalization (r10 verdict task 6): queries are classified
+JVM-pure vs Python-path from PLANAUDIT.json's per-query `python_path`
+field (the plan audit greps each physical plan for ArrowEvalPython /
+MapInPandas / FlatMapGroupsInPandas nodes), and each class is
+normalized by ITS OWN calibration probe — JVM-CPU for pure plans, the
+mapInPandas Python-worker probe for Arrow-seam plans. The r10 final
+bench measured q_media_histogram_topk drifting 2.5x raw while every
+JVM query normalized to 1.00x: exactly the drift class the JVM probe
+cannot see. Without a PLANAUDIT file (or for unlisted queries) the
+JVM probe is used for everything, as before.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
 
 
@@ -70,6 +86,19 @@ def salvage(tail: str) -> dict:
     return doc
 
 
+def _query_sec(v) -> float:
+    """Scalar seconds from either artifact shape: a bare number
+    (BENCH_r*.json) or a {sec, runs} detail entry (BENCH_DETAIL.json;
+    a legacy {runs} entry without `sec` falls back to the median)."""
+    if isinstance(v, dict):
+        if v.get("sec") is not None:
+            return float(v["sec"])
+        if v.get("runs"):
+            return float(statistics.median(v["runs"]))
+        raise ValueError(f"query entry with neither sec nor runs: {v}")
+    return float(v)
+
+
 def load(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
@@ -78,58 +107,153 @@ def load(path: str) -> dict:
             doc = doc["parsed"]
         else:  # truncated driver capture (e.g. BENCH_r07.json)
             doc = salvage(doc.get("tail", ""))
+    # Prefer the {sec, runs} detail map when present — same medians,
+    # plus per-run arrays for the flagged-query evidence lines.
+    detail = doc.get("queries_detail")
+    if detail:
+        doc = {**doc, "queries": detail}
+    doc["queries"] = {k: v for k, v in doc["queries"].items()}
     return doc
 
 
-def probe_sec(doc: dict) -> float | None:
-    """Median-ish calibration figure from an artifact: the mean of the
-    pre/post probe runs (both are medians of REPS already)."""
+def _runs_of(doc: dict, name: str) -> list[float] | None:
+    v = doc["queries"].get(name)
+    if isinstance(v, dict):
+        return v.get("runs")
+    return None
+
+
+def probe_sec(doc: dict, kind: str = "jvm") -> float | None:
+    """Calibration figure from an artifact: mean of the pre/post probe
+    medians. kind='jvm' reads the CPU probe; kind='py' reads the
+    Python-worker probe (compact keys py_pre/py_post, full-payload
+    keys python_pre_sec/python_post_sec)."""
     cal = doc.get("calibration") or {}
-    pre, post = cal.get("pre_sec"), cal.get("post_sec")
+    if kind == "jvm":
+        pre, post = cal.get("pre_sec"), cal.get("post_sec")
+    else:
+        pre = cal.get("py_pre", cal.get("python_pre_sec"))
+        post = cal.get("py_post", cal.get("python_post_sec"))
     if pre and post:
         return (pre + post) / 2.0
     return None
 
 
+def load_python_path_classes(planaudit: str) -> set[str]:
+    """Names of queries whose physical plan crosses a Python worker,
+    from PLANAUDIT.json's per-query python_path field."""
+    with open(planaudit) as fh:
+        doc = json.load(fh)
+    return {
+        name
+        for name, q in doc.get("queries", {}).items()
+        if q.get("python_path")
+    }
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    args = sys.argv[1:]
+    planaudit = None
+    if args and args[0] == "--planaudit":
+        planaudit = args[1]
+        args = args[2:]
+    if len(args) != 2:
         print(__doc__)
         return 2
-    old_doc, new_doc = load(sys.argv[1]), load(sys.argv[2])
-    old, new = old_doc["queries"], new_doc["queries"]
-    # Probe normalization: if both artifacts carry the CPU-bound
-    # calibration probe, divide the raw ratio by the probe ratio —
-    # what's left is plan/engine change, not host-speed drift.
-    po, pn = probe_sec(old_doc), probe_sec(new_doc)
-    probe_ratio = (pn / po) if (po and pn) else None
+    if planaudit is None:
+        default = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLANAUDIT.json",
+        )
+        planaudit = default if os.path.exists(default) else None
+    py_class: set[str] = set()
+    if planaudit:
+        try:
+            py_class = load_python_path_classes(planaudit)
+        except (OSError, json.JSONDecodeError, KeyError) as exc:
+            print(f"# PLANAUDIT unreadable ({exc}); JVM probe only")
+    old_doc, new_doc = load(args[0]), load(args[1])
+    old = {n: _query_sec(v) for n, v in old_doc["queries"].items()}
+    new = {n: _query_sec(v) for n, v in new_doc["queries"].items()}
+    # Dual-probe normalization: divide each raw ratio by the probe
+    # ratio of the query's OWN resource class — what's left is
+    # plan/engine change, not host-speed or Python-worker drift.
+    ratios: dict[str, float | None] = {}
+    for kind in ("jvm", "py"):
+        po, pn = probe_sec(old_doc, kind), probe_sec(new_doc, kind)
+        ratios[kind] = (pn / po) if (po and pn) else None
+    if ratios["py"] is None:  # older artifacts lack the Python probe
+        ratios["py"] = ratios["jvm"]
     common = sorted(set(old) & set(new))
-    rows = [(n, old[n], new[n], new[n] / old[n] if old[n] else float("inf"))
-            for n in common]
+    rows = [
+        (n, old[n], new[n], new[n] / old[n] if old[n] else float("inf"))
+        for n in common
+    ]
     rows.sort(key=lambda r: r[3], reverse=True)
-    norm_hdr = f" {'norm':>6}" if probe_ratio else ""
+    any_probe = ratios["jvm"] is not None
+    norm_hdr = f" {'norm':>6} {'cls':>3}" if any_probe else ""
     print(f"{'query':<28} {'old':>7} {'new':>7} {'ratio':>6}{norm_hdr}")
     for n, o, w, r in rows:
-        nr = r / probe_ratio if probe_ratio else None
+        cls = "py" if n in py_class else "jvm"
+        pr = ratios[cls]
+        nr = r / pr if pr else None
         flagged = (nr if nr is not None else r) > 1.2
         flag = "  <-- check" if flagged else ""
-        norm_s = f" {nr:>6.2f}" if nr is not None else ""
+        norm_s = f" {nr:>6.2f} {cls:>3}" if nr is not None else ""
         print(f"{n:<28} {o:>7.3f} {w:>7.3f} {r:>6.2f}{norm_s}{flag}")
+        if flagged:
+            for label, doc in (("old", old_doc), ("new", new_doc)):
+                runs = _runs_of(doc, n)
+                if runs:
+                    print(f"{'':>28}   {label} runs: {runs}")
     so, sn = sum(old[n] for n in common), sum(new[n] for n in common)
-    print(f"\ncommon total: {so:.3f} -> {sn:.3f}  ({sn / so:.2f}x over "
-          f"{len(common)} queries)")
-    if probe_ratio:
-        print(f"calibration probe: {po:.3f} -> {pn:.3f} "
-              f"({probe_ratio:.2f}x host drift); probe-normalized "
-              f"common total ratio: {sn / so / probe_ratio:.2f}x")
+    print(
+        f"\ncommon total: {so:.3f} -> {sn:.3f}  ({sn / so:.2f}x over "
+        f"{len(common)} queries)"
+    )
+    if ratios["jvm"]:
+        jvm_names = [n for n in common if n not in py_class]
+        py_names = [n for n in common if n in py_class]
+        print(
+            f"JVM probe drift {ratios['jvm']:.2f}x"
+            + (
+                f"; Python probe drift {ratios['py']:.2f}x"
+                if ratios["py"] != ratios["jvm"]
+                else " (no separate Python probe; used for both classes)"
+            )
+        )
+        for label, names, kind in (
+            ("jvm-class", jvm_names, "jvm"),
+            ("py-class", py_names, "py"),
+        ):
+            if not names:
+                continue
+            s_o = sum(old[n] for n in names)
+            s_n = sum(new[n] for n in names)
+            pr = ratios[kind]
+            print(
+                f"{label}: {len(names)} queries, total {s_o:.3f} -> "
+                f"{s_n:.3f} ({s_n / s_o:.2f}x raw, "
+                f"{s_n / s_o / pr:.2f}x probe-normalized)"
+            )
+        if not py_class:
+            print(
+                "# no PLANAUDIT classification available - every query "
+                "normalized by the JVM probe"
+            )
     else:
         print("calibration probe missing from one side - raw ratios only")
-    for label, names in (("only-old", set(old) - set(new)),
-                         ("only-new", set(new) - set(old))):
+    for label, names in (
+        ("only-old", set(old) - set(new)),
+        ("only-new", set(new) - set(old)),
+    ):
         if names:
             print(f"{label}: {sorted(names)}")
-    print("\nnote: >1.2x flags need the noise-ledger treatment "
-          "(bench.py docstring) - idle machine, run profile, git log -L "
-          "on the operator body - before being called regressions.")
+    print(
+        "\nnote: >1.2x flags need the noise-ledger treatment "
+        "(bench.py docstring) - idle machine, run profile, git log -L "
+        "on the operator body - before being called regressions."
+    )
     return 0
 
 

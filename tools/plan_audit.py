@@ -169,7 +169,23 @@ def audit(sf_dir: str) -> dict:
                 allowed["global_window"] = BOUNDED_GLOBAL_WINDOW[name]
             else:
                 flags.append("global_window")
-        out[name] = {"flags": flags, "allowed": allowed}
+        # Executor resource class, for dual-probe bench normalization
+        # (r10 verdict task 6): a query whose plan crosses a Python
+        # worker (Arrow-vectorized or row) drifts with Python-worker
+        # health, which the JVM-CPU calibration probe cannot see —
+        # tools/bench_diff.py normalizes each class by its own probe.
+        python_path = bool(
+            re.search(
+                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+                r"|FlatMapCoGroupsInPandas|BatchEvalPython|PythonMapInArrow",
+                plan,
+            )
+        )
+        out[name] = {
+            "flags": flags,
+            "allowed": allowed,
+            "python_path": python_path,
+        }
         if flags:
             n_flagged += 1
     # Stale allowlist entries — a named query that no longer exists or
