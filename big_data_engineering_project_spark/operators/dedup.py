@@ -677,6 +677,84 @@ def simhash_col(tokens: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_weighted_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    idf_scale: int = 16,
+) -> DataFrame:
+    """(doc, simhash) with IDF-WEIGHTED bit votes — the r10 growth
+    probe follow-up experiment (r10 verdict task 7): the unweighted
+    fingerprint's precision halved across a 10× scale-up on this
+    corpus because ubiquitous tokens dominate every document's bit
+    votes (correlated token distributions → correlated band values →
+    hot buckets full of false candidates). The standard fix is IDF
+    weighting: each token occurrence votes w(t) = floor(idf_scale ·
+    log2(n_docs / df(t))) instead of ±1, so near-ubiquitous tokens
+    vote ~0 and the fingerprint is carried by discriminative tokens.
+    `idf_scale` matters on small-vocabulary corpora: an unscaled
+    floor(log2(n/df)) is 0 for EVERY token appearing in more than
+    half the documents — on the synthetic fixture (≈500-word
+    vocabulary, most words in most docs) that zeroed every vote and
+    collapsed all fingerprints to one value (measured at sf0.01:
+    112 875 of 124 750 possible pairs "verified" at Hamming 0). The
+    default ×16 quantization keeps sub-bit IDF differences alive as
+    integer votes. NOTE this CHANGES the fingerprint semantics — the verified
+    pair set (popcount ≤ k over these fingerprints) is not the
+    unweighted operator's set, so adopting it as the default means
+    deliberately regenerating the registered all-pairs oracle; until
+    the measured trade justifies that, this is an experiment surface
+    probed by tools/growth_probe.py (simhash_band_weighted row).
+
+    Scale shape: one (doc, token) explode, a token-DF groupBy (the
+    TF-IDF pass the corpus already runs), a broadcast-joinable token
+    weight table, then ONE partial-aggregable groupBy(doc) with `bits`
+    integer SUM columns — all codegen, no fold lambdas, shuffle
+    carries bits+1 longs per doc."""
+    if not 1 <= bits <= 62:
+        raise ValueError("simhash_weighted_fingerprints supports 1..62 bits")
+    consts = _simhash_mix_consts(bits)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    n_docs = df.count()
+    dfreq = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .withColumn(
+            "__w",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    F.lit(float(idf_scale))
+                    * F.log2(F.lit(float(n_docs)) / F.col("__df"))
+                ).cast("long"),
+            ),
+        )
+        .select("tok", "__w")
+    )
+    tw = toks.join(dfreq, "tok").select(
+        "doc", _char_poly_hash(F.col("tok")).alias("__h"), "__w"
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                ((F.col("__h") * F.lit(a) + F.lit(b)) % HASH_PRIME) % 2 == 1,
+                F.col("__w"),
+            ).otherwise(-F.col("__w"))
+        ).alias(f"__c{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    votes = tw.groupBy("doc").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"__c{i}") >= 0, F.lit(1 << i)).otherwise(0)
+    return votes.select("doc", fp.alias("simhash"))
+
+
 def simhash_band_table(
     fp: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:

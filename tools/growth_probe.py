@@ -297,6 +297,67 @@ def simhash_bands(spark, sf_dir: str) -> dict:
     return {"n_docs": n_docs, "candidates": cand, "verified": verified}
 
 
+def simhash_bands_weighted(spark, sf_dir: str) -> dict:
+    # r10 verdict task 7: the IDF-weighted fingerprint experiment
+    # (operators/dedup.py:simhash_weighted_fingerprints) measured
+    # beside the unweighted row — same band layout, same popcount<=k
+    # verify, but bit votes are floor(log2(n/df)) instead of +-1.
+    # `verified_overlap` counts weighted-verified pairs that the
+    # UNWEIGHTED operator also verifies: the semantics change, so the
+    # default only flips if the trade (candidate mass/precision)
+    # justifies deliberately regenerating the registered oracle.
+    from big_data_engineering_project_spark.operators import dedup
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        _NEARDUP_BITS,
+        _NEARDUP_MAX_HAMMING,
+    )
+    from big_data_engineering_project_spark.sources.catalog import spread
+
+    bits, k = _NEARDUP_BITS, _NEARDUP_MAX_HAMMING
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    fp = dedup.simhash_weighted_fingerprints(docs, "doc_id", "text", bits=bits)
+    banded = dedup.simhash_band_table(fp, bits, k).drop("simhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("__fb"))
+    verified_df = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))) <= k
+        )
+        .select("doc_a", "doc_b")
+    )
+    verified = verified_df.count()
+    unweighted = (
+        REGISTRY["q_simhash_neardups"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    overlap = verified_df.join(unweighted, ["doc_a", "doc_b"], "left_semi").count()
+    return {
+        "n_docs": n_docs,
+        "candidates": cand.count(),
+        "verified": verified,
+        "verified_overlap_with_unweighted": overlap,
+        "unweighted_verified": unweighted.count(),
+    }
+
+
 PROBES = {
     "tf_cosine_neardups": tf_cosine,
     "containment_neardups": containment,
@@ -304,6 +365,7 @@ PROBES = {
     "link_prediction": link_pred,
     "minhash_lsh_neardups": minhash_lsh,
     "simhash_band_neardups": simhash_bands,
+    "simhash_band_weighted": simhash_bands_weighted,
 }
 
 
