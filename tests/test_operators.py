@@ -260,6 +260,39 @@ def test_simhash_identical_collide(spark):
     assert len(got) == 1 and got[0]["n_docs"] == 2
 
 
+def test_simhash_weighted_fingerprints_discriminative(spark):
+    """The IDF-weighted fingerprint experiment (r10 verdict task 7):
+    identical texts collide exactly; a near-dup pair differing in one
+    RARE token lands within small Hamming distance; docs built from
+    unrelated rare vocabularies separate; and the fingerprint is
+    deterministic across plans (no rand, weights from the corpus)."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    rows.append((2, rows[0][1]))  # identical twin
+    rows.append((3, "alpha beta gamma delta epsilon zeta eta iota"))
+    rows.append((4, "omicron sigma tau upsilon phi chi psi omega"))
+    # filler docs sharing a common phrase (correlated background)
+    common = "the and of to in for on with"
+    rows += [(10 + i, common + f" filler{i} word{i * 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fp = {
+        r["doc"]: r["simhash"]
+        for r in dedup.simhash_weighted_fingerprints(
+            df, "doc_id", "text", bits=60
+        ).collect()
+    }
+    assert fp[1] == fp[2]  # identical docs → identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[3]) <= 20  # one rare-token swap stays close
+    assert ham(fp[1], fp[4]) > ham(fp[1], fp[3])  # disjoint rare vocab
+    fp2 = {
+        r["doc"]: r["simhash"]
+        for r in dedup.simhash_weighted_fingerprints(
+            df.repartition(7), "doc_id", "text", bits=60
+        ).collect()
+    }
+    assert fp == fp2  # layout-invariant / deterministic
+
+
 def test_cosine_fold(spark):
     df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])])
     got = df.select(
