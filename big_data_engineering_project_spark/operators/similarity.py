@@ -409,6 +409,41 @@ def ivf_index_append(
     ).partitionBy("cell").parquet(index_path + f"/vectors/batch={tag}")
 
 
+def ivf_index_rebuild_swap(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The centroid-REFIT step of the index lifecycle (build → append
+    ×N → refit): builds a fresh index — new frozen centroids, corpus
+    re-assigned, batch history collapsed to `base` — in a sibling
+    `.rebuild-tmp` directory while readers keep the intact current
+    index, then swaps it in with two FileSystem renames. Same
+    two-rename discipline as the streaming state swaps
+    (streaming/scd2.py:_swap_in) but through the Hadoop FS seam, so it
+    works on HDFS (atomic directory rename) as well as file:// — at
+    catalog scale this is the Delta/Iceberg table-swap analog. A crash
+    between the renames leaves `.swap-old`, which the next rebuild
+    clears; appends issued against the OLD path during the swap window
+    land in the old directory and die with it — refits are a
+    stop-the-ingest operation by design, exactly like re-clustering
+    any IVF index."""
+    spark = vectors.sparkSession
+    tmp = index_path + ".rebuild-tmp"
+    bak = index_path + ".swap-old"
+    _fs_delete(spark, tmp)
+    build_ivf_index(vectors, tmp, centroids, id_col, vec_col)
+    fs, jroot = _hadoop_fs(spark, index_path)
+    _fs_delete(spark, bak)
+    jvm = spark._jvm
+    if fs.exists(jroot):
+        fs.rename(jroot, jvm.org.apache.hadoop.fs.Path(bak))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jroot)
+    _fs_delete(spark, bak)
+
+
 def ivf_index_topk(
     spark,
     index_path: str,
@@ -852,6 +887,7 @@ def rrf_fuse_by_key(
     k0: int = 60,
     shortlist: int = 100,
     top_k: int = 20,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """PER-QUERY reciprocal-rank fusion — the production shape of
     `rrf_fuse` (r10 verdict task 3: hybrid search serves thousands of
@@ -867,12 +903,23 @@ def rrf_fuse_by_key(
     groupBy on (key, item) over ≤ keys·signals·shortlist rows; the
     final per-key top_k is another keyed window over the fused rows.
     Weights are the same frozen-integer RRF_SCALE DIV (k0 + rank) as
-    rrf_fuse, so fused scores are exact integers on both engines.
+    rrf_fuse, so fused scores are exact integers on both engines;
+    `weights` (one INTEGER per signal, default all-1) multiplies each
+    signal's term — the standard production knob for biasing lexical
+    vs vector evidence without leaving integer arithmetic.
     Output: (key, item, rrf_score, n_lists), top_k rows per key by
     (rrf DESC, item ASC). `rrf_fuse` is the degenerate single-key
     case of this shape."""
+    if weights is None:
+        weights = [1] * len(scored)
+    if len(weights) != len(scored):
+        raise ValueError(
+            f"{len(scored)} signals but {len(weights)} weights"
+        )
+    if any(int(w) != w or w < 0 for w in weights):
+        raise ValueError("RRF signal weights must be non-negative ints")
     parts = []
-    for df in scored:
+    for df, sig_w in zip(scored, weights):
         w = Window.partitionBy("__k").orderBy(
             F.desc("__s"), F.asc("__item")
         )
@@ -887,7 +934,9 @@ def rrf_fuse_by_key(
             .select(
                 "__k",
                 "__item",
-                F.expr(f"{RRF_SCALE} DIV ({k0} + __r)").alias("__w"),
+                F.expr(
+                    f"{int(sig_w)} * ({RRF_SCALE} DIV ({k0} + __r))"
+                ).alias("__w"),
             )
         )
     allp = parts[0]

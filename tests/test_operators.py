@@ -3802,6 +3802,87 @@ def test_rrf_fuse_by_key_matches_global_per_key(spark):
     )
     assert "WindowGroupLimit" in plan
 
+    # per-signal integer weights: [1, 1] ≡ default; [2, 0] must equal
+    # 2x the signal-1-only fusion scores (signal 2 still counts toward
+    # n_lists but contributes weight 0)
+    w11 = rrf_fuse_by_key(
+        [sig1, sig2], "k", "item", "s", k0=60, shortlist=15, top_k=5,
+        weights=[1, 1],
+    )
+    assert sorted(map(tuple, w11.collect())) == sorted(
+        map(tuple, keyed.collect())
+    )
+    w20 = {
+        (r["k"], r["item"]): (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse_by_key(
+            [sig1, sig2], "k", "item", "s", k0=60, shortlist=15,
+            top_k=40, weights=[2, 0],
+        ).collect()
+    }
+    only1 = {
+        (r["k"], r["item"]): r["rrf_score"]
+        for r in rrf_fuse_by_key(
+            [sig1], "k", "item", "s", k0=60, shortlist=15, top_k=40
+        ).collect()
+    }
+    for key, score in only1.items():
+        assert w20[key][0] == 2 * score
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse_by_key([sig1, sig2], "k", "item", "s", weights=[1])
+    with pytest.raises(ValueError):
+        rrf_fuse_by_key([sig1], "k", "item", "s", weights=[-1])
+
+
+def test_ivf_index_rebuild_swap(spark, sf_dir, tmp_path):
+    """Centroid refit lifecycle: after appends, a rebuild with NEW
+    centroids swaps in atomically (two Hadoop FS renames) — batch
+    history collapses to base, the new centroids round-trip, probe-all
+    still equals brute force over the full corpus, and no .rebuild-tmp
+    / .swap-old residue remains. Runs against a file:// scheme path so
+    the rename path is the Hadoop FS one."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        _fs_list_batches,
+        _hadoop_fs,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_rebuild_swap,
+        ivf_index_topk,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    day1 = emb.filter(F.col("vec_id") % 2 == 1)
+    query = emb.filter(F.col("vec_id") == 2).select("embedding")
+    cents_v1 = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = "file://" + str(tmp_path / "ivf_refit")
+    build_ivf_index(corpus, idx, cents_v1)
+    ivf_index_append(day1, idx)
+    assert _fs_list_batches(spark, idx + "/vectors") == ["base", "d1"]
+
+    cents_v2 = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy(F.desc("vec_id")).limit(6).collect()
+    ]
+    ivf_index_rebuild_swap(emb, idx, cents_v2)
+    assert _fs_list_batches(spark, idx + "/vectors") == ["base"]
+    assert load_ivf_centroids(spark, idx) == cents_v2
+    exact = brute_force_topk(emb, query, k=8).collect()
+    got = ivf_index_topk(spark, idx, query, k=8, n_probe=6).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+    fs, _ = _hadoop_fs(spark, idx)
+    for suffix in (".rebuild-tmp", ".swap-old"):
+        p = spark._jvm.org.apache.hadoop.fs.Path(idx + suffix)
+        assert not fs.exists(p), suffix
+
 
 def test_auc_range_derived_bucket_width(spark):
     """r9 verdict 'what's wrong' #3: probability-like [0,1] scores
