@@ -547,6 +547,133 @@ def ivf_index_topk_batch(
     )
 
 
+# --- Product quantization (PQ) ANN — the compressed-scan path ---------------
+#
+# Completes the ANN storage ladder next to int8 scalar quantization
+# (4-8×) and the IVF partition layout: PQ (Jégou et al., TPAMI 2011)
+# stores each d-dim vector as m sub-space codebook indices — 64 dims ×
+# float32 → 8 bytes/vector at m=8, a 32× scan-footprint cut — and
+# ranks candidates via ASYMMETRIC DISTANCE (ADC): the query is never
+# quantized; its dot products against every codebook entry form m
+# tiny lookup tables and a vector's score is m table lookups, no
+# decompression, no join. At 100 TB this is the difference between
+# scanning embeddings and scanning codes. The family split mirrors
+# IVF: training is an offline kmeans per subspace (driver-side
+# codebooks, like ivf centroids), encode is one pure-Catalyst pass,
+# serving is a literal-table scan + TakeOrderedAndProject.
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """m per-subspace codebooks of k centroids each: kmeans over each
+    (dims/m)-dim subvector slice. Codebooks total m·k·(dims/m) floats
+    — driver-side by nature (the trained quantizer artifact), inlined
+    into plans as literals exactly like IVF centroids."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    books = []
+    for j in range(m):
+        sliced = vectors.select(
+            F.slice(as_double(F.col(vec_col)), j * sub + 1, sub).alias("sv")
+        )
+        books.append(
+            kmeans_centers(sliced, k=k, seed=seed + j, emb_col="sv")
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the argmin-L2 codebook
+    entry (ties → lowest code, via array_position-of-min). Pure
+    Catalyst — per-subspace squared-distance folds over centroid
+    literals, one pass, no UDF; this is the write-side job that turns
+    the float corpus into the 8-byte/vector code table."""
+    sub = len(codebooks[0][0])
+    dv = as_double(F.col(vec_col))
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sv = F.slice(dv, j * sub + 1, sub)
+        d2 = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in book
+            ]
+        )
+        code_cols.append(
+            (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+        )
+    return vectors.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC cosine over the CODE table: the query
+    stays exact; driver-side it dots each codebook entry (m·|book|
+    tiny sums) into per-subspace lookup tables, and each row's score
+    is Σ_j dot_table_j[codes[j]] / (‖q‖·‖recon‖) with ‖recon‖² =
+    Σ_j ‖centroid_{j,codes[j]}‖² (subspaces are disjoint coordinate
+    blocks, so reconstruction norms add). Per row: 2m literal-array
+    lookups — no join, no decompression, TakeOrderedAndProject top-k.
+    Exactness anchor (pytest): when every subvector IS a codebook
+    entry, reconstruction is exact and ADC cosine equals the true
+    cosine; on real corpora recall@k vs brute force is the measured
+    trade."""
+    import math
+
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    qn = math.sqrt(sum(x * x for x in qvec))
+    sub = len(codebooks[0][0])
+    dot_expr = F.lit(0.0)
+    nrm_expr = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        qj = qvec[j * sub : (j + 1) * sub]
+        dots = [sum(a * b for a, b in zip(qj, cent)) for cent in book]
+        nrm2 = [sum(c * c for c in cent) for cent in book]
+        code_j = F.element_at(F.col("codes"), j + 1)
+        dot_expr = dot_expr + F.element_at(
+            F.array(*[F.lit(d) for d in dots]), code_j + 1
+        )
+        nrm_expr = nrm_expr + F.element_at(
+            F.array(*[F.lit(n) for n in nrm2]), code_j + 1
+        )
+    score = F.when(
+        nrm_expr > 0, dot_expr / (F.lit(qn) * F.sqrt(nrm_expr))
+    ).otherwise(F.lit(-2.0))
+    return (
+        codes.select(F.col(id_col), score.alias("adc_cosine"))
+        .orderBy(F.desc("adc_cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- Cosine-LSH near-duplicate pairs (all-pairs, unsupervised) ---------------
 #
 # `blocked_neardup_pairs` bounds the quadratic with a GIVEN blocking

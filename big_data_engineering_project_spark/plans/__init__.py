@@ -259,7 +259,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_user_set_ops (gate-green r7; semi/anti planning stays gated
     # via bloom + Q21) and q_revenue_cube (gate-green r7; the
     # grouping-sets family keeps rollup + pivot).
-    "q_seasonal_anomalies",
+    # (q_seasonal_anomalies, 3× gate-green r8/r9/r10, demoted for the
+    # round-11 product-quantization ANN newborn — newborn-slot policy;
+    # the anomaly family keeps Theil-Sen + CUSUM-class members in
+    # every FULL sweep and the seasonal member stays exact-oracle
+    # green there)
+    "q_embedding_pq_topk",
     # (q_value_trend_by_type, gate-green r8, demoted for the round-9
     # audio-path newborn — newborn-slot policy; the trend family keeps
     # Theil-Sen under the gate and OLS stays sweep-green)

@@ -1153,6 +1153,36 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embedding_pq_topk",
+    oracle=None,  # kmeans codebook training is iterative → rows-only;
+    # the ADC-exactness anchor (product-structured corpus → ADC cosine
+    # == true cosine, top-k == brute force) + fixture recall floor +
+    # layout-invariant encoding are pytest-pinned (invariants below).
+    doc="Product-quantization ANN (the compressed-scan path, r11): "
+    "64-dim vectors stored as 16 subspace codebook indices (16× scan "
+    "footprint cut; FAISS-PQ class), ranked by ASYMMETRIC distance — "
+    "the exact query dots every codebook entry driver-side into m "
+    "tiny literal tables and each row's score is 2m array lookups: "
+    "no join, no decompression, TakeOrderedAndProject top-k. "
+    "Codebooks are an offline per-subspace kmeans (driver artifact, "
+    "like IVF centroids); encoding is one pure-Catalyst argmin-L2 "
+    "pass (operators/similarity.py:pq_train_codebooks/pq_encode/"
+    "pq_topk)",
+    tags=("pipeline", "similarity", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_pq_adc_exact_when_codebook_covers_and_fixture_recall",
+    ),
+)
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 7)
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    books = similarity.pq_train_codebooks(corpus, m=16, k=16, dims=64, seed=7)
+    codes = similarity.pq_encode(corpus, books)
+    return similarity.pq_topk(codes, books, query, k=10)
+
+
 # --- deterministic split / data mixing (operators/sampling.py) ----------------
 
 
