@@ -534,6 +534,65 @@ def ap_weights(k: int) -> tuple[int, list[int]]:
     return L, [L // i for i in range(1, k + 1)]
 
 
+def mrr_at_k(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal rank @ k per query key — the third member of the
+    ranking-eval family (NDCG grades positions, AP grades the
+    precision profile, RR asks only WHERE THE FIRST HIT LANDS — the
+    single-known-answer retrieval metric, e.g. known-item search /
+    QA passage ranking). RR@k = 1/rank(first relevant in top k), 0
+    when none. Integer-exact like its siblings: rr_num = MAX over
+    hits of L DIV rank (L = lcm(1..k), divisible by every rank ≤ k,
+    so the division is exact) and rr = rr_num / L is one correctly-
+    rounded division. Ties break on the total order (score DESC,
+    item ASC); keys with zero relevant items anywhere get NULL rr
+    (no answer exists ≠ answer not found — callers averaging MRR
+    drop the NULLs), keys with relevant items outside the top k get
+    rr = 0. Same scale shape as ndcg_at_k/map_at_k: the only window
+    partitions by the query key."""
+    from math import lcm
+
+    L = lcm(*range(1, k + 1))
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(item_col).alias("__i"),
+        F.col(score_col).alias("__s"),
+        F.when(
+            F.col(rel_col).isNotNull() & F.col(rel_col).cast("boolean"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("__r"),
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(F.desc("__s"), F.asc("__i"))
+    ranked = base.withColumn("__rk", F.row_number().over(w_rank))
+    term = F.when(
+        (F.col("__rk") <= k) & (F.col("__r") == 1),
+        F.expr(f"{L} DIV __rk"),  # exact: L = lcm(1..k)
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy(*keys).agg(
+        F.max(term).cast("long").alias("rr_num"),
+        F.sum("__r").cast("long").alias("n_rel"),
+    )
+    return agg.select(
+        *keys,
+        "rr_num",
+        F.lit(L).cast("long").alias("rr_den"),
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("rr_num").cast("double") / F.lit(float(L)),
+        ).alias("rr"),
+    )
+
+
 def map_at_k(
     df: DataFrame,
     key_cols: list[str],

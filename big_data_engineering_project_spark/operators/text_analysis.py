@@ -1018,3 +1018,91 @@ def phrase_search(
     return base.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+) -> DataFrame:
+    """Okapi BM25 of a bounded query-term list over the corpus — the
+    production lexical ranker for hybrid retrieval (the raw tf count
+    in q_hybrid_search_rrf is its degenerate idf-free form; feed this
+    frame to `rrf_fuse_by_key` as the lexical signal). Per doc:
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))
+
+    with the Lucene non-negative idf ln(1 + (N−df+0.5)/(df+0.5)) and
+    k1, b as exact rationals (defaults 6/5, 3/4 — the classic
+    1.2/0.75). tf, |d|, df, N are exact integers; the ONE
+    transcendental is the per-term idf ln, so the operator is
+    rows-only under the engine's oracle discipline (ln is banned from
+    hash-compared output, plans/registry.py) and its correctness is
+    pinned by an exact python-reference-parity pytest (1e-12 values,
+    ranking exact).
+
+    Scale shape: the query-term list is a literal isin filter applied
+    to the exploded token scan BEFORE any shuffle — a posting-list
+    scan, the corpus text itself is never shuffled; doc lengths are
+    one groupBy(doc); N + total length ride a 1-row broadcast stamp
+    and per-term df a ≤|terms|-row broadcast. No windows. Output:
+    (id, n_terms, score) for every doc matching ≥1 term."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"),
+    )
+    doclen = toks.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("long").alias("__dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__dl").cast("long").alias("__tot"),
+    )
+    tf = (
+        toks.filter(F.col("__tok").isin(terms))
+        .groupBy("__doc", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    k1 = float(k1_num) / float(k1_den)
+    b = float(b_num) / float(b_den)
+    joined = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(doclen, "__doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    # avgdl division folded as dl·N/total (exact integers upstairs)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b)
+        * F.col("__dl").cast("double")
+        * F.col("__n").cast("double")
+        / F.col("__tot").cast("double")
+    )
+    term_score = idf * (
+        F.col("__tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (F.col("__tf").cast("double") + norm)
+    )
+    # decimal-stabilized sum (plans/registry.py discipline): the ≤
+    # |terms| per-doc term scores add exactly, so the result is
+    # combine-order/layout-invariant run to run
+    return joined.groupBy(F.col("__doc").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(term_score.cast("decimal(28,14)"))
+        .cast("double")
+        .alias("score"),
+    )

@@ -148,9 +148,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # TWAP + spike-overlap + order-concurrency under the gate and the
     # dimension as-of stays exact-oracle-green in every FULL sweep)
     "q_purchase_map",
-    "q_spike_order_overlap",
+    # (q_spike_order_overlap, gate-green r9+r10, demoted for the
+    # round-11 MRR newborn — the ranking-eval family's third member
+    # takes an exact-oracle slot; the interval-overlap join stays
+    # exact-oracle-green in every FULL sweep and the temporal family
+    # keeps TWAP + order-concurrency under the gate)
+    "q_purchase_mrr",
     "q_hop_distance",
-    "q_label_propagation_deep",
+    # (q_label_propagation_deep, gate-green r9+r10, demoted for the
+    # round-11 BM25 newborn — the lexical ranker joins the search
+    # family under the gate (rows-only with its python-reference
+    # parity invariant attached); the deep-LPA auto-checkpoint query
+    # stays green in every FULL sweep and the graph family keeps
+    # hop-distance + k-core + link-prediction + star-CC gated)
+    "q_bm25_search",
     "q_priority_sample_weighted",
     # ...and the final three of the round: k-core (graph family's
     # coreness member), interpolation gap-fill (the LOCF twin's other

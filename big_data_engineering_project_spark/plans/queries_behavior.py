@@ -1834,3 +1834,59 @@ def q_purchase_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_at_k(
         base, ["event_type"], "item", "s", "rel", k=_AP_K
     ).orderBy("event_type")
+
+
+@register(
+    "q_purchase_mrr",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         event_id AS item,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CASE WHEN "value" >= 150 THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+ranked AS (
+  SELECT event_type, rel,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, item ASC) AS rk
+  FROM base
+)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rk <= {_AP_K} AND rel = 1
+                     THEN {_AP_L} // rk ELSE 0 END) AS BIGINT) AS rr_num,
+       CAST({_AP_L} AS BIGINT) AS rr_den,
+       CAST(SUM(rel) AS BIGINT) AS n_rel,
+       CASE WHEN SUM(rel) > 0
+            THEN MAX(CASE WHEN rk <= {_AP_K} AND rel = 1
+                          THEN {_AP_L} // rk ELSE 0 END)
+                 / CAST({_AP_L} AS DOUBLE) END AS rr
+FROM ranked GROUP BY 1 ORDER BY event_type
+""",
+    doc="Reciprocal rank @ 10 per event type — completes the "
+    "ranking-eval trio (NDCG grades positions, AP grades the "
+    "precision profile, RR asks where the FIRST high-value hit "
+    "lands: the known-item-search / QA-passage metric). rr_num = "
+    "MAX(L DIV rank) over top-k hits with L = lcm(1..10) = 2520 — "
+    "the division is exact for every rank ≤ k, so the row is integer "
+    "until one final correctly-rounded division; zero-relevant keys "
+    "get NULL (no answer exists ≠ answer not found); the only window "
+    "partitions by the query key "
+    "(operators/features.py:mrr_at_k)",
+    tags=("behavior", "ml", "window"),
+)
+def q_purchase_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        mrr_at_k,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("event_id").alias("item"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.col("value") >= 150).alias("rel"),
+    )
+    return mrr_at_k(
+        base, ["event_type"], "item", "s", "rel", k=_AP_K
+    ).orderBy("event_type")

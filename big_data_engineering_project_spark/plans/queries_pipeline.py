@@ -4054,6 +4054,44 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, "doc_id", "text", _PHRASE).orderBy("doc_id")
 
 
+_BM25_TERMS = ("join", "scan", "merge")
+
+
+@register(
+    "q_bm25_search",
+    oracle=None,  # the per-term idf is ln(1 + (N−df+0.5)/(df+0.5)) —
+    # ln is banned from hash-compared output (plans/registry.py: JVM
+    # vs libm ln diverge at the ULP); every OTHER part of the score is
+    # exact integer/rational, and the python-reference pytest pins
+    # values to 1e-12 and the ranking exactly (invariants below).
+    doc=f"Okapi BM25 ranking for the query {_BM25_TERMS} — the "
+    "production lexical signal for hybrid retrieval (the raw tf in "
+    "q_hybrid_search_rrf is its idf-free degenerate form): per-term "
+    "idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4 "
+    "exact rationals, decimal-stabilized per-doc sum. Plan: literal "
+    "term isin filters the exploded token scan BEFORE any shuffle "
+    "(posting scan — corpus text never shuffles), doc lengths one "
+    "groupBy, N/avgdl a 1-row broadcast stamp, df a ≤|terms|-row "
+    "broadcast; top-20 TakeOrderedAndProject "
+    "(operators/text_analysis.py:bm25_scores)",
+    tags=("pipeline", "text", "search", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_bm25_reference_parity_and_ranking",
+    ),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, list(_BM25_TERMS), "doc_id", "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # --- deterministic KLL quantile summary (operators/sketches.py) ----------------
 
 

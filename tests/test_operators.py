@@ -4188,3 +4188,98 @@ def test_map_at_k_reference_and_weights(spark):
     r = map_at_k(many, ["k"], "item", "s", "rel", k=10).collect()[0]
     assert r["n_rel"] == 12 and r["ap_den"] == 2520 * 10
     assert r["ap"] == 1.0  # all top-10 are relevant
+
+
+def test_bm25_reference_parity_and_ranking(spark, sf_dir):
+    """bm25_scores vs a pure-python Okapi BM25 reference on the real
+    fixture: every score within 1e-12 relative, the ranking IDENTICAL,
+    docs matching no query term absent, and the decimal-stabilized sum
+    layout-invariant."""
+    import math
+
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    terms = ["join", "scan", "merge"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    got = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, terms, "doc_id", "text").collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split(" ") for r in rows}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df_t = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    ref = {}
+    for doc, tk in toks.items():
+        s, n = 0.0, 0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            n += 1
+            idf = math.log(1 + (N - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if n:
+            ref[doc] = (n, s)
+    assert set(got) == set(ref)
+    for doc, (n, s) in ref.items():
+        assert got[doc]["n_terms"] == n
+        assert math.isclose(got[doc]["score"], s, rel_tol=1e-12), doc
+    rank_got = sorted(got, key=lambda d: (-got[d]["score"], d))
+    rank_ref = sorted(ref, key=lambda d: (-ref[d][1], d))
+    assert rank_got == rank_ref
+
+    got2 = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(
+            docs.repartition(13), terms, "doc_id", "text"
+        ).collect()
+    }
+    assert got2 == {d: r["score"] for d, r in got.items()}
+
+
+def test_mrr_at_k_reference_and_edges(spark):
+    """mrr_at_k vs the textbook RR definition: first-hit rank drives
+    the score (later hits ignored), relevant-but-below-k gives rr=0,
+    zero-relevant gives NULL, ties break on (score DESC, item ASC),
+    and the integer form L DIV rank is exact."""
+    from big_data_engineering_project_spark.operators.features import (
+        mrr_at_k,
+    )
+
+    rows = [
+        # key p: first hit at rank 1 (plus another at 3) → rr 1
+        ("p", 1, 9.0, 1), ("p", 2, 8.0, 0), ("p", 3, 7.0, 1),
+        # key m: first hit at rank 3 → rr 1/3
+        ("m", 10, 9.0, 0), ("m", 11, 8.0, 0), ("m", 12, 7.0, 1),
+        # key z: nothing relevant anywhere → NULL
+        ("z", 20, 1.0, 0),
+        # key b: relevant exists but OUTSIDE top k (k=3) → rr 0
+        ("b", 30, 9.0, 0), ("b", 31, 8.0, 0),
+        ("b", 32, 7.0, 0), ("b", 33, 6.0, 1),
+        # key t: score tie — item ASC breaks it, so item 40 (rel)
+        # ranks 1 → rr 1
+        ("t", 40, 5.0, 1), ("t", 41, 5.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, item LONG, s DOUBLE, rel INT")
+    got = {
+        r["k"]: r
+        for r in mrr_at_k(df, ["k"], "item", "s", "rel", k=3).collect()
+    }
+    L = 6  # lcm(1..3)
+    assert got["p"]["rr"] == 1.0 and got["p"]["rr_num"] == L
+    assert got["m"]["rr"] == 1 / 3 and got["m"]["rr_num"] == L // 3
+    assert got["z"]["rr"] is None and got["z"]["rr_num"] == 0
+    assert got["b"]["rr"] == 0.0 and got["b"]["n_rel"] == 1
+    assert got["t"]["rr"] == 1.0
+    for r in got.values():
+        assert r["rr_den"] == L
+        if r["rr"] is not None:
+            assert r["rr"] == r["rr_num"] / r["rr_den"]

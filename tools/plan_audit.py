@@ -117,7 +117,11 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_wealthy_inactive": "1-row avg-balance scalar subquery",
     "q_bloom_semi_orders": "1-row broadcast bloom bitmap",
     "q_target_encoding_oof": "1-row global-totals stamp (OOF prior)",
-    "q_selfjoin_size_f2": "1-row exact-F2 stamp beside the sketch",}
+    "q_selfjoin_size_f2": "1-row exact-F2 stamp beside the sketch",
+    "q_bm25_search": (
+        "1-row corpus N/avgdl stamp (BM25 length normalization)"
+    ),
+}
 
 # Deliberate Python row-path demos (reference parity), each with the
 # native scale twin named.
