@@ -1106,3 +1106,77 @@ def bm25_scores(
         .cast("double")
         .alias("score"),
     )
+
+
+def pack_concat_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan — the LLM-pretraining
+    sequence assembly step: documents concatenate in id order into
+    one virtual token stream that is cut into fixed `chunk_tokens`
+    windows (no padding; documents may straddle chunk boundaries —
+    the standard packing). Per doc: (id, n_tokens, tok_offset,
+    chunk_first, chunk_last, chunks_spanned) where tok_offset is the
+    doc's EXCLUSIVE running token sum and chunk_first/last are the
+    fixed windows its tokens land in. Downstream a training job
+    groups by chunk id to materialize sequences; aggregating
+    chunks_spanned gives the boundary-split audit.
+
+    Scale shape: the running sum over the whole corpus is TWO-LEVEL
+    (the concurrency_profile discipline): a within-bucket exclusive
+    window over id DIV bucket_size shards plus rolling per-bucket
+    offsets over the bucket table — bounded by n_docs/bucket_size
+    rows by construction, never a corpus-sized single sort; the
+    naive single window IS the oracle. Token count is the
+    whitespace-split size — swap in BPE counts at the same column
+    without changing the plan."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.col(id_col) / bucket_size).cast("long").alias("__b"),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    within = base.withColumn(
+        "__run_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    per_bucket = base.groupBy("__b").agg(
+        F.sum("n_tokens").alias("__btot")
+    )
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
+    ).select("__b", "__off")
+    out = (
+        within.join(F.broadcast(offsets), "__b")
+        .withColumn("tok_offset", (F.col("__run_in") + F.col("__off")).cast("long"))
+        .withColumn("chunk_first", F.expr("tok_offset DIV " + str(int(chunk_tokens))))
+        .withColumn(
+            "chunk_last",
+            F.expr(
+                f"(tok_offset + n_tokens - 1) DIV {int(chunk_tokens)}"
+            ),
+        )
+        .withColumn(
+            "chunks_spanned",
+            (F.col("chunk_last") - F.col("chunk_first") + 1).cast("long"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        "chunk_first",
+        "chunk_last",
+        "chunks_spanned",
+    )

@@ -205,7 +205,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-8 newborn z-order pruned scan — storage-layout family's
     # first gated member)
     "q_zorder_pruned_scan",
-    "q_attribution_linear",
+    # (q_attribution_linear, 3× gate-green r8/r9/r10, demoted for the
+    # round-11 sequence-packing newborn — the LLM-pretraining assembly
+    # step takes an exact-oracle slot; attribution stays gated via
+    # q_attribution_time_decay and the linear form stays green in
+    # every FULL sweep)
+    "q_pack_chunks",
     # Sketches: KMV algebra + daily merge, count-min, histogram merge
     # + the r7 HDR log-bucket relative-error twin
     # (q_kmv_set_ops, 2× gate-green, demoted for the newborn

@@ -4054,6 +4054,56 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, "doc_id", "text", _PHRASE).orderBy("doc_id")
 
 
+_PACK_CHUNK_TOKENS = 512
+
+
+@register(
+    "q_pack_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {_PACK_CHUNK_TOKENS} AS BIGINT) AS chunk_first,
+       CAST((tok_offset + n_tokens - 1) // {_PACK_CHUNK_TOKENS} AS BIGINT)
+         AS chunk_last,
+       CAST((tok_offset + n_tokens - 1) // {_PACK_CHUNK_TOKENS}
+            - tok_offset // {_PACK_CHUNK_TOKENS} + 1 AS BIGINT)
+         AS chunks_spanned
+FROM c ORDER BY doc_id
+""",
+    doc=f"GPT-style concat-and-chunk sequence packing plan "
+    f"({_PACK_CHUNK_TOKENS}-token chunks): every document's offset "
+    "in the concatenated token stream and the fixed windows its "
+    "tokens land in — the LLM-pretraining sequence-assembly step (no "
+    "padding, docs straddle boundaries; group by chunk id downstream "
+    "to materialize sequences, aggregate chunks_spanned for the "
+    "boundary-split audit). The corpus-wide exclusive running sum is "
+    "TWO-LEVEL (within id DIV 4096 buckets + rolling offsets over "
+    "the bounded bucket table — the concurrency_profile discipline), "
+    "so no corpus-sized sort task exists; the naive single window IS "
+    "the oracle (operators/text_analysis.py:pack_concat_chunks)",
+    tags=("pipeline", "text", "window"),
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        pack_concat_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_concat_chunks(
+        docs, _PACK_CHUNK_TOKENS, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 _BM25_TERMS = ("join", "scan", "merge")
 
 

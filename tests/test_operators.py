@@ -4190,6 +4190,57 @@ def test_map_at_k_reference_and_weights(spark):
     assert r["ap"] == 1.0  # all top-10 are relevant
 
 
+def test_pack_concat_chunks_reference_and_bucket_invariance(spark):
+    """Concat-and-chunk packing vs hand-computed reference: exclusive
+    offsets, straddling chunk ranges, span counts; total-stream
+    conservation; and the two-level prefix sum is BUCKET-SIZE
+    invariant (bucket_size=2 forces many buckets and must equal the
+    single-bucket answer exactly)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        pack_concat_chunks,
+    )
+
+    texts = {
+        0: "a b c",            # 3 tokens
+        1: "a b c d e",        # 5
+        2: "x y",              # 2
+        3: "p q r s t u v",    # 7
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_concat_chunks(df, 5, "doc_id", "text").collect()
+    }
+    # reference: offsets [0,3,8,10]; C=5
+    exp = {
+        0: (3, 0, 0, 0, 1),
+        1: (5, 3, 0, 1, 2),
+        2: (2, 8, 1, 1, 1),
+        3: (7, 10, 2, 3, 2),
+    }
+    for doc, (n, off, cf, cl, sp) in exp.items():
+        r = got[doc]
+        assert (
+            r["n_tokens"],
+            r["tok_offset"],
+            r["chunk_first"],
+            r["chunk_last"],
+            r["chunks_spanned"],
+        ) == (n, off, cf, cl, sp), doc
+    assert got[3]["tok_offset"] + got[3]["n_tokens"] == sum(
+        len(t.split(" ")) for t in texts.values()
+    )
+    small_buckets = {
+        r["doc_id"]: tuple(r)
+        for r in pack_concat_chunks(
+            df, 5, "doc_id", "text", bucket_size=2
+        ).collect()
+    }
+    assert small_buckets == {d: tuple(r) for d, r in got.items()}
+
+
 def test_bm25_reference_parity_and_ranking(spark, sf_dir):
     """bm25_scores vs a pure-python Okapi BM25 reference on the real
     fixture: every score within 1e-12 relative, the ranking IDENTICAL,

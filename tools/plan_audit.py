@@ -64,6 +64,11 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "(TakeOrderedAndProject collapses the corpus FIRST; rank is "
         "only defined relative to the bounded candidate list)"
     ),
+    "q_pack_chunks": (
+        "rolling offsets over the <= n_docs/4096-row bucket table "
+        "(the two-level prefix-sum's bounded second level; the "
+        "within-bucket window is partitioned)"
+    ),
 }
 
 # Queries allowed a nested-loop/cross join because the broadcast side
