@@ -1163,3 +1163,104 @@ def run_reservoir_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_pack_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the concat-and-chunk packing ASSIGNMENT TABLE
+    (operators/text_analysis.py:pack_concat_chunks) over a
+    micro-batched append-only document stream: each batch's docs get
+    tok_offset = (total tokens already assigned) + the batch's own
+    exclusive running sum, and append to the state table — the corpus
+    is never re-offset, the speed-layer twin of the batch packer
+    (checked per round: tools/streaming_check.py `pack_maintenance`).
+
+    Correctness contract: ingest must be ID-MONOTONE across batches
+    (every batch's smallest id exceeds the previous batch's largest —
+    the natural shape of an append log with assigned ids), because
+    concat packing is defined by the id total order; the runner
+    raises if a batch violates it rather than silently emitting
+    offsets that disagree with the batch path. Offset addition is NOT
+    redelivery-idempotent, so the state carries the (checkpoint
+    lineage, batch id) marker and a replayed batch no-ops (the
+    agg/CM/KLL runner discipline)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        pack_concat_chunks,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        existing = _read_state(spark_b, state_path)
+        base_tokens, max_id = 0, None
+        if existing is not None:
+            row = existing.agg(
+                F.max(F.col("tok_offset") + F.col("n_tokens")).alias("t"),
+                F.max(id_col).alias("m"),
+            ).collect()[0]
+            base_tokens, max_id = int(row["t"]), row["m"]
+        lo = batch_df.agg(F.min(id_col).alias("lo")).collect()[0]["lo"]
+        if max_id is not None and lo <= max_id:
+            raise ValueError(
+                f"pack stream requires id-monotone ingest: batch min "
+                f"{id_col}={lo} <= already-packed max {max_id}"
+            )
+        packed = pack_concat_chunks(
+            batch_df, chunk_tokens, id_col, text_col
+        )
+        shifted = packed.select(
+            id_col,
+            "n_tokens",
+            (F.col("tok_offset") + F.lit(base_tokens)).alias("tok_offset"),
+        )
+        c = int(chunk_tokens)
+        shifted = (
+            shifted.withColumn("chunk_first", F.expr(f"tok_offset DIV {c}"))
+            .withColumn(
+                "chunk_last",
+                F.expr(f"(tok_offset + n_tokens - 1) DIV {c}"),
+            )
+            .withColumn(
+                "chunks_spanned",
+                (F.col("chunk_last") - F.col("chunk_first") + 1).cast(
+                    "long"
+                ),
+            )
+        )
+        merged = (
+            shifted
+            if existing is None
+            else existing.unionByName(shifted)
+        )
+        _write_state_swap(
+            merged,
+            state_path,
+            batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

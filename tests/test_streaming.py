@@ -1321,3 +1321,36 @@ def test_ivf_append_stream_exactly_once_by_directory(spark, tmp_path):
     _os.remove(_os.path.join(cp1b, "commits", ".1.crc"))
     run_ivf_append_stream(spark, str(in_dir), idx, cp1b, **kw)
     assert index_ids() == want  # no duplicates
+
+
+def test_pack_stream_rejects_non_monotone_ingest(spark, tmp_path):
+    """run_pack_stream's correctness contract is ID-MONOTONE ingest
+    (concat packing is defined by the id total order); a batch whose
+    min id does not exceed the packed max must fail LOUDLY, not emit
+    offsets that disagree with the batch packer."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_pack_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 0: ids 100..103; batch 1: ids 0..3 (violates monotonicity)
+    for b, ids in enumerate(([100, 101, 102, 103], [0, 1, 2, 3])):
+        with open(os.path.join(in_dir, f"{b:04d}.json"), "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"doc_id": i, "text": "a b c"}) + "\n")
+    with pytest.raises(Exception) as exc:
+        run_pack_stream(
+            spark,
+            in_dir,
+            str(tmp_path / "state"),
+            str(tmp_path / "cp"),
+            schema="doc_id LONG, text STRING",
+            chunk_tokens=4,
+        )
+    assert "id-monotone" in str(exc.value)

@@ -72,6 +72,11 @@ micro-batches, checkpoints, state stores — then the batch twin):
                         reservoir_sample_agg over the union, EXACT
                         (score, id) arrays incl. cross-batch
                         redeliveries + the < k enumeration path
+  pack_maintenance      run_pack_stream (incremental concat-and-chunk
+                        packing assignment over an id-monotone append
+                        stream, replay-guarded) ≡ batch
+                        pack_concat_chunks over the union, EXACT
+                        offsets/chunk ranges
 
 Usage: python tools/streaming_check.py [--json STREAMING_r0N.json]
 Exit code 1 if any check fails.
@@ -1333,6 +1338,70 @@ def check_agg_maintenance_stream(spark, root: str) -> dict:
     return res
 
 
+def check_pack_stream(spark, root: str) -> dict:
+    """run_pack_stream (incremental concat-and-chunk packing over an
+    id-monotone append stream) ≡ pack_concat_chunks over the union —
+    EXACT row equality of the full assignment table (offsets, chunk
+    ranges, spans): the maintained state never re-offsets old docs,
+    yet every new batch lands exactly where the batch packer would
+    put it. Doc lengths vary so chunk boundaries fall mid-batch and
+    cross-batch; a REPLAYED batch (marker check) must no-op rather
+    than double-shift offsets."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        pack_concat_chunks,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        _applied_batch_id,
+        run_pack_stream,
+    )
+
+    rng = random.Random(23)
+    recs = []
+    for i in range(400):
+        n_words = rng.randint(1, 40)
+        recs.append(
+            {"doc_id": i, "text": " ".join(f"w{j}" for j in range(n_words))}
+        )
+    in_dir = os.path.join(root, "pack_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=50)  # 8 id-monotone batches
+
+    state_path = os.path.join(root, "pack_state")
+    cp = os.path.join(root, "pack_cp")
+    run_pack_stream(
+        spark,
+        in_dir,
+        state_path,
+        cp,
+        schema="doc_id LONG, text STRING",
+        chunk_tokens=64,
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(state_path).collect()
+    )
+    bb = spark.read.schema("doc_id LONG, text STRING").json(in_dir)
+    want = sorted(
+        tuple(r)
+        for r in pack_concat_chunks(bb, 64, "doc_id", "text").collect()
+    )
+    # replay guard: re-applying the last batch id must be a no-op —
+    # simulate by checking the marker survived the final swap
+    last = _applied_batch_id(state_path, cp)
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "replay_marker_present": last is not None and last >= 0,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["replay_marker_present"]
+    )
+    return res
+
+
 def check_seasonal_stream(spark, root: str) -> dict:
     """seasonal_apply over a file stream ≡ the same function over the
     batch union, with FROZEN training stats (the production shape: the
@@ -1777,6 +1846,7 @@ def main() -> None:
         results["hll_maintenance"] = check_hll_stream(spark, root)
         results["kll_maintenance"] = check_kll_stream(spark, root)
         results["ivf_index_maintenance"] = check_ivf_index_stream(spark, root)
+        results["pack_maintenance"] = check_pack_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
