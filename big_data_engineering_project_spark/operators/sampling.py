@@ -396,3 +396,88 @@ def priority_sample_estimates(
         F.col("__m.p").alias("priority"),
         w_est.alias("w_est"),
     )
+
+
+def budget_mix_select(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    targets_ppm: dict[str, int],
+    budget_tokens: int,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Materialize a token-budget training MIX: given target shares per
+    stratum (parts-per-million, exact integers) and a total token
+    budget, select documents per stratum — in deterministic `id_col`
+    order — until that stratum's budget is reached. This is the step
+    AFTER `mixing_weights`: weights say what the mix should look like;
+    this emits the concrete document manifest a training job reads.
+    (The reference has no mixing logic; this is the DoReMi/mT5-style
+    mix-assembly stage a 100 TB curation pipeline runs nightly.)
+
+    Semantics (all exact integers, so the DuckDB oracle is bit-equal):
+      stratum_budget = budget_tokens * ppm DIV 1_000_000
+      a doc is selected iff its EXCLUSIVE running token sum within its
+      stratum (id order) < stratum_budget — i.e. take docs until the
+      budget is crossed; the crossing doc is included (greedy fill,
+      overshoot < one doc). Strata absent from `targets_ppm` get
+      budget 0 → excluded.
+
+    Scale shape: the per-stratum running sum is TWO-LEVEL (the
+    pack_concat_chunks discipline, keyed): a within-(stratum, id DIV
+    bucket_size) exclusive window plus rolling per-bucket offsets over
+    the bounded (stratum, bucket) table — a handful of strata never
+    funnels the whole corpus into |strata| window partitions. Targets
+    ride a broadcast literal map; no join touches doc text.
+
+    Returns the selected manifest: (id, stratum, n_tokens, tok_before,
+    stratum_budget) — aggregate it for the per-stratum audit.
+    """
+    from pyspark.sql import Window
+
+    ppm_map = F.create_map(
+        *[F.lit(x) for kv in targets_ppm.items() for x in kv]
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (F.col(id_col) / bucket_size).cast("long").alias("__b"),
+    )
+    w_in = (
+        Window.partitionBy("stratum", "__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    within = base.withColumn(
+        "__run_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    per_bucket = base.groupBy("stratum", "__b").agg(
+        F.sum("n_tokens").alias("__btot")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
+    ).select("stratum", "__b", "__off")
+    ppm = F.coalesce(ppm_map[F.col("stratum")].cast("long"), F.lit(0))
+    return (
+        within.join(F.broadcast(offsets), ["stratum", "__b"])
+        .withColumn(
+            "tok_before", (F.col("__run_in") + F.col("__off")).cast("long")
+        )
+        .withColumn("__ppm", ppm)
+        .withColumn(
+            "stratum_budget",
+            F.expr(
+                f"CAST(CAST({int(budget_tokens)} AS BIGINT) * __ppm "
+                "DIV 1000000 AS BIGINT)"
+            ),
+        )
+        .filter(F.col("tok_before") < F.col("stratum_budget"))
+        .select("id", "stratum", "n_tokens", "tok_before", "stratum_budget")
+    )

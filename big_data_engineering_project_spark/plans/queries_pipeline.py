@@ -4558,3 +4558,82 @@ def q_hybrid_search_rrf_by_query(
         shortlist=_RRF_SHORTLIST,
         top_k=_RRF_BY_QUERY_TOPK,
     ).orderBy("qk", F.desc("rrf_score"), "item")
+
+
+# --- Token-budget mix materialization (round 11) -----------------------------
+
+_MIX_TARGETS_PPM = {
+    "en": 400_000,
+    "de": 150_000,
+    "zh": 150_000,
+    "fr": 150_000,
+    "es": 150_000,
+}
+_MIX_BUDGET_TOKENS = 20_000
+_MIX_PPM_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS_PPM.items()
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "q_domain_mix_manifest",
+    oracle=f"""
+WITH {_TOKS_CTE},
+n AS (
+  SELECT d.doc_id, d.lang, len(t.t) AS n_tokens
+  FROM documents d JOIN toks t ON t.doc = d.doc_id
+),
+w AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before,
+         CAST((CAST({_MIX_BUDGET_TOKENS} AS BIGINT) * ({_MIX_PPM_SQL}))
+              // 1000000 AS BIGINT)
+           AS stratum_budget
+  FROM n
+),
+sel AS (SELECT * FROM w WHERE tok_before < stratum_budget)
+SELECT lang AS stratum,
+       MIN(stratum_budget) AS budget_toks,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_sel,
+       CAST(SUM(n_tokens) AS BIGINT) AS toks_sel
+FROM sel GROUP BY lang ORDER BY stratum
+""",
+    doc="Token-budget training-mix materialization (the step AFTER "
+    "q_mixing_weights): greedy per-stratum doc selection in id order "
+    "until budget_tokens*ppm DIV 1e6 is crossed — all exact integers; "
+    "two-level keyed prefix sum so |strata| never bounds parallelism "
+    "(operators/sampling.py:budget_mix_select)",
+    tags=("pipeline", "sampling"),
+)
+def q_domain_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        budget_mix_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks_doc", F.size(dedup.tokens_col(F.col("text"))).cast("long")
+    )
+    sel = budget_mix_select(
+        docs,
+        "lang",
+        "doc_id",
+        "n_toks_doc",
+        _MIX_TARGETS_PPM,
+        _MIX_BUDGET_TOKENS,
+    )
+    return (
+        sel.groupBy("stratum")
+        .agg(
+            F.min("stratum_budget").alias("budget_toks"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_sel"),
+            F.sum("n_tokens").cast("long").alias("toks_sel"),
+        )
+        .orderBy("stratum")
+    )

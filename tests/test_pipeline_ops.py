@@ -390,6 +390,55 @@ def test_mixing_weights_sum_to_one_and_flatten(spark):
     assert abs(out["small"]["weight"] - expect) < 1e-12
 
 
+def test_budget_mix_select_greedy_exact(spark):
+    # en: docs 1..4 of 100 tokens; de: docs 5..6 of 50; xx: untargeted
+    rows = [
+        Row(doc_id=1, lang="en", n=100),
+        Row(doc_id=2, lang="en", n=100),
+        Row(doc_id=3, lang="en", n=100),
+        Row(doc_id=4, lang="en", n=100),
+        Row(doc_id=5, lang="de", n=50),
+        Row(doc_id=6, lang="de", n=50),
+        Row(doc_id=7, lang="xx", n=10),
+    ]
+    df = spark.createDataFrame(rows)
+    # budget 500, en @ 500000 ppm -> 250 toks, de @ 100000 ppm -> 50 toks
+    sel = sampling.budget_mix_select(
+        df, "lang", "doc_id", "n", {"en": 500_000, "de": 100_000}, 500
+    ).collect()
+    got = {(r["stratum"], r["id"]): r for r in sel}
+    # en: tok_before 0,100,200 < 250 -> docs 1,2,3 (3 crosses, included)
+    assert {k for k in got if k[0] == "en"} == {("en", 1), ("en", 2), ("en", 3)}
+    # de: tok_before 0 < 50 -> doc 5 only (6 has before=50, not < 50)
+    assert {k for k in got if k[0] == "de"} == {("de", 5)}
+    # untargeted stratum excluded entirely
+    assert not [k for k in got if k[0] == "xx"]
+    assert got[("en", 3)]["tok_before"] == 200
+    assert got[("en", 3)]["stratum_budget"] == 250
+
+
+def test_budget_mix_select_bucket_size_invariance(spark):
+    rows = [
+        Row(doc_id=i, lang="en" if i % 2 else "de", n=(i * 7) % 13 + 1)
+        for i in range(1, 60)
+    ]
+    df = spark.createDataFrame(rows)
+    t = {"en": 600_000, "de": 400_000}
+    a = sorted(
+        (r["stratum"], r["id"], r["tok_before"])
+        for r in sampling.budget_mix_select(
+            df, "lang", "doc_id", "n", t, 120, bucket_size=4
+        ).collect()
+    )
+    b = sorted(
+        (r["stratum"], r["id"], r["tok_before"])
+        for r in sampling.budget_mix_select(
+            df, "lang", "doc_id", "n", t, 120, bucket_size=4096
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_pack_assignments_spans(spark):
     rows = [
         Row(shard="a", doc_id=1, n=100),
