@@ -481,3 +481,79 @@ def budget_mix_select(
         .filter(F.col("tok_before") < F.col("stratum_budget"))
         .select("id", "stratum", "n_tokens", "tok_before", "stratum_budget")
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    batch_docs: int,
+) -> DataFrame:
+    """Padded-batch waste audit — the training-efficiency counterpart
+    of sequence packing: when fixed-size batches of `batch_docs`
+    documents are padded to the batch max length, how many pad slots
+    does each batching strategy burn?
+
+      arrival        batches formed in id order (the naive loader)
+      length_sorted  batches formed in (n_tokens, id) order — the
+                     standard length-bucketed batching that puts
+                     similar-length docs together
+
+    Per batch: pad_slots = n_docs·max_len − Σ len (exact integers);
+    per strategy: n_batches, real token count, total pad slots, and
+    waste_frac = pad / (real + pad) (the one double division at the
+    end). Both strategies see the identical corpus, so the two output
+    rows are directly comparable — the measured argument for sorted
+    batching (or for `pack_assignments`, which wastes nothing).
+
+    Scale shape: the global rank each strategy needs is the two-phase
+    `global_row_number` (range shuffle + broadcast offsets — never a
+    single-partition window); everything after it is one map-side
+    combined groupBy per strategy over (strategy, batch) keys.
+    """
+    from big_data_engineering_project_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+    )
+    out = []
+    for name, order in (
+        ("arrival", ["id"]),
+        ("length_sorted", ["n_tokens", "id"]),
+    ):
+        ranked = global_row_number(base, order, out="__rn")
+        batches = (
+            ranked.withColumn(
+                "__batch", F.expr(f"(__rn - 1) DIV {int(batch_docs)}")
+            )
+            .groupBy("__batch")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max("n_tokens").alias("__mx"),
+                F.sum("n_tokens").alias("__sum"),
+            )
+        )
+        out.append(
+            batches.agg(
+                F.lit(name).alias("strategy"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.sum("__sum").cast("long").alias("real_tokens"),
+                F.sum(F.col("__n") * F.col("__mx") - F.col("__sum"))
+                .cast("long")
+                .alias("pad_slots"),
+            )
+        )
+    res = out[0].unionByName(out[1])
+    return res.select(
+        "strategy",
+        "n_batches",
+        "real_tokens",
+        "pad_slots",
+        (
+            F.col("pad_slots").cast("double")
+            / (F.col("real_tokens") + F.col("pad_slots")).cast("double")
+        ).alias("waste_frac"),
+    )

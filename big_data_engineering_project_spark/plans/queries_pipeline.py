@@ -4637,3 +4637,55 @@ def q_domain_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+_PAD_BATCH_DOCS = 8
+
+
+@register(
+    "q_padding_waste",
+    oracle=f"""
+WITH {_TOKS_CTE},
+n AS (SELECT doc AS id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+a AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM n
+),
+b AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens, id) AS rn FROM n
+),
+ab AS (
+  SELECT 'arrival' AS strategy, (rn - 1) // {_PAD_BATCH_DOCS} AS batch,
+         n_tokens FROM a
+  UNION ALL
+  SELECT 'length_sorted', (rn - 1) // {_PAD_BATCH_DOCS}, n_tokens FROM b
+),
+per AS (
+  SELECT strategy, batch, COUNT(*) AS nd, MAX(n_tokens) AS mx,
+         CAST(SUM(n_tokens) AS BIGINT) AS s
+  FROM ab GROUP BY strategy, batch
+)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(s) AS BIGINT) AS real_tokens,
+       CAST(SUM(nd * mx - s) AS BIGINT) AS pad_slots,
+       CAST(SUM(nd * mx - s) AS DOUBLE)
+         / CAST(SUM(s) + SUM(nd * mx - s) AS DOUBLE) AS waste_frac
+FROM per GROUP BY strategy ORDER BY strategy
+""",
+    doc="Padded-batch waste audit: arrival-order vs length-sorted "
+    "batching at 8 docs/batch — exact integer pad-slot accounting over "
+    "two two-phase global ranks (never a single-partition window), one "
+    "final division (operators/sampling.py:padding_waste)",
+    tags=("pipeline", "sampling"),
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        padding_waste,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks_doc", F.size(dedup.tokens_col(F.col("text"))).cast("long")
+    )
+    return padding_waste(
+        docs, "doc_id", "n_toks_doc", _PAD_BATCH_DOCS
+    ).orderBy("strategy")

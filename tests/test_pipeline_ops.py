@@ -439,6 +439,44 @@ def test_budget_mix_select_bucket_size_invariance(spark):
     assert a == b and len(a) > 0
 
 
+def test_padding_waste_exact_and_sorted_wins(spark):
+    # lengths: 10,1,10,1 — arrival batches (10,1),(10,1): pad 9+9=18
+    # length_sorted batches (1,1),(10,10): pad 0
+    rows = [
+        Row(doc_id=1, n=10),
+        Row(doc_id=2, n=1),
+        Row(doc_id=3, n=10),
+        Row(doc_id=4, n=1),
+    ]
+    out = {
+        r["strategy"]: r
+        for r in sampling.padding_waste(
+            spark.createDataFrame(rows), "doc_id", "n", 2
+        ).collect()
+    }
+    assert out["arrival"]["real_tokens"] == 22
+    assert out["arrival"]["pad_slots"] == 18
+    assert out["arrival"]["n_batches"] == 2
+    assert out["length_sorted"]["pad_slots"] == 0
+    assert abs(out["arrival"]["waste_frac"] - 18 / 40) < 1e-15
+
+
+def test_padding_waste_remainder_batch(spark):
+    # 3 docs, batch of 2: last batch has 1 doc -> zero pad for it
+    rows = [Row(doc_id=1, n=5), Row(doc_id=2, n=3), Row(doc_id=3, n=7)]
+    out = {
+        r["strategy"]: r
+        for r in sampling.padding_waste(
+            spark.createDataFrame(rows), "doc_id", "n", 2
+        ).collect()
+    }
+    # arrival: (5,3) pad 2; (7) pad 0
+    assert out["arrival"]["pad_slots"] == 2
+    assert out["arrival"]["n_batches"] == 2
+    # sorted: (3,5) pad 2; (7) pad 0
+    assert out["length_sorted"]["pad_slots"] == 2
+
+
 def test_pack_assignments_spans(spark):
     rows = [
         Row(shard="a", doc_id=1, n=100),
