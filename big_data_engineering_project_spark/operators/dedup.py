@@ -570,10 +570,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over HASHED shingle sets —
-    # long-array intersects, no document text in the shuffle.
+    return verify_jaccard_pairs(cands, hashed, threshold)
+
+
+def verify_jaccard_pairs(
+    cands: DataFrame, hashed: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    over HASHED shingle sets — long-array intersects, no document text
+    in the shuffle. Shared by the batch LSH pass and the streaming
+    band-index runner so stream ≡ batch down to the division."""
     sh = hashed.select("doc", "hv")
-    verified = (
+    return (
         cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("hv", "sa"), "doc_a")
         .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("hv", "sb"), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
@@ -585,7 +593,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def _simhash_mix_consts(bits: int) -> list[tuple[int, int]]:

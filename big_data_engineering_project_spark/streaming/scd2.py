@@ -1264,3 +1264,127 @@ def run_pack_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_minhash_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain a MinHash-LSH BAND INDEX over a micro-batched document
+    stream and emit Jaccard-verified near-dup pairs incrementally —
+    the ingest-time dedup loop of a production corpus pipeline (the
+    streaming complement of the batch `ngram_jaccard_rs` incremental
+    pass): each new batch probes the maintained index for new×corpus
+    candidates, generates its own within-batch candidates, verifies
+    both with exact Jaccard over hashed shingle sets (the SAME
+    `verify_jaccard_pairs` expression as the batch operator, so
+    stream ≡ batch down to the division), and appends its band rows +
+    shingle sets + verified pairs each as their own
+    `batch=<lineage>-<id>` directory. Directory-per-batch makes
+    redelivery EXACTLY-ONCE by construction (the run_ivf_append_stream
+    discipline — a replayed batch recomputes against `batch != own
+    tag` and overwrites itself), so no batch-id marker is needed.
+
+    Contract: document ids are unique across batches (an append log);
+    docs with < 3 tokens carry no shingles and are absent from the
+    index, matching the batch operator. The union of all pairs/
+    directories equals `minhash_lsh_pairs` over the full corpus
+    exactly — checked per round (tools/streaming_check.py
+    `minhash_index_maintenance`).
+    """
+    import re
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        hashed_shingle_table,
+        minhash_band_buckets,
+        verify_jaccard_pairs,
+        with_minhash_signature,
+    )
+
+    bands_root = os.path.join(index_path, "bands")
+    sh_root = os.path.join(index_path, "shingles")
+    pairs_root = os.path.join(index_path, "pairs")
+
+    def read_prior(sp: SparkSession, root: str, tag: str) -> DataFrame | None:
+        if not os.path.exists(root):
+            return None
+        return sp.read.parquet(root).filter(F.col("batch") != tag).drop(
+            "batch"
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        tag = f"{lineage}-{batch_id}"
+        hashed = hashed_shingle_table(batch_df, id_col, text_col).persist()
+        sigs = with_minhash_signature(hashed).select("doc", "sig")
+        newb = minhash_band_buckets(sigs).persist()
+        within = (
+            newb.alias("a")
+            .join(
+                newb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+        )
+        cands = within
+        prior_b = read_prior(sp, bands_root, tag)
+        if prior_b is not None:
+            cross = (
+                newb.alias("a")
+                .join(
+                    prior_b.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(
+                    F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+                    F.greatest(F.col("a.doc"), F.col("b.doc")).alias(
+                        "doc_b"
+                    ),
+                )
+            )
+            cands = cands.unionByName(cross)
+        cands = cands.distinct()
+        hv = hashed.select("doc", "hv")
+        prior_h = read_prior(sp, sh_root, tag)
+        if prior_h is not None:
+            hv = hv.unionByName(prior_h.select("doc", "hv"))
+        verified = verify_jaccard_pairs(cands, hv, threshold)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"batch={tag}")
+        )
+        newb.write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"batch={tag}")
+        )
+        hashed.select("doc", "hv").write.mode("overwrite").parquet(
+            os.path.join(sh_root, f"batch={tag}")
+        )
+        newb.unpersist()
+        hashed.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

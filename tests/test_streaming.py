@@ -1354,3 +1354,66 @@ def test_pack_stream_rejects_non_monotone_ingest(spark, tmp_path):
             chunk_tokens=4,
         )
     assert "id-monotone" in str(exc.value)
+
+
+def test_minhash_index_stream_exactly_once_and_stream_eq_batch(
+    spark, tmp_path
+):
+    """run_minhash_index_stream: accumulated pair directories equal the
+    batch minhash_lsh_pairs over the union (ids and jaccard doubles),
+    and a replayed micro-batch (dropped commit, same lineage)
+    overwrites its own directories instead of duplicating pairs or
+    band rows."""
+    import os as _os
+    import shutil as _shutil
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_minhash_index_stream,
+    )
+
+    base = "red green blue cyan magenta yellow black white gray pink"
+    docs = []
+    for i in range(12):
+        t = base + f" w{i % 4} v{i % 3} u{i}"
+        if i in (5, 9):  # near-dups of docs 1 and 3 (cross-batch)
+            t = base + f" w{(i - 4) % 4} v{(i - 4) % 3} u{i - 4} pad"
+        docs.append({"doc_id": i, "text": t})
+    batches = [docs[:6], docs[6:]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, batches)
+    idx = str(tmp_path / "mh_idx")
+    cp1 = str(tmp_path / "cp1")
+    kw = dict(schema="doc_id LONG, text STRING", threshold=0.4)
+    run_minhash_index_stream(spark, str(in_dir), idx, cp1, **kw)
+
+    def pair_rows():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(idx + "/pairs").collect()
+        )
+
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(union, "doc_id", "text", 0.4).collect()
+    )
+    got = pair_rows()
+    assert got == want and len(got) > 0
+    n_band_rows = spark.read.parquet(idx + "/bands").count()
+
+    # replay the last batch: dropped commit, same lineage
+    cp1b = str(tmp_path / "cp1b")
+    _shutil.copytree(cp1, cp1b)
+    _os.remove(_os.path.join(cp1b, "commits", "1"))
+    crc = _os.path.join(cp1b, "commits", ".1.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run_minhash_index_stream(spark, str(in_dir), idx, cp1b, **kw)
+    assert pair_rows() == want
+    assert spark.read.parquet(idx + "/bands").count() == n_band_rows

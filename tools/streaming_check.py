@@ -1264,6 +1264,94 @@ def check_ivf_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_minhash_index_stream(spark, root: str) -> dict:
+    """run_minhash_index_stream (per-batch band-index append + probe +
+    exact-Jaccard verify) ≡ batch minhash_lsh_pairs over the union:
+    the accumulated per-batch pair directories equal the batch pass
+    exactly (ids AND jaccard doubles — the verify expression is
+    shared), and the maintained band index equals one built from
+    scratch. Fixture: 36 docs in 3 micro-batches, with near-dup pairs
+    planted within AND across batches."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        hashed_shingle_table,
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+        with_minhash_signature,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_minhash_index_stream,
+    )
+
+    words = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+    ]
+
+    def doc(i: int) -> str:
+        base = words[i % 3]
+        return base + f" tail{i % 7} suffix{i % 5} end{i % 11}"
+
+    recs = []
+    for i in range(36):
+        t = doc(i)
+        if i % 9 == 4:  # near-dup of i-4 (often lands in another batch)
+            t = doc(i - 4) + " extra"
+        recs.append({"doc_id": i, "text": t})
+
+    in_dir = os.path.join(root, "mh_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=12)
+    idx = os.path.join(root, "mh_idx")
+    run_minhash_index_stream(
+        spark,
+        in_dir,
+        idx,
+        os.path.join(root, "mh_cp"),
+        schema="doc_id LONG, text STRING",
+        threshold=0.5,
+    )
+
+    got = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(idx, "pairs")).collect()
+    ]
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
+    )
+    want = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(union, "doc_id", "text", 0.5).collect()
+    ]
+    idx_rows = [
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(os.path.join(idx, "bands")).drop(
+            "batch"
+        ).collect()
+    ]
+    scratch = [
+        (r["doc"], r["band"], r["bucket"])
+        for r in minhash_band_buckets(
+            with_minhash_signature(
+                hashed_shingle_table(union, "doc_id", "text")
+            ).select("doc", "sig")
+        ).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "index_equals_scratch": sorted(idx_rows) == sorted(scratch),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["index_equals_scratch"]
+    )
+    return res
+
+
 def check_agg_maintenance_stream(spark, root: str) -> dict:
     """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
     max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
@@ -1847,6 +1935,7 @@ def main() -> None:
         results["kll_maintenance"] = check_kll_stream(spark, root)
         results["ivf_index_maintenance"] = check_ivf_index_stream(spark, root)
         results["pack_maintenance"] = check_pack_stream(spark, root)
+        results["minhash_index_maintenance"] = check_minhash_index_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
