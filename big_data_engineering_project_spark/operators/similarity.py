@@ -1083,3 +1083,88 @@ def rrf_fuse_by_key(
         .filter(F.col("__rk") <= top_k)
         .drop("__rk")
     )
+
+
+def margin_knn_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int,
+    top_pairs: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based kNN pair mining (Artetxe & Schwenk 2019 — the
+    standard bitext/alignment mining criterion): score every (x, y)
+    cross pair not by raw cosine but by its RATIO to the local
+    neighborhood density,
+
+        margin(x,y) = cos(x,y) / ((Σ cos(x, NNk(x,Y)) +
+                                   Σ cos(y, NNk(y,X))) / 2k)
+
+    which suppresses hub vectors that are near everything. Returns the
+    `top_pairs` highest-margin pairs (id_x, id_y, cosine, margin).
+
+    Determinism (the registry's float-parity rules): cosines are
+    sequential-fold doubles (bit-stable cross-engine); each kNN sum
+    casts its k cosines to DECIMAL(18,12) BEFORE summing — decimal
+    addition is exact and associative, so partial-agg combine order
+    can't move the denominator — and the two divisions are mirrored
+    op-for-op in the oracle. kNN membership ties break on neighbor id
+    (total order).
+
+    Scale shape: X is the bounded query set (mining batches against a
+    corpus) — it broadcasts, the corpus never shuffles for the cross
+    cosines; both kNN windows partition by one side's id. At full
+    corpus×corpus scale you'd generate candidates with the IVF index
+    (`ivf_index_topk_batch`) and apply THIS margin rescoring to its
+    shortlists — the expression is candidate-source-agnostic.
+    """
+    from pyspark.sql import Window
+
+    x = x_df.select(
+        F.col(id_col).alias("id_x"), as_double(F.col(vec_col)).alias("_x")
+    )
+    y = y_df.select(
+        F.col(id_col).alias("id_y"), as_double(F.col(vec_col)).alias("_y")
+    )
+    cross = y.crossJoin(F.broadcast(x)).select(
+        "id_x", "id_y", cosine_col(F.col("_x"), F.col("_y")).alias("cosine")
+    )
+    w_x = Window.partitionBy("id_x").orderBy(
+        F.desc("cosine"), F.asc("id_y")
+    )
+    w_y = Window.partitionBy("id_y").orderBy(
+        F.desc("cosine"), F.asc("id_x")
+    )
+    sum_x = (
+        cross.withColumn("__r", F.row_number().over(w_x))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_x")
+        .agg(
+            F.sum(F.col("cosine").cast("decimal(18,12)")).alias("__sx")
+        )
+    )
+    sum_y = (
+        cross.withColumn("__r", F.row_number().over(w_y))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_y")
+        .agg(
+            F.sum(F.col("cosine").cast("decimal(18,12)")).alias("__sy")
+        )
+    )
+    scored = (
+        cross.join(F.broadcast(sum_x), "id_x")
+        .join(sum_y, "id_y")
+        .withColumn(
+            "margin",
+            F.col("cosine")
+            / (
+                (F.col("__sx") + F.col("__sy")).cast("double")
+                / F.lit(float(2 * k))
+            ),
+        )
+        .select("id_x", "id_y", "cosine", "margin")
+    )
+    return scored.orderBy(
+        F.desc("margin"), F.asc("id_x"), F.asc("id_y")
+    ).limit(top_pairs)

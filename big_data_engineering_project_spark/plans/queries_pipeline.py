@@ -4689,3 +4689,51 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste(
         docs, "doc_id", "n_toks_doc", _PAD_BATCH_DOCS
     ).orderBy("strategy")
+
+
+# --- Margin-kNN pair mining (round 11) ---------------------------------------
+
+_MARGIN_K = 4
+_MARGIN_TOP = 20
+_MARGIN_COS = (
+    f"{_fold_dot('ex', 'ey')} / "
+    f"(sqrt({_fold_dot('ex', 'ex')}) * sqrt({_fold_dot('ey', 'ey')}))"
+)
+
+
+@register(
+    "q_margin_knn_mining",
+    oracle=f"""
+WITH x AS (SELECT vec_id AS id_x, embedding::DOUBLE[] AS ex
+           FROM embeddings WHERE vec_id % 50 = 0),
+y AS (SELECT vec_id AS id_y, embedding::DOUBLE[] AS ey
+      FROM embeddings WHERE vec_id % 50 != 0),
+cc AS (SELECT id_x, id_y, {_MARGIN_COS} AS cosine FROM x, y),
+rx AS (SELECT id_x, id_y, cosine, ROW_NUMBER() OVER (
+         PARTITION BY id_x ORDER BY cosine DESC, id_y ASC) AS r FROM cc),
+sx AS (SELECT id_x, SUM(CAST(cosine AS DECIMAL(18,12))) AS sx
+       FROM rx WHERE r <= {_MARGIN_K} GROUP BY id_x),
+ry AS (SELECT id_x, id_y, cosine, ROW_NUMBER() OVER (
+         PARTITION BY id_y ORDER BY cosine DESC, id_x ASC) AS r FROM cc),
+sy AS (SELECT id_y, SUM(CAST(cosine AS DECIMAL(18,12))) AS sy
+       FROM ry WHERE r <= {_MARGIN_K} GROUP BY id_y)
+SELECT id_x, id_y, cosine,
+       cosine / (CAST(sx + sy AS DOUBLE) / {float(2 * _MARGIN_K)}) AS margin
+FROM cc JOIN sx USING (id_x) JOIN sy USING (id_y)
+ORDER BY margin DESC, id_x, id_y LIMIT {_MARGIN_TOP}
+""",
+    doc="Margin-based kNN pair mining (Artetxe & Schwenk bitext-mining "
+    "criterion): cosine rescored by the ratio to both sides' kNN "
+    "neighborhood density — suppresses hub vectors; decimal-stabilized "
+    "kNN sums, mirrored divisions, total-order ties "
+    "(operators/similarity.py:margin_knn_pairs)",
+    tags=("pipeline", "similarity"),
+)
+def q_margin_knn_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.margin_knn_pairs(
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb.filter(F.col("vec_id") % 50 != 0),
+        k=_MARGIN_K,
+        top_pairs=_MARGIN_TOP,
+    )

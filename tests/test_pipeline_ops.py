@@ -955,3 +955,88 @@ def test_int8_topk_recall_and_quantization(spark, sf_dir):
     )
     kept = similarity.int8_quantize(zero).collect()
     assert [r["vec_id"] for r in kept] == [2]
+
+
+def test_margin_knn_pairs_hub_suppression(spark):
+    # A hub y-vector near EVERY x scores high raw cosine but its kNN
+    # denominator is also high -> margin ~1; a mutual best pair with a
+    # sparse neighborhood gets margin > hub's.
+    from big_data_engineering_project_spark.operators import similarity
+
+    def unit(v):
+        n = sum(a * a for a in v) ** 0.5
+        return [a / n for a in v]
+
+    xs = [
+        (0, unit([1.0, 0.0, 0.0, 0.2])),
+        (1, unit([0.0, 1.0, 0.0, 0.2])),
+        (2, unit([0.0, 0.0, 1.0, 0.2])),
+    ]
+    ys = [
+        (10, unit([1.0, 0.05, 0.0, 0.2])),   # aligned with x0
+        (11, unit([0.3, 0.3, 0.3, 0.9])),    # hub: near everything
+        (12, unit([0.0, 0.9, 0.1, 0.2])),    # aligned with x1
+        (13, unit([0.1, 0.1, 0.8, 0.2])),    # aligned with x2
+    ]
+    x_df = spark.createDataFrame(xs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y_df = spark.createDataFrame(ys, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.margin_knn_pairs(x_df, y_df, k=2, top_pairs=12).collect()
+    assert len(out) == 12
+    by_pair = {(r["id_x"], r["id_y"]): r for r in out}
+    # aligned pairs out-margin the hub's pairings with the same x
+    assert by_pair[(0, 10)]["margin"] > by_pair[(0, 11)]["margin"]
+    assert by_pair[(1, 12)]["margin"] > by_pair[(1, 11)]["margin"]
+    # margins are finite and the ordering is total
+    margins = [(r["margin"], r["id_x"], r["id_y"]) for r in out]
+    assert margins == sorted(margins, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_margin_knn_matches_python_reference(spark):
+    import itertools
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    import random as _random
+
+    rng = _random.Random(7)
+    xs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(4)]
+    ys = [(100 + i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(9)]
+
+    def cos(a, b):
+        dot = 0.0
+        for p, q in zip(a, b):
+            dot = dot + p * q
+        na = 0.0
+        for p in a:
+            na = na + p * p
+        nb = 0.0
+        for q in b:
+            nb = nb + q * q
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    k = 3
+    cc = {(i, j): cos(v, w) for (i, v), (j, w) in itertools.product(xs, ys)}
+    from decimal import Decimal
+
+    def dec(x):  # DECIMAL(18,12) cast, like both engines
+        return Decimal(x).quantize(Decimal("1e-12"))
+
+    # kNN ties broken by id: (cos desc, id asc) ordering
+    sx = {}
+    for i, _ in xs:
+        ranked = sorted(((cc[(i, j)], -j) for j, _ in ys), reverse=True)[:k]
+        sx[i] = sum(dec(c) for c, _ in ranked)
+    sy = {}
+    for j, _ in ys:
+        ranked = sorted(((cc[(i, j)], -i) for i, _ in xs), reverse=True)[:k]
+        sy[j] = sum(dec(c) for c, _ in ranked)
+    expect = {
+        (i, j): cc[(i, j)] / (float(sx[i] + sy[j]) / (2.0 * k))
+        for (i, j) in cc
+    }
+    x_df = spark.createDataFrame(xs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y_df = spark.createDataFrame(ys, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.margin_knn_pairs(x_df, y_df, k=k, top_pairs=36).collect()
+    assert len(out) == 36
+    for r in out:
+        assert abs(r["margin"] - expect[(r["id_x"], r["id_y"])]) < 1e-9
