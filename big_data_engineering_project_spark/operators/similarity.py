@@ -1168,3 +1168,116 @@ def margin_knn_pairs(
     return scored.orderBy(
         F.desc("margin"), F.asc("id_x"), F.asc("id_y")
     ).limit(top_pairs)
+
+
+def mmr_select(
+    cands: DataFrame,
+    key_col: str,
+    item_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    standard diversification re-ranker over a retrieval SHORTLIST:
+    per query key, greedily pick k items maximizing
+
+        score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+
+    with λ = 1/2 (exactly representable, so both engines compute the
+    identical doubles) and sim = sequential-fold cosine between
+    candidate vectors. The first pick is argmax rel (empty selected
+    set → penalty 0); every argmax breaks ties on item id (total
+    order). Output: (key, item, mmr_rank, rel, mmr_score).
+
+    Scale shape: `cands` is a per-key SHORTLIST (the rrf/IVF serving
+    discipline — rank only ever exists relative to a bounded list), so
+    the pairwise sim table is |shortlist|² per key and every step is
+    one equi-join + one keyed WindowGroupLimit argmax; the k-step
+    greedy is a FIXED-depth chain of narrow plans (k is a literal),
+    never a driver loop over collected rows. The oracle unrolls the
+    same k steps as CTEs.
+    """
+    from pyspark.sql import Window
+
+    lam = F.lit(0.5)
+    base = cands.select(
+        F.col(key_col).alias("key"),
+        F.col(item_col).alias("item"),
+        F.col(rel_col).alias("rel"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    sims = (
+        base.select("key", F.col("item").alias("ia"), F.col("__v").alias("va"))
+        .join(
+            base.select(
+                "key", F.col("item").alias("ib"), F.col("__v").alias("vb")
+            ),
+            "key",
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "key",
+            "ia",
+            "ib",
+            cosine_col(F.col("va"), F.col("vb")).alias("sim"),
+        )
+    )
+    # The shortlist and its pairwise sims are BOUNDED (|keys|·shortlist
+    # and |keys|·shortlist² rows) but sit on top of the expensive
+    # upstream scan; each greedy step references them again, and the
+    # growing `selected` union would otherwise nest k plans deep —
+    # localCheckpoint truncates both lineages (the graph-iteration
+    # discipline, operators/graph.py), so every step replays bounded
+    # rows, never the corpus scan.
+    sims = sims.localCheckpoint(eager=True)
+    cand = base.select("key", "item", "rel").localCheckpoint(eager=True)
+    w = Window.partitionBy("key").orderBy(F.desc("rel"), F.asc("item"))
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "key",
+            "item",
+            F.lit(1).alias("mmr_rank"),
+            "rel",
+            (lam * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for step in range(2, int(k) + 1):
+        remaining = cand.join(
+            selected.select("key", "item"), ["key", "item"], "left_anti"
+        )
+        pen = (
+            remaining.join(
+                sims.withColumnRenamed("ia", "item"),
+                ["key", "item"],
+            )
+            .join(
+                selected.select(
+                    "key", F.col("item").alias("ib")
+                ),
+                ["key", "ib"],
+            )
+            .groupBy("key", "item", "rel")
+            .agg(F.max("sim").alias("__mx"))
+        )
+        ws = Window.partitionBy("key").orderBy(
+            F.desc("__score"), F.asc("item")
+        )
+        nxt = (
+            pen.withColumn(
+                "__score", lam * F.col("rel") - lam * F.col("__mx")
+            )
+            .withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "key",
+                "item",
+                F.lit(step).alias("mmr_rank"),
+                "rel",
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected

@@ -4737,3 +4737,113 @@ def q_margin_knn_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MARGIN_K,
         top_pairs=_MARGIN_TOP,
     )
+
+
+# --- MMR diversification (round 11) ------------------------------------------
+
+_MMR_QIDS = (0, 50, 100)
+_MMR_SHORTLIST = 12
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled k-step greedy as CTEs — the same fixed-depth chain the
+    Spark operator builds, so both engines compute identical doubles."""
+    cos_rel = (
+        f"{_fold_dot('qv', 'dv')} / "
+        f"(sqrt({_fold_dot('qv', 'qv')}) * sqrt({_fold_dot('dv', 'dv')}))"
+    )
+    cos_sim = (
+        f"{_fold_dot('a.dv', 'b.dv')} / "
+        f"(sqrt({_fold_dot('a.dv', 'a.dv')}) * sqrt({_fold_dot('b.dv', 'b.dv')}))"
+    )
+    qids = ", ".join(str(i) for i in _MMR_QIDS)
+    parts = [
+        f"""WITH q AS (SELECT vec_id AS key, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN ({qids})),
+d AS (SELECT vec_id AS item, embedding::DOUBLE[] AS dv FROM embeddings),
+cc AS (SELECT key, item, {cos_rel} AS rel, dv
+       FROM q JOIN d ON item != key),
+cand AS (SELECT key, item, rel, dv FROM (
+    SELECT key, item, rel, dv, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY rel DESC, item ASC) AS rn FROM cc)
+  WHERE rn <= {_MMR_SHORTLIST}),
+sims AS (SELECT a.key AS key, a.item AS ia, b.item AS ib, {cos_sim} AS sim
+         FROM cand a JOIN cand b ON a.key = b.key AND a.item != b.item),
+sel1 AS (SELECT key, item, 1 AS mmr_rank, rel, 0.5 * rel AS mmr_score
+         FROM (SELECT key, item, rel, ROW_NUMBER() OVER (
+                 PARTITION BY key ORDER BY rel DESC, item ASC) AS rn
+               FROM cand) WHERE rn = 1),
+acc1 AS (SELECT * FROM sel1)"""
+    ]
+    for step in range(2, _MMR_K + 1):
+        p, a = step - 1, step
+        parts.append(
+            f"""pen{a} AS (
+  SELECT c.key, c.item, c.rel, MAX(s.sim) AS mx
+  FROM cand c
+  JOIN sims s ON s.key = c.key AND s.ia = c.item
+  JOIN acc{p} t ON t.key = s.key AND t.item = s.ib
+  WHERE NOT EXISTS (SELECT 1 FROM acc{p} z
+                    WHERE z.key = c.key AND z.item = c.item)
+  GROUP BY c.key, c.item, c.rel),
+sel{a} AS (SELECT key, item, {a} AS mmr_rank, rel,
+                  0.5 * rel - 0.5 * mx AS mmr_score
+           FROM (SELECT key, item, rel, mx, ROW_NUMBER() OVER (
+                   PARTITION BY key
+                   ORDER BY (0.5 * rel - 0.5 * mx) DESC, item ASC) AS rn
+                 FROM pen{a}) WHERE rn = 1),
+acc{a} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM sel{a})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT key, item, mmr_rank, rel, mmr_score FROM acc{_MMR_K} "
+        "ORDER BY key, mmr_rank"
+    )
+
+
+@register(
+    "q_mmr_diversified",
+    oracle=_mmr_oracle(),
+    doc="Maximal-Marginal-Relevance diversification of per-query ANN "
+    "shortlists (λ=1/2, k=5 greedy unrolled as a fixed-depth plan "
+    "chain — never a driver loop; oracle unrolls the same steps as "
+    "CTEs); shortlists and every argmax are total-ordered "
+    "(operators/similarity.py:mmr_select)",
+    tags=("pipeline", "similarity"),
+)
+def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.similarity import (
+        as_double,
+        cosine_col,
+        mmr_select,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(list(_MMR_QIDS))).select(
+        F.col("vec_id").alias("key"), as_double(F.col("embedding")).alias("qv")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("item"), as_double(F.col("embedding")).alias("dv")
+    )
+    cc = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("item") != F.col("key"))
+        .select(
+            "key",
+            "item",
+            cosine_col(F.col("qv"), F.col("dv")).alias("rel"),
+            "dv",
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("rel"), F.asc("item"))
+    cand = (
+        cc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _MMR_SHORTLIST)
+        .select("key", "item", "rel", "dv")
+    )
+    return mmr_select(cand, "key", "item", "rel", "dv", _MMR_K).orderBy(
+        "key", "mmr_rank"
+    )

@@ -1040,3 +1040,90 @@ def test_margin_knn_matches_python_reference(spark):
     assert len(out) == 36
     for r in out:
         assert abs(r["margin"] - expect[(r["id_x"], r["id_y"])]) < 1e-9
+
+
+def test_mmr_select_diversifies_and_matches_reference(spark):
+    from big_data_engineering_project_spark.operators import similarity
+
+    def unit(v):
+        n = sum(a * a for a in v) ** 0.5
+        return [a / n for a in v]
+
+    # item 1: best rel; item 2: clone of 1 (high rel, sim~1);
+    # item 3: diverse, lower rel. MMR at k=2 must pick 1 then 3.
+    cand = [
+        ("q", 1, 0.95, unit([1.0, 0.0, 0.05])),
+        ("q", 2, 0.94, unit([1.0, 0.01, 0.05])),
+        ("q", 3, 0.60, unit([0.0, 1.0, 0.05])),
+    ]
+    df = spark.createDataFrame(
+        cand, "key STRING, item LONG, rel DOUBLE, vec ARRAY<DOUBLE>"
+    )
+    out = sorted(
+        (r["mmr_rank"], r["item"])
+        for r in similarity.mmr_select(df, "key", "item", "rel", "vec", 2)
+        .collect()
+    )
+    assert out == [(1, 1), (2, 3)]
+
+
+def test_mmr_select_python_reference_parity(spark):
+    import itertools
+    import random as _random
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    rng = _random.Random(11)
+    items = [
+        (f"k{key}", i, rng.uniform(0, 1),
+         [rng.uniform(-1, 1) for _ in range(5)])
+        for key in range(2)
+        for i in range(8)
+    ]
+
+    def cos(a, b):
+        dot = 0.0
+        for p, q in zip(a, b):
+            dot = dot + p * q
+        na = 0.0
+        for p in a:
+            na = na + p * p
+        nb = 0.0
+        for q in b:
+            nb = nb + q * q
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    k = 4
+    expect = {}
+    for key, group in itertools.groupby(
+        sorted(items), key=lambda t: t[0]
+    ):
+        g = list(group)
+        vec = {i: v for _, i, _, v in g}
+        rel = {i: r for _, i, r, _ in g}
+        sel = []
+        first = sorted(rel, key=lambda i: (-rel[i], i))[0]
+        sel.append((first, 0.5 * rel[first]))
+        while len(sel) < k:
+            best = None
+            for i in rel:
+                if i in [s for s, _ in sel]:
+                    continue
+                mx = max(cos(vec[i], vec[s]) for s, _ in sel)
+                sc = 0.5 * rel[i] - 0.5 * mx
+                cand_t = (-sc, i)
+                if best is None or cand_t < best[0]:
+                    best = (cand_t, i, sc)
+            sel.append((best[1], best[2]))
+        for rank, (i, sc) in enumerate(sel, 1):
+            expect[(key, i)] = (rank, sc)
+
+    df = spark.createDataFrame(
+        items, "key STRING, item LONG, rel DOUBLE, vec ARRAY<DOUBLE>"
+    )
+    got = similarity.mmr_select(df, "key", "item", "rel", "vec", k).collect()
+    assert len(got) == 2 * k
+    for r in got:
+        rank, sc = expect[(r["key"], r["item"])]
+        assert r["mmr_rank"] == rank
+        assert abs(r["mmr_score"] - sc) < 1e-12
