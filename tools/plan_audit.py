@@ -64,6 +64,10 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "(TakeOrderedAndProject collapses the corpus FIRST; rank is "
         "only defined relative to the bounded candidate list)"
     ),
+    "q_padding_waste": (
+        "<= n_parts-row range-offset table x2 (one two-phase "
+        "global_row_number per batching strategy)"
+    ),
     "q_pack_chunks": (
         "rolling offsets over the <= n_docs/4096-row bucket table "
         "(the two-level prefix-sum's bounded second level; the "
@@ -95,6 +99,11 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_kmv_set_ops": "1-row sketch x 1-row sketch",
     "q_join_size_forecast": "1-row forecast stamp",
     "q_hybrid_search_rrf": "1-row broadcast query vector (vector signal)",
+    "q_margin_knn_mining": (
+        "broadcast query-batch X frame (the mining batch, bounded by "
+        "the serving batch like rrf_by_query's query tables; the "
+        "corpus side never shuffles for the cross cosines)"
+    ),
     "q_hybrid_search_rrf_by_query": (
         "broadcast query-batch tables: |queries|-row term list + "
         "|queries|-row query-vector frame (3 here; bounded by the "
