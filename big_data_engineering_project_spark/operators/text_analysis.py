@@ -1060,14 +1060,89 @@ def bm25_scores(
     doclen = toks.groupBy("__doc").agg(
         F.count(F.lit(1)).cast("long").alias("__dl")
     )
-    stats = doclen.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("__dl").cast("long").alias("__tot"),
-    )
     tf = (
         toks.filter(F.col("__tok").isin(terms))
         .groupBy("__doc", "__tok")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    return _bm25_score(tf, doclen, id_col, k1_num, k1_den, b_num, b_den)
+
+
+def text_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf): the full inverted-index posting table — the
+    persisted artifact a production lexical index maintains (the
+    streaming runner appends these per micro-batch). `bm25_scores`
+    itself never materializes this (it filters the token scan to the
+    query's terms first); the index exists so ANY later query scores
+    without re-tokenizing the corpus."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, dl): whitespace token count per doc — the BM25 length
+    normalizer's sufficient statistic."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long").alias(
+            "dl"
+        ),
+    )
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+) -> DataFrame:
+    """Okapi BM25 served from a MAINTAINED index (text_postings +
+    doc_lengths tables) instead of raw text — the literal term filter
+    prunes the posting scan, df/N/avgdl derive from the index, and the
+    scoring expression is SHARED with `bm25_scores`, so index-served
+    scores equal corpus-scored ones bit-for-bit (the stream≡batch
+    anchor of run_bm25_index_stream)."""
+    terms = [t.lower() for t in query_terms]
+    tf = postings.filter(F.col("term").isin(terms)).select(
+        F.col("doc").alias("__doc"),
+        F.col("term").alias("__tok"),
+        F.col("tf").alias("__tf"),
+    )
+    doclen = doclens.select(
+        F.col("doc").alias("__doc"), F.col("dl").alias("__dl")
+    )
+    return _bm25_score(tf, doclen, id_col, k1_num, k1_den, b_num, b_den)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    doclen: DataFrame,
+    id_col: str,
+    k1_num: int,
+    k1_den: int,
+    b_num: int,
+    b_den: int,
+) -> DataFrame:
+    """Shared BM25 finish: (__doc, __tok, __tf) x (__doc, __dl) →
+    (id, n_terms, score). One expression tree for the corpus path and
+    the index path."""
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__dl").cast("long").alias("__tot"),
     )
     dfreq = tf.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("long").alias("__df")

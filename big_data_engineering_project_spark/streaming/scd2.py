@@ -1388,3 +1388,59 @@ def run_minhash_index_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_bm25_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain a lexical search index — posting table (doc, term, tf)
+    + doc-length table (doc, dl) — over a micro-batched document
+    stream: the ingest loop of a production BM25 search service. Each
+    batch's postings and lengths append as their own
+    `batch=<lineage>-<id>` directories (the IVF/MinHash-runner
+    discipline: replays overwrite themselves, exactly-once BY
+    CONSTRUCTION, no marker). Serving goes through
+    `operators/text_analysis.py:bm25_from_index`, whose scoring
+    expression is SHARED with the batch `bm25_scores` — so index-served
+    scores over the maintained index equal batch scores over the union
+    bit-for-bit (checked per round: tools/streaming_check.py
+    `bm25_index_maintenance`). Contract: doc ids unique across batches
+    (an append log)."""
+    import re
+
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        doc_lengths,
+        text_postings,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        tag = f"{lineage}-{batch_id}"
+        text_postings(batch_df, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_path, "postings", f"batch={tag}"))
+        doc_lengths(batch_df, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_path, "doclens", f"batch={tag}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

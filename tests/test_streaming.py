@@ -1417,3 +1417,61 @@ def test_minhash_index_stream_exactly_once_and_stream_eq_batch(
     run_minhash_index_stream(spark, str(in_dir), idx, cp1b, **kw)
     assert pair_rows() == want
     assert spark.read.parquet(idx + "/bands").count() == n_band_rows
+
+
+def test_bm25_index_stream_exactly_once_and_serves_batch_scores(
+    spark, tmp_path
+):
+    """run_bm25_index_stream: index-served BM25 equals the batch scorer
+    over the union (shared expression), and a replayed micro-batch
+    (dropped commit, same lineage) overwrites its own directories."""
+    import os as _os
+    import shutil as _shutil
+
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_from_index,
+        bm25_scores,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_bm25_index_stream,
+    )
+
+    docs = [
+        {"doc_id": i, "text": f"alpha beta w{i % 3} gamma" + " alpha" * (i % 2)}
+        for i in range(8)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, [docs[:4], docs[4:]])
+    idx = str(tmp_path / "bm_idx")
+    cp1 = str(tmp_path / "cp1")
+    kw = dict(schema="doc_id LONG, text STRING")
+    run_bm25_index_stream(spark, str(in_dir), idx, cp1, **kw)
+
+    def served():
+        return sorted(
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_from_index(
+                spark.read.parquet(idx + "/postings").drop("batch"),
+                spark.read.parquet(idx + "/doclens").drop("batch"),
+                ["alpha", "w1"],
+            ).collect()
+        )
+
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_scores(union, ["alpha", "w1"]).collect()
+    )
+    assert served() == want and len(want) == 8
+
+    cp1b = str(tmp_path / "cp1b")
+    _shutil.copytree(cp1, cp1b)
+    _os.remove(_os.path.join(cp1b, "commits", "1"))
+    crc = _os.path.join(cp1b, "commits", ".1.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run_bm25_index_stream(spark, str(in_dir), idx, cp1b, **kw)
+    assert served() == want

@@ -1352,6 +1352,85 @@ def check_minhash_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_bm25_index_stream(spark, root: str) -> dict:
+    """run_bm25_index_stream (per-batch posting/doclen directory
+    appends) ≡ batch bm25_scores over the union: serving a fixed
+    query from the MAINTAINED index (bm25_from_index — shared scoring
+    expression) is hash-equal to scoring the batch corpus directly,
+    doubles included; the maintained doclen table equals the batch
+    one exactly."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_from_index,
+        bm25_scores,
+        doc_lengths,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_bm25_index_stream,
+    )
+
+    vocab = [
+        "spark", "query", "index", "scan", "merge", "join", "filter",
+        "table", "batch", "stream",
+    ]
+    recs = []
+    for i in range(30):
+        words = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(6 + i % 5)]
+        if i % 4 == 0:
+            words += ["spark", "index"]
+        recs.append({"doc_id": i, "text": " ".join(words)})
+
+    in_dir = os.path.join(root, "bm_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=10)
+    idx = os.path.join(root, "bm_idx")
+    run_bm25_index_stream(
+        spark,
+        in_dir,
+        idx,
+        os.path.join(root, "bm_cp"),
+        schema="doc_id LONG, text STRING",
+    )
+
+    terms = ["spark", "index", "merge"]
+    got = [
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_from_index(
+            spark.read.parquet(os.path.join(idx, "postings")).drop("batch"),
+            spark.read.parquet(os.path.join(idx, "doclens")).drop("batch"),
+            terms,
+        ).collect()
+    ]
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
+    )
+    want = [
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_scores(union, terms).collect()
+    ]
+    dl_stream = sorted(
+        (r["doc"], r["dl"])
+        for r in spark.read.parquet(os.path.join(idx, "doclens"))
+        .drop("batch")
+        .collect()
+    )
+    dl_batch = sorted(
+        (r["doc"], r["dl"]) for r in doc_lengths(union).collect()
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "doclens_equal": dl_stream == dl_batch,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["doclens_equal"]
+    )
+    return res
+
+
 def check_agg_maintenance_stream(spark, root: str) -> dict:
     """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
     max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
@@ -1936,6 +2015,7 @@ def main() -> None:
         results["ivf_index_maintenance"] = check_ivf_index_stream(spark, root)
         results["pack_maintenance"] = check_pack_stream(spark, root)
         results["minhash_index_maintenance"] = check_minhash_index_stream(spark, root)
+        results["bm25_index_maintenance"] = check_bm25_index_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
