@@ -1281,3 +1281,101 @@ def mmr_select(
         )
         selected = selected.unionByName(nxt).localCheckpoint(eager=True)
     return selected
+
+
+def embedding_dim_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Exact sample covariance matrix of the embedding dimensions —
+    the one-pass distributed moment computation under PCA/whitening/
+    feature-drift checks: for every dim pair i ≤ j,
+
+        cov(i,j) = (Σ v_i·v_j − (Σ v_i)(Σ v_j)/n) / (n−1)
+
+    with BOTH moment sums made EXACT INTEGERS: each product (a
+    mirrored double op) is scaled by 2^40 — exact in IEEE, it only
+    moves the exponent — and floored (exact, engine-independent), so
+    the sums are longs that no combine order can move; the finish is
+    a fixed chain of mirrored double ops. Quantization error is
+    ≤ 2^-40 per term (the frozen-integer-ladder discipline, cf.
+    ndcg_at_k's log ladder) — a documented property of the operator,
+    not engine noise: a decimal cast at this scale diverges at the
+    ULP between engines (Spark casts via the double's SHORTEST
+    string repr, DuckDB from the full binary value), which is why
+    DECIMAL(30,15) stabilization is NOT used here. Output:
+    (i, j, n, cov), upper triangle, 1-based dims.
+
+    Scale shape: the dims(dims+1)/2 products per row are generated
+    ROW-LOCALLY (nested transform + one explode — no self-join, no
+    shuffle of the vectors); the only exchange is the groupBy (i, j),
+    map-side combined to ≤ dims² rows per partition; per-dim first
+    moments ride a ≤ dims-row broadcast. One pass over the corpus.
+    """
+    d = int(dims)
+    v = as_double(F.col(vec_col))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.floor(
+                        F.element_at(v, i)
+                        * F.element_at(v, j)
+                        * F.lit(float(1 << 40))
+                    )
+                    .cast("long")
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    second = (
+        emb.select(F.explode(pairs).alias("pp"))
+        .select("pp.i", "pp.j", "pp.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").alias("__sij"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    first = (
+        emb.select(F.posexplode(v).alias("__z", "__val"))
+        .select((F.col("__z") + 1).alias("i"), F.col("__val").alias("__v"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("__v") * F.lit(float(1 << 40))).cast("long")
+            ).alias("__s")
+        )
+    )
+    return (
+        second.join(
+            F.broadcast(first.select(F.col("i"), F.col("__s").alias("__si"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                first.select(F.col("i").alias("j"), F.col("__s").alias("__sj"))
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            (
+                (
+                    F.col("__sij").cast("double") / F.lit(float(1 << 40))
+                    - (F.col("__si").cast("double") / F.lit(float(1 << 40)))
+                    * (F.col("__sj").cast("double") / F.lit(float(1 << 40)))
+                    / F.col("n").cast("double")
+                )
+                / (F.col("n") - F.lit(1)).cast("double")
+            ).alias("cov"),
+        )
+    )

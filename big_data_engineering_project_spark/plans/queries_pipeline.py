@@ -4847,3 +4847,47 @@ def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(cand, "key", "item", "rel", "dv", _MMR_K).orderBy(
         "key", "mmr_rank"
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle=f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT i, j,
+         CAST(FLOOR(v[i] * v[j] * 1099511627776.0) AS BIGINT) AS p
+  FROM e, UNNEST(range(1, {_DIMS + 1})) AS u(i),
+       UNNEST(range(1, {_DIMS + 1})) AS w(j)
+  WHERE j >= i
+),
+m2 AS (
+  SELECT i, j, CAST(SUM(p) AS BIGINT) AS sij,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY i, j
+),
+m1 AS (
+  SELECT i, CAST(SUM(CAST(FLOOR(v[i] * 1099511627776.0) AS BIGINT))
+                 AS BIGINT) AS s
+  FROM e, UNNEST(range(1, {_DIMS + 1})) AS u(i) GROUP BY i
+)
+SELECT m2.i, m2.j, n,
+       (CAST(sij AS DOUBLE) / 1099511627776.0
+          - (CAST(a.s AS DOUBLE) / 1099511627776.0)
+            * (CAST(b.s AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE))
+         / CAST(n - 1 AS DOUBLE) AS cov
+FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j
+ORDER BY m2.i, m2.j
+""",
+    doc="Sample covariance matrix of the 64 embedding dims in ONE "
+    "corpus pass: row-local upper-triangle products (no self-join), "
+    "moment sums as EXACT integers via the 2^40 floor ladder "
+    "(power-of-two scaling is exact in IEEE; decimal casts diverge "
+    "at the ULP between engines at this scale), mirrored double "
+    "finish (operators/similarity.py:embedding_dim_covariance)",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_covariance(emb, dims=_DIMS).orderBy(
+        "i", "j"
+    )

@@ -1127,3 +1127,47 @@ def test_mmr_select_python_reference_parity(spark):
         rank, sc = expect[(r["key"], r["item"])]
         assert r["mmr_rank"] == rank
         assert abs(r["mmr_score"] - sc) < 1e-12
+
+
+def test_embedding_dim_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    m = rng.uniform(-0.6, 0.6, size=(40, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = similarity.embedding_dim_covariance(df, dims=5).collect()
+    assert len(out) == 15  # upper triangle of 5x5
+    ref = np.cov(m, rowvar=False, ddof=1)
+    for r in out:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert r["n"] == 40
+        # 2^-40 quantization ladder: error bounded well under 1e-9
+        assert abs(r["cov"] - ref[i][j]) < 1e-9
+
+
+def test_embedding_dim_covariance_partitioning_invariant(spark):
+    import numpy as np
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    m = rng.uniform(-1, 1, size=(64, 4))
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(m)]
+    a = similarity.embedding_dim_covariance(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        .repartition(1),
+        dims=4,
+    ).collect()
+    b = similarity.embedding_dim_covariance(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        .repartition(16),
+        dims=4,
+    ).collect()
+    assert sorted((r["i"], r["j"], r["cov"]) for r in a) == sorted(
+        (r["i"], r["j"], r["cov"]) for r in b
+    )
