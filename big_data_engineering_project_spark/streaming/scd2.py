@@ -1444,3 +1444,162 @@ def run_bm25_index_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_mix_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    manifest_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    targets_ppm: dict[str, int],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the token-budget training-mix MANIFEST
+    (operators/sampling.py:budget_mix_select) over a micro-batched
+    append-only document stream: per batch, each stratum's docs get
+    tok_before = (stratum tokens already seen) + the batch-local
+    exclusive running sum, keep those with tok_before <
+    budget·ppm DIV 1e6, and append them as the batch's own
+    `batch=<lineage>-<id>` manifest directory. The corpus is never
+    re-scanned — day-N ingest reads only day N.
+
+    State is the per-stratum LEDGER (stratum, seen_toks, max_id):
+    token addition is not redelivery-idempotent, so the ledger rides
+    the (checkpoint lineage, batch id) marker; the manifest
+    directories overwrite themselves on replay (exactly-once by
+    construction). Write order is manifest-then-ledger, so a crash
+    between the two replays into identical manifest bytes before the
+    ledger advances. Ingest must be ID-MONOTONE across batches (the
+    pack-stream contract — greedy prefix selection is order-defined);
+    violations raise. Stream ≡ batch checked per round
+    (tools/streaming_check.py `mix_maintenance`)."""
+    import re
+
+    from big_data_engineering_project_spark.operators.dedup import tokens_col
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        tag = f"{lineage}-{batch_id}"
+        ledger = _read_state(sp, state_path)
+        base_rows = (
+            {
+                r["stratum"]: (int(r["seen_toks"]), r["max_id"])
+                for r in ledger.collect()
+            }
+            if ledger is not None
+            else {}
+        )
+        lo = batch_df.agg(F.min(id_col).alias("lo")).collect()[0]["lo"]
+        max_seen = max(
+            (m for _, m in base_rows.values()), default=None
+        )
+        if max_seen is not None and lo <= max_seen:
+            raise ValueError(
+                f"mix stream requires id-monotone ingest: batch min "
+                f"{id_col}={lo} <= already-ingested max {max_seen}"
+            )
+        ppm_map = F.create_map(
+            *[F.lit(x) for kv in targets_ppm.items() for x in kv]
+        )
+        base_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, (seen, _m) in base_rows.items()
+                for x in (k, seen)
+            ]
+        ) if base_rows else None
+        from pyspark.sql import Window
+
+        cur = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        w = (
+            Window.partitionBy("stratum")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        )
+        base_col = (
+            F.coalesce(base_map[F.col("stratum")].cast("long"), F.lit(0))
+            if base_map is not None
+            else F.lit(0).cast("long")
+        )
+        ppm = F.coalesce(ppm_map[F.col("stratum")].cast("long"), F.lit(0))
+        scored = (
+            cur.withColumn(
+                "tok_before",
+                base_col
+                + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+            .withColumn("__ppm", ppm)
+            .withColumn(
+                "stratum_budget",
+                F.expr(
+                    f"CAST(CAST({int(budget_tokens)} AS BIGINT) * __ppm "
+                    "DIV 1000000 AS BIGINT)"
+                ),
+            )
+        )
+        scored.filter(F.col("tok_before") < F.col("stratum_budget")).select(
+            "id", "stratum", "n_tokens", "tok_before", "stratum_budget"
+        ).write.mode("overwrite").parquet(
+            os.path.join(manifest_path, f"batch={tag}")
+        )
+        batch_ledger = scored.groupBy("stratum").agg(
+            F.sum("n_tokens").cast("long").alias("__bt"),
+            F.max("id").alias("__bm"),
+        )
+        if ledger is not None:
+            merged = (
+                ledger.join(batch_ledger, "stratum", "full_outer")
+                .select(
+                    "stratum",
+                    (
+                        F.coalesce(F.col("seen_toks"), F.lit(0))
+                        + F.coalesce(F.col("__bt"), F.lit(0))
+                    ).cast("long").alias("seen_toks"),
+                    F.greatest(
+                        F.col("max_id"), F.col("__bm")
+                    ).alias("max_id"),
+                )
+            )
+        else:
+            merged = batch_ledger.select(
+                "stratum",
+                F.col("__bt").alias("seen_toks"),
+                F.col("__bm").alias("max_id"),
+            )
+        _write_state_swap(
+            merged,
+            state_path,
+            batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

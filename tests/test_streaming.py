@@ -1475,3 +1475,67 @@ def test_bm25_index_stream_exactly_once_and_serves_batch_scores(
         _os.remove(crc)
     run_bm25_index_stream(spark, str(in_dir), idx, cp1b, **kw)
     assert served() == want
+
+
+def test_mix_stream_replay_guard_and_monotone_contract(spark, tmp_path):
+    """run_mix_stream: a replayed micro-batch (dropped commit, same
+    lineage) neither double-counts the ledger nor duplicates manifest
+    rows; non-monotone ingest raises."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_mix_stream,
+    )
+
+    docs = [
+        {"doc_id": i, "lang": "en" if i % 2 else "de",
+         "text": " ".join(f"t{j}" for j in range(10))}
+        for i in range(12)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_ordered_json(in_dir, [docs[:6], docs[6:]])
+    state = str(tmp_path / "state")
+    man = str(tmp_path / "man")
+    cp1 = str(tmp_path / "cp1")
+    kw = dict(
+        schema="doc_id LONG, lang STRING, text STRING",
+        targets_ppm={"en": 600_000, "de": 400_000},
+        budget_tokens=100,
+    )
+    run_mix_stream(spark, str(in_dir), state, man, cp1, **kw)
+
+    def manifest():
+        return sorted(
+            (r["id"], r["stratum"], r["tok_before"])
+            for r in spark.read.parquet(man).drop("batch").collect()
+        )
+
+    before = manifest()
+    ledger_before = sorted(
+        (r["stratum"], r["seen_toks"], r["max_id"])
+        for r in spark.read.parquet(state).collect()
+    )
+    assert len(before) > 0
+
+    cp1b = str(tmp_path / "cp1b")
+    _shutil.copytree(cp1, cp1b)
+    _os.remove(_os.path.join(cp1b, "commits", "1"))
+    crc = _os.path.join(cp1b, "commits", ".1.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run_mix_stream(spark, str(in_dir), state, man, cp1b, **kw)
+    assert manifest() == before
+    assert sorted(
+        (r["stratum"], r["seen_toks"], r["max_id"])
+        for r in spark.read.parquet(state).collect()
+    ) == ledger_before
+
+    # non-monotone ingest: a fresh checkpoint re-delivers OLD ids
+    # against the surviving ledger -> must raise, not mis-offset
+    cp2 = str(tmp_path / "cp2")
+    with _pytest.raises(Exception, match="id-monotone"):
+        run_mix_stream(spark, str(in_dir), state, man, cp2, **kw)

@@ -1431,6 +1431,84 @@ def check_bm25_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_mix_stream(spark, root: str) -> dict:
+    """run_mix_stream (per-batch greedy mix fill against the ledger)
+    ≡ batch budget_mix_select over the union: the accumulated manifest
+    directories equal the batch manifest EXACTLY (ids, tok_before,
+    budgets). Fixture: 3 id-monotone micro-batches, one stratum
+    exhausting its budget mid-stream, one untargeted stratum."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_project_spark.operators.dedup import tokens_col
+    from big_data_engineering_project_spark.operators.sampling import (
+        budget_mix_select,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_mix_stream,
+    )
+
+    targets = {"en": 500_000, "de": 300_000}
+    budget = 400
+    recs = []
+    for i in range(30):
+        lang = ["en", "de", "xx"][i % 3]
+        nwords = 8 + (i % 5) * 4
+        recs.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(f"w{j}" for j in range(nwords)),
+            }
+        )
+
+    in_dir = os.path.join(root, "mix_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=10)
+    man = os.path.join(root, "mix_manifest")
+    run_mix_stream(
+        spark,
+        in_dir,
+        os.path.join(root, "mix_state"),
+        man,
+        os.path.join(root, "mix_cp"),
+        schema="doc_id LONG, lang STRING, text STRING",
+        targets_ppm=targets,
+        budget_tokens=budget,
+    )
+
+    got = sorted(
+        (r["id"], r["stratum"], r["n_tokens"], r["tok_before"],
+         r["stratum_budget"])
+        for r in spark.read.parquet(man).drop("batch").collect()
+    )
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["text"]) for r in recs],
+        "doc_id LONG, lang STRING, text STRING",
+    ).withColumn("n_toks_doc", F.size(tokens_col(F.col("text"))).cast("long"))
+    want = sorted(
+        (r["id"], r["stratum"], r["n_tokens"], r["tok_before"],
+         r["stratum_budget"])
+        for r in budget_mix_select(
+            union, "lang", "doc_id", "n_toks_doc", targets, budget
+        ).collect()
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "budget_exhausted_mid_stream": any(
+            r[1] == "de" for r in want
+        ) and len({r[1] for r in want}) == 2,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["budget_exhausted_mid_stream"]
+    )
+    return res
+
+
 def check_agg_maintenance_stream(spark, root: str) -> dict:
     """run_agg_maintenance_stream (per-batch fold of (n, Σ, Σ², min,
     max) sufficient-statistic states via ivm.agg_merge) ≡ one batch
@@ -2016,6 +2094,7 @@ def main() -> None:
         results["pack_maintenance"] = check_pack_stream(spark, root)
         results["minhash_index_maintenance"] = check_minhash_index_stream(spark, root)
         results["bm25_index_maintenance"] = check_bm25_index_stream(spark, root)
+        results["mix_maintenance"] = check_mix_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
