@@ -1379,3 +1379,99 @@ def embedding_dim_covariance(
             ).alias("cov"),
         )
     )
+
+
+def gram_power_iteration(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    iters: int = 15,
+) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix (the PCA top
+    component, uncentered) by POWER ITERATION — an iterative algorithm
+    made engine-exact end to end: every quantity in the loop is an
+    integer, so the DuckDB oracle replays the identical iteration and
+    the gate hash-compares an iterative result (normally the class of
+    operator that only gets a rows-only check).
+
+    Frozen integer semantics:
+      G_q(i,j) = Σ_rows floor(v_i·v_j · 2^20)       (exact-ladder Gram)
+      x_0(i)   = 2^20                               (all-ones start)
+      y_t(i)   = Σ_j G_q(i,j)·x_t(j)                (exact long sums)
+      x_{t+1}(i) = sign(y)·(|y| DIV max(1, m DIV 2^20)),  m = max|y|
+    — the renormalization is integer division by construction (sign
+    split first, so trunc-vs-floor semantics can never differ between
+    engines). Magnitude audit: |G_q| ≤ n·2^20/4, |x| ≲ 2^20, so
+    |y| ≤ dims·n·2^40/4 — inside long for n into the tens of millions;
+    beyond that raise the ladder into DECIMAL(38,0)/HUGEINT.
+
+    The Gram build is the ONE corpus pass (row-local upper-triangle
+    products, mirrored from `embedding_dim_covariance`); the iteration
+    itself runs on the bounded dims² frame — each step one broadcast
+    join + map-side-combined groupBy, localCheckpointed so step t
+    never replays step t-1's plan. Convergence to the true eigenvector
+    is up to ladder precision and iteration count (pytest pins
+    |cos| > 0.999 vs numpy on a spectral-gapped fixture).
+
+    Output: (i, eigvec_q) — the final integer ladder, 1-based dims.
+    """
+    d = int(dims)
+    v = as_double(F.col(vec_col))
+    scale = float(1 << 20)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.floor(
+                        F.element_at(v, i) * F.element_at(v, j) * F.lit(scale)
+                    )
+                    .cast("long")
+                    .alias("g"),
+                ),
+            ),
+        )
+    )
+    upper = (
+        emb.select(F.explode(pairs).alias("pp"))
+        .select("pp.i", "pp.j", "pp.g")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    gram = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    x = spark.range(1, d + 1).select(
+        F.col("id").cast("int").alias("xi"),
+        F.lit(1 << 20).cast("long").alias("x"),
+    )
+    for _ in range(int(iters)):
+        y = (
+            gram.join(F.broadcast(x), gram["j"] == F.col("xi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("xi"),
+                (
+                    F.signum(F.col("y")).cast("long")
+                    * F.expr(
+                        "abs(y) DIV greatest(CAST(1 AS BIGINT), "
+                        "m DIV CAST(1048576 AS BIGINT))"
+                    )
+                ).cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select(
+        F.col("xi").cast("long").alias("i"), F.col("x").alias("eigvec_q")
+    )

@@ -1171,3 +1171,58 @@ def test_embedding_dim_covariance_partitioning_invariant(spark):
     assert sorted((r["i"], r["j"], r["cov"]) for r in a) == sorted(
         (r["i"], r["j"], r["cov"]) for r in b
     )
+
+
+def test_gram_power_iteration_converges_on_gapped_fixture(spark):
+    import numpy as np
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    # spectral gap: vectors = strong direction u + small noise
+    u = rng.normal(size=8)
+    u /= np.linalg.norm(u)
+    m = np.array(
+        [2.0 * rng.normal() * u + 0.15 * rng.normal(size=8)
+         for _ in range(200)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = similarity.gram_power_iteration(df, dims=8, iters=15).orderBy(
+        "i"
+    ).collect()
+    x = np.array([r["eigvec_q"] for r in out], dtype=float)
+    g = m.T @ m
+    _, v = np.linalg.eigh(g)
+    top = v[:, -1]
+    cos = abs(x @ top / (np.linalg.norm(x) * np.linalg.norm(top)))
+    assert cos > 0.999
+
+
+def test_gram_power_iteration_partitioning_invariant(spark):
+    import numpy as np
+
+    from big_data_engineering_project_spark.operators import similarity
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, size=6)])
+        for i in range(64)
+    ]
+    a = similarity.gram_power_iteration(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        .repartition(1),
+        dims=6,
+        iters=10,
+    ).orderBy("i").collect()
+    b = similarity.gram_power_iteration(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        .repartition(16),
+        dims=6,
+        iters=10,
+    ).orderBy("i").collect()
+    assert [(r["i"], r["eigvec_q"]) for r in a] == [
+        (r["i"], r["eigvec_q"]) for r in b
+    ]
