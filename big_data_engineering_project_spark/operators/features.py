@@ -649,3 +649,50 @@ def map_at_k(
             F.col("ap_num").cast("double") / den.cast("double"),
         ).alias("ap"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: float,
+    score_scale: float,
+) -> DataFrame:
+    """Expected Calibration Error over fixed-width score bins — the
+    scalar that summarizes `score_calibration`'s reliability diagram:
+
+        ECE = Σ_b (n_b/n)·|pos_rate_b − mean_conf_b|
+
+    made EXACT up to the 2^20 confidence ladder via the identity
+    n_b·|pos_b/n_b − S_b/n_b| = |pos_b − S_b|: per-row confidence
+    p = score/score_scale (a mirrored double op) quantizes to
+    q = floor(p·2^20) (exact longs — a decimal cast here diverges at
+    the ULP between engines, the covariance lesson), so each bin's
+    gap is the exact integer |pos_b·2^20 − Σq| and ECE is ONE double
+    division at the end. Two partial-aggregable groupBys (bins, then
+    the grand total over ≤ range/width bin rows), zero windows.
+
+    Output: 1 row (n_bins, n, ece)."""
+    pos = F.col(label_col).isNotNull() & F.col(label_col).cast("boolean")
+    b = F.floor(F.col(score_col) / F.lit(float(bin_width))).cast("long")
+    q = F.floor(
+        (F.col(score_col) / F.lit(float(score_scale))) * F.lit(float(1 << 20))
+    ).cast("long")
+    bins = (
+        df.select(b.alias("bin"), pos.cast("long").alias("__y"), q.alias("__q"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__pos"),
+            F.sum("__q").cast("long").alias("__s"),
+        )
+    )
+    gap = F.abs(F.col("__pos") * F.lit(1 << 20).cast("long") - F.col("__s"))
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__n").cast("long").alias("n"),
+        (
+            F.sum(gap).cast("double")
+            / (F.sum("__n") * F.lit(1 << 20).cast("long")).cast("double")
+        ).alias("ece"),
+    )

@@ -1890,3 +1890,47 @@ def q_purchase_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrr_at_k(
         base, ["event_type"], "item", "s", "rel", k=_AP_K
     ).orderBy("event_type")
+
+
+@register(
+    "q_purchase_ece",
+    oracle="""
+WITH bins AS (
+  SELECT CAST(FLOOR("value" / 25.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(SUM(CAST(FLOOR(("value" / 100.0) * 1048576.0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(pos * 1048576 - s)) AS DOUBLE)
+         / CAST(SUM(n) * 1048576 AS DOUBLE) AS ece
+FROM bins
+""",
+    doc="Expected Calibration Error of `value`/100 as a purchase "
+    "probability (width-25 bins): per-bin gaps are EXACT integers via "
+    "the n_b·|acc−conf| = |pos_b − Σq| identity on the 2^20 "
+    "confidence ladder, one final division — the scalar summary of "
+    "q_purchase_calibration's reliability diagram "
+    "(operators/features.py:expected_calibration_error)",
+    tags=("behavior", "ml"),
+)
+def q_purchase_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        expected_calibration_error,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return expected_calibration_error(
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        bin_width=25.0,
+        score_scale=100.0,
+    )

@@ -4334,3 +4334,56 @@ def test_mrr_at_k_reference_and_edges(spark):
         assert r["rr_den"] == L
         if r["rr"] is not None:
             assert r["rr"] == r["rr_num"] / r["rr_den"]
+
+
+def test_expected_calibration_error_matches_textbook_definition(spark):
+    """ECE from the integer-gap identity must equal the textbook
+    ECE = Σ_b (n_b/n)·|acc_b − conf_b| computed in plain Python with
+    the SAME 2^20 confidence quantization (the operator's documented
+    ladder), on a fixture with an empty-label bin, a perfectly
+    calibrated bin, and a fully mis-calibrated bin."""
+    import math
+
+    from big_data_engineering_project_spark.operators.features import (
+        expected_calibration_error,
+    )
+
+    rows = [
+        # bin 0 (scores 0..24): 4 rows, 1 positive — acc 0.25
+        (5.0, True), (10.0, False), (15.0, False), (20.0, None),
+        # bin 2 (scores 50..74): 2 rows, 2 positives — acc 1.0
+        (50.0, True), (74.0, True),
+        # bin 3 (scores 75..99): 3 rows, 0 positives — acc 0.0
+        (80.0, False), (90.0, False), (99.0, False),
+    ]
+    df = spark.createDataFrame(rows, "s DOUBLE, y BOOLEAN")
+    got = expected_calibration_error(
+        df, "s", "y", bin_width=25.0, score_scale=100.0
+    ).collect()[0]
+
+    Q = 1 << 20
+    by_bin: dict[int, list[tuple[int, int]]] = {}
+    for s, y in rows:
+        by_bin.setdefault(int(s // 25.0), []).append(
+            (math.floor((s / 100.0) * Q), 1 if y else 0)
+        )
+    n = len(rows)
+    expect = sum(
+        abs(sum(y for _, y in grp) * Q - sum(q for q, _ in grp))
+        for grp in by_bin.values()
+    ) / (n * Q)
+
+    assert got["n_bins"] == 3
+    assert got["n"] == n
+    assert got["ece"] == expect
+    # sanity against the un-quantized float definition: within 2^-20·2
+    float_ece = sum(
+        len(grp)
+        / n
+        * abs(
+            sum(y for _, y in grp) / len(grp)
+            - sum(q / Q for q, _ in grp) / len(grp)
+        )
+        for grp in by_bin.values()
+    )
+    assert abs(got["ece"] - float_ece) < 2 / (1 << 20)
