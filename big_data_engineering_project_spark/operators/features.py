@@ -696,3 +696,68 @@ def expected_calibration_error(
             / (F.sum("__n") * F.lit(1 << 20).cast("long")).cast("double")
         ).alias("ece"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelers over the same items, THE annotation-QA
+    gate for labeled training data (two human annotators, or a
+    model-vs-heuristic audit):
+
+        κ = (p_o − p_e)/(1 − p_e)
+          = (N·Σ_k n_kk − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)
+
+    — all-integer numerator and denominator (N = items, n_kk =
+    diagonal of the contingency table, r_k/c_k = marginals), ONE
+    double division at the end, so the result hash-matches any
+    engine. NULL labels on either side are excluded (un-annotated
+    items don't vote).
+
+    Plan shape: one map-side-combined groupBy(a, b) collapses the
+    corpus to a ≤|classes|² cell table; marginals and the Σ r·c
+    cross term are re-aggregations and a join OVER THAT BOUNDED
+    TABLE — the full-table scan happens exactly once, and nothing
+    downstream scales with N. Sums ride DECIMAL(38,0) so N²-order
+    terms cannot overflow a long at petabyte row counts.
+
+    Output: 1 row (n, agree, chance_num, kappa)."""
+    cells = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    cells = _pin(cells)
+    dec = "decimal(38,0)"
+    r = cells.groupBy("__a").agg(F.sum("__n").cast(dec).alias("__r"))
+    c = cells.groupBy("__b").agg(F.sum("__n").cast(dec).alias("__c"))
+    cross = (
+        r.join(c, F.col("__a") == F.col("__b"))
+        .agg(F.sum(F.col("__r") * F.col("__c")).alias("__rc"))
+        .select(F.coalesce(F.col("__rc"), F.lit(0).cast(dec)).alias("__rc"))
+    )
+    totals = cells.agg(
+        F.sum("__n").cast(dec).alias("__t"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
+            F.lit(0),
+        )
+        .cast(dec)
+        .alias("__agree"),
+    )
+    return totals.crossJoin(cross).select(
+        F.col("__t").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("agree"),
+        F.col("__rc").cast("long").alias("chance_num"),
+        (
+            (F.col("__t") * F.col("__agree") - F.col("__rc")).cast("double")
+            / (F.col("__t") * F.col("__t") - F.col("__rc")).cast("double")
+        ).alias("kappa"),
+    )

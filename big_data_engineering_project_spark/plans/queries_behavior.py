@@ -1934,3 +1934,63 @@ def q_purchase_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=25.0,
         score_scale=100.0,
     )
+
+
+@register(
+    "q_annotator_kappa",
+    oracle="""
+WITH labeled AS (
+  SELECT CASE WHEN "value" >= 75.0 THEN 'high'
+              WHEN "value" >= 25.0 THEN 'mid' ELSE 'low' END AS a,
+         CASE WHEN k >= 75 THEN 'high'
+              WHEN k >= 25 THEN 'mid' ELSE 'low' END AS b
+  FROM (SELECT "value",
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events)
+  WHERE "value" IS NOT NULL AND k IS NOT NULL
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM labeled GROUP BY 1, 2
+), r AS (SELECT a, CAST(SUM(n) AS HUGEINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT b, CAST(SUM(n) AS HUGEINT) AS c FROM cells GROUP BY 1),
+cross_t AS (
+  SELECT COALESCE(CAST(SUM(r.r * c.c) AS HUGEINT), 0) AS rc
+  FROM r JOIN c ON r.a = c.b
+), tot AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS t,
+         COALESCE(CAST(SUM(CASE WHEN a = b THEN n END) AS HUGEINT), 0)
+           AS agree
+  FROM cells
+)
+SELECT CAST(t AS BIGINT) AS n,
+       CAST(agree AS BIGINT) AS agree,
+       CAST(rc AS BIGINT) AS chance_num,
+       CAST(t * agree - rc AS DOUBLE) / CAST(t * t - rc AS DOUBLE) AS kappa
+FROM tot, cross_t
+""",
+    doc="Cohen's kappa between two deterministic 'annotators' of an "
+    "engagement tier (value thresholds vs props.k thresholds) — "
+    "chance-corrected agreement, the annotation-QA gate: all-integer "
+    "N·Σn_kk − Σr_k·c_k numerator over the bounded contingency-cell "
+    "table, one final division "
+    "(operators/features.py:cohen_kappa)",
+    tags=("behavior", "ml"),
+)
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        cohen_kappa,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tier = lambda col: (  # noqa: E731
+        F.when(col >= F.lit(75.0), "high")
+        .when(col >= F.lit(25.0), "mid")
+        .otherwise("low")
+    )
+    k = F.from_json("props", "k LONG").getField("k")
+    labeled = ev.filter(
+        F.col("value").isNotNull() & k.isNotNull()
+    ).select(
+        tier(F.col("value")).alias("a"),
+        tier(k.cast("double")).alias("b"),
+    )
+    return cohen_kappa(labeled, "a", "b")

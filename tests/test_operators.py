@@ -4387,3 +4387,48 @@ def test_expected_calibration_error_matches_textbook_definition(spark):
         for grp in by_bin.values()
     )
     assert abs(got["ece"] - float_ece) < 2 / (1 << 20)
+
+
+def test_cohen_kappa_matches_textbook_definition(spark):
+    """Kappa from the integer contingency identity must equal the
+    textbook (p_o − p_e)/(1 − p_e) computed in plain Python on a
+    3-class fixture with NULL labels on each side (excluded), and
+    hit the exact closed forms on perfect agreement (κ=1) and
+    a one-sided constant labeler (p_e edge)."""
+    from big_data_engineering_project_spark.operators.features import (
+        cohen_kappa,
+    )
+
+    rows = [
+        ("x", "x"), ("x", "x"), ("x", "y"),
+        ("y", "y"), ("y", "x"), ("y", "z"),
+        ("z", "z"), ("z", "z"), ("z", "y"),
+        (None, "x"), ("y", None),  # un-annotated: excluded
+    ]
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    got = cohen_kappa(df, "a", "b").collect()[0]
+
+    lab = [(a, b) for a, b in rows if a is not None and b is not None]
+    n = len(lab)
+    po = sum(1 for a, b in lab if a == b) / n
+    classes = {a for a, _ in lab} | {b for _, b in lab}
+    pe = sum(
+        (sum(1 for a, _ in lab if a == k) / n)
+        * (sum(1 for _, b in lab if b == k) / n)
+        for k in classes
+    )
+    assert got["n"] == n
+    assert got["agree"] == sum(1 for a, b in lab if a == b)
+    # exact rational identity: kappa = (n·agree − Σrc)/(n² − Σrc)
+    rc = sum(
+        sum(1 for a, _ in lab if a == k) * sum(1 for _, b in lab if b == k)
+        for k in classes
+    )
+    assert got["chance_num"] == rc
+    assert got["kappa"] == (n * got["agree"] - rc) / (n * n - rc)
+    assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y")], "a STRING, b STRING"
+    )
+    assert cohen_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
