@@ -346,6 +346,122 @@ def sliding_dup_coverage(
     )
 
 
+def dup_span_excision(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring dedup, the EXCISION half (Lee et al. 2022's
+    ExactSubstr deduplication re-expressed for Spark):
+    `sliding_dup_coverage` MEASURES how much of each doc is covered by
+    corpus-repeated k-grams; this operator REMOVES those spans and
+    emits the cleaned text — the form a training-data pipeline
+    actually feeds downstream (the paper's recommendation is to cut
+    the duplicated substring, not drop the whole doc, because most
+    affected docs are mostly unique).
+
+    Output: (doc, n_toks, n_kept, cleaned_text) for EVERY input doc —
+    docs shorter than k tokens or with no repeated gram pass through
+    intact (n_kept = n_toks); a fully-duplicated doc keeps zero tokens
+    and emits '' (empty string, not NULL — an excised doc is an empty
+    doc, not a missing one).
+
+    Plan, and why it scales:
+    - Gram hashing is the proven `sliding_dup_coverage` pipeline:
+      per-token char hashes once, k-gram hashes by arithmetic fold
+      over a slice, occurrence counts via a map-side-partial
+      groupBy(g) (hot boilerplate grams collapse BEFORE the exchange),
+      join back on g (AQE-splittable, unlike a Window on g).
+    - Repeated-gram intervals [s, s+k) are merged into disjoint
+      islands with the classic sorted-interval scan as WINDOW
+      ARITHMETIC (new island ⇔ s > running max end over earlier
+      starts; island id = running sum of the flag), bounded per doc by
+      the doc's own gram count — no per-position explode, so the
+      shuffled rows stay 8-byte integers.
+    - The cleaned text is rebuilt by ONE equi-join of the per-doc
+      island array (a handful of int pairs) back to the token arrays,
+      then slicing the GAPS between islands and flattening — tokens
+      are sliced in place, never exploded, never shuffled per-token;
+      the one corpus-sized shuffle is the doc-id join that any
+      document-rewriting operator must pay.
+    Reference anchor: S/preprocessing.py's clean-and-rewrite flow is
+    the per-doc analog; the corpus-wide repeated-substring signal has
+    no reference counterpart (extension operator).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")
+    )
+    ht = toks.filter(F.size("t") >= k).select(
+        "doc", F.transform("t", _char_poly_hash).alias("ht")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("ht") - k + 1),
+        lambda i: F.aggregate(
+            F.slice(F.col("ht"), i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_PRIME,
+        ),
+    )
+    ex = ht.select("doc", F.posexplode(gram).alias("s", "g"))
+    rep_grams = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+    )
+    rep = ex.join(rep_grams, "g").select("doc", "s")
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("s") + k).over(w_prev)
+    # Touching intervals (s == prev_end) merge too: a zero-length gap
+    # between islands is not a kept span.
+    is_new = F.when(
+        prev_end.isNull() | (F.col("s") > prev_end), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("doc")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        rep.withColumn("isl", F.sum(is_new).over(w_run))
+        .groupBy("doc", "isl")
+        .agg(
+            F.min("s").alias("a"),
+            F.max(F.col("s") + k).alias("b"),
+        )
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("a", "b"))).alias("iv"))
+    )
+    joined = toks.join(islands, "doc", "left")
+    # Gap g_i spans [end of island i-1, start of island i); the head
+    # gap starts at 0 and the tail gap ends at size(t). slice() is
+    # 1-based; a zero-length gap slices to an empty array.
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform("iv", lambda e: e["b"])
+    )
+    ends = F.concat(
+        F.transform("iv", lambda e: e["a"]), F.array(F.size("t"))
+    )
+    kept = F.when(F.col("iv").isNull(), F.col("t")).otherwise(
+        F.flatten(
+            F.zip_with(
+                starts,
+                ends,
+                lambda st, en: F.slice(
+                    F.col("t"), st + 1, F.greatest(en - st, F.lit(0))
+                ),
+            )
+        )
+    )
+    return joined.select(
+        "doc",
+        F.size("t").cast("long").alias("n_toks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -1986,6 +1986,60 @@ def q_sliding_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+@register(
+    "q_dup_span_excision",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+tk AS (SELECT doc, ht, len(ht) AS n FROM ht WHERE len(ht) >= {_SLIDE_K}),
+g AS (
+  SELECT doc, i - 1 AS s,
+         list_reduce([0::BIGINT] + ht[i : i + {_SLIDE_K - 1}],
+                     (acc, x) -> (acc * {B} + x) % {P}) AS g
+  FROM tk, unnest(generate_series(1, n - {_SLIDE_K} + 1)) AS u(i)
+),
+occ AS (SELECT doc, s, COUNT(*) OVER (PARTITION BY g) AS n_occ FROM g),
+rep AS (SELECT doc, s FROM occ WHERE n_occ > 1),
+cov AS (
+  SELECT DISTINCT doc, s + j AS p
+  FROM rep, unnest(generate_series(0, {_SLIDE_K - 1})) AS v(j)
+),
+pos AS (
+  SELECT doc, i - 1 AS p, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT pos.doc, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.doc = cov.doc AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+ka AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc
+)
+SELECT toks.doc AS doc, CAST(len(toks.t) AS BIGINT) AS n_toks,
+       COALESCE(ka.n_kept, 0) AS n_kept,
+       COALESCE(ka.cleaned, '') AS cleaned_text
+FROM toks LEFT JOIN ka ON toks.doc = ka.doc ORDER BY doc
+""",
+    doc=f"Exact-substring dedup, the EXCISION half (ExactSubstr, Lee "
+    f"et al.): REMOVE every token span covered by a corpus-repeated "
+    f"{_SLIDE_K}-gram and emit the cleaned text — the form a training "
+    "pipeline feeds downstream (cut the duplicated substring, keep "
+    "the unique remainder). Islands merged with integer window "
+    "arithmetic; text rebuilt by slicing the gaps between islands — "
+    "tokens never explode, the one corpus shuffle is the doc-id join "
+    "(operators/dedup.py:dup_span_excision)",
+    tags=("pipeline", "dedup"),
+)
+def q_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_excision(
+        docs, "doc_id", "text", _SLIDE_K
+    ).orderBy("doc")
+
+
 # --- RAG chunking ---------------------------------------------------------------
 
 _CHUNK_TOKENS = 64

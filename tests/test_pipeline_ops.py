@@ -706,6 +706,93 @@ def test_sliding_dup_coverage_shifted_duplicate(spark):
     assert got[3] == (9, 0, 0, 0.0)
 
 
+def test_dup_span_excision_cuts_shared_passage(spark):
+    # Same fixture geometry as the coverage test: doc A w0..w19, doc B
+    # embeds A's w2..w11 at a different offset. Excision must cut
+    # exactly the covered interval-union from BOTH docs and stitch the
+    # remainder back together in order.
+    from big_data_engineering_project_spark.operators.dedup import (
+        dup_span_excision,
+    )
+
+    a_toks = [f"w{i}" for i in range(20)]
+    shared = a_toks[2:12]
+    b_toks = ["x1", "x2", "x3"] + shared + ["y1", "y2"]
+    df = spark.createDataFrame(
+        [
+            Row(i=1, txt=" ".join(a_toks)),
+            Row(i=2, txt=" ".join(b_toks)),
+            Row(i=3, txt="unique tokens only here nothing repeats at all ever"),
+            Row(i=4, txt="too short"),  # < k tokens: passes through
+        ]
+    )
+    got = {
+        r["doc"]: (r["n_toks"], r["n_kept"], r["cleaned_text"])
+        for r in dup_span_excision(df, "i", "txt", k=8).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # EVERY doc present, unlike coverage
+    # A: covered [2, 12) excised → w0 w1 then w12..w19
+    assert got[1] == (
+        20, 10, " ".join(a_toks[:2] + a_toks[12:])
+    )
+    # B: covered [3, 13) excised → x1 x2 x3 y1 y2
+    assert got[2] == (15, 5, "x1 x2 x3 y1 y2")
+    assert got[3] == (9, 9, df.collect()[2]["txt"])  # untouched
+    assert got[4] == (2, 2, "too short")  # < k: intact
+
+
+def test_dup_span_excision_identical_docs_empty(spark):
+    # Fully-duplicated docs excise to the empty string (not NULL);
+    # token counts stay consistent (0 <= n_kept <= n_toks).
+    from big_data_engineering_project_spark.operators.dedup import (
+        dup_span_excision,
+    )
+
+    same = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [Row(i=1, txt=same), Row(i=2, txt=same),
+         Row(i=3, txt="some entirely different and unrepeated sentence "
+                      "with many fresh tokens")]
+    )
+    got = {r["doc"]: r for r in
+           dup_span_excision(df, "i", "txt", k=8).collect()}
+    assert got[1]["n_kept"] == 0 and got[1]["cleaned_text"] == ""
+    assert got[2]["n_kept"] == 0 and got[2]["cleaned_text"] == ""
+    assert got[3]["n_kept"] == got[3]["n_toks"]
+    for r in got.values():
+        assert 0 <= r["n_kept"] <= r["n_toks"]
+        assert r["cleaned_text"] is not None
+
+
+def test_dup_span_excision_interior_gap_preserved(spark):
+    # Two disjoint duplicated runs inside one doc leave an interior
+    # unique gap that must SURVIVE: doc C = [shared1(8)] + gap(3) +
+    # [shared2(8)], where shared1/shared2 each also appear in other
+    # docs. Exercises the multi-island gap-slicing path (head gap
+    # empty, interior gap kept, tail gap empty).
+    from big_data_engineering_project_spark.operators.dedup import (
+        dup_span_excision,
+    )
+
+    s1 = [f"a{i}" for i in range(8)]
+    s2 = [f"b{i}" for i in range(8)]
+    gap = ["gap1", "gap2", "gap3"]
+    df = spark.createDataFrame(
+        [
+            Row(i=1, txt=" ".join(s1 + gap + s2)),
+            Row(i=2, txt=" ".join(["p1", "p2"] + s1 + ["q1", "q2"])),
+            Row(i=3, txt=" ".join(["r1", "r2"] + s2 + ["s1", "s2"])),
+        ]
+    )
+    got = {
+        r["doc"]: (r["n_kept"], r["cleaned_text"])
+        for r in dup_span_excision(df, "i", "txt", k=8).collect()
+    }
+    assert got[1] == (3, "gap1 gap2 gap3")
+    assert got[2] == (4, "p1 p2 q1 q2")
+    assert got[3] == (4, "r1 r2 s1 s2")
+
+
 def test_compression_ratio_orders_redundancy(spark):
     from big_data_engineering_project_spark.operators.text_analysis import (
         compression_ratio,

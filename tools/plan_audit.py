@@ -118,6 +118,10 @@ BOUNDED_CROSS: dict[str, str] = {
         "1-row min/max guard stamp (the explicit-bucket-width "
         "raise_error guard broadcast onto the distinct-score table)"
     ),
+    "q_annotator_kappa": (
+        "1-row totals x 1-row chance-cross stamp (both sides are "
+        "global aggregates over the <=|classes|^2 contingency cells)"
+    ),
     "q_vocab_coverage": "1-row totals stamp",
     # judge-audited r7: "all 18 crossJoin sites carry 1-row or
     # group-cardinality aggregates" — the scalar-subquery stamps below
