@@ -264,7 +264,48 @@ def auc_exact(
             F.count(F.lit(1)).cast("long").alias("__cnt"),
             F.sum("__p").cast("long").alias("__pos"),
         )
-        .withColumn("__b", F.floor(F.col("__s") / F.lit(float(bucket_width))))
+    )
+    return _auc_from_collapsed(g, keys, bucket_width, explicit_width)
+
+
+def auc_from_weighted(
+    state: DataFrame,
+    key_cols: list[str] | None = None,
+    target_buckets: int = 1024,
+) -> DataFrame:
+    """Exact AUC served from an already-collapsed weighted-distinct
+    score table (key_cols..., __s, __cnt, __pos) — the serving seam
+    the streaming AUC maintenance twin reads through
+    (streaming/scd2.py:run_auc_stream). The state IS auc_exact's
+    internal distinct-score table (per-score row count + positive
+    count), which merges across batches by plain integer addition —
+    so served AUC over maintained state hash-equals the batch
+    auc_exact over the union, the same state≡batch identity the KLL
+    twin pins. Width derivation matches auc_exact's default (observed
+    range / target_buckets over the distinct scores), keeping the
+    arithmetic bit-identical between the two paths."""
+    keys = list(key_cols or [])
+    rng = state.agg(
+        F.min(F.col("__s").cast("double")).alias("lo"),
+        F.max(F.col("__s").cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    degenerate = lo is None or hi is None or hi <= lo
+    width = 1.0 if degenerate else (hi - lo) / float(target_buckets)
+    return _auc_from_collapsed(state, keys, width, False)
+
+
+def _auc_from_collapsed(
+    g: DataFrame,
+    keys: list[str],
+    bucket_width: float,
+    explicit_width: bool,
+) -> DataFrame:
+    """auc_exact's two-level midrank machinery over the collapsed
+    (keys..., __s, __cnt, __pos) table — shared by the batch entry
+    point and the streaming serving read."""
+    g = g.withColumn(
+        "__b", F.floor(F.col("__s") / F.lit(float(bucket_width)))
     )
     if explicit_width:
         # Loud-failure guard, still lazy: broadcast a 1-row min/max of

@@ -1043,6 +1043,86 @@ def run_kll_stream(
     query.awaitTermination()
 
 
+def run_auc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    score_expr: str,
+    label_expr: str,
+    key_cols: list[str] | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain EXACT ROC AUC over a micro-batched prediction stream
+    — continuous model monitoring as a mergeable-state twin (the AUC
+    member of the maintenance family beside CM/KMV/HLL/KLL/OHLC):
+    the state is auc_exact's weighted-distinct score table
+    (key_cols..., __s, __cnt, __pos) — per distinct score, row count
+    and positive count — maintained by plain integer addition per
+    batch. Addition over (key, score) cells is order-insensitive, so
+    state(union of batches) = one groupBy over the union EXACTLY, and
+    the served read (operators/features.py:auc_from_weighted → the
+    same two-level midrank machinery the batch path uses) hash-equals
+    batch auc_exact over the full stream. State size is O(distinct
+    scores per key), not O(predictions) — classifier scores quantize
+    naturally (calibrated models emit bounded-precision probabilities;
+    a raw-logit column should quantize inside `score_expr`, the same
+    knob the KLL runner documents). Count addition is NOT redelivery-
+    idempotent, so the state carries the last applied batch id (same
+    guard as the CM/agg/KLL runners). Checked per round
+    (tools/streaming_check.py `auc_maintenance`)."""
+    keys = list(key_cols or [])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        pos = (
+            f"CASE WHEN ({label_expr}) IS NOT NULL "
+            f"AND CAST(({label_expr}) AS BOOLEAN) THEN 1 ELSE 0 END"
+        )
+        batch_s = (
+            batch_df.selectExpr(
+                *keys, f"({score_expr}) AS __s", f"{pos} AS __p"
+            )
+            .groupBy(*keys, "__s")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__cnt"),
+                F.sum("__p").cast("long").alias("__pos"),
+            )
+        )
+        existing = _read_state(spark_b, state_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy(*keys, "__s")
+            .agg(
+                F.sum("__cnt").alias("__cnt"),
+                F.sum("__pos").alias("__pos"),
+            )
+        )
+        _write_state_swap(
+            merged, state_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_ivf_append_stream(
     spark: SparkSession,
     input_dir: str,

@@ -1178,6 +1178,91 @@ def check_kll_stream(spark, root: str) -> dict:
     return res
 
 
+def check_auc_stream(spark, root: str) -> dict:
+    """run_auc_stream (weighted-distinct score state per cohort,
+    maintained by exact count addition) ≡ batch auc_exact over the
+    union: BOTH the maintained state table and the served keyed AUC
+    rows are hash-equal to the batch pipeline — continuous model
+    monitoring with no approximation. Scores repeat across batches
+    (3-decimal quantized probabilities) so the distinct-collapse, not
+    pass-through, carries the weight; two cohorts exercise the keyed
+    path end-to-end."""
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+        auc_from_weighted,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_auc_stream,
+    )
+
+    rng = random.Random(23)
+    recs = []
+    for i in range(900):
+        cohort = "a" if i % 3 else "b"
+        y = 1 if rng.random() < 0.4 else 0
+        # positives score higher on average; 3-decimal quantization
+        # makes scores collide across batches (the state stays small)
+        s = round(min(0.999, max(0.001, rng.gauss(0.62 if y else 0.41, 0.18))), 3)
+        recs.append({"s": s, "y": y, "c": cohort, "i": i})
+    in_dir = os.path.join(root, "auc_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=150)  # 6 micro-batches
+
+    state_path = os.path.join(root, "auc_state")
+    run_auc_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "auc_cp"),
+        schema="s DOUBLE, y LONG, c STRING, i LONG",
+        score_expr="s",
+        label_expr="y",
+        key_cols=["c"],
+    )
+    state = spark.read.parquet(state_path)
+    got_state = sorted(
+        (r["c"], r["__s"], r["__cnt"], r["__pos"]) for r in state.collect()
+    )
+    bb = spark.read.schema("s DOUBLE, y LONG, c STRING, i LONG").json(in_dir)
+    want_state = sorted(
+        (r["c"], r["__s"], r["__cnt"], r["__pos"])
+        for r in bb.selectExpr(
+            "c",
+            "s AS __s",
+            "CASE WHEN y IS NOT NULL AND CAST(y AS BOOLEAN) "
+            "THEN 1 ELSE 0 END AS __p",
+        )
+        .groupBy("c", "__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum("__p").cast("long").alias("__pos"),
+        )
+        .collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in auc_from_weighted(state, ["c"]).collect()
+    )
+    batch_auc = sorted(
+        tuple(r)
+        for r in auc_exact(bb, "s", "y", key_cols=["c"]).collect()
+    )
+    res = {
+        "rows_stream": len(got_state),
+        "rows_batch": len(want_state),
+        "hash_stream": _rows_hash(got_state),
+        "hash_batch": _rows_hash(want_state),
+        "hash_auc_stream": _rows_hash(served),
+        "hash_auc_batch": _rows_hash(batch_auc),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["hash_auc_stream"] == res["hash_auc_batch"]
+    )
+    return res
+
+
 def check_ivf_index_stream(spark, root: str) -> dict:
     """run_ivf_append_stream (per-batch directory appends against the
     frozen centroids) ≡ one batch build over base ∪ all streamed
@@ -2095,6 +2180,7 @@ def main() -> None:
         results["minhash_index_maintenance"] = check_minhash_index_stream(spark, root)
         results["bm25_index_maintenance"] = check_bm25_index_stream(spark, root)
         results["mix_maintenance"] = check_mix_stream(spark, root)
+        results["auc_maintenance"] = check_auc_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
