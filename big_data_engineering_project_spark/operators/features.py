@@ -802,3 +802,76 @@ def cohen_kappa(
             / (F.col("__t") * F.col("__t") - F.col("__rc")).cast("double")
         ).alias("kappa"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    cat_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for N raters per
+    item, the multi-annotator generalization of `cohen_kappa` (three
+    labelers per example is the standard budget for LLM preference /
+    safety annotation; pairwise Cohen's understates disagreement
+    structure). Input: ONE ROW PER RATING (item, category); items
+    must carry exactly `n_raters` ratings — items with any other
+    count are EXCLUDED (the textbook requirement; partial items
+    cannot contribute to P̄_o's n·(n−1) pairs-per-item denominator).
+
+    All-integer algebra (one double division at the end):
+
+        S2 = Σ_i Σ_k n_ik²      (squared cell counts)
+        A  = Σ_k T_k²           (squared category totals)
+        κ  = ((S2 − N·n)·N·n − A·(n−1)) / ((n−1)·((N·n)² − A))
+
+    which is the standard κ = (P̄_o − P̄_e)/(1 − P̄_e) with both sides
+    scaled by (N·n)²·(n−1) — hash-stable cross-engine. Sums ride
+    DECIMAL(38,0): (N·n)² is rows², beyond long at petabyte scale.
+
+    Plan shape: one map-side-combined groupBy(item, cat) collapses
+    the ratings to ≤ N·|K| cells; the exactly-n filter, S2, N, T_k,
+    and A are re-aggregations over that cell table (category totals
+    are ≤ |K| rows). Nothing downstream scales with the rating count.
+    κ is NULL when every rating lands in one category (1 − P̄_e = 0)
+    or no item is complete. Output 1 row:
+    (n_items, n_raters, s2, cat_sq, kappa)."""
+    n = int(n_raters)
+    if n < 2:
+        raise ValueError("fleiss_kappa: n_raters must be >= 2")
+    dec = "decimal(38,0)"
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(item_col).alias("__i"), F.col(cat_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    item_tot = cells.groupBy("__i").agg(F.sum("__n").alias("__tot"))
+    complete = item_tot.filter(F.col("__tot") == n).select("__i")
+    kept = _pin(cells.join(complete, "__i"))
+    s2n = kept.agg(
+        F.sum((F.col("__n") * F.col("__n")).cast(dec)).alias("__s2"),
+        F.count_distinct(F.col("__i")).cast(dec).alias("__ni"),
+    )
+    a = (
+        kept.groupBy("__k")
+        .agg(F.sum("__n").cast(dec).alias("__tk"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__tk") * F.col("__tk")),
+                F.lit(0).cast(dec),
+            ).alias("__a")
+        )
+    )
+    nn = F.col("__ni") * F.lit(n)
+    num = (F.col("__s2") - nn) * nn - F.col("__a") * F.lit(n - 1)
+    den = F.lit(n - 1) * (nn * nn - F.col("__a"))
+    return s2n.crossJoin(a).select(
+        F.col("__ni").cast("long").alias("n_items"),
+        F.lit(n).cast("long").alias("n_raters"),
+        F.col("__s2").cast("long").alias("s2"),
+        F.col("__a").cast("long").alias("cat_sq"),
+        F.when(
+            den != F.lit(0).cast(dec),
+            num.cast("double") / den.cast("double"),
+        ).alias("kappa"),
+    )

@@ -209,3 +209,77 @@ def k_anonymity_audit(
         .withColumn("below_k", F.col("class_size") < int(k))
         .withColumn("below_l", F.col("sensitive_diversity") < int(l))
     )
+
+
+def source_quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_docs: int,
+    min_mean_quality: float,
+    max_dup_rate: float,
+) -> DataFrame:
+    """Source/domain-level curation gate (the RefinedWeb/C4 URL-level
+    filtering shape): aggregate per-source quality evidence and PASS/
+    FAIL each source against explicit thresholds — corpus curation
+    drops whole sources (spam domains, auto-generated mirrors), not
+    just individual documents, because source-level signals are far
+    more stable than per-doc ones.
+
+    Per source: doc count, mean composite quality (text_analysis.
+    quality_score_cols), and exact-duplicate rate (fraction of the
+    source's docs whose full-text fingerprint occurs >1 times
+    CORPUS-WIDE — a mirror site's docs are duplicated elsewhere, which
+    per-source grouping alone would miss). passed = n_docs >=
+    min_docs AND mean_quality >= min_mean_quality AND dup_rate <=
+    max_dup_rate (small sources fail closed: too little evidence).
+
+    Determinism (hash-compared doubles): per-doc quality is quantized
+    onto the 2^20 integer ladder row-locally and SUMMED AS LONGS, so
+    the mean is one double division of combine-order-independent
+    integers — the AUC-family discipline. Scale shape: quality and
+    fingerprint are row-local projections; the dup join ships (source,
+    q_int, fp) — 24 bytes a row, never text; the fingerprint count is
+    a map-side-combined groupBy; the final per-source rollup is a
+    second partial agg. No windows, no driver collects."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+        quality_score_cols,
+    )
+
+    q = quality_score_cols(F.col(text_col))["quality"]
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.floor(q * F.lit(1048576.0)).cast("long").alias("__q"),
+        fingerprint_col(F.col(text_col)).alias("__fp"),
+    )
+    fp_counts = per_doc.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n_fp")
+    )
+    joined = per_doc.join(fp_counts, "__fp")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__q").cast("long").alias("__sum_q"),
+        F.sum((F.col("__n_fp") > 1).cast("long")).cast("long").alias(
+            "n_dup_docs"
+        ),
+    )
+    mean_q = F.col("__sum_q").cast("double") / (
+        F.col("n_docs").cast("double") * F.lit(1048576.0)
+    )
+    dup_rate = F.col("n_dup_docs").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        mean_q.alias("mean_quality"),
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        (
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (mean_q >= F.lit(float(min_mean_quality)))
+            & (dup_rate <= F.lit(float(max_dup_rate)))
+        ).alias("passed"),
+    )

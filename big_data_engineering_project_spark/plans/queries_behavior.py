@@ -1994,3 +1994,61 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier(k.cast("double")).alias("b"),
     )
     return cohen_kappa(labeled, "a", "b")
+
+
+@register(
+    "q_fleiss_kappa",
+    oracle="""
+WITH r AS (
+  SELECT user_id,
+         CASE WHEN "value" >= 75.0 THEN 'high'
+              WHEN "value" >= 25.0 THEN 'mid' ELSE 'low' END AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+), rt AS (SELECT user_id AS i, k FROM r WHERE rn <= 3),
+cells AS (SELECT i, k, CAST(COUNT(*) AS BIGINT) AS n FROM rt GROUP BY 1, 2),
+tot AS (SELECT i, SUM(n) AS t FROM cells GROUP BY 1),
+kept AS (SELECT cells.i, cells.k, cells.n
+         FROM cells JOIN tot ON cells.i = tot.i WHERE tot.t = 3),
+s2n AS (SELECT CAST(SUM(n * n) AS HUGEINT) AS s2,
+               CAST(COUNT(DISTINCT i) AS HUGEINT) AS ni FROM kept),
+a AS (SELECT COALESCE(CAST(SUM(tk * tk) AS HUGEINT), 0) AS a
+      FROM (SELECT k, CAST(SUM(n) AS HUGEINT) AS tk FROM kept GROUP BY 1))
+SELECT CAST(ni AS BIGINT) AS n_items,
+       CAST(3 AS BIGINT) AS n_raters,
+       CAST(s2 AS BIGINT) AS s2,
+       CAST(a AS BIGINT) AS cat_sq,
+       CASE WHEN 2 * (ni * 3 * ni * 3 - a) != 0
+            THEN CAST((s2 - ni * 3) * ni * 3 - a * 2 AS DOUBLE)
+                 / CAST(2 * (ni * 3 * ni * 3 - a) AS DOUBLE) END AS kappa
+FROM s2n, a
+""",
+    doc="Fleiss' kappa over 3 'ratings' per user (each user's first "
+    "three events' engagement tiers, row_number-deterministic) — "
+    "multi-rater chance-corrected agreement, the n>2 generalization "
+    "of q_annotator_kappa: all-integer ((S2-Nn)Nn - A(n-1)) / "
+    "((n-1)((Nn)^2 - A)) over the bounded contingency-cell table, "
+    "DECIMAL(38,0) sums, one final division "
+    "(operators/features.py:fleiss_kappa)",
+    tags=("behavior", "ml"),
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        fleiss_kappa,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") >= F.lit(75.0), "high")
+        .when(F.col("value") >= F.lit(25.0), "mid")
+        .otherwise("low")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = (
+        ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", tier.alias("k"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    return fleiss_kappa(ratings, "user_id", "k", 3)

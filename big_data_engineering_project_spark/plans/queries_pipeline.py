@@ -944,6 +944,60 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_GATE_MIN_DOCS = 10
+_GATE_MIN_Q = 0.73
+_GATE_MAX_DUP = 0.2
+
+
+@register(
+    "q_source_quality_gate",
+    oracle=f"""
+WITH d AS (SELECT source, text,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents),
+pd AS (SELECT source,
+  CAST(FLOOR((0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+    + 0.5 * (1.0 - len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
+      / CAST(GREATEST(len(t), 1) AS DOUBLE))) * 1048576.0) AS BIGINT) AS q,
+  {_POLY.format(s="text")} AS fp
+  FROM d),
+fc AS (SELECT fp, COUNT(*) AS nfp FROM pd GROUP BY 1),
+ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q) AS BIGINT) AS sq,
+       CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       FROM pd JOIN fc USING (fp) GROUP BY 1)
+SELECT source, n_docs,
+  CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1048576.0) AS mean_quality,
+  n_dup AS n_dup_docs,
+  CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+  (n_docs >= {_GATE_MIN_DOCS}
+   AND CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1048576.0)
+       >= {_GATE_MIN_Q}
+   AND CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) <= {_GATE_MAX_DUP})
+    AS passed
+FROM ag ORDER BY source
+""",
+    doc="Source/domain-level curation gate (RefinedWeb/C4 URL-level "
+    "filtering shape): per source — doc count, mean composite quality "
+    "on the 2^20 integer ladder (order-independent long sums, ONE "
+    "double division), corpus-wide exact-duplicate rate via the "
+    "rolling-hash fingerprint — and a PASS/FAIL verdict against "
+    "explicit thresholds; whole sources are dropped, not just docs "
+    "(operators/governance.py:source_quality_gate)",
+    tags=("pipeline", "governance"),
+)
+def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.governance import (
+        source_quality_gate,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return source_quality_gate(
+        docs, "doc_id", "text", "source",
+        _GATE_MIN_DOCS, _GATE_MIN_Q, _GATE_MAX_DUP,
+    ).orderBy("source")
+
+
 def _bpe_oracle() -> str:
     from big_data_engineering_project_spark.operators.text_analysis import (
         BPE_TOKEN_PATTERN,

@@ -4432,3 +4432,101 @@ def test_cohen_kappa_matches_textbook_definition(spark):
         [("x", "x"), ("y", "y")], "a STRING, b STRING"
     )
     assert cohen_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_fleiss_kappa_matches_textbook_definition(spark):
+    """Fleiss' kappa from the integer identity must equal the
+    textbook P̄_o/P̄_e computation in plain Python on a 3-rater
+    fixture; items with a rating count != n are EXCLUDED; perfect
+    agreement gives κ=1; a single-category corpus gives NULL
+    (1 − P̄_e = 0)."""
+    from big_data_engineering_project_spark.operators.features import (
+        fleiss_kappa,
+    )
+
+    ratings = [
+        (1, "x"), (1, "x"), (1, "y"),
+        (2, "y"), (2, "y"), (2, "y"),
+        (3, "x"), (3, "z"), (3, "z"),
+        (4, "x"), (4, "y"),            # only 2 ratings: excluded
+        (5, "z"), (5, "z"), (5, "z"), (5, "z"),  # 4 ratings: excluded
+        (None, "x"), (6, None),        # nulls: excluded rows
+    ]
+    df = spark.createDataFrame(ratings, "item LONG, cat STRING")
+    got = fleiss_kappa(df, "item", "cat", 3).collect()[0]
+
+    kept = {1: {"x": 2, "y": 1}, 2: {"y": 3}, 3: {"x": 1, "z": 2}}
+    n, N = 3, len(kept)
+    s2 = sum(v * v for cs in kept.values() for v in cs.values())
+    cats = {k for cs in kept.values() for k in cs}
+    tk = {k: sum(cs.get(k, 0) for cs in kept.values()) for k in cats}
+    a = sum(v * v for v in tk.values())
+    po = (s2 - N * n) / (N * n * (n - 1))
+    pe = a / (N * n) ** 2
+    assert got["n_items"] == N and got["n_raters"] == n
+    assert got["s2"] == s2 and got["cat_sq"] == a
+    expected = ((s2 - N * n) * N * n - a * (n - 1)) / (
+        (n - 1) * ((N * n) ** 2 - a)
+    )
+    assert got["kappa"] == expected
+    assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [(i, c) for i in (1, 2) for c in ["x"] * 3]
+        + [(3, "y"), (3, "y"), (3, "y")],
+        "item LONG, cat STRING",
+    )
+    assert fleiss_kappa(perfect, "item", "cat", 3).collect()[0]["kappa"] == 1.0
+
+    uni = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "x"), (2, "x"), (2, "x"), (2, "x")],
+        "item LONG, cat STRING",
+    )
+    assert fleiss_kappa(uni, "item", "cat", 3).collect()[0]["kappa"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fleiss_kappa(df, "item", "cat", 1)
+
+
+def test_source_quality_gate_thresholds_and_dups(spark):
+    """Gate verdicts: a source failing each threshold independently
+    (too few docs / low mean quality / high corpus-wide dup rate) and
+    one passing all three; dup detection must count CORPUS-WIDE
+    fingerprint repeats (a mirror's copies live under OTHER sources)."""
+    from big_data_engineering_project_spark.operators.governance import (
+        source_quality_gate,
+    )
+
+    longtext = " ".join(f"unique{i}" for i in range(120))
+    rows = (
+        # src_good: 4 long docs; 2 get mirrored below → dup rate
+        # exactly 0.5 (<= threshold, still passes)
+        [(i, f"{longtext} g{i}", "src_good") for i in range(4)]
+        # src_small: 2 docs only (fails min_docs=3)
+        + [(10 + i, f"{longtext} s{i}", "src_small") for i in range(2)]
+        # src_short: 3 ultra-short docs (fails quality)
+        + [(20 + i, f"tiny doc {i}", "src_short") for i in range(3)]
+        # src_mirror: 3 docs, 2 of which duplicate src_good's docs —
+        # dup rate 2/3 > 0.5 (fails), and the dups are only visible
+        # CORPUS-WIDE (neither copy repeats within its own source)
+        + [(30, f"{longtext} g0", "src_mirror"),
+           (31, f"{longtext} g1", "src_mirror"),
+           (32, f"{longtext} m2", "src_mirror")]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {
+        r["source"]: r
+        for r in source_quality_gate(
+            df, "doc_id", "text", "source", 3, 0.7, 0.5
+        ).collect()
+    }
+    assert got["src_good"]["passed"]
+    assert got["src_good"]["n_dup_docs"] == 2  # corpus-wide, both sides
+    assert abs(got["src_good"]["dup_rate"] - 0.5) < 1e-12
+    assert not got["src_small"]["passed"] and got["src_small"]["n_docs"] == 2
+    assert not got["src_short"]["passed"]
+    assert got["src_short"]["mean_quality"] < 0.7
+    assert not got["src_mirror"]["passed"]
+    assert got["src_mirror"]["n_dup_docs"] == 2
+    assert abs(got["src_mirror"]["dup_rate"] - 2 / 3) < 1e-12

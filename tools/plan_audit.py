@@ -122,6 +122,10 @@ BOUNDED_CROSS: dict[str, str] = {
         "1-row totals x 1-row chance-cross stamp (both sides are "
         "global aggregates over the <=|classes|^2 contingency cells)"
     ),
+    "q_fleiss_kappa": (
+        "1-row S2/N stamp x 1-row category-square stamp (both global "
+        "aggregates over the bounded contingency cells)"
+    ),
     "q_vocab_coverage": "1-row totals stamp",
     # judge-audited r7: "all 18 crossJoin sites carry 1-row or
     # group-cardinality aggregates" — the scalar-subquery stamps below
