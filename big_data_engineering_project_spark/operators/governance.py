@@ -243,27 +243,86 @@ def source_quality_gate(
     q_int, fp) — 24 bytes a row, never text; the fingerprint count is
     a map-side-combined groupBy; the final per-source rollup is a
     second partial agg. No windows, no driver collects."""
+    return source_gate_finish(
+        source_gate_state(df, id_col, text_col, source_col),
+        min_docs,
+        min_mean_quality,
+        max_dup_rate,
+    )
+
+
+def source_gate_state(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """The gate's MERGEABLE sufficient-statistics frame: one row per
+    (source, full-text fingerprint) with doc count and ladder-quality
+    sum — counts and sums ADD per cell, so two days' states merge by
+    one groupBy-sum and a streaming maintainer folds per-batch states
+    the same way (streaming/scd2.py:run_source_gate_stream). The
+    fingerprint must stay a CELL KEY (not pre-aggregated away):
+    corpus-wide duplicate accounting needs an fp's total across every
+    source and every batch, which only the cell granularity preserves
+    — a mirror copy arriving three batches later still flips both
+    sides to duplicates. State size is O(distinct (source, fp)) ≈
+    O(distinct docs) at 32 bytes a row — the price of EXACT
+    corpus-wide dup rates; an approximate deployment would swap the
+    fp column for a KMV/HLL register per source and accept estimate
+    error (sketches.py has both)."""
     from big_data_engineering_project_spark.operators.text_analysis import (
         fingerprint_col,
         quality_score_cols,
     )
 
     q = quality_score_cols(F.col(text_col))["quality"]
-    per_doc = df.select(
-        F.col(source_col).alias("source"),
-        F.floor(q * F.lit(1048576.0)).cast("long").alias("__q"),
-        fingerprint_col(F.col(text_col)).alias("__fp"),
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.floor(q * F.lit(1048576.0)).cast("long").alias("__q"),
+            fingerprint_col(F.col(text_col)).alias("__fp"),
+        )
+        .groupBy("source", "__fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__q").cast("long").alias("__sq"),
+        )
     )
-    fp_counts = per_doc.groupBy("__fp").agg(
-        F.count(F.lit(1)).alias("__n_fp")
+
+
+def source_gate_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two gate states over disjoint inputs: cell counts and
+    ladder sums add per (source, fingerprint)."""
+    return (
+        a.unionByName(b)
+        .groupBy("source", "__fp")
+        .agg(
+            F.sum("__n").cast("long").alias("__n"),
+            F.sum("__sq").cast("long").alias("__sq"),
+        )
     )
-    joined = per_doc.join(fp_counts, "__fp")
+
+
+def source_gate_finish(
+    state: DataFrame,
+    min_docs: int,
+    min_mean_quality: float,
+    max_dup_rate: float,
+) -> DataFrame:
+    """Gate verdicts from a (possibly merged) state frame — the
+    shared finish for the batch operator and the streaming
+    maintainer, so stream ≡ batch is the same arithmetic over equal
+    states. Corpus-wide fp totals re-aggregate the cell table (never
+    the raw docs); every downstream row count is bounded by distinct
+    fingerprints."""
+    fp_tot = state.groupBy("__fp").agg(F.sum("__n").alias("__n_fp"))
+    joined = state.join(fp_tot, "__fp")
     agg = joined.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("__q").cast("long").alias("__sum_q"),
-        F.sum((F.col("__n_fp") > 1).cast("long")).cast("long").alias(
-            "n_dup_docs"
-        ),
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__sq").cast("long").alias("__sum_q"),
+        F.sum(
+            F.when(F.col("__n_fp") > 1, F.col("__n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_dup_docs"),
     )
     mean_q = F.col("__sum_q").cast("double") / (
         F.col("n_docs").cast("double") * F.lit(1048576.0)

@@ -3131,6 +3131,84 @@ def q_dedup_incremental_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+_LEAK_T = 0.35
+
+
+@register(
+    "q_split_neardup_leakage",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+hn AS (SELECT * FROM hs
+       WHERE {_POLY.format(s="CAST(doc AS VARCHAR)")} % 100 >= 90),
+hc AS (SELECT * FROM hs
+       WHERE {_POLY.format(s="CAST(doc AS VARCHAR)")} % 100 < 80),
+invc0 AS (SELECT doc, unnest(hv) AS s FROM hc),
+hot AS (SELECT s FROM invc0 GROUP BY s
+        HAVING COUNT(*) > GREATEST({MIN_SHINGLE_DF_CUT},
+          CAST(FLOOR(CAST({MAX_SHINGLE_DF_FRAC} AS DOUBLE) * (SELECT COUNT(*) FROM hc)) AS BIGINT),
+          1)),
+invc AS (SELECT doc, s FROM invc0 ANTI JOIN hot USING (s)),
+invn AS (SELECT doc, s FROM (SELECT doc, unnest(hv) AS s FROM hn)
+         ANTI JOIN hot USING (s)),
+pairs AS (
+  SELECT a.doc AS new_id, b.doc AS corpus_id, COUNT(*) AS inter
+  FROM invn a JOIN invc b ON a.s = b.s
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT new_id, corpus_id,
+         inter / CAST(sn.n_sh + sc.n_sh - inter AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN (SELECT doc, len(hv) AS n_sh FROM hn) sn ON new_id = sn.doc
+  JOIN (SELECT doc, len(hv) AS n_sh FROM hc) sc ON corpus_id = sc.doc
+  WHERE inter / CAST(sn.n_sh + sc.n_sh - inter AS DOUBLE) >= {_LEAK_T}
+)
+SELECT new_id AS test_id, CAST(COUNT(*) AS BIGINT) AS n_train_neardups,
+       MAX(jaccard) AS max_jaccard
+FROM jp GROUP BY 1 ORDER BY 1
+""",
+    doc="Cross-split NEAR-dup leakage report: every TEST-split doc "
+    "with an n-gram-Jaccard near-duplicate in the TRAIN split — the "
+    "eval-integrity audit exact fingerprints miss "
+    "(q_split_contamination catches verbatim copies; a lightly-edited "
+    "copy still leaks the answer). R-S set-similarity join, test × "
+    "train only (never within-split pairs): corpus-side stop-shingle "
+    "cut, PPJoin size filter in the join, shares the session-"
+    "persisted shingle table; per-test-doc rollup (match count + max "
+    "jaccard) (operators/dedup.py:ngram_jaccard_rs)",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+
+    shared = _shared_hashed(spark, sf_dir, NGRAM_N)
+    bucket = hash_bucket_col(F.col("doc").cast("string"))
+    pairs = dedup.ngram_jaccard_rs(
+        None,
+        None,
+        "doc_id",
+        "text",
+        threshold=_LEAK_T,
+        n=NGRAM_N,
+        max_bucket_size=MIN_SHINGLE_DF_CUT,
+        max_bucket_frac=MAX_SHINGLE_DF_FRAC,
+        hashed_new=shared.filter(bucket >= 90),
+        hashed_corpus=shared.filter(bucket < 80),
+    )
+    return (
+        pairs.groupBy(F.col("new_id").alias("test_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_neardups"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("test_id")
+    )
+
+
 # --- Mergeable reservoir sample (merged ≡ direct under the gate) --------------
 
 _RSVR_K = 20

@@ -1123,6 +1123,74 @@ def run_auc_stream(
     query.awaitTermination()
 
 
+def run_source_gate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the source/domain quality gate's sufficient
+    statistics over a micro-batched document stream — continuous
+    curation monitoring (the governance member of the maintenance
+    family): state is `source_gate_state`'s (source, fingerprint) →
+    (doc count, ladder-quality sum) cell table, maintained by plain
+    integer addition per batch; the served read
+    (operators/governance.py:source_gate_finish) re-derives
+    corpus-wide fp totals FROM THE STATE, so a mirror copy arriving
+    many batches after the original still flips both occurrences to
+    duplicates — the cross-batch effect per-batch gating
+    fundamentally misses, and the reason the fingerprint stays a
+    state key. Addition is order-insensitive → state(union of
+    batches) = one groupBy over the union EXACTLY, and the served
+    verdicts hash-equal batch `source_quality_gate` over the full
+    stream. Count addition is not redelivery-idempotent → batch-id
+    marker (the CM/KLL/AUC discipline). Checked per round
+    (tools/streaming_check.py `source_gate_maintenance`)."""
+    from big_data_engineering_project_spark.operators.governance import (
+        source_gate_state,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        batch_s = source_gate_state(batch_df, id_col, text_col, source_col)
+        existing = _read_state(spark_b, state_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy("source", "__fp")
+            .agg(
+                F.sum("__n").cast("long").alias("__n"),
+                F.sum("__sq").cast("long").alias("__sq"),
+            )
+        )
+        _write_state_swap(
+            merged, state_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_ivf_append_stream(
     spark: SparkSession,
     input_dir: str,

@@ -1339,11 +1339,20 @@ def test_pack_stream_rejects_non_monotone_ingest(spark, tmp_path):
 
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    # batch 0: ids 100..103; batch 1: ids 0..3 (violates monotonicity)
+    # batch 0: ids 100..103; batch 1: ids 0..3 (violates monotonicity).
+    # mtimes are pinned a full second apart: the file source orders
+    # batches by modification time, and same-granularity ties would
+    # let it legally pick the ids 0..3 file FIRST — a monotone order
+    # that never trips the guard (flaked once in a full-suite run).
+    import time as _time
+
+    now = _time.time()
     for b, ids in enumerate(([100, 101, 102, 103], [0, 1, 2, 3])):
-        with open(os.path.join(in_dir, f"{b:04d}.json"), "w") as fh:
+        p = os.path.join(in_dir, f"{b:04d}.json")
+        with open(p, "w") as fh:
             for i in ids:
                 fh.write(_json.dumps({"doc_id": i, "text": "a b c"}) + "\n")
+        os.utime(p, (now - 10 + b, now - 10 + b))
     with pytest.raises(Exception) as exc:
         run_pack_stream(
             spark,

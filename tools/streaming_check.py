@@ -1263,6 +1263,101 @@ def check_auc_stream(spark, root: str) -> dict:
     return res
 
 
+def check_source_gate_stream(spark, root: str) -> dict:
+    """run_source_gate_stream ((source, fingerprint) cell state,
+    exact count/ladder-sum addition) ≡ batch source_quality_gate over
+    the union: BOTH the maintained state and the served gate verdicts
+    hash-equal the batch pipeline. The fixture plants a CROSS-BATCH
+    mirror — batch 4 re-sends batch 1 texts under another source —
+    so the dup accounting only comes out right if fp totals are
+    derived from merged state, not per batch."""
+    from big_data_engineering_project_spark.operators.governance import (
+        source_gate_finish,
+        source_quality_gate,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_source_gate_stream,
+    )
+
+    rng = random.Random(41)
+    words = [f"w{i}" for i in range(400)]
+    recs = []
+    for i in range(600):
+        src = f"s{i % 5}"
+        n = rng.randint(20, 120)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        recs.append({"doc_id": i, "text": text, "source": src})
+    # cross-batch mirror: docs 450-499 (batch 4) replay texts of docs
+    # 0-49 (batch 1) under source 'mirror'
+    for j in range(50):
+        recs[450 + j] = {
+            "doc_id": 450 + j,
+            "text": recs[j]["text"],
+            "source": "mirror",
+        }
+    in_dir = os.path.join(root, "gate_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=150)  # 4 micro-batches
+
+    state_path = os.path.join(root, "gate_state")
+    run_source_gate_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "gate_cp"),
+        schema="doc_id LONG, text STRING, source STRING",
+        id_col="doc_id",
+        text_col="text",
+        source_col="source",
+    )
+    state = spark.read.parquet(state_path)
+    got_state = sorted(
+        (r["source"], r["__fp"], r["__n"], r["__sq"])
+        for r in state.collect()
+    )
+    bb = spark.read.schema("doc_id LONG, text STRING, source STRING").json(
+        in_dir
+    )
+    from big_data_engineering_project_spark.operators.governance import (
+        source_gate_state,
+    )
+
+    want_state = sorted(
+        (r["source"], r["__fp"], r["__n"], r["__sq"])
+        for r in source_gate_state(bb, "doc_id", "text", "source").collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in source_gate_finish(state, 30, 0.6, 0.3).collect()
+    )
+    batch_gate = sorted(
+        tuple(r)
+        for r in source_quality_gate(
+            bb, "doc_id", "text", "source", 30, 0.6, 0.3
+        ).collect()
+    )
+    # the planted mirror must be visible as dups on BOTH sides
+    mirror = {r[0]: r for r in served}
+    res = {
+        "rows_stream": len(got_state),
+        "rows_batch": len(want_state),
+        "hash_stream": _rows_hash(got_state),
+        "hash_batch": _rows_hash(want_state),
+        "hash_gate_stream": _rows_hash(served),
+        "hash_gate_batch": _rows_hash(batch_gate),
+        "cross_batch_dups_seen": bool(
+            mirror.get("mirror") and mirror["mirror"][3] >= 50
+        ),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["hash_gate_stream"] == res["hash_gate_batch"]
+        and res["cross_batch_dups_seen"]
+    )
+    return res
+
+
 def check_ivf_index_stream(spark, root: str) -> dict:
     """run_ivf_append_stream (per-batch directory appends against the
     frozen centroids) ≡ one batch build over base ∪ all streamed
@@ -2181,6 +2276,9 @@ def main() -> None:
         results["bm25_index_maintenance"] = check_bm25_index_stream(spark, root)
         results["mix_maintenance"] = check_mix_stream(spark, root)
         results["auc_maintenance"] = check_auc_stream(spark, root)
+        results["source_gate_maintenance"] = check_source_gate_stream(
+            spark, root
+        )
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
