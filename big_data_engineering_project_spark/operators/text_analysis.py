@@ -1255,3 +1255,51 @@ def pack_concat_chunks(
         "chunk_last",
         "chunks_spanned",
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """TRUE BPE token counts under a FROZEN merge table — the serving
+    half of the BPE story (`bpe_train_merges` builds the tokenizer;
+    this applies it), and the number a token-budget pipeline actually
+    bills by: `bpe_token_count_col` approximates tokenization with a
+    pre-tokenizer regex, while this walks the real merge sequence, so
+    counts match what a GPT-2-family tokenizer with these merges
+    would emit.
+
+    Scale shape — encode the VOCABULARY, not the corpus: merges apply
+    per WORD, so the chained greedy merge folds (`_merge_pair_expr`,
+    one per merge, exact reference semantics) run over the DISTINCT
+    word table — vocab-sized, orders of magnitude smaller than the
+    corpus — and per-doc counts come back by joining the (word →
+    token count) table onto the exploded (doc, word) pairs: two
+    map-side-combinable groupBys and one equi-join that never carries
+    more than a word per row. Merge application itself is pure
+    Catalyst (no UDF). Docs with no tokens are absent (no words to
+    bill). Output: (doc, n_words, n_bpe_tokens)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = toks.select("w").distinct().select("w", syms.alias("syms"))
+    for a, b in merges:
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), a, b)
+        )
+    wc = vocab.select("w", F.size("syms").cast("long").alias("__nt"))
+    return (
+        toks.join(wc, "w")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1013,6 +1013,79 @@ def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# Frozen BPE merge table for the ENCODE query — the serving shape: a
+# tokenizer is a frozen artifact applied to new data, so the merge
+# list is a literal shared by the Spark plan and the oracle (unlike
+# q_bpe_merges, which TRAINS and is rows-only because training is
+# iterative). Chained dependencies ('t','h' then 'th','e'; 'a','n'
+# then 'an','d') exercise merged-symbol reuse across steps.
+_BPE_ENC_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """Sequential CTE chain: one greedy merge application per step.
+    DuckDB 1.0's list_reduce silently mis-folds STRUCT accumulators
+    (measured: the accumulator resets every step), so the fold form
+    is out; for
+    merges with left ≠ right the greedy non-overlapping scan equals
+    the POSITIONAL form — two adjacent hits would need s[i+1] to be
+    both right and left — so each step is a pure list_transform:
+    emit merged at a hit start, drop the consumed right neighbour,
+    copy otherwise (out-of-range DuckDB list indexing yields NULL,
+    which compares false). The left ≠ right precondition is asserted
+    below; a future equal-pair merge must bring back a working fold."""
+    for a, b in _BPE_ENC_MERGES:
+        assert a != b, "positional oracle requires left != right"
+    ctes = ["v0 AS (SELECT w, string_split(w, '') AS syms FROM "
+            "(SELECT DISTINCT unnest(t) AS w FROM toks))"]
+    for i, (a, b) in enumerate(_BPE_ENC_MERGES):
+        ctes.append(f"""v{i + 1} AS (
+  SELECT w, list_filter(
+    list_transform(range(1, len(syms) + 1), i -> CASE
+      WHEN syms[i] = '{a}' AND syms[i + 1] = '{b}' THEN '{a + b}'
+      WHEN i > 1 AND syms[i - 1] = '{a}' AND syms[i] = '{b}' THEN NULL
+      ELSE syms[i] END),
+    x -> x IS NOT NULL) AS syms
+  FROM v{i})""")
+    n = len(_BPE_ENC_MERGES)
+    return f"""
+WITH {_TOKS_CTE},
+dw AS (SELECT doc, unnest(t) AS w FROM toks),
+{", ".join(ctes)},
+wc AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM v{n})
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wc USING (w) GROUP BY doc ORDER BY doc
+"""
+
+
+@register(
+    "q_bpe_encode_counts",
+    oracle=_bpe_encode_oracle(),
+    doc="TRUE BPE token counts under a FROZEN 8-merge table (the "
+    "tokenizer-as-artifact serving shape; q_bpe_merges trains, this "
+    "bills): chained greedy merge folds with exact reference "
+    "semantics run over the DISTINCT word table only (vocab-sized, "
+    "never the corpus), per-doc counts come back via one word-keyed "
+    "equi-join; pure Catalyst, no UDF; the oracle replays the same "
+    "state machine as sequential DuckDB struct folds "
+    "(operators/text_analysis.py:bpe_encode_counts)",
+    tags=("pipeline", "text"),
+)
+def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_encode_counts,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_encode_counts(
+        docs, "doc_id", "text", _BPE_ENC_MERGES
+    ).orderBy("doc")
+
+
 def _bpe_oracle() -> str:
     from big_data_engineering_project_spark.operators.text_analysis import (
         BPE_TOKEN_PATTERN,
@@ -1250,6 +1323,52 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_train_codebooks(corpus, m=16, k=16, dims=64, seed=7)
     codes = similarity.pq_encode(corpus, books)
     return similarity.pq_topk(codes, books, query, k=10)
+
+
+@register(
+    "q_embedding_ivfpq_topk",
+    oracle=None,  # both quantizers are iterative kmeans fits → rows-
+    # only; the probe-all ≡ flat-PQ bit-for-bit identity, frozen-
+    # artifact round-trips, partition-pruning plan shape, and the
+    # doubly-approximate recall floor are pytest-pinned (invariants).
+    doc="Persisted IVF-PQ index (the production FAISS-IVFPQ shape, "
+    "by_residual=False): the IVF layout prunes WHICH partitions are "
+    "read (n_probe/n_cells of the corpus does I/O) and PQ compresses "
+    "WHAT they store (8-byte codes vs 256-byte floats) — at 100 TB "
+    "the cuts multiply to ~0.4% of the flat scan's bytes. Day-0 "
+    "build + day-1 append against BOTH frozen quantizers (corpus "
+    "never re-encoded), serve = pruned code scan + query-global ADC "
+    "literal tables, build-if-absent marker so bench reps time the "
+    "serve (operators/similarity.py:build_ivfpq_index/"
+    "ivfpq_index_append/ivfpq_index_topk)",
+    tags=("pipeline", "similarity", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_ivfpq_index_build_append_probe",
+    ),
+)
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 == 0))
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    index_path = _pid_scoped_index_path("bde_ivfpq_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        books = similarity.pq_train_codebooks(
+            corpus, m=16, k=16, dims=64, seed=7
+        )
+        similarity.build_ivfpq_index(corpus, index_path, cents, books)
+        similarity.ivfpq_index_append(day1, index_path)
+        open(marker, "w").close()
+    return similarity.ivfpq_index_topk(
+        spark, index_path, query, k=10, n_probe=8
+    )
 
 
 # --- deterministic split / data mixing (operators/sampling.py) ----------------

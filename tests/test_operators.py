@@ -4530,3 +4530,82 @@ def test_source_quality_gate_thresholds_and_dups(spark):
     assert not got["src_mirror"]["passed"]
     assert got["src_mirror"]["n_dup_docs"] == 2
     assert abs(got["src_mirror"]["dup_rate"] - 2 / 3) < 1e-12
+
+
+def test_ivfpq_index_build_append_probe(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ index (partition pruning × compressed scan):
+    (a) day-0 build + day-1 append then probe-all equals the FLAT
+    pq_topk over the same frozen codebooks bit-for-bit — the IVF
+    layer prunes, never re-scores; (b) both frozen artifacts
+    (centroids AND codebooks) round-trip exactly; (c) a partial
+    probe's isin lands in PartitionFilters (directory pruning over
+    the CODE table) and keeps useful recall vs exact brute force —
+    the doubly-approximate trade measured honestly; (d) code rows
+    are m small ints (the 100 TB footprint claim is structural)."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
+    both = emb.filter(F.col("vec_id") != 1)
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+
+    cents = kmeans_centers(corpus, k=6, seed=7)
+    books = pq_train_codebooks(corpus, m=8, k=8, dims=64, seed=11)
+    idx = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(corpus, idx, cents, books)
+    # (b) frozen artifacts round-trip exactly
+    assert load_ivf_centroids(spark, idx) == [
+        [float(x) for x in c] for c in cents
+    ]
+    assert load_pq_codebooks(spark, idx) == [
+        [[float(x) for x in cent] for cent in book] for book in books
+    ]
+    ivfpq_index_append(day1, idx)
+
+    k = 15
+    flat = [
+        (r["vec_id"], r["adc_cosine"])
+        for r in pq_topk(pq_encode(both, books), books, query, k=k).collect()
+    ]
+    got_all = [
+        (r["vec_id"], r["adc_cosine"])
+        for r in ivfpq_index_topk(
+            spark, idx, query, k=k, n_probe=6
+        ).collect()
+    ]
+    # (a) probe-all IVF-PQ == flat PQ over identical codebooks
+    assert got_all == flat
+
+    # (d) the stored codes are exactly m=8 small ints per vector
+    codes = spark.read.parquet(idx + "/codes")
+    r0 = codes.select("codes").first()["codes"]
+    assert len(r0) == 8 and all(0 <= c < 8 for c in r0)
+    n_both = both.count()
+    assert codes.count() == n_both
+
+    # (c) partial probe: directory pruning + recall vs exact floats
+    probed = ivfpq_index_topk(spark, idx, query, k=k, n_probe=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "cell" in pf and "IN" in pf.upper(), pf
+    exact_ids = {
+        r["vec_id"] for r in brute_force_topk(both, query, k=k).collect()
+    }
+    got_ids = {r["vec_id"] for r in probed.collect()}
+    assert len(got_ids & exact_ids) / k >= 0.25, (
+        "IVF pruning + PQ quantization recall collapsed"
+    )

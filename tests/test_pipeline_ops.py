@@ -1313,3 +1313,50 @@ def test_gram_power_iteration_partitioning_invariant(spark):
     assert [(r["i"], r["eigvec_q"]) for r in a] == [
         (r["i"], r["eigvec_q"]) for r in b
     ]
+
+
+def test_bpe_encode_counts_matches_python_reference(spark):
+    """Chained merge application (incl. dependent merges th→the,
+    an→and) must match a pure-Python greedy reference word-for-word;
+    docs with no tokens are absent; counts are per-doc sums over the
+    word-level encoding."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bpe_encode_counts,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+
+    def ref_word(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = [
+        (1, "the thane and then theather"),
+        (2, "band andthe sandhand"),
+        (3, "xyz qqq"),
+        (4, ""),  # no tokens: absent from output
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()
+    }
+    for doc_id, text in docs:
+        words = [w for w in text.lower().split() if w]
+        if not words:
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == (
+            len(words),
+            sum(len(ref_word(w)) for w in words),
+        ), (doc_id, [ref_word(w) for w in words])

@@ -82,6 +82,10 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_vocab_growth": "1-row corpus-size stamp",
     "q_dedup_ngram_jaccard": "1-row corpus-count stamp (DF cut)",
     "q_dedup_incremental_rs": "1-row corpus-count stamp",
+    "q_split_neardup_leakage": (
+        "1-row corpus-count stamp (train-side DF cut, the "
+        "incremental-RS shape)"
+    ),
     "q_tf_cosine_neardups": "1-row corpus-count stamp",
     "q_dedup_clusters": "1-row corpus-count stamp",
     "q_dedup_keep_best": "1-row corpus-count stamp",
