@@ -386,8 +386,14 @@ def dup_span_excision(
     the per-doc analog; the corpus-wide repeated-substring signal has
     no reference counterpart (extension operator).
     """
+    # NULL text → empty token array (a missing doc body excises to an
+    # empty doc, mirroring the oracle's COALESCE(..., '') finish; a
+    # bare tokens_col(NULL) would make n_kept NULL vs the oracle's 0).
     toks = df.select(
-        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("t")
+        F.col(id_col).alias("doc"),
+        F.coalesce(
+            tokens_col(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("t"),
     )
     ht = toks.filter(F.size("t") >= k).select(
         "doc", F.transform("t", _char_poly_hash).alias("ht")

@@ -2206,7 +2206,8 @@ ka AS (
          string_agg(tok, ' ' ORDER BY p) AS cleaned
   FROM kept GROUP BY doc
 )
-SELECT toks.doc AS doc, CAST(len(toks.t) AS BIGINT) AS n_toks,
+SELECT toks.doc AS doc,
+       CAST(COALESCE(len(toks.t), 0) AS BIGINT) AS n_toks,
        COALESCE(ka.n_kept, 0) AS n_kept,
        COALESCE(ka.cleaned, '') AS cleaned_text
 FROM toks LEFT JOIN ka ON toks.doc = ka.doc ORDER BY doc

@@ -4609,3 +4609,38 @@ def test_ivfpq_index_build_append_probe(spark, sf_dir, tmp_path):
     assert len(got_ids & exact_ids) / k >= 0.25, (
         "IVF pruning + PQ quantization recall collapsed"
     )
+
+
+def test_auc_from_weighted_serving_seam(spark):
+    """auc_from_weighted over a hand-built weighted-distinct state
+    must equal auc_exact over the expanded rows (keyed), including a
+    degenerate single-score key (NULL auc) — the seam the streaming
+    AUC twin serves through."""
+    from big_data_engineering_project_spark.operators.features import (
+        auc_exact,
+        auc_from_weighted,
+    )
+
+    rows = []
+    state = []
+    # key 'a': scores 0.2 (2 rows, 1 pos), 0.8 (3 rows, 2 pos)
+    for s, cnt, pos in [(0.2, 2, 1), (0.8, 3, 2)]:
+        state.append(("a", s, cnt, pos))
+        rows += [("a", s, 1)] * pos + [("a", s, 0)] * (cnt - pos)
+    # key 'b': one distinct score only → degenerate range, still exact
+    state.append(("b", 0.5, 4, 2))
+    rows += [("b", 0.5, 1)] * 2 + [("b", 0.5, 0)] * 2
+    st = spark.createDataFrame(
+        state, "c STRING, __s DOUBLE, __cnt LONG, __pos LONG"
+    )
+    df = spark.createDataFrame(rows, "c STRING, s DOUBLE, y INT")
+    got = sorted(
+        tuple(r) for r in auc_from_weighted(st, ["c"]).collect()
+    )
+    want = sorted(
+        tuple(r) for r in auc_exact(df, "s", "y", key_cols=["c"]).collect()
+    )
+    assert got == want
+    by_key = {r[0]: r for r in got}
+    # all-tied scores → U = n_pos*n_neg/2 exactly → auc 0.5
+    assert by_key["b"][4] == 0.5
