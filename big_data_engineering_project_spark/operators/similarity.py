@@ -1647,3 +1647,67 @@ def gram_power_iteration(
     return x.select(
         F.col("xi").cast("long").alias("i"), F.col("x").alias("eigvec_q")
     )
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """PQ assignment-quality monitoring: per group (or globally), the
+    EXACT summed squared reconstruction error of the argmin-L2 code
+    assignment — the number an index operator watches to decide when
+    the frozen codebooks have drifted from the corpus and a refit/
+    rebuild is due (the PQ analog of the IVF rebuild trigger). This is
+    the encode step under the exact gate: unlike the recall-judged
+    serve path, assignment error is a pure deterministic function of
+    (vectors, codebooks), so with SQL-derivable codebooks the whole
+    query hash-matches a DuckDB oracle — the first PQ-family member
+    with an exact oracle row.
+
+    Cross-engine exactness: each subspace's min squared distance is
+    computed with the same sequential left-fold both engines use for
+    cosine, then LADDER-QUANTIZED PER SUBSPACE (floor(min·2^20) →
+    BIGINT) BEFORE any summation — the per-row error and every
+    aggregate are integer sums, combine-order-free; `mean_err` is one
+    final double division. Scale shape: one row-local pass (m·k
+    literal folds per row, pure codegen), one map-side-combined
+    groupBy; nothing scales with anything but the scan."""
+    sub = len(codebooks[0][0])
+    dv = as_double(F.col(vec_col))
+    err = None
+    for j, book in enumerate(codebooks):
+        sv = F.slice(dv, j * sub + 1, sub)
+        d2 = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in book
+            ]
+        )
+        term = F.floor(F.array_min(d2) * F.lit(1048576.0)).cast("long")
+        err = term if err is None else err + term
+    keys = [group_col] if group_col else []
+    per_row = df.select(*keys, err.alias("__err"))
+    agg = per_row.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("__err").cast("long").alias("err_ladder"),
+    )
+    return agg.select(
+        *keys,
+        "n_vecs",
+        "err_ladder",
+        (
+            F.col("err_ladder").cast("double")
+            / (F.col("n_vecs").cast("double") * F.lit(1048576.0))
+        ).alias("mean_err"),
+    )

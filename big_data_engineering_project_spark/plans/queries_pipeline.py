@@ -1371,6 +1371,76 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_err_oracle(m: int, sub: int, n_cents: int) -> str:
+    """Join formulation of the argmin-L2 assignment error: donors
+    vec_id 1..n_cents ARE the codebook (their j-th subvectors are
+    book j's entries — SQL-derivable, so the encode step sits under
+    the hash gate); squared distances are explicit left-assoc 4-term
+    chains matching Spark's sequential fold, mins are order-free,
+    and the ladder quantization happens per (row, subspace) BEFORE
+    any sum so every aggregate is an integer."""
+    # left-assoc chain starting from 0.0, mirroring F.aggregate
+    chain = "0.0"
+    for i in range(1, sub + 1):
+        t = (
+            f"(e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+            f" * (e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+        )
+        chain = f"({chain} + {t})"
+    return f"""
+WITH cents AS (SELECT embedding::DOUBLE[] AS c FROM embeddings
+               WHERE vec_id BETWEEN 1 AND {n_cents}),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+sub AS (
+  SELECT d.vec_id, d.label, j, {chain} AS d2
+  FROM d, cents, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+mn AS (SELECT vec_id, label, j, MIN(d2) AS mind2 FROM sub GROUP BY 1, 2, 3),
+lad AS (SELECT vec_id, label,
+        CAST(SUM(CAST(FLOOR(mind2 * 1048576.0) AS BIGINT)) AS BIGINT) AS err
+        FROM mn GROUP BY 1, 2)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(err) AS BIGINT) AS err_ladder,
+       CAST(SUM(err) AS DOUBLE) / (COUNT(*) * 1048576.0) AS mean_err
+FROM lad GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "q_pq_reconstruction_error",
+    oracle=_pq_err_oracle(16, 4, 16),
+    doc="PQ assignment-quality monitoring under the EXACT gate (the "
+    "first PQ-family member with a hash-matched oracle): per label, "
+    "summed squared reconstruction error of the argmin-L2 code "
+    "assignment against a SQL-derivable codebook (donor rows vec_id "
+    "1..16 supply each subspace's 16 entries) — the drift number "
+    "that triggers a quantizer refit/rebuild. Per-subspace mins are "
+    "ladder-quantized (floor(min*2^20)) BEFORE any sum, so every "
+    "aggregate is an order-free integer; one row-local codegen pass "
+    "+ one map-side-combined groupBy "
+    "(operators/similarity.py:pq_reconstruction_error)",
+    tags=("pipeline", "similarity"),
+)
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    donors = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    sub = 4
+    books = [
+        [
+            [float(x) for x in r["embedding"][j * sub : (j + 1) * sub]]
+            for r in donors
+        ]
+        for j in range(16)
+    ]
+    return similarity.pq_reconstruction_error(
+        emb, books, group_col="label"
+    ).orderBy("label")
+
+
 # --- deterministic split / data mixing (operators/sampling.py) ----------------
 
 
