@@ -1711,3 +1711,181 @@ def pq_reconstruction_error(
             / (F.col("n_vecs").cast("double") * F.lit(1048576.0))
         ).alias("mean_err"),
     )
+
+
+# --- Residual IVF-PQ (by_residual=True — the FAISS default) ------------------
+#
+# Raw-vector IVF-PQ quantizes v directly, so every cell shares one
+# codebook resolution; RESIDUAL IVF-PQ quantizes r = v − centroid(v)'s
+# cell — the codebooks only have to cover the within-cell spread, so
+# the same byte budget reconstructs tighter (the reason FAISS defaults
+# to residuals). The costs are structural, not incidental: codebooks
+# should be TRAINED ON RESIDUALS, and the ADC tables become PER-CELL
+# (recon = c + r̂ couples the query to the probed cell), so a serve
+# builds n_probe expression branches instead of one — cheap at probe
+# counts that make IVF worth having, and the build/append/serve
+# directory discipline is shared with the raw index.
+
+
+def build_ivfpq_residual_index(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a residual IVF-PQ index (same layout as the raw one:
+    centroids/ + codebooks/ + codes/batch=<tag> partitioned by cell);
+    codes quantize v − centroid(cell). `codebooks` should come from
+    pq_train_codebooks over RESIDUAL vectors for the accuracy win."""
+    spark = vectors.sparkSession
+    cents = [[float(x) for x in c] for c in centroids]
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(index_path + "/centroids")
+    book_rows = [
+        (j, code, [float(x) for x in cent])
+        for j, book in enumerate(codebooks)
+        for code, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(index_path + "/codebooks")
+    _fs_delete(spark, index_path + "/codes")
+    _encode_residual_cells(
+        vectors, cents, codebooks, id_col, vec_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        index_path + "/codes/batch=base"
+    )
+
+
+def _encode_residual_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes, cell) where codes quantize the residual v − c_cell:
+    the cell's centroid is looked up from a literal array-of-arrays by
+    the assignment expression. The residual is STAGED BEHIND the
+    repartition exchange: inlining it straight into _pq_codes_expr
+    would paste the 8-fold assignment cosine into every one of the
+    m·k distance folds (CollapseProject merges adjacent projections),
+    a ~256× expression blow-up that turned the sf0.01 build from
+    seconds into >10 minutes (measured); the exchange is a logical
+    barrier CollapseProject cannot cross, so the residual is computed
+    once per row and the code folds reference the materialized
+    column."""
+    dv = as_double(F.col(vec_col))
+    cell = _cell_expr(centroids, dv)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    resid = F.zip_with(dv, F.element_at(cent_arr, cell), lambda x, y: x - y)
+    staged = (
+        spread(vectors)
+        .select(
+            F.col(id_col),
+            resid.alias("__r"),
+            cell.alias("cell"),
+        )
+        .repartition("cell")
+    )
+    return staged.select(
+        F.col(id_col),
+        _pq_codes_expr(F.col("__r"), codebooks).alias("codes"),
+        "cell",
+    )
+
+
+def ivfpq_residual_index_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    tag: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Day-N ingest against BOTH frozen quantizers, residual form —
+    same tag-probing collision rule as the raw index."""
+    spark = new_vectors.sparkSession
+    if tag is None:
+        existing = set(_fs_list_batches(spark, index_path + "/codes"))
+        n = len(existing)
+        while f"d{n}" in existing:
+            n += 1
+        tag = f"d{n}"
+    cents = load_ivf_centroids(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    _encode_residual_cells(
+        new_vectors, cents, books, id_col, vec_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        index_path + f"/codes/batch={tag}"
+    )
+
+
+def ivfpq_residual_index_topk(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve the residual index: per probed cell, reconstruction is
+    recon = c + r̂, so the ADC cosine needs three per-cell tables
+    beside the cell constants — all driver-side m·k sums over the
+    tiny frozen artifacts:
+
+        dot  = q·c  + Σ_j qdot_j[code_j]            (q·r̂ table)
+        ‖recon‖² = ‖c‖² + Σ_j (2·cdot_j[code_j] + rnrm_j[code_j])
+
+    where cdot_j[e] = c_subj·cent_{j,e} couples cell and code (the
+    per-cell table residual form is famous for). One expression
+    branch per probed cell over that cell's pruned partition, results
+    unioned then top-k — n_probe branches, each partition-pruned, so
+    the plan stays ~n_probe × the raw serve's and I/O is identical."""
+    import math
+
+    cents = load_ivf_centroids(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    qn = math.sqrt(sum(x * x for x in qvec))
+    probe_cells = _rank_cells(qvec, cents, n_probe)
+    sub = len(books[0][0])
+    branches = []
+    for cell_id in probe_cells:
+        c = cents[cell_id - 1]
+        qc = sum(a * b for a, b in zip(qvec, c))
+        cn2 = sum(x * x for x in c)
+        dot_expr = F.lit(qc)
+        nrm_expr = F.lit(cn2)
+        for j, book in enumerate(books):
+            qj = qvec[j * sub : (j + 1) * sub]
+            cj = c[j * sub : (j + 1) * sub]
+            qdots = [sum(a * b for a, b in zip(qj, e)) for e in book]
+            cdots = [sum(a * b for a, b in zip(cj, e)) for e in book]
+            rnrm2 = [sum(x * x for x in e) for e in book]
+            code_j = F.element_at(F.col("codes"), j + 1)
+            dot_expr = dot_expr + F.element_at(
+                F.array(*[F.lit(d) for d in qdots]), code_j + 1
+            )
+            nrm_expr = nrm_expr + F.element_at(
+                F.array(*[F.lit(2.0 * cd + rn) for cd, rn in
+                          zip(cdots, rnrm2)]), code_j + 1
+            )
+        score = F.when(
+            nrm_expr > 0, dot_expr / (F.lit(qn) * F.sqrt(nrm_expr))
+        ).otherwise(F.lit(-2.0))
+        branches.append(
+            spark.read.parquet(index_path + "/codes")
+            .filter(F.col("cell") == cell_id)
+            .select(F.col(id_col), score.alias("adc_cosine"))
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(k)

@@ -1371,6 +1371,73 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embedding_ivfpq_residual_topk",
+    oracle=None,  # residual codebooks are an iterative kmeans fit over
+    # residual vectors → rows-only; the exact-cover probe-all ≡ brute
+    # force anchor, per-branch partition pruning, and the measured
+    # clustered-fixture MSE superiority are pytest-pinned (invariants).
+    doc="Residual IVF-PQ serve (by_residual=True — the FAISS "
+    "default): codes quantize v − centroid(cell), so the byte budget "
+    "covers only within-cell spread; serving reconstructs recon = "
+    "c + r̂ via PER-CELL ADC tables (q·c, ‖c‖², and the c·r̂ coupling "
+    "table per probed cell — n_probe pruned expression branches, "
+    "identical I/O to the raw index). Measured honestly: residuals "
+    "beat raw codebooks on clustered data and tie on the "
+    "near-isotropic embeddings fixture (pytest documents both) "
+    "(operators/similarity.py:build_ivfpq_residual_index/"
+    "ivfpq_residual_index_topk)",
+    tags=("pipeline", "similarity", "rows-only"),
+    invariants=(
+        "tests/test_operators.py::test_ivfpq_residual_exact_cover_and_tighter_recon",
+    ),
+)
+def q_embedding_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 == 0))
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    index_path = _pid_scoped_index_path("bde_rpq_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        dv = similarity.as_double(F.col("embedding"))
+        cent_arr = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        # localCheckpoint: the residual projection embeds the 8-fold
+        # cell-assignment cosine; without materializing it, EVERY
+        # kmeans iteration of EVERY codebook fit re-evaluates it
+        # (measured: the un-checkpointed form blew past a 400 s
+        # budget; checkpointed it is seconds).
+        resid = corpus.select(
+            "vec_id",
+            F.zip_with(
+                dv,
+                F.element_at(cent_arr, similarity._cell_expr(cents, dv)),
+                lambda x, y: x - y,
+            ).alias("embedding"),
+        ).localCheckpoint()
+        books = similarity.pq_train_codebooks(
+            resid, m=16, k=16, dims=64, seed=7
+        )
+        similarity.build_ivfpq_residual_index(
+            corpus, index_path, cents, books
+        )
+        similarity.ivfpq_residual_index_append(day1, index_path)
+        open(marker, "w").close()
+    return similarity.ivfpq_residual_index_topk(
+        spark, index_path, query, k=10, n_probe=8
+    )
+
+
 def _pq_err_oracle(m: int, sub: int, n_cents: int) -> str:
     """Join formulation of the argmin-L2 assignment error: donors
     vec_id 1..n_cents ARE the codebook (their j-th subvectors are

@@ -43,6 +43,7 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_kll_quantiles_by_user",  # BIGINT-keyed compactor hierarchy (LONG-key Arrow round-trip pytest)
         "q_embedding_pq_topk",  # kmeans codebooks iterative (ADC-exactness + recall pytest)
         "q_embedding_ivfpq_topk",  # both quantizers iterative (probe-all==flat-PQ + pruning + recall pytest)
+        "q_embedding_ivfpq_residual_topk",  # residual kmeans iterative (exact-cover==brute-force + MSE pytest)
         "q_bm25_search",  # per-term idf is ln(...) — banned from hash compare (python-reference parity pytest)
     }
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}

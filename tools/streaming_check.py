@@ -1263,6 +1263,88 @@ def check_auc_stream(spark, root: str) -> dict:
     return res
 
 
+def check_dedup_cluster_serve(spark, root: str) -> dict:
+    """Incremental dedup CLUSTERS: duplicate_clusters served over the
+    minhash stream's MAINTAINED pair state ≡ batch clusters over
+    re-paired union docs — the production read of the band-index twin
+    (new docs append pairs incrementally; the keeper table re-derives
+    from accumulated pairs without ever re-shingling the corpus).
+    The fixture plants a CROSS-BATCH chain (doc 30 ~ doc 3, doc 31 ~
+    doc 30) so a component only comes out right if pairs from
+    different micro-batches merge into one cluster."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_minhash_index_stream,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima"
+    )
+    recs = []
+    for i in range(30):
+        recs.append({"doc_id": i, "text": base + f" u{i} v{i % 7} w{i % 5}"})
+    # cross-batch chain: 30 (batch 3) near-dups 3 (batch 1); 31
+    # near-dups 30 — the component {3, 30, 31} spans three batches
+    recs.append({"doc_id": 30, "text": recs[3]["text"] + " extra"})
+    recs.append({"doc_id": 31, "text": recs[3]["text"] + " extra more"})
+    recs.append({"doc_id": 32, "text": "entirely different words only "
+                                       "here nothing shared at all"})
+    in_dir = os.path.join(root, "cc_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=11)  # 3 micro-batches
+    idx = os.path.join(root, "cc_idx")
+    run_minhash_index_stream(
+        spark,
+        in_dir,
+        idx,
+        os.path.join(root, "cc_cp"),
+        schema="doc_id LONG, text STRING",
+        threshold=0.5,
+    )
+    served = sorted(
+        (r["doc"], r["keeper"])
+        for r in duplicate_clusters(
+            spark.read.parquet(os.path.join(idx, "pairs"))
+        ).collect()
+    )
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
+    )
+    batch = sorted(
+        (r["doc"], r["keeper"])
+        for r in duplicate_clusters(
+            minhash_lsh_pairs(union, "doc_id", "text", 0.5)
+        ).collect()
+    )
+    keepers = dict(served)
+    res = {
+        "rows_stream": len(served),
+        "rows_batch": len(batch),
+        "hash_stream": _rows_hash(served),
+        "hash_batch": _rows_hash(batch),
+        # 3, 30, 31 must land in ONE component even though their
+        # pairs were discovered in three different micro-batches
+        # (the base docs are near-dups of each other too, so the
+        # shared keeper is the component's min id, not 3 itself)
+        "cross_batch_component": (
+            30 in keepers
+            and 31 in keepers
+            and keepers.get(30) == keepers.get(3)
+            and keepers.get(31) == keepers.get(3)
+        ),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["cross_batch_component"]
+    )
+    return res
+
+
 def check_source_gate_stream(spark, root: str) -> dict:
     """run_source_gate_stream ((source, fingerprint) cell state,
     exact count/ladder-sum addition) ≡ batch source_quality_gate over
@@ -2277,6 +2359,9 @@ def main() -> None:
         results["mix_maintenance"] = check_mix_stream(spark, root)
         results["auc_maintenance"] = check_auc_stream(spark, root)
         results["source_gate_maintenance"] = check_source_gate_stream(
+            spark, root
+        )
+        results["dedup_cluster_serve"] = check_dedup_cluster_serve(
             spark, root
         )
         elapsed = round(time.perf_counter() - t0, 1)
