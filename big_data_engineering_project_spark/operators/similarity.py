@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from big_data_engineering_project_spark.sources.catalog import spread
 
 HASH_PRIME = 1_000_000_007
+HASH_BASE = 31  # shared with dedup._char_poly_hash (same fold)
 
 
 def as_double(vec: Column) -> Column:
@@ -1889,3 +1890,73 @@ def ivfpq_residual_index_topk(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(k)
+
+
+def crossencoder_rerank(
+    candidates: DataFrame,
+    query_tokens: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    scorer=None,
+) -> DataFrame:
+    """Final stage of the retrieval stack (retrieve → fuse → RERANK):
+    score each shortlisted candidate against the query with a
+    CROSS-ENCODER-shaped model — query and document enter one scorer
+    together, the architecture rerankers use because it sees
+    interactions bi-encoders cannot — and keep the top k.
+
+    The model seam is an Arrow-batched pandas UDF over the SHORTLIST
+    ONLY (tens-to-hundreds of rows; the corpus never reaches the
+    Python worker — the retrieve stage already collapsed it), which
+    is exactly where a real ONNX/torch cross-encoder plugs in via
+    `scorer(texts: pd.Series) -> pd.Series[int64]`. The DEFAULT
+    scorer is a deterministic integer stand-in (per-occurrence
+    token-overlap weighted by poly-hash mod 997 — the multimodal
+    fixture-codec discipline: real arithmetic, exact DuckDB oracle,
+    no model weights in the container). Ties break by the retrieval
+    score then id, so the output order is total."""
+    import pandas  # noqa: F401 — resolvable target for the UDF hints
+    from pyspark.sql.functions import pandas_udf
+
+    qset = {t for t in (x.lower() for x in query_tokens) if t}
+
+    def _default_scorer(texts):
+        def one(t):
+            if t is None:
+                return 0
+            s = 0
+            for tok in t.lower().split():
+                if tok in qset:
+                    h = 0
+                    for ch in tok:
+                        h = (h * HASH_BASE + ord(ch)) % HASH_PRIME
+                    s += h % 997
+            return s
+        return texts.map(one).astype("int64")
+
+    fn = scorer if scorer is not None else _default_scorer
+
+    # The wrapper pins the Series->Series eval type explicitly:
+    # `from __future__ import annotations` stringifies hints and a
+    # user-supplied scorer may carry none, so inference can't be
+    # trusted either way.
+    def _wrapped(texts: pandas.Series) -> pandas.Series:
+        return fn(texts)
+
+    _wrapped.__annotations__ = {
+        "texts": pandas.Series, "return": pandas.Series
+    }
+    score_udf = pandas_udf(_wrapped, "long")
+    keep = list(keep_cols or [])
+    return (
+        candidates.withColumn("ce_score", score_udf(F.col(text_col)))
+        .select(F.col(id_col), *keep, "ce_score")
+        .orderBy(
+            F.desc("ce_score"),
+            *[F.desc(c) for c in keep],
+            F.asc(id_col),
+        )
+        .limit(k)
+    )

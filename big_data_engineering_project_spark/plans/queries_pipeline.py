@@ -1438,6 +1438,62 @@ def q_embedding_ivfpq_residual_topk(
     )
 
 
+@register(
+    "q_rerank_crossencoder",
+    oracle=f"""
+WITH {_TOKS_CTE},
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id != 1),
+cand AS (SELECT vec_id, cosine FROM (
+  SELECT vec_id, {_COS} AS cosine,
+         ROW_NUMBER() OVER (ORDER BY {_COS} DESC, vec_id ASC) AS rk
+  FROM d, q
+) WHERE rk <= 50),
+qt AS (SELECT DISTINCT unnest(t) AS tok FROM toks WHERE doc = 1),
+dt AS (SELECT doc, unnest(t) AS x FROM toks),
+sc AS (SELECT dt.doc,
+       CAST(SUM({_POLY.format(s="x")} % 997) AS BIGINT) AS ce_score
+       FROM dt JOIN qt ON dt.x = qt.tok GROUP BY dt.doc)
+SELECT cand.vec_id AS doc_id, cosine,
+       COALESCE(sc.ce_score, 0) AS ce_score
+FROM cand LEFT JOIN sc ON cand.vec_id = sc.doc
+ORDER BY ce_score DESC, cosine DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Retrieval stack completed: retrieve (exact cosine top-50) → "
+    "RERANK (cross-encoder seam) → top-10. The reranker is an "
+    "Arrow-batched pandas UDF over the SHORTLIST ONLY — the corpus "
+    "never reaches the Python worker; a real ONNX/torch "
+    "cross-encoder plugs into the scorer callable, and the default "
+    "is the deterministic integer stand-in (per-occurrence "
+    "query-token overlap weighted by poly-hash mod 997 — the "
+    "multimodal fixture-codec discipline), which keeps the whole "
+    "two-stage plan under the exact hash gate "
+    "(operators/similarity.py:crossencoder_rerank)",
+    tags=("pipeline", "similarity", "text"),
+)
+def q_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    qtext = (
+        docs.filter(F.col("doc_id") == 1).select("text").first()["text"]
+    )
+    cands = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 1), query, k=50
+    ).join(
+        docs.select(F.col("doc_id").alias("vec_id"), "text"), "vec_id"
+    )
+    return similarity.crossencoder_rerank(
+        cands,
+        qtext.split(),
+        k=10,
+        id_col="vec_id",
+        keep_cols=["cosine"],
+    ).withColumnRenamed("vec_id", "doc_id")
+
+
 def _pq_err_oracle(m: int, sub: int, n_cents: int) -> str:
     """Join formulation of the argmin-L2 assignment error: donors
     vec_id 1..n_cents ARE the codebook (their j-th subvectors are

@@ -4775,3 +4775,67 @@ def test_ivfpq_residual_exact_cover_and_tighter_recon(spark, sf_dir, tmp_path):
     raw_mse = mse(raw_idx, raw_books, residual=False)
     res_mse = mse(res_idx, res_books, residual=True)
     assert res_mse < raw_mse, (res_mse, raw_mse)
+
+
+def test_crossencoder_rerank_pluggable_and_shortlist_only(spark):
+    """The rerank seam: (a) default deterministic scorer matches a
+    hand computation (per-occurrence overlap × polyhash%997 weights);
+    (b) a custom scorer callable swaps in (the real-model seam);
+    (c) the Arrow Python hop sits ABOVE the shortlist limit in the
+    plan — the corpus side never crosses into the Python worker."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        HASH_BASE,
+        HASH_PRIME,
+        crossencoder_rerank,
+    )
+
+    def w(tok):
+        h = 0
+        for ch in tok:
+            h = (h * HASH_BASE + ord(ch)) % HASH_PRIME
+        return h % 997
+
+    cands = spark.createDataFrame(
+        [
+            (1, "apple banana apple", 0.9),
+            (2, "banana cherry", 0.8),
+            (3, "durian only here", 0.7),
+            (4, None, 0.6),  # NULL text scores 0, not an error
+        ],
+        "doc_id LONG, text STRING, retr DOUBLE",
+    )
+    got = {
+        r["doc_id"]: r["ce_score"]
+        for r in crossencoder_rerank(
+            cands, ["apple", "banana"], k=4, keep_cols=["retr"]
+        ).collect()
+    }
+    assert got[1] == 2 * w("apple") + w("banana")
+    assert got[2] == w("banana")
+    assert got[3] == 0 and got[4] == 0
+
+    def custom(texts):
+        return texts.map(lambda t: len(t) if t else -1).astype("int64")
+
+    got2 = [
+        (r["doc_id"], r["ce_score"])
+        for r in crossencoder_rerank(
+            cands, [], k=2, keep_cols=["retr"], scorer=custom
+        ).collect()
+    ]
+    assert got2 == [(1, 18), (3, 16)]  # longest texts win
+
+    # (c) plan shape: the Arrow Python hop consumes the LIMITED input
+    # (it sits above the input's LocalLimit/Scan in the tree — parents
+    # print before children), so only shortlist rows cross into the
+    # Python worker
+    plan = crossencoder_rerank(
+        cands.limit(2), ["apple"], k=2, keep_cols=["retr"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # the input limit is pushed BELOW the Arrow node (a LocalLimit
+    # sits between ArrowEvalPython and the Scan), so the Python
+    # worker receives at most the shortlist per partition
+    arrow_at = plan.index("ArrowEvalPython")
+    assert plan.rindex("LocalLimit") > arrow_at
+    assert plan.index("Scan", arrow_at) > arrow_at
