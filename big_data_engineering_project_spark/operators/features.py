@@ -698,6 +698,7 @@ def expected_calibration_error(
     label_col: str,
     bin_width: float,
     score_scale: float,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Expected Calibration Error over fixed-width score bins — the
     scalar that summarizes `score_calibration`'s reliability diagram:
@@ -713,15 +714,24 @@ def expected_calibration_error(
     division at the end. Two partial-aggregable groupBys (bins, then
     the grand total over ≤ range/width bin rows), zero windows.
 
-    Output: 1 row (n_bins, n, ece)."""
+    Output: 1 row (n_bins, n, ece) — or one row per key when
+    `key_cols` is given (per-cohort calibration monitoring, the same
+    keyed shape as auc_exact's): bins and the final rollup both
+    partition by the keys, so every stage stays a partial-aggregable
+    groupBy and per-key ECE is exactly the global arithmetic applied
+    within the key."""
+    keys = list(key_cols or [])
     pos = F.col(label_col).isNotNull() & F.col(label_col).cast("boolean")
     b = F.floor(F.col(score_col) / F.lit(float(bin_width))).cast("long")
     q = F.floor(
         (F.col(score_col) / F.lit(float(score_scale))) * F.lit(float(1 << 20))
     ).cast("long")
     bins = (
-        df.select(b.alias("bin"), pos.cast("long").alias("__y"), q.alias("__q"))
-        .groupBy("bin")
+        df.select(
+            *keys, b.alias("bin"), pos.cast("long").alias("__y"),
+            q.alias("__q"),
+        )
+        .groupBy(*keys, "bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             F.sum("__y").cast("long").alias("__pos"),
@@ -729,7 +739,8 @@ def expected_calibration_error(
         )
     )
     gap = F.abs(F.col("__pos") * F.lit(1 << 20).cast("long") - F.col("__s"))
-    return bins.agg(
+    grp = bins.groupBy(*keys) if keys else bins.groupBy()
+    return grp.agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum("__n").cast("long").alias("n"),
         (

@@ -2052,3 +2052,52 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
     )
     return fleiss_kappa(ratings, "user_id", "k", 3)
+
+
+@register(
+    "q_purchase_ece_by_cohort",
+    oracle="""
+WITH bins AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+         CAST(FLOOR("value" / 25.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(SUM(CAST(FLOOR(("value" / 100.0) * 1048576.0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(pos * 1048576 - s)) AS DOUBLE)
+         / CAST(SUM(n) * 1048576 AS DOUBLE) AS ece
+FROM bins GROUP BY cohort ORDER BY cohort
+""",
+    doc="Per-cohort Expected Calibration Error (even/odd user id "
+    "cohorts) — calibration MONITORING is per segment in production "
+    "(a model calibrated globally can be badly off inside one "
+    "cohort); the keyed form partitions both groupBys by the key so "
+    "every stage stays partial-aggregable, the same keyed shape as "
+    "q_purchase_auc_by_cohort "
+    "(operators/features.py:expected_calibration_error)",
+    tags=("behavior", "ml"),
+)
+def q_purchase_ece_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.features import (
+        expected_calibration_error,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cohort = F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    return expected_calibration_error(
+        ev.filter(F.col("user_id").isNotNull()).select(
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+            cohort.alias("cohort"),
+        ),
+        "value",
+        "is_purchase",
+        bin_width=25.0,
+        score_scale=100.0,
+        key_cols=["cohort"],
+    ).orderBy("cohort")

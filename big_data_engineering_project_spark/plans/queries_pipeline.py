@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_project_spark.functions.lexicons import (
@@ -1492,6 +1492,102 @@ def q_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         keep_cols=["cosine"],
     ).withColumnRenamed("vec_id", "doc_id")
+
+
+_RECALL_K = 10
+
+
+@register(
+    "q_label_recall_at_k",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+           embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id NOT IN (1, 2, 3)),
+ranked AS (
+  SELECT query_id, qlab, d.label, {_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, d.vec_id ASC) AS rk
+  FROM d, q
+),
+rel AS (SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM d, q WHERE d.label = q.qlab GROUP BY 1),
+hits AS (SELECT query_id,
+         CAST(SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits
+         FROM ranked WHERE rk <= {_RECALL_K} GROUP BY 1)
+SELECT hits.query_id AS query_id, rel.n_rel, hits.hits,
+       CAST(hits.hits AS DOUBLE) / {_RECALL_K} AS precision_at_k,
+       CAST(hits.hits AS DOUBLE)
+         / CAST(LEAST(rel.n_rel, {_RECALL_K}) AS DOUBLE) AS recall_at_k
+FROM hits JOIN rel ON hits.query_id = rel.query_id
+ORDER BY query_id
+""",
+    doc="Labeled retrieval quality — precision@k and recall@k against "
+    "the embedding table's class labels (the qrels stand-in): for "
+    "each query, exact cosine top-10 over the corpus, hits = "
+    "neighbours sharing the query's label, recall denominated by "
+    "min(k, n_relevant) (the trec_eval convention). Completes the "
+    "eval family beside AUC/PR/NDCG/MAP/MRR/ECE; per-query ranking "
+    "is a keyed WindowGroupLimit over the broadcast query frame — "
+    "the ivf_batch serving shape "
+    "(operators/similarity.py:brute_force_topk_batch shape)",
+    tags=("pipeline", "similarity", "ml"),
+)
+def q_label_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        similarity.as_double(F.col("embedding")).alias("__q"),
+    )
+    d = emb.filter(~F.col("vec_id").isin(qids)).select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("__e")
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "qlab",
+        "label",
+        "vec_id",
+        similarity.cosine_col(F.col("__e"), F.col("__q")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    hits = (
+        scored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= _RECALL_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("label") == F.col("qlab")).cast("long"))
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    rel = (
+        d.crossJoin(F.broadcast(q.select("query_id", "qlab")))
+        .filter(F.col("label") == F.col("qlab"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        hits.join(rel, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "hits",
+            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias(
+                "precision_at_k"
+            ),
+            (
+                F.col("hits").cast("double")
+                / F.least(F.col("n_rel"), F.lit(_RECALL_K)).cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
 
 
 def _pq_err_oracle(m: int, sub: int, n_cents: int) -> str:

@@ -1191,6 +1191,61 @@ def run_source_gate_stream(
     query.awaitTermination()
 
 
+def run_decontam_stream(
+    spark: SparkSession,
+    input_dir: str,
+    eval_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming benchmark decontamination: every micro-batch of
+    ingested TRAIN docs is screened against the static EVAL shingle
+    set (operators/dedup.py:contamination_report — eval side
+    broadcast, the corpus never shuffles) and the per-batch report
+    appends as its own `batch=<lineage>-<id>` directory, so a
+    flagged doc is known the moment it lands rather than at the next
+    full-corpus sweep. Per-doc report rows depend only on (doc,
+    frozen eval set), so accumulated per-batch reports ≡ the batch
+    report over the union EXACTLY; directory-per-batch makes
+    redelivery exactly-once by construction (the IVF/pack-manifest
+    discipline — replays overwrite their own directory). Eval-set
+    updates are a new out_path, not an in-place edit. Checked per
+    round (tools/streaming_check.py `decontam_maintenance`)."""
+    import re
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    eval_df = spark.read.parquet(eval_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        rep = contamination_report(batch_df, eval_df, id_col, text_col)
+        rep.write.mode("overwrite").parquet(
+            out_path + f"/batch={lineage}-{batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_ivf_append_stream(
     spark: SparkSession,
     input_dir: str,

@@ -126,6 +126,14 @@ BOUNDED_CROSS: dict[str, str] = {
         "1-row totals x 1-row chance-cross stamp (both sides are "
         "global aggregates over the <=|classes|^2 contingency cells)"
     ),
+    "q_rerank_crossencoder": (
+        "1-row broadcast query vector (the retrieve stage's "
+        "brute-force cosine)"
+    ),
+    "q_label_recall_at_k": (
+        "broadcast 3-row query frame x2 (ranking + relevant-count "
+        "branches; bounded by the query batch, never the corpus)"
+    ),
     "q_fleiss_kappa": (
         "1-row S2/N stamp x 1-row category-square stamp (both global "
         "aggregates over the bounded contingency cells)"

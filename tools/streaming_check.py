@@ -1263,6 +1263,78 @@ def check_auc_stream(spark, root: str) -> dict:
     return res
 
 
+def check_decontam_stream(spark, root: str) -> dict:
+    """run_decontam_stream (per-batch contamination screening against
+    a frozen broadcast eval set, directory-per-batch appends) ≡ batch
+    contamination_report over the union of all ingested train docs —
+    with planted contamination in EVERY micro-batch so each batch's
+    report carries rows, and clean docs proving absent."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        contamination_report,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_decontam_stream,
+    )
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+    ]
+    eval_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)],
+        "doc_id LONG, text STRING",
+    )
+    eval_path = os.path.join(root, "dc_eval")
+    eval_df.write.parquet(eval_path)
+
+    recs = []
+    for i in range(24):
+        if i % 8 == 3:  # one leaked doc per batch of 8
+            t = bench[i % 2] + f" plus trailing tokens {i}"
+        else:
+            t = f"clean document body {i} with its own unique words w{i}"
+        recs.append({"doc_id": i, "text": t})
+    in_dir = os.path.join(root, "dc_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=8)  # 3 micro-batches
+
+    out = os.path.join(root, "dc_out")
+    run_decontam_stream(
+        spark,
+        in_dir,
+        eval_path,
+        out,
+        os.path.join(root, "dc_cp"),
+        schema="doc_id LONG, text STRING",
+    )
+    got = sorted(
+        (r["doc"], r["n_shared_shingles"], r["n_eval_docs"])
+        for r in spark.read.parquet(out).drop("batch").collect()
+    )
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc"], r["n_shared_shingles"], r["n_eval_docs"])
+        for r in contamination_report(
+            union, eval_df, "doc_id", "text"
+        ).collect()
+    )
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "flagged_docs": sorted({d for d, _, _ in got}),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["flagged_docs"] == [3, 11, 19]
+    )
+    return res
+
+
 def check_dedup_cluster_serve(spark, root: str) -> dict:
     """Incremental dedup CLUSTERS: duplicate_clusters served over the
     minhash stream's MAINTAINED pair state ≡ batch clusters over
@@ -2364,6 +2436,7 @@ def main() -> None:
         results["dedup_cluster_serve"] = check_dedup_cluster_serve(
             spark, root
         )
+        results["decontam_maintenance"] = check_decontam_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
