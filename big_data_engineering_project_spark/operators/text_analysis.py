@@ -1303,3 +1303,39 @@ def bpe_encode_counts(
             F.sum("__nt").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def vocab_coverage_from_counts(cnt: DataFrame, ns: list[int]) -> DataFrame:
+    """Vocabulary coverage curve from a (term, c) count table — the
+    shared serve for the batch query (q_vocab_coverage) and the
+    streaming token-stats maintainer (streaming/scd2.py:
+    run_vocab_stream), so stream ≡ batch is the same arithmetic over
+    equal count states. Top-max(ns) terms via distributed TakeOrdered
+    (never a vocabulary-wide rank window); the rank runs on the
+    bounded k-row frame."""
+    from pyspark.sql import Window
+
+    spark = cnt.sparkSession
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    top = cnt.orderBy(F.desc("c"), F.asc("term")).limit(max(ns))
+    ranked = top.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term"))),
+    )
+    ns_df = spark.createDataFrame([(n,) for n in ns], "n INT")
+    return (
+        ranked.crossJoin(F.broadcast(ns_df))
+        .filter(F.col("rn") <= F.col("n"))
+        .groupBy(F.col("n").cast("long").alias("n"))
+        .agg(F.sum("c").cast("long").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            (
+                F.col("covered_occurrences").cast("double") / F.col("total")
+            ).alias("coverage"),
+        )
+        .orderBy("n")
+    )

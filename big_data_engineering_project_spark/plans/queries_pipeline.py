@@ -2357,35 +2357,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
-    top = cnt.orderBy(F.desc("c"), F.asc("term")).limit(max(_VOCAB_NS))
-    from pyspark.sql import Window
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        vocab_coverage_from_counts,
+    )
 
-    # rank over the k-row top frame (bounded by the constant k, not the
-    # vocabulary) — single-partition is fine and deterministic here
-    ranked = top.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("c"), F.asc("term"))
-        ),
-    )
-    ns = spark.createDataFrame([(n,) for n in _VOCAB_NS], "n INT")
-    return (
-        ranked.crossJoin(F.broadcast(ns))
-        .filter(F.col("rn") <= F.col("n"))
-        .groupBy(F.col("n").cast("long").alias("n"))
-        .agg(F.sum("c").cast("long").alias("covered_occurrences"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            "covered_occurrences",
-            F.col("total").alias("total_occurrences"),
-            (
-                F.col("covered_occurrences").cast("double") / F.col("total")
-            ).alias("coverage"),
-        )
-        .orderBy("n")
-    )
+    return vocab_coverage_from_counts(cnt, list(_VOCAB_NS))
 
 
 @register(
@@ -2509,6 +2485,7 @@ FROM toks LEFT JOIN ka ON toks.doc = ka.doc ORDER BY doc
     "arithmetic; text rebuilt by slicing the gaps between islands — "
     "tokens never explode, the one corpus shuffle is the doc-id join "
     "(operators/dedup.py:dup_span_excision)",
+    headline=True,  # r11: the round's flagship dedup extension, timed
     tags=("pipeline", "dedup"),
 )
 def q_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1191,6 +1191,64 @@ def run_source_gate_stream(
     query.awaitTermination()
 
 
+def run_vocab_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_expr: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain corpus token statistics — the (term → count) table —
+    over a micro-batched document stream by exact count addition:
+    tokenizer-planning/drift monitoring as a maintenance twin (the
+    vocabulary-coverage curve, served through
+    text_analysis.vocab_coverage_from_counts over this state,
+    hash-equals the batch computation over the union — same serve
+    code, equal states). State is O(vocabulary), the table the batch
+    query builds from scratch each run. Count addition is not
+    redelivery-idempotent → batch-id marker (the CM/KLL/AUC
+    discipline). Checked per round (tools/streaming_check.py
+    `vocab_maintenance`)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        last = _applied_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        batch_s = (
+            batch_df.selectExpr(f"explode({text_expr}) AS term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        existing = _read_state(spark_b, state_path)
+        merged = (
+            batch_s
+            if existing is None
+            else existing.unionByName(batch_s)
+            .groupBy("term")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        _write_state_swap(
+            merged, state_path, batch_id=batch_id,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_decontam_stream(
     spark: SparkSession,
     input_dir: str,

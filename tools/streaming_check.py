@@ -1263,6 +1263,77 @@ def check_auc_stream(spark, root: str) -> dict:
     return res
 
 
+def check_vocab_stream(spark, root: str) -> dict:
+    """run_vocab_stream ((term → count) state, exact addition) ≡ the
+    batch token-count table over the union, AND the served
+    vocabulary-coverage curve (shared vocab_coverage_from_counts
+    serve) hash-equals the batch curve — tokenizer drift monitoring
+    with no approximation. Terms repeat across batches so the
+    additive merge, not pass-through, carries the weight."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        vocab_coverage_from_counts,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_vocab_stream,
+    )
+
+    rng = random.Random(53)
+    vocab = [f"tok{i}" for i in range(60)]
+    recs = []
+    for i in range(300):
+        # Zipf-ish: low-index tokens dominate, all batches overlap
+        n = rng.randint(5, 15)
+        toks = [vocab[min(int(rng.expovariate(0.08)), 59)] for _ in range(n)]
+        recs.append({"doc_id": i, "text": " ".join(toks)})
+    in_dir = os.path.join(root, "vc_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=75)  # 4 micro-batches
+
+    state_path = os.path.join(root, "vc_state")
+    run_vocab_stream(
+        spark,
+        in_dir,
+        state_path,
+        os.path.join(root, "vc_cp"),
+        schema="doc_id LONG, text STRING",
+        text_expr="filter(split(lower(text), '\\\\s+'), x -> x != '')",
+    )
+    state = spark.read.parquet(state_path)
+    got_state = sorted((r["term"], r["c"]) for r in state.collect())
+    bb = spark.read.schema("doc_id LONG, text STRING").json(in_dir)
+    want_cnt = (
+        bb.selectExpr(
+            "explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS term"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    want_state = sorted((r["term"], r["c"]) for r in want_cnt.collect())
+    ns = [5, 20, 50]
+    served = sorted(
+        tuple(r)
+        for r in vocab_coverage_from_counts(state, ns).collect()
+    )
+    batch_curve = sorted(
+        tuple(r)
+        for r in vocab_coverage_from_counts(want_cnt, ns).collect()
+    )
+    res = {
+        "rows_stream": len(got_state),
+        "rows_batch": len(want_state),
+        "hash_stream": _rows_hash(got_state),
+        "hash_batch": _rows_hash(want_state),
+        "hash_curve_stream": _rows_hash(served),
+        "hash_curve_batch": _rows_hash(batch_curve),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["hash_curve_stream"] == res["hash_curve_batch"]
+    )
+    return res
+
+
 def check_decontam_stream(spark, root: str) -> dict:
     """run_decontam_stream (per-batch contamination screening against
     a frozen broadcast eval set, directory-per-batch appends) ≡ batch
@@ -2437,6 +2508,7 @@ def main() -> None:
             spark, root
         )
         results["decontam_maintenance"] = check_decontam_stream(spark, root)
+        results["vocab_maintenance"] = check_vocab_stream(spark, root)
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
