@@ -2468,6 +2468,14 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--json":
         out_path = args[1]
+    elif args:
+        # A bare positional path used to be silently IGNORED — the
+        # run printed N/N pass but never wrote the artifact, leaving
+        # a stale committed file (bitten in round 11). Fail loudly.
+        sys.exit(
+            f"usage: streaming_check.py [--json OUT.json]  "
+            f"(unrecognized args: {args})"
+        )
 
     from big_data_engineering_project_spark.session import get_spark
 
