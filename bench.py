@@ -628,6 +628,16 @@ def main() -> None:
             f"# stdout line re-rounded to 1 decimal ({len(line)} chars)",
             file=sys.stderr,
         )
+    if len(line) > 1900:
+        # last resort (would take ~75+ headliners): drop calibration
+        # from stdout — it lives in BENCH_DETAIL.json, which
+        # bench_diff prefers anyway. Never drop the queries dict.
+        compact.pop("calibration", None)
+        line = json.dumps(compact, separators=(",", ":"))
+        print(
+            f"# stdout line dropped calibration ({len(line)} chars)",
+            file=sys.stderr,
+        )
     print(line)
     spark.stop()
 

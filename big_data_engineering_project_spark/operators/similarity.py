@@ -300,6 +300,20 @@ def _fs_list_batches(spark, vectors_dir: str) -> list[str]:
     )
 
 
+def _next_free_batch_tag(spark, parent_dir: str) -> str:
+    """Default append tag: start at d<number-of-existing-batches> and
+    probe FORWARD past any taken name — an explicitly-tagged or
+    stream-written batch can occupy the count-based name, and
+    overwriting it would silently drop that batch's vectors (r10
+    ADVICE #2). Shared by the IVF, IVF-PQ, and residual-IVF-PQ
+    appends."""
+    existing = set(_fs_list_batches(spark, parent_dir))
+    n = len(existing)
+    while f"d{n}" in existing:
+        n += 1
+    return f"d{n}"
+
+
 def _fs_delete(spark, path: str) -> None:
     """Recursive delete through the Hadoop FileSystem API (the
     rmtree analog that also exists on HDFS/S3); absent → no-op."""
@@ -399,11 +413,7 @@ def ivf_index_append(
     swap at the catalog level), not an append."""
     spark = new_vectors.sparkSession
     if tag is None:
-        existing = set(_fs_list_batches(spark, index_path + "/vectors"))
-        n = len(existing)
-        while f"d{n}" in existing:
-            n += 1
-        tag = f"d{n}"
+        tag = _next_free_batch_tag(spark, index_path + "/vectors")
     cents = load_ivf_centroids(spark, index_path)
     _assign_cells(new_vectors, cents, id_col, vec_col).write.mode(
         "overwrite"
@@ -800,11 +810,7 @@ def ivfpq_index_append(
     rule). Quantizer refits are a rebuild, not an append."""
     spark = new_vectors.sparkSession
     if tag is None:
-        existing = set(_fs_list_batches(spark, index_path + "/codes"))
-        n = len(existing)
-        while f"d{n}" in existing:
-            n += 1
-        tag = f"d{n}"
+        tag = _next_free_batch_tag(spark, index_path + "/codes")
     cents = load_ivf_centroids(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
     _encode_cells(new_vectors, cents, books, id_col, vec_col).write.mode(
@@ -1813,11 +1819,7 @@ def ivfpq_residual_index_append(
     same tag-probing collision rule as the raw index."""
     spark = new_vectors.sparkSession
     if tag is None:
-        existing = set(_fs_list_batches(spark, index_path + "/codes"))
-        n = len(existing)
-        while f"d{n}" in existing:
-            n += 1
-        tag = f"d{n}"
+        tag = _next_free_batch_tag(spark, index_path + "/codes")
     cents = load_ivf_centroids(spark, index_path)
     books = load_pq_codebooks(spark, index_path)
     _encode_residual_cells(
