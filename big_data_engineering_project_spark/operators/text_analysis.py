@@ -1339,3 +1339,61 @@ def vocab_coverage_from_counts(cnt: DataFrame, ns: list[int]) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+def mixed_language_report(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int
+) -> DataFrame:
+    """Segment-level language consistency — the curation signal doc-
+    level lang-ID misses: a doc whose SEGMENTS disagree (boilerplate
+    header in one language, body in another; machine-merged pages)
+    pollutes monolingual training slices even when the whole-doc
+    argmax looks clean. Per doc: language-ID every `seg_tokens`-token
+    segment (the same marker-argmax as `lang_id_col`, same fixed tie
+    priority), take the majority prediction (argmax over segment
+    votes, en > es > de > fr > unknown on ties), and report
+    mix_fraction = 1 − n_majority/n_segs.
+
+    Scale shape: ENTIRELY row-local — segments, per-segment language,
+    and the vote counts are one nested-transform expression over the
+    token array (no explode, no shuffle; the only exchange is the
+    caller's orderBy). Docs with zero tokens are absent (no segments
+    to vote). Output: (doc, n_segs, majority_lang, n_majority,
+    mix_fraction)."""
+    toks = tokens_col(F.col(text_col))
+    preds = F.transform(
+        segments_col(toks, seg_tokens),
+        lambda seg: lang_id_col(F.split(seg, " ")),
+    )
+    langs = ["en", "es", "de", "fr", "unknown"]
+    n = {
+        lang: F.size(F.filter(preds, lambda p: p == F.lit(lang)))
+        for lang in langs
+    }
+    majority = (
+        F.when(
+            (n["en"] >= n["es"]) & (n["en"] >= n["de"])
+            & (n["en"] >= n["fr"]) & (n["en"] >= n["unknown"]),
+            "en",
+        )
+        .when(
+            (n["es"] >= n["de"]) & (n["es"] >= n["fr"])
+            & (n["es"] >= n["unknown"]),
+            "es",
+        )
+        .when((n["de"] >= n["fr"]) & (n["de"] >= n["unknown"]), "de")
+        .when(n["fr"] >= n["unknown"], "fr")
+        .otherwise("unknown")
+    )
+    n_majority = F.greatest(*[n[lang] for lang in langs]).cast("long")
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(preds).cast("long").alias("n_segs"),
+        majority.alias("majority_lang"),
+        n_majority.alias("n_majority"),
+        (
+            F.lit(1.0)
+            - n_majority.cast("double") / F.size(preds).cast("double")
+        ).alias("mix_fraction"),
+    )
+    return out.filter(F.col("n_segs") > 0)

@@ -1590,6 +1590,87 @@ def q_label_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_SEG = 32
+
+
+def _mixlang_oracle() -> str:
+    cs = ", ".join(
+        f"len(list_filter(st, x -> list_contains({sql_array(m)}, x))) "
+        f"AS c_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc,
+         unnest([t[(i-1)*{_MIX_SEG}+1 : i*{_MIX_SEG}]
+                 FOR i IN generate_series(
+                   1, CAST(ceil(len(t)/{_MIX_SEG}.0) AS BIGINT))]) AS st
+  FROM toks WHERE len(t) > 0
+),
+scored AS (SELECT doc, {cs} FROM segs),
+pred AS (
+  SELECT doc, CASE
+    WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+    WHEN c_de >= c_fr THEN 'de'
+    ELSE 'fr' END AS p
+  FROM scored
+),
+votes AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_segs,
+    CAST(SUM(CASE WHEN p = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+    CAST(SUM(CASE WHEN p = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+    CAST(SUM(CASE WHEN p = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+    CAST(SUM(CASE WHEN p = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+    CAST(SUM(CASE WHEN p = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_un
+  FROM pred GROUP BY doc
+)
+SELECT doc, n_segs,
+  CASE
+    WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_un
+      THEN 'en'
+    WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_un THEN 'es'
+    WHEN n_de >= n_fr AND n_de >= n_un THEN 'de'
+    WHEN n_fr >= n_un THEN 'fr'
+    ELSE 'unknown' END AS majority_lang,
+  GREATEST(n_en, n_es, n_de, n_fr, n_un) AS n_majority,
+  1.0 - CAST(GREATEST(n_en, n_es, n_de, n_fr, n_un) AS DOUBLE)
+      / CAST(n_segs AS DOUBLE) AS mix_fraction
+FROM votes ORDER BY doc
+"""
+
+
+@register(
+    "q_mixed_language_docs",
+    oracle=_mixlang_oracle(),
+    doc=f"Segment-level language consistency (the signal doc-level "
+    f"lang-ID misses — a boilerplate header in one language atop a "
+    f"body in another pollutes monolingual slices even when the "
+    f"whole-doc argmax looks clean): language-ID every {_MIX_SEG}-"
+    "token segment, majority vote with the fixed priority, report "
+    "mix_fraction = 1 − n_majority/n_segs. ENTIRELY row-local — "
+    "segments, per-segment argmax, and votes are one nested "
+    "transform over the token array, no explode, no shuffle before "
+    "the orderBy (operators/text_analysis.py:mixed_language_report)",
+    tags=("pipeline", "text", "governance"),
+)
+def q_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        mixed_language_report,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return mixed_language_report(docs, "doc_id", "text", _MIX_SEG).orderBy(
+        "doc"
+    )
+
+
 def _pq_err_oracle(m: int, sub: int, n_cents: int) -> str:
     """Join formulation of the argmin-L2 assignment error: donors
     vec_id 1..n_cents ARE the codebook (their j-th subvectors are

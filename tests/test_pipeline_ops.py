@@ -1360,3 +1360,35 @@ def test_bpe_encode_counts_matches_python_reference(spark):
             len(words),
             sum(len(ref_word(w)) for w in words),
         ), (doc_id, [ref_word(w) for w in words])
+
+
+def test_mixed_language_report_detects_segment_disagreement(spark):
+    """A doc whose first segment votes English and second votes German
+    must report majority en (priority tie-break), mix 0.5; pure docs
+    report 0.0; an all-marker-free doc votes unknown; empty docs are
+    absent. seg_tokens=4 keeps the fixture tiny."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        mixed_language_report,
+    )
+
+    rows = [
+        # seg1: the and of to (en), seg2: der die und das (de)
+        (1, "the and of to der die und das"),
+        # pure english, two segments
+        (2, "the and of to the is a and"),
+        # markers absent entirely -> unknown segments, mix 0.0
+        (3, "zzz qqq www rrr"),
+        (4, ""),  # absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc"]: (
+            r["n_segs"], r["majority_lang"], r["n_majority"],
+            r["mix_fraction"],
+        )
+        for r in mixed_language_report(df, "doc_id", "text", 4).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (2, "en", 1, 0.5)
+    assert got[2] == (2, "en", 2, 0.0)
+    assert got[3] == (1, "unknown", 1, 0.0)
