@@ -267,7 +267,19 @@ def source_gate_state(
     O(distinct docs) at 32 bytes a row — the price of EXACT
     corpus-wide dup rates; an approximate deployment would swap the
     fp column for a KMV/HLL register per source and accept estimate
-    error (sketches.py has both)."""
+    error (sketches.py has both).
+
+    NULL-text docs COUNT toward min_docs: their fingerprint is
+    coalesced to the -1 sentinel (the poly hash is mod-P non-negative,
+    so -1 cannot collide with a real fingerprint) instead of staying
+    NULL, which a downstream equi-join on __fp would silently drop —
+    understating a source's n_docs exactly when the corpus carries
+    empty-body docs. Two NULL-text docs share the sentinel cell and
+    therefore count as corpus-wide duplicates of each other (empty
+    bodies are duplicates); their NULL quality contributes nothing to
+    __sq, so they dilute mean_quality — both deliberate: junk rows
+    should push a source TOWARD failing the gate, not vanish from
+    it."""
     from big_data_engineering_project_spark.operators.text_analysis import (
         fingerprint_col,
         quality_score_cols,
@@ -278,7 +290,9 @@ def source_gate_state(
         df.select(
             F.col(source_col).alias("source"),
             F.floor(q * F.lit(1048576.0)).cast("long").alias("__q"),
-            fingerprint_col(F.col(text_col)).alias("__fp"),
+            F.coalesce(
+                fingerprint_col(F.col(text_col)), F.lit(-1).cast("long")
+            ).alias("__fp"),
         )
         .groupBy("source", "__fp")
         .agg(

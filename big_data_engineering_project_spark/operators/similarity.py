@@ -306,7 +306,18 @@ def _next_free_batch_tag(spark, parent_dir: str) -> str:
     stream-written batch can occupy the count-based name, and
     overwriting it would silently drop that batch's vectors (r10
     ADVICE #2). Shared by the IVF, IVF-PQ, and residual-IVF-PQ
-    appends."""
+    appends.
+
+    HARD REQUIREMENT — single writer per index: the probe is
+    check-then-write, so two CONCURRENT appenders (or an append racing
+    a stream maintainer) can both claim the same free d<n> and one
+    batch's mode=overwrite write silently clobbers the other's (r11
+    ADVICE #2). Appends, streamed appends, rebuilds, and compactions
+    against one index path must be serialized by the caller — the same
+    single-writer discipline every directory-layout index (Delta
+    without a commit service, raw FAISS shards) imposes. Concurrent
+    READS are always safe: a writer never mutates an existing batch
+    directory."""
     existing = set(_fs_list_batches(spark, parent_dir))
     n = len(existing)
     while f"d{n}" in existing:
@@ -1659,7 +1670,6 @@ def gram_power_iteration(
 def pq_reconstruction_error(
     df: DataFrame,
     codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
 ) -> DataFrame:
@@ -1681,7 +1691,10 @@ def pq_reconstruction_error(
     aggregate are integer sums, combine-order-free; `mean_err` is one
     final double division. Scale shape: one row-local pass (m·k
     literal folds per row, pure codegen), one map-side-combined
-    groupBy; nothing scales with anything but the scan."""
+    groupBy; nothing scales with anything but the scan. Output is
+    aggregate-only (per group_col, or one global row) — per-row
+    errors are an internal projection, which is why no id column
+    exists in the signature (r11 ADVICE #4)."""
     sub = len(codebooks[0][0])
     dv = as_double(F.col(vec_col))
     err = None

@@ -1267,9 +1267,20 @@ def bpe_encode_counts(
     half of the BPE story (`bpe_train_merges` builds the tokenizer;
     this applies it), and the number a token-budget pipeline actually
     bills by: `bpe_token_count_col` approximates tokenization with a
-    pre-tokenizer regex, while this walks the real merge sequence, so
-    counts match what a GPT-2-family tokenizer with these merges
-    would emit.
+    pre-tokenizer regex, while this walks the real merge sequence.
+
+    Merge-application SEMANTICS (r11 ADVICE #3): merges apply
+    SEQUENTIALLY-EXHAUSTIVELY in list order — merge 1 is applied
+    everywhere it matches, then merge 2, and so on — exactly the
+    semantics `bpe_train_merges` trains under, so trained tables
+    round-trip bit-for-bit. GPT-2-family ENCODERS instead repeatedly
+    apply the lowest-RANK pair present anywhere in the word; the two
+    orders agree whenever the merge table is forward-dependent (no
+    later merge creates a pair an earlier merge consumes — true of
+    tables this trainer emits and of the frozen fixture), and can
+    diverge on arbitrary hand-written tables. If exact GPT-2 parity
+    on adversarial tables matters, re-apply the table to fixpoint in
+    rank order.
 
     Scale shape — encode the VOCABULARY, not the corpus: merges apply
     per WORD, so the chained greedy merge folds (`_merge_pair_expr`,

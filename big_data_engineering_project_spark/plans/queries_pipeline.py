@@ -974,7 +974,7 @@ pd AS (SELECT source,
   CAST(FLOOR((0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
     + 0.5 * (1.0 - len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
       / CAST(GREATEST(len(t), 1) AS DOUBLE))) * 1048576.0) AS BIGINT) AS q,
-  {_POLY.format(s="text")} AS fp
+  COALESCE({_POLY.format(s="text")}, -1) AS fp
   FROM d),
 fc AS (SELECT fp, COUNT(*) AS nfp FROM pd GROUP BY 1),
 ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
