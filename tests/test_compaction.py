@@ -1,0 +1,346 @@
+"""Compaction of directory-per-batch persisted artifacts
+(operators/compaction.py): contents identical before and after, file
+counts drop, serves are bit-equal, and post-compaction appends keep
+working — per artifact family (BM25 index, MinHash-LSH index, mix
+manifest, cell-partitioned ANN index)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_engineering_project_spark.operators.compaction import (
+    compact_batches,
+    compact_bm25_index,
+    compact_minhash_index,
+    compact_vector_index,
+    count_files,
+)
+
+
+def _write_ordered_json(in_dir, batches):
+    """One JSON-lines file per micro-batch with increasing mtimes so
+    maxFilesPerTrigger=1 replays them in order."""
+    t0 = time.time() - 600
+    os.makedirs(str(in_dir), exist_ok=True)
+    for b, recs in enumerate(batches):
+        fp = os.path.join(str(in_dir), f"{b}.json")
+        with open(fp, "w") as fh:
+            for r in recs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(fp, (t0 + b, t0 + b))
+
+
+def _batch_tags(path):
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d[len("batch=") :]
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+    )
+
+
+def test_bm25_index_compaction_serves_identical_and_appends_continue(
+    spark, tmp_path
+):
+    """Compacting the streamed BM25 postings/doclens directories leaves
+    bm25_from_index scores bit-equal, drops the file count, and a
+    LATER stream batch (same checkpoint, restarted after the clean
+    stop) appends beside the new base and serves the full union."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_from_index,
+        bm25_scores,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_bm25_index_stream,
+    )
+
+    docs = [
+        {"doc_id": i, "text": f"alpha beta w{i % 3} gamma" + " alpha" * (i % 2)}
+        for i in range(9)
+    ]
+    in_dir = tmp_path / "in"
+    _write_ordered_json(in_dir, [docs[:3], docs[3:6]])
+    idx = str(tmp_path / "bm_idx")
+    cp = str(tmp_path / "cp")
+    kw = dict(schema="doc_id LONG, text STRING")
+    run_bm25_index_stream(spark, str(in_dir), idx, cp, **kw)
+
+    terms = ["alpha", "w1"]
+
+    def serve():
+        return sorted(
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_from_index(
+                spark.read.parquet(idx + "/postings").drop("batch"),
+                spark.read.parquet(idx + "/doclens").drop("batch"),
+                terms,
+            ).collect()
+        )
+
+    before = serve()
+    files_before = count_files(spark, idx + "/postings")
+    assert len(_batch_tags(idx + "/postings")) == 2
+
+    stats = compact_bm25_index(spark, idx)
+    assert stats["postings"]["compacted"] and stats["doclens"]["compacted"]
+    assert _batch_tags(idx + "/postings") == ["base"]
+    assert _batch_tags(idx + "/doclens") == ["base"]
+    # the file-count drop IS the point (object-store listing tax)
+    assert count_files(spark, idx + "/postings") < files_before
+    assert serve() == before and len(before) > 0
+
+    # restart the stream after the clean stop: batch 2 appends its own
+    # directory beside base; serving covers the full union
+    _write_ordered_json(in_dir, [docs[:3], docs[3:6], docs[6:]])
+    run_bm25_index_stream(spark, str(in_dir), idx, cp, **kw)
+    tags = _batch_tags(idx + "/postings")
+    assert "base" in tags and len(tags) == 2
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_scores(union, terms).collect()
+    )
+    assert serve() == want
+
+    # idempotence: compacting an already-lone-base root is a no-op
+    compact_bm25_index(spark, idx)
+    s2 = compact_bm25_index(spark, idx)
+    assert not s2["postings"]["compacted"]
+    assert serve() == want
+
+
+def test_minhash_index_compaction_pairs_equal_and_probe_continues(
+    spark, tmp_path
+):
+    """Compacting the streamed MinHash band/shingle/pair directories
+    preserves the maintained pair set exactly, and a post-compaction
+    batch still probes the (now single-directory) corpus index for
+    cross-batch near-dups — final pairs equal the batch operator over
+    the union."""
+    from big_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_minhash_index_stream,
+    )
+
+    base = "red green blue cyan magenta yellow black white gray pink"
+    docs = []
+    for i in range(12):
+        t = base + f" w{i % 4} v{i % 3} u{i}"
+        if i in (5, 9):  # near-dups of docs 1 and 5 (cross-batch)
+            t = base + f" w{(i - 4) % 4} v{(i - 4) % 3} u{i - 4} pad"
+        docs.append({"doc_id": i, "text": t})
+    in_dir = tmp_path / "in"
+    _write_ordered_json(in_dir, [docs[:4], docs[4:8]])
+    idx = str(tmp_path / "mh_idx")
+    cp = str(tmp_path / "cp")
+    kw = dict(schema="doc_id LONG, text STRING", threshold=0.4)
+    run_minhash_index_stream(spark, str(in_dir), idx, cp, **kw)
+
+    def pair_rows():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(idx + "/pairs").collect()
+        )
+
+    before = pair_rows()
+    assert len(before) > 0
+    files_before = count_files(spark, idx + "/bands")
+    stats = compact_minhash_index(spark, idx)
+    assert all(stats[s]["compacted"] for s in ("bands", "shingles", "pairs"))
+    assert pair_rows() == before
+    assert count_files(spark, idx + "/bands") < files_before
+
+    # doc 9 (near-dup of doc 5, which now lives only in base) arrives
+    # after compaction: the new batch's cross probe must still find it
+    _write_ordered_json(in_dir, [docs[:4], docs[4:8], docs[8:]])
+    run_minhash_index_stream(spark, str(in_dir), idx, cp, **kw)
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(union, "doc_id", "text", 0.4).collect()
+    )
+    got = pair_rows()
+    assert got == want
+    # at least one pair crosses INTO the post-compaction batch — the
+    # probe against the compacted base actually fired
+    assert any(b >= 8 for _a, b, _j in got)
+
+
+def test_mix_manifest_compaction_rows_identical(spark, tmp_path):
+    """Compacting the streamed mix-manifest batch directories keeps the
+    manifest rows identical (the ledger state table is untouched), and
+    ingest can continue afterwards with the batch operator's result as
+    the oracle."""
+    from big_data_engineering_project_spark.operators.dedup import tokens_col
+    from big_data_engineering_project_spark.operators.sampling import (
+        budget_mix_select,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import run_mix_stream
+
+    targets = {"en": 500_000, "de": 300_000}
+    budget = 400
+    recs = []
+    for i in range(30):
+        lang = ["en", "de", "xx"][i % 3]
+        nwords = 8 + (i % 5) * 4
+        recs.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(f"w{j}" for j in range(nwords)),
+            }
+        )
+    in_dir = tmp_path / "in"
+    _write_ordered_json(in_dir, [recs[:10], recs[10:20]])
+    man = str(tmp_path / "man")
+    state = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    kw = dict(
+        schema="doc_id LONG, lang STRING, text STRING",
+        targets_ppm=targets,
+        budget_tokens=budget,
+    )
+    run_mix_stream(spark, str(in_dir), state, man, cp, **kw)
+
+    def manifest_rows():
+        return sorted(
+            (r["id"], r["stratum"], r["n_tokens"], r["tok_before"],
+             r["stratum_budget"])
+            for r in spark.read.parquet(man).drop("batch").collect()
+        )
+
+    before = manifest_rows()
+    assert len(before) > 0
+    files_before = count_files(spark, man)
+    assert compact_batches(spark, man)["compacted"]
+    assert manifest_rows() == before
+    assert count_files(spark, man) < files_before
+
+    _write_ordered_json(in_dir, [recs[:10], recs[10:20], recs[20:]])
+    run_mix_stream(spark, str(in_dir), state, man, cp, **kw)
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["text"]) for r in recs],
+        "doc_id LONG, lang STRING, text STRING",
+    ).withColumn(
+        "n_toks_doc", F.size(tokens_col(F.col("text"))).cast("long")
+    )
+    want = sorted(
+        (r["id"], r["stratum"], r["n_tokens"], r["tok_before"],
+         r["stratum_budget"])
+        for r in budget_mix_select(
+            union, "lang", "doc_id", "n_toks_doc", targets, budget
+        ).collect()
+    )
+    assert manifest_rows() == want
+
+
+def test_vector_index_compaction_preserves_serve_and_cell_layout(
+    spark, tmp_path
+):
+    """Compacting a persisted IVF index's vectors/ batch directories
+    (build + day-1 append → one base) leaves the probe-all serve
+    bit-equal, keeps the inner cell=N partition layout the pruned
+    probe depends on, and a post-compaction append still lands beside
+    base."""
+    from big_data_engineering_project_spark.operators import similarity
+
+    def vec(i):
+        return [float((i * 7 + d * 3) % 11) / 11.0 + 0.1 for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(1, 25)]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    day0 = emb.filter(F.col("vec_id") <= 16)
+    day1 = emb.filter(F.col("vec_id") > 16)
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    cents = [vec(i) for i in (2, 9, 14, 20)]
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(day0, idx, cents)
+    similarity.ivf_index_append(day1, idx)
+
+    def serve():
+        return [
+            (r["vec_id"], r["cosine"])
+            for r in similarity.ivf_index_topk(
+                spark, idx, query, k=10, n_probe=4
+            ).collect()
+        ]
+
+    before = serve()
+    assert _batch_tags(idx + "/vectors") == ["base", "d1"]
+    files_before = count_files(spark, idx + "/vectors")
+    stats = compact_vector_index(spark, idx)
+    assert stats["vectors"]["compacted"]
+    assert _batch_tags(idx + "/vectors") == ["base"]
+    # inner cell layout survives → partition pruning still applies
+    cells = sorted(os.listdir(idx + "/vectors/batch=base"))
+    assert any(c.startswith("cell=") for c in cells)
+    assert serve() == before
+    assert count_files(spark, idx + "/vectors") < files_before
+
+    # day-2 append after compaction probes forward from base
+    day2 = spark.createDataFrame(
+        [(100, vec(100))], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    similarity.ivf_index_append(day2, idx)
+    tags = _batch_tags(idx + "/vectors")
+    assert "base" in tags and len(tags) == 2
+    assert 100 in {
+        r["vec_id"]
+        for r in spark.read.parquet(idx + "/vectors").collect()
+    }
+
+
+def test_compact_batches_noop_and_crash_self_heal(spark, tmp_path):
+    """Edge contract: absent root and lone-base root are no-ops; a
+    crash between the two swap renames (root gone, .swap-old intact)
+    self-heals on the next call."""
+    import shutil
+
+    root = str(tmp_path / "art")
+    # absent → no-op
+    s = compact_batches(spark, root)
+    assert not s["compacted"] and s["n_batches"] == 0
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    df.write.parquet(root + "/batch=t0")
+    df.write.parquet(root + "/batch=t1")
+    rows_before = sorted(
+        (r["id"], r["k"])
+        for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    assert compact_batches(spark, root)["compacted"]
+    # lone base → no-op
+    assert not compact_batches(spark, root)["compacted"]
+
+    # simulate a crash between rename(root→bak) and rename(tmp→root)
+    shutil.move(root, root + ".swap-old")
+    df.write.parquet(root + ".compact-tmp/batch=base")  # stale tmp too
+    s = compact_batches(spark, root)  # self-heals, then no-op (lone base)
+    assert os.path.isdir(root) and not os.path.isdir(root + ".swap-old")
+    rows_after = sorted(
+        (r["id"], r["k"])
+        for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    # two batch dirs held the same 10 rows → 20 rows, preserved exactly
+    base_rows = [(r["id"], r["k"]) for r in df.collect()]
+    assert rows_after == rows_before == sorted(base_rows * 2)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
