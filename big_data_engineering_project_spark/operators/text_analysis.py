@@ -1029,6 +1029,7 @@ def bm25_scores(
     k1_den: int = 5,
     b_num: int = 3,
     b_den: int = 4,
+    idf_ladder: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 of a bounded query-term list over the corpus — the
     production lexical ranker for hybrid retrieval (the raw tf count
@@ -1065,7 +1066,9 @@ def bm25_scores(
         .groupBy("__doc", "__tok")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
-    return _bm25_score(tf, doclen, id_col, k1_num, k1_den, b_num, b_den)
+    return _bm25_score(
+        tf, doclen, id_col, k1_num, k1_den, b_num, b_den, idf_ladder
+    )
 
 
 def text_postings(
@@ -1109,6 +1112,7 @@ def bm25_from_index(
     k1_den: int = 5,
     b_num: int = 3,
     b_den: int = 4,
+    idf_ladder: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 served from a MAINTAINED index (text_postings +
     doc_lengths tables) instead of raw text — the literal term filter
@@ -1125,7 +1129,9 @@ def bm25_from_index(
     doclen = doclens.select(
         F.col("doc").alias("__doc"), F.col("dl").alias("__dl")
     )
-    return _bm25_score(tf, doclen, id_col, k1_num, k1_den, b_num, b_den)
+    return _bm25_score(
+        tf, doclen, id_col, k1_num, k1_den, b_num, b_den, idf_ladder
+    )
 
 
 def _bm25_score(
@@ -1136,10 +1142,24 @@ def _bm25_score(
     k1_den: int,
     b_num: int,
     b_den: int,
+    idf_ladder: int | None = None,
 ) -> DataFrame:
     """Shared BM25 finish: (__doc, __tok, __tf) x (__doc, __dl) →
     (id, n_terms, score). One expression tree for the corpus path and
-    the index path."""
+    the index path.
+
+    idf_ladder: None keeps the textbook double idf ln(1+(N−df+0.5)/
+    (df+0.5)) — rows-only under the oracle discipline, because JVM and
+    libm ln can diverge at the ULP. An integer (2^20 is the engine
+    convention) FREEZES the idf onto that ladder — floor(ln(·)·L) as a
+    BIGINT, used as idf_int/L (an exact power-of-two division) — so
+    the one transcendental in the score collapses to an integer both
+    engines agree on (the q_value_ndcg log2-ladder trick; a 1-ulp ln
+    divergence only matters if ln(·)·L lands within a ulp of an
+    integer, the same negligible boundary every ladder in the engine
+    accepts and the hash gate verifies). Ranking is pinned equal to
+    the ln form by pytest; ladder and ln scores differ by < 2^-20 per
+    term."""
     stats = doclen.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__dl").cast("long").alias("__tot"),
@@ -1159,6 +1179,11 @@ def _bm25_score(
         + (F.col("__n") - F.col("__df") + F.lit(0.5))
         / (F.col("__df") + F.lit(0.5))
     )
+    if idf_ladder is not None:
+        lad = float(int(idf_ladder))
+        idf = F.floor(idf * F.lit(lad)).cast("long").cast(
+            "double"
+        ) / F.lit(lad)
     # avgdl division folded as dl·N/total (exact integers upstairs)
     norm = F.lit(k1) * (
         F.lit(1.0 - b)

@@ -4775,26 +4775,73 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("join", "scan", "merge")
 
 
+def _bm25_oracle() -> str:
+    """DuckDB replay of the ladder-idf BM25: the one transcendental
+    (per-term idf ln) is FLOOR-frozen onto the 2^20 integer ladder —
+    floor(ln(·)·2^20) as BIGINT, then idf_int/2^20 (an exact
+    power-of-two division) — so both engines agree bit-for-bit
+    everywhere except the negligible floor-boundary ulp every ladder
+    in the engine accepts. k1 = 6/5 must be CAST(6/5 AS DOUBLE)
+    arithmetic, not a 1.2 decimal literal (registry rule); 0.75/0.25
+    are exactly representable and safe. The per-doc sum is
+    decimal-stabilized like the Spark side."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1 = "(CAST(6 AS DOUBLE) / CAST(5 AS DOUBLE))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc),
+tf AS (SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks WHERE tok IN ({terms}) GROUP BY doc, tok),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+       FROM dl),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+term AS (
+  SELECT tf.doc,
+    CAST(FLOOR(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfq.df AS DOUBLE) + 0.5))
+               * 1048576.0) AS BIGINT) AS idf_lad,
+    tf.tf, dl.dl, st.n, st.tot
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc) CROSS JOIN st
+)
+SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+  CAST(SUM(CAST(
+    (CAST(idf_lad AS DOUBLE) / 1048576.0)
+    * (CAST(tf AS DOUBLE) * ({k1} + 1.0)
+       / (CAST(tf AS DOUBLE)
+          + {k1} * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+                           / CAST(tot AS DOUBLE))))
+    AS DECIMAL(28, 14))) AS DOUBLE) AS score
+FROM term GROUP BY doc
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 @register(
     "q_bm25_search",
-    oracle=None,  # the per-term idf is ln(1 + (N−df+0.5)/(df+0.5)) —
-    # ln is banned from hash-compared output (plans/registry.py: JVM
-    # vs libm ln diverge at the ULP); every OTHER part of the score is
-    # exact integer/rational, and the python-reference pytest pins
-    # values to 1e-12 and the ranking exactly (invariants below).
+    oracle=_bm25_oracle(),
     doc=f"Okapi BM25 ranking for the query {_BM25_TERMS} — the "
     "production lexical signal for hybrid retrieval (the raw tf in "
     "q_hybrid_search_rrf is its idf-free degenerate form): per-term "
     "idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4 "
-    "exact rationals, decimal-stabilized per-doc sum. Plan: literal "
+    "exact rationals, decimal-stabilized per-doc sum. UNDER THE EXACT "
+    "GATE since r12: the per-term idf ln — the one transcendental, "
+    "previously the reason this row was rows-only — is frozen onto "
+    "the 2^20 integer ladder (floor(ln·2^20) → BIGINT, used as "
+    "idf_int/2^20), the q_value_ndcg log2-ladder trick; ranking "
+    "pinned equal to the textbook ln form by pytest. Plan: literal "
     "term isin filters the exploded token scan BEFORE any shuffle "
     "(posting scan — corpus text never shuffles), doc lengths one "
     "groupBy, N/avgdl a 1-row broadcast stamp, df a ≤|terms|-row "
     "broadcast; top-20 TakeOrderedAndProject "
     "(operators/text_analysis.py:bm25_scores)",
-    tags=("pipeline", "text", "search", "rows-only"),
+    tags=("pipeline", "text", "search"),
     invariants=(
         "tests/test_operators.py::test_bm25_reference_parity_and_ranking",
+        "tests/test_operators.py::test_bm25_ladder_idf_ranking_equals_ln_form",
     ),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4804,7 +4851,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        bm25_scores(docs, list(_BM25_TERMS), "doc_id", "text")
+        bm25_scores(
+            docs, list(_BM25_TERMS), "doc_id", "text", idf_ladder=1 << 20
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )

@@ -4296,6 +4296,38 @@ def test_bm25_reference_parity_and_ranking(spark, sf_dir):
     assert got2 == {d: r["score"] for d, r in got.items()}
 
 
+def test_bm25_ladder_idf_ranking_equals_ln_form(spark, sf_dir):
+    """The 2^20-ladder idf (the exact-gate form q_bm25_search ships)
+    preserves the textbook-ln BM25 EXACTLY where it matters: identical
+    doc ranking, identical n_terms, and per-doc scores within the
+    ladder's quantization envelope (each of the ≤|terms| idf terms
+    moves by < 2^-20, scaled by the tf factor < k1+1)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    terms = ["join", "scan", "merge"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    ln_rows = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, terms, "doc_id", "text").collect()
+    }
+    lad_rows = {
+        r["doc_id"]: r
+        for r in bm25_scores(
+            docs, terms, "doc_id", "text", idf_ladder=1 << 20
+        ).collect()
+    }
+    assert set(ln_rows) == set(lad_rows) and len(ln_rows) > 0
+    bound = len(terms) * (1.2 + 1.0) / (1 << 20)
+    for doc, r in ln_rows.items():
+        assert lad_rows[doc]["n_terms"] == r["n_terms"]
+        assert abs(lad_rows[doc]["score"] - r["score"]) < bound, doc
+    rank_ln = sorted(ln_rows, key=lambda d: (-ln_rows[d]["score"], d))
+    rank_lad = sorted(lad_rows, key=lambda d: (-lad_rows[d]["score"], d))
+    assert rank_ln == rank_lad
+
+
 def test_mrr_at_k_reference_and_edges(spark):
     """mrr_at_k vs the textbook RR definition: first-hit rank drives
     the score (later hits ignored), relevant-but-below-k gives rr=0,
