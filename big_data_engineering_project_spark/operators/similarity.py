@@ -665,6 +665,7 @@ def pq_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adc_ladder: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by ADC cosine over the CODE table: the query
     stays exact; driver-side it dots each codebook entry (m·|book|
@@ -676,8 +677,30 @@ def pq_topk(
     Exactness anchor (pytest): when every subvector IS a codebook
     entry, reconstruction is exact and ADC cosine equals the true
     cosine; on real corpora recall@k vs brute force is the measured
-    trade."""
+    trade.
+
+    adc_ladder: None keeps the double ADC tables (driver-computed
+    literals, rows-only under the oracle discipline). An integer L
+    (2^20 convention) FLOOR-freezes every per-subspace table entry —
+    floor(q·cent·L) and floor(‖cent‖²·L) as BIGINTs — so a row's
+    dot/norm are exact integer sums of 2m table lookups and the score
+    one final double expression both engines reproduce bit-for-bit
+    (the BM25-idf/NDCG ladder discipline); output gains the
+    adc_dot_lad/adc_nrm_lad integer columns. Ranking vs the double
+    form is pytest-pinned on the fixture."""
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    if adc_ladder is not None:
+        d, n, s = _adc_ladder_cols(qvec, codebooks, adc_ladder)
+        return (
+            codes.select(
+                F.col(id_col),
+                d.alias("adc_dot_lad"),
+                n.alias("adc_nrm_lad"),
+                s.alias("adc_cosine"),
+            )
+            .orderBy(F.desc("adc_cosine"), F.asc(id_col))
+            .limit(k)
+        )
     return (
         codes.select(
             F.col(id_col),
@@ -713,6 +736,51 @@ def _adc_cosine_expr(qvec: list[float], codebooks: list[list[list[float]]]):
     return F.when(
         nrm_expr > 0, dot_expr / (F.lit(qn) * F.sqrt(nrm_expr))
     ).otherwise(F.lit(-2.0))
+
+
+def _adc_ladder_cols(
+    qvec: list[float],
+    codebooks: list[list[list[float]]],
+    ladder: int,
+):
+    """(dot_lad, nrm_lad, adc_cosine) over a `codes` column with the
+    ADC tables FLOOR-frozen onto the 2^L integer ladder: each table
+    entry floor(q·cent·L) / floor(‖cent‖²·L) is a driver-computed
+    BIGINT literal, so a row's dot/norm are exact order-free integer
+    sums (2m lookups) and the only doubles are the final exact
+    power-of-two divisions, one sqrt and one division — all correctly
+    rounded on identical inputs, hence bit-equal across engines. The
+    oracle replays the same floors from the SQL-derivable codebook
+    (plans/queries_pipeline.py:_pq_adc_oracle)."""
+    import math
+
+    L = float(int(ladder))
+    qn = math.sqrt(sum(x * x for x in qvec))
+    sub = len(codebooks[0][0])
+    dot_expr = F.lit(0).cast("long")
+    nrm_expr = F.lit(0).cast("long")
+    for j, book in enumerate(codebooks):
+        qj = qvec[j * sub : (j + 1) * sub]
+        dots = [
+            int(math.floor(sum(a * b for a, b in zip(qj, e)) * L))
+            for e in book
+        ]
+        nrm2 = [
+            int(math.floor(sum(x * x for x in e) * L)) for e in book
+        ]
+        code_j = F.element_at(F.col("codes"), j + 1)
+        dot_expr = dot_expr + F.element_at(
+            F.array(*[F.lit(d).cast("long") for d in dots]), code_j + 1
+        )
+        nrm_expr = nrm_expr + F.element_at(
+            F.array(*[F.lit(n).cast("long") for n in nrm2]), code_j + 1
+        )
+    score = F.when(
+        nrm_expr > 0,
+        (dot_expr.cast("double") / F.lit(L))
+        / (F.lit(qn) * F.sqrt(nrm_expr.cast("double") / F.lit(L))),
+    ).otherwise(F.lit(-2.0))
+    return dot_expr, nrm_expr, score
 
 
 # --- Persisted IVF-PQ index: partition pruning × compressed scan -------------
@@ -837,6 +905,7 @@ def ivfpq_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adc_ladder: int | None = None,
 ) -> DataFrame:
     """Serve the persisted IVF-PQ index: rank the frozen coarse
     centroids by query affinity driver-side, read ONLY the probed
@@ -852,10 +921,23 @@ def ivfpq_index_topk(
     books = load_pq_codebooks(spark, index_path)
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
     probe_cells = _rank_cells(qvec, cents, n_probe)
+    pruned = spark.read.parquet(index_path + "/codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    if adc_ladder is not None:
+        d, n, s = _adc_ladder_cols(qvec, books, adc_ladder)
+        return (
+            pruned.select(
+                F.col(id_col),
+                d.alias("adc_dot_lad"),
+                n.alias("adc_nrm_lad"),
+                s.alias("adc_cosine"),
+            )
+            .orderBy(F.desc("adc_cosine"), F.asc(id_col))
+            .limit(k)
+        )
     return (
-        spark.read.parquet(index_path + "/codes")
-        .filter(F.col("cell").isin(probe_cells))
-        .select(
+        pruned.select(
             F.col(id_col),
             _adc_cosine_expr(qvec, books).alias("adc_cosine"),
         )
@@ -1850,6 +1932,7 @@ def ivfpq_residual_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adc_ladder: int | None = None,
 ) -> DataFrame:
     """Serve the residual index: per probed cell, reconstruction is
     recon = c + r̂, so the ADC cosine needs three per-cell tables
@@ -1872,13 +1955,22 @@ def ivfpq_residual_index_topk(
     qn = math.sqrt(sum(x * x for x in qvec))
     probe_cells = _rank_cells(qvec, cents, n_probe)
     sub = len(books[0][0])
+    L = float(int(adc_ladder)) if adc_ladder is not None else None
     branches = []
     for cell_id in probe_cells:
         c = cents[cell_id - 1]
         qc = sum(a * b for a, b in zip(qvec, c))
         cn2 = sum(x * x for x in c)
-        dot_expr = F.lit(qc)
-        nrm_expr = F.lit(cn2)
+        if L is not None:
+            # per-cell tables FLOOR-frozen onto the integer ladder
+            # (the _adc_ladder_cols discipline, residual form): the
+            # cell constants and every coupling-table entry become
+            # BIGINT literals, so dot/norm are exact integer sums.
+            dot_expr = F.lit(int(math.floor(qc * L))).cast("long")
+            nrm_expr = F.lit(int(math.floor(cn2 * L))).cast("long")
+        else:
+            dot_expr = F.lit(qc)
+            nrm_expr = F.lit(cn2)
         for j, book in enumerate(books):
             qj = qvec[j * sub : (j + 1) * sub]
             cj = c[j * sub : (j + 1) * sub]
@@ -1886,21 +1978,60 @@ def ivfpq_residual_index_topk(
             cdots = [sum(a * b for a, b in zip(cj, e)) for e in book]
             rnrm2 = [sum(x * x for x in e) for e in book]
             code_j = F.element_at(F.col("codes"), j + 1)
-            dot_expr = dot_expr + F.element_at(
-                F.array(*[F.lit(d) for d in qdots]), code_j + 1
+            if L is not None:
+                dot_expr = dot_expr + F.element_at(
+                    F.array(
+                        *[
+                            F.lit(int(math.floor(d * L))).cast("long")
+                            for d in qdots
+                        ]
+                    ),
+                    code_j + 1,
+                )
+                nrm_expr = nrm_expr + F.element_at(
+                    F.array(
+                        *[
+                            F.lit(
+                                int(math.floor((2.0 * cd + rn) * L))
+                            ).cast("long")
+                            for cd, rn in zip(cdots, rnrm2)
+                        ]
+                    ),
+                    code_j + 1,
+                )
+            else:
+                dot_expr = dot_expr + F.element_at(
+                    F.array(*[F.lit(d) for d in qdots]), code_j + 1
+                )
+                nrm_expr = nrm_expr + F.element_at(
+                    F.array(*[F.lit(2.0 * cd + rn) for cd, rn in
+                              zip(cdots, rnrm2)]), code_j + 1
+                )
+        if L is not None:
+            score = F.when(
+                nrm_expr > 0,
+                (dot_expr.cast("double") / F.lit(L))
+                / (F.lit(qn) * F.sqrt(nrm_expr.cast("double") / F.lit(L))),
+            ).otherwise(F.lit(-2.0))
+            branches.append(
+                spark.read.parquet(index_path + "/codes")
+                .filter(F.col("cell") == cell_id)
+                .select(
+                    F.col(id_col),
+                    dot_expr.alias("adc_dot_lad"),
+                    nrm_expr.alias("adc_nrm_lad"),
+                    score.alias("adc_cosine"),
+                )
             )
-            nrm_expr = nrm_expr + F.element_at(
-                F.array(*[F.lit(2.0 * cd + rn) for cd, rn in
-                          zip(cdots, rnrm2)]), code_j + 1
+        else:
+            score = F.when(
+                nrm_expr > 0, dot_expr / (F.lit(qn) * F.sqrt(nrm_expr))
+            ).otherwise(F.lit(-2.0))
+            branches.append(
+                spark.read.parquet(index_path + "/codes")
+                .filter(F.col("cell") == cell_id)
+                .select(F.col(id_col), score.alias("adc_cosine"))
             )
-        score = F.when(
-            nrm_expr > 0, dot_expr / (F.lit(qn) * F.sqrt(nrm_expr))
-        ).otherwise(F.lit(-2.0))
-        branches.append(
-            spark.read.parquet(index_path + "/codes")
-            .filter(F.col("cell") == cell_id)
-            .select(F.col(id_col), score.alias("adc_cosine"))
-        )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

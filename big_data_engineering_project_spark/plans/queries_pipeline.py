@@ -1295,42 +1295,140 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_chain(terms: list[str]) -> str:
+    """Left-assoc double chain from 0.0 — mirrors F.aggregate's fold
+    and Python's sum() bit-for-bit (the _pq_err_oracle discipline)."""
+    s = "0.0"
+    for t in terms:
+        s = f"({s} + {t})"
+    return s
+
+
+_PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD = 16, 4, 16, 1048576
+
+
+def _donor_pq_books(emb, m: int, sub: int, n_donors: int):
+    """SQL-derivable PQ codebooks: donor rows vec_id 1..n ARE the
+    codebook — book j's entries are the donors' j-th subvectors,
+    vec_id-ordered (the q_pq_reconstruction_error trick that puts the
+    encode under the exact gate; the kmeans-trained path stays
+    pytest-pinned in test_operators)."""
+    donors = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_donors))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        [
+            [float(x) for x in r["embedding"][j * sub : (j + 1) * sub]]
+            for r in donors
+        ]
+        for j in range(m)
+    ]
+
+
+def _pq_adc_oracle(qid: int, corpus_where: str, k: int) -> str:
+    """DuckDB replay of the ladder-ADC PQ top-k: codes = argmin-L2
+    against the donor codebook (left-assoc d2 chains, ties → lowest
+    code), ADC tables floor-frozen per (subspace, code) entry onto the
+    2^20 ladder BEFORE summation — dot/norm are order-free BIGINT sums
+    of m lookups, the score one final double expression both engines
+    round identically."""
+    m, sub, nd, lad = _PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD
+    d2 = _adc_chain(
+        [
+            f"(e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+            f" * (e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+            for i in range(1, sub + 1)
+        ]
+    )
+    qd = _adc_chain(
+        [f"qe[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    n2 = _adc_chain(
+        [f"c[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = {qid}),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code,
+              embedding::DOUBLE[] AS c
+       FROM embeddings WHERE vec_id BETWEEN 1 AND {nd}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE {corpus_where}),
+asn AS (
+  SELECT d.vec_id, u.j, cb.code, {d2} AS d2
+  FROM d, cb, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+pick AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                         ORDER BY d2 ASC, code ASC) AS rk
+    FROM asn) WHERE rk = 1
+),
+tab AS (
+  SELECT u.j, cb.code,
+    CAST(FLOOR({qd} * {lad}.0) AS BIGINT) AS qd_lad,
+    CAST(FLOOR({n2} * {lad}.0) AS BIGINT) AS n2_lad
+  FROM cb, q, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+sc AS (
+  SELECT p.vec_id,
+    CAST(SUM(t.qd_lad) AS BIGINT) AS adc_dot_lad,
+    CAST(SUM(t.n2_lad) AS BIGINT) AS adc_nrm_lad
+  FROM pick p JOIN tab t ON p.j = t.j AND p.code = t.code
+  GROUP BY p.vec_id
+)
+SELECT vec_id, adc_dot_lad, adc_nrm_lad,
+  CASE WHEN adc_nrm_lad > 0 THEN
+    (CAST(adc_dot_lad AS DOUBLE) / {lad}.0)
+    / (sqrt({_fold_dot("qe", "qe")})
+       * sqrt(CAST(adc_nrm_lad AS DOUBLE) / {lad}.0))
+  ELSE -2.0 END AS adc_cosine
+FROM sc, q
+ORDER BY adc_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 @register(
     "q_embedding_pq_topk",
-    oracle=None,  # kmeans codebook training is iterative → rows-only;
-    # the ADC-exactness anchor (product-structured corpus → ADC cosine
-    # == true cosine, top-k == brute force) + fixture recall floor +
-    # layout-invariant encoding are pytest-pinned (invariants below).
-    doc="Product-quantization ANN (the compressed-scan path, r11): "
-    "64-dim vectors stored as 16 subspace codebook indices (16× scan "
+    oracle=_pq_adc_oracle(7, "vec_id != 7", 10),
+    doc="Product-quantization ANN (the compressed-scan path): 64-dim "
+    "vectors stored as 16 subspace codebook indices (16× scan "
     "footprint cut; FAISS-PQ class), ranked by ASYMMETRIC distance — "
     "the exact query dots every codebook entry driver-side into m "
     "tiny literal tables and each row's score is 2m array lookups: "
-    "no join, no decompression, TakeOrderedAndProject top-k. "
-    "Codebooks are an offline per-subspace kmeans (driver artifact, "
-    "like IVF centroids); encoding is one pure-Catalyst argmin-L2 "
-    "pass (operators/similarity.py:pq_train_codebooks/pq_encode/"
-    "pq_topk)",
-    tags=("pipeline", "similarity", "rows-only"),
+    "no join, no decompression, TakeOrderedAndProject top-k. UNDER "
+    "THE EXACT GATE since r12: the codebook is SQL-derivable (donor "
+    "rows 1..16 supply each subspace's entries — the "
+    "q_pq_reconstruction_error trick) and the ADC tables are "
+    "floor-frozen onto the 2^20 integer ladder, so dot/norm are "
+    "order-free BIGINT sums and the score one cross-engine-exact "
+    "double. The kmeans-trained codebook path (pq_train_codebooks) "
+    "is unchanged and pytest-pinned (invariants) "
+    "(operators/similarity.py:pq_encode/pq_topk)",
+    tags=("pipeline", "similarity"),
     invariants=(
         "tests/test_operators.py::test_pq_adc_exact_when_codebook_covers_and_fixture_recall",
+        "tests/test_operators.py::test_pq_ladder_adc_tracks_double_adc",
     ),
 )
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 7)
     query = emb.filter(F.col("vec_id") == 7).select("embedding")
-    books = similarity.pq_train_codebooks(corpus, m=16, k=16, dims=64, seed=7)
+    books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
     codes = similarity.pq_encode(corpus, books)
-    return similarity.pq_topk(codes, books, query, k=10)
+    return similarity.pq_topk(
+        codes, books, query, k=10, adc_ladder=_ADC_LAD
+    )
 
 
 @register(
     "q_embedding_ivfpq_topk",
-    oracle=None,  # both quantizers are iterative kmeans fits → rows-
-    # only; the probe-all ≡ flat-PQ bit-for-bit identity, frozen-
-    # artifact round-trips, partition-pruning plan shape, and the
-    # doubly-approximate recall floor are pytest-pinned (invariants).
+    oracle=_pq_adc_oracle(7, "vec_id != 7", 10),
     doc="Persisted IVF-PQ index (the production FAISS-IVFPQ shape, "
     "by_residual=False): the IVF layout prunes WHICH partitions are "
     "read (n_probe/n_cells of the corpus does I/O) and PQ compresses "
@@ -1339,9 +1437,14 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build + day-1 append against BOTH frozen quantizers (corpus "
     "never re-encoded), serve = pruned code scan + query-global ADC "
     "literal tables, build-if-absent marker so bench reps time the "
-    "serve (operators/similarity.py:build_ivfpq_index/"
+    "serve. UNDER THE EXACT GATE since r12: donor-derived codebook + "
+    "2^20-ladder ADC tables, probe-all serve ≡ the flat-PQ oracle "
+    "(the IVF layer prunes I/O, never changes a score) — so the "
+    "whole build→append→reload→serve lifecycle is hash-matched; the "
+    "kmeans-quantizer path and the n_probe<n_cells recall trade stay "
+    "pytest-pinned (operators/similarity.py:build_ivfpq_index/"
     "ivfpq_index_append/ivfpq_index_topk)",
-    tags=("pipeline", "similarity", "rows-only"),
+    tags=("pipeline", "similarity"),
     invariants=(
         "tests/test_operators.py::test_ivfpq_index_build_append_probe",
     ),
@@ -1360,34 +1463,162 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(x) for x in r["embedding"]]
             for r in corpus.orderBy("vec_id").limit(8).collect()
         ]
-        books = similarity.pq_train_codebooks(
-            corpus, m=16, k=16, dims=64, seed=7
-        )
+        books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
         similarity.build_ivfpq_index(corpus, index_path, cents, books)
         similarity.ivfpq_index_append(day1, index_path)
         open(marker, "w").close()
     return similarity.ivfpq_index_topk(
-        spark, index_path, query, k=10, n_probe=8
+        spark, index_path, query, k=10, n_probe=8, adc_ladder=_ADC_LAD
     )
+
+
+def _rpq_adc_oracle(qid: int, k: int) -> str:
+    """DuckDB replay of the residual IVF-PQ ladder-ADC serve: per
+    corpus row — cell = argmax-cosine against the 8 SQL-derivable
+    coarse centroids (first 8 day-0 rows, ties → lowest cell),
+    residual r = v − c_cell, codes = argmin-L2 against the donor
+    RESIDUAL codebook (each donor's residual, sliced per subspace),
+    and recon-cosine via the per-cell coupling tables — qc/‖c‖²/q·r̂ /
+    (2·c·r̂+‖r̂‖²) all floor-frozen per entry onto the 2^20 ladder, so
+    dot/norm are order-free BIGINT sums exactly like the Spark
+    serve's per-cell literal branches."""
+    m, sub, nd, lad = _PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD
+    dims = _DIMS
+    cos_ec = (
+        f"{_fold_dot('e', 'c')} / (sqrt({_fold_dot('e', 'e')})"
+        f" * sqrt({_fold_dot('c', 'c')}))"
+    )
+    d2 = _adc_chain(
+        [
+            f"(v.r[{sub}*j+{i}] - rb.r[{sub}*j+{i}])"
+            f" * (v.r[{sub}*j+{i}] - rb.r[{sub}*j+{i}])"
+            for i in range(1, sub + 1)
+        ]
+    )
+    qd = _adc_chain(
+        [f"qe[{sub}*j+{i}] * rb.r[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    cd = _adc_chain(
+        [f"c[{sub}*j+{i}] * rb.r[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    rn2 = _adc_chain(
+        [f"rb.r[{sub}*j+{i}] * rb.r[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = {qid}),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id != {qid} AND vec_id % 10 != 0
+        ORDER BY vec_id LIMIT 8)
+),
+dn AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code,
+              embedding::DOUBLE[] AS e
+       FROM embeddings WHERE vec_id BETWEEN 1 AND {nd}),
+dncell AS (
+  SELECT code, cell FROM (
+    SELECT dn.code, cents.cell,
+      ROW_NUMBER() OVER (PARTITION BY dn.code
+                         ORDER BY {cos_ec} DESC, cents.cell ASC) AS rk
+    FROM dn, cents) WHERE rk = 1
+),
+rb AS (
+  SELECT dn.code,
+    list_transform(generate_series(1, {dims}),
+                   i -> dn.e[i] - cents.c[i]) AS r
+  FROM dn JOIN dncell USING (code) JOIN cents ON dncell.cell = cents.cell
+),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id != {qid}),
+vcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, cents.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY {cos_ec} DESC, cents.cell ASC) AS rk
+    FROM d, cents) WHERE rk = 1
+),
+vres AS (
+  SELECT d.vec_id, vc.cell,
+    list_transform(generate_series(1, {dims}),
+                   i -> d.e[i] - cents.c[i]) AS r
+  FROM d JOIN vcell vc USING (vec_id) JOIN cents ON vc.cell = cents.cell
+),
+asn AS (
+  SELECT v.vec_id, u.j, rb.code, {d2} AS d2
+  FROM vres v, rb, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+pick AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                         ORDER BY d2 ASC, code ASC) AS rk
+    FROM asn) WHERE rk = 1
+),
+cellk AS (
+  SELECT cents.cell,
+    CAST(FLOOR({_fold_dot("qe", "c")} * {lad}.0) AS BIGINT) AS qc_lad,
+    CAST(FLOOR({_fold_dot("c", "c")} * {lad}.0) AS BIGINT) AS cn2_lad
+  FROM cents, q
+),
+tabq AS (
+  SELECT u.j, rb.code,
+    CAST(FLOOR({qd} * {lad}.0) AS BIGINT) AS qd_lad
+  FROM rb, q, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+tabc AS (
+  SELECT cents.cell, u.j, rb.code,
+    CAST(FLOOR((2.0 * {cd} + {rn2}) * {lad}.0) AS BIGINT) AS cr_lad
+  FROM cents, rb, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+sc AS (
+  SELECT p.vec_id,
+    CAST(SUM(tq.qd_lad) AS BIGINT) AS dsum,
+    CAST(SUM(tc.cr_lad) AS BIGINT) AS csum
+  FROM pick p
+  JOIN vcell vc USING (vec_id)
+  JOIN tabq tq ON p.j = tq.j AND p.code = tq.code
+  JOIN tabc tc ON tc.cell = vc.cell AND tc.j = p.j AND tc.code = p.code
+  GROUP BY p.vec_id
+),
+tot AS (
+  SELECT sc.vec_id,
+    ck.qc_lad + sc.dsum AS adc_dot_lad,
+    ck.cn2_lad + sc.csum AS adc_nrm_lad
+  FROM sc JOIN vcell vc ON sc.vec_id = vc.vec_id
+  JOIN cellk ck ON ck.cell = vc.cell
+)
+SELECT vec_id, adc_dot_lad, adc_nrm_lad,
+  CASE WHEN adc_nrm_lad > 0 THEN
+    (CAST(adc_dot_lad AS DOUBLE) / {lad}.0)
+    / (sqrt({_fold_dot("qe", "qe")})
+       * sqrt(CAST(adc_nrm_lad AS DOUBLE) / {lad}.0))
+  ELSE -2.0 END AS adc_cosine
+FROM tot, q
+ORDER BY adc_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
 
 
 @register(
     "q_embedding_ivfpq_residual_topk",
-    oracle=None,  # residual codebooks are an iterative kmeans fit over
-    # residual vectors → rows-only; the exact-cover probe-all ≡ brute
-    # force anchor, per-branch partition pruning, and the measured
-    # clustered-fixture MSE superiority are pytest-pinned (invariants).
+    oracle=_rpq_adc_oracle(7, 10),
     doc="Residual IVF-PQ serve (by_residual=True — the FAISS "
     "default): codes quantize v − centroid(cell), so the byte budget "
     "covers only within-cell spread; serving reconstructs recon = "
     "c + r̂ via PER-CELL ADC tables (q·c, ‖c‖², and the c·r̂ coupling "
     "table per probed cell — n_probe pruned expression branches, "
-    "identical I/O to the raw index). Measured honestly: residuals "
-    "beat raw codebooks on clustered data and tie on the "
-    "near-isotropic embeddings fixture (pytest documents both) "
-    "(operators/similarity.py:build_ivfpq_residual_index/"
+    "identical I/O to the raw index). UNDER THE EXACT GATE since "
+    "r12: coarse centroids and the residual codebook are both "
+    "SQL-derivable (first-8 day-0 rows; donors 1..16's residuals), "
+    "every per-cell table entry floor-frozen onto the 2^20 ladder — "
+    "an oracle that replays cell assignment, residual encode, and "
+    "the coupling tables end-to-end. The kmeans-trained residual "
+    "path and the clustered-fixture MSE superiority stay pytest-"
+    "pinned (operators/similarity.py:build_ivfpq_residual_index/"
     "ivfpq_residual_index_topk)",
-    tags=("pipeline", "similarity", "rows-only"),
+    tags=("pipeline", "similarity"),
     invariants=(
         "tests/test_operators.py::test_ivfpq_residual_exact_cover_and_tighter_recon",
     ),
@@ -1408,33 +1639,32 @@ def q_embedding_ivfpq_residual_topk(
             [float(x) for x in r["embedding"]]
             for r in corpus.orderBy("vec_id").limit(8).collect()
         ]
-        dv = similarity.as_double(F.col("embedding"))
-        cent_arr = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        # donor RESIDUAL codebook (SQL-derivable twin of the kmeans
+        # fit): each donor's residual against ITS OWN argmax-cosine
+        # cell, sliced per subspace — the same Python left-assoc
+        # arithmetic the oracle's chains replay.
+        donors = (
+            emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_DONORS))
+            .orderBy("vec_id")
+            .collect()
         )
-        # localCheckpoint: the residual projection embeds the 8-fold
-        # cell-assignment cosine; without materializing it, EVERY
-        # kmeans iteration of EVERY codebook fit re-evaluates it
-        # (measured: the un-checkpointed form blew past a 400 s
-        # budget; checkpointed it is seconds).
-        resid = corpus.select(
-            "vec_id",
-            F.zip_with(
-                dv,
-                F.element_at(cent_arr, similarity._cell_expr(cents, dv)),
-                lambda x, y: x - y,
-            ).alias("embedding"),
-        ).localCheckpoint()
-        books = similarity.pq_train_codebooks(
-            resid, m=16, k=16, dims=64, seed=7
-        )
+        resids = []
+        for r in donors:
+            v = [float(x) for x in r["embedding"]]
+            cell = similarity._rank_cells(v, cents, 1)[0]
+            cvec = cents[cell - 1]
+            resids.append([v[i] - cvec[i] for i in range(len(v))])
+        books = [
+            [rv[j * _PQ_SUB : (j + 1) * _PQ_SUB] for rv in resids]
+            for j in range(_PQ_M)
+        ]
         similarity.build_ivfpq_residual_index(
             corpus, index_path, cents, books
         )
         similarity.ivfpq_residual_index_append(day1, index_path)
         open(marker, "w").close()
     return similarity.ivfpq_residual_index_topk(
-        spark, index_path, query, k=10, n_probe=8
+        spark, index_path, query, k=10, n_probe=8, adc_ladder=_ADC_LAD
     )
 
 

@@ -3899,6 +3899,85 @@ def test_pq_adc_exact_when_codebook_covers_and_fixture_recall(spark, sf_dir):
     assert recall >= 0.4, recall
 
 
+def test_pq_ladder_adc_tracks_double_adc(spark, sf_dir):
+    """The 2^20-ladder ADC form (the exact-gate serve q_embedding_pq_
+    topk ships): per doc, the ladder score sits within the
+    quantization envelope of the double-ADC score (each of the 2m
+    table entries moves by < 2^-20 before the normalization), the
+    integer dot/norm columns are layout-invariant, and on the
+    exact-cover fixture the ladder ranking still equals brute
+    force."""
+    import itertools
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    books = [
+        [[1.0, 0.0], [0.0, 1.0], [3.0, 4.0]],
+        [[2.0, 2.0], [0.0, 5.0], [1.0, 0.0]],
+    ]
+    rows = [
+        (i, list(a) + list(b))
+        for i, (a, b) in enumerate(itertools.product(books[0], books[1]))
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    codes = pq_encode(vecs, books)
+    q = spark.createDataFrame(
+        [(99, [1.0, 1.0, 1.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    lad = pq_topk(
+        codes, books, q.select("embedding"), k=9, adc_ladder=1 << 20
+    ).collect()
+    dbl = {
+        r["vec_id"]: r["adc_cosine"]
+        for r in pq_topk(codes, books, q.select("embedding"), k=9).collect()
+    }
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(vecs, q.select("embedding"), k=9).collect()
+    ]
+    assert [r["vec_id"] for r in lad] == exact
+    for r in lad:
+        assert abs(r["adc_cosine"] - dbl[r["vec_id"]]) < 1e-4
+        assert isinstance(r["adc_dot_lad"], int)
+        assert r["adc_nrm_lad"] > 0
+
+    # layout invariance of the integer columns on the real fixture
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    donors = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = [
+        [
+            [float(x) for x in r["embedding"][j * 4 : (j + 1) * 4]]
+            for r in donors
+        ]
+        for j in range(16)
+    ]
+    corpus = emb.filter(F.col("vec_id") != 7)
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    a = pq_topk(
+        pq_encode(corpus, cb), cb, query, k=10, adc_ladder=1 << 20
+    ).collect()
+    b = pq_topk(
+        pq_encode(corpus.repartition(13), cb), cb, query, k=10,
+        adc_ladder=1 << 20,
+    ).collect()
+    assert [
+        (r["vec_id"], r["adc_dot_lad"], r["adc_nrm_lad"], r["adc_cosine"])
+        for r in a
+    ] == [
+        (r["vec_id"], r["adc_dot_lad"], r["adc_nrm_lad"], r["adc_cosine"])
+        for r in b
+    ]
+    assert len(a) == 10
+
+
 def test_ivf_index_rebuild_swap(spark, sf_dir, tmp_path):
     """Centroid refit lifecycle: after appends, a rebuild with NEW
     centroids swaps in atomically (two Hadoop FS renames) — batch
