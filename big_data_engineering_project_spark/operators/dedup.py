@@ -1064,6 +1064,103 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
+) -> DataFrame:
+    """Image near-duplicate pairs over 64-bit perceptual hashes stored
+    as two BIGINT halves (multimodal/columns.py:perceptual_hash's
+    ahash_hi = bits 0..31, ahash_lo = bits 32..63) — the CROSS-MODAL
+    member of the near-dup family (r11 verdict gap #3): a one-pixel-
+    noise or re-encoded copy lands within a few Hamming bits of the
+    original, which exact pHash grouping (q_media_phash_groups)
+    misses.
+
+    Candidate rule is the SimHash pigeonhole applied to the two-word
+    layout (simhash_band_table discipline): the 64 logical bits split
+    into max_hamming+1 disjoint bands (trailing band absorbs the
+    remainder), so ≤ k differing bits leave at least one band
+    identical — candidates are pairs matching any (band, value) key,
+    EXACT by pigeonhole, never all-pairs. A band straddling the word
+    boundary composes its value from both halves with literal
+    shifts. Verify is popcount(xor(hi))+popcount(xor(lo)) ≤ k over
+    the candidate set only; a pair matching several bands is
+    distinct-ed before verify. Everything shuffled is (id, band, val)
+    longs — pixel bytes never reach this operator at all, they
+    stopped at the Arrow decode seam that produced the hashes.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    bits, words = 64, 32
+    if max_hamming + 1 > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs max_hamming+1 <= {bits}"
+        )
+    fp = hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(hi_col).alias("w1"),
+        F.col(lo_col).alias("w2"),
+    )
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    keys = []
+    for band in range(n_bands):
+        s = width * band
+        w = width if band < n_bands - 1 else bits - width * (n_bands - 1)
+        parts = []
+        if s < words:  # bits from the low word (ahash_hi, bits 0..31)
+            take = min(w, words - s)
+            parts.append(
+                F.shiftright(F.col("w1"), s).bitwiseAND(
+                    F.lit((1 << take) - 1)
+                )
+            )
+        if s + w > words:  # bits from the high word (32..63)
+            lo_s = max(0, s - words)
+            take = (s + w) - max(s, words)
+            shift = max(0, words - s)
+            part = F.shiftright(F.col("w2"), lo_s).bitwiseAND(
+                F.lit((1 << take) - 1)
+            )
+            parts.append(F.shiftleft(part, shift) if shift else part)
+        val = parts[0]
+        for p in parts[1:]:
+            val = val.bitwiseOR(p)
+        keys.append(
+            F.struct(F.lit(band).alias("band"), val.alias("val"))
+        )
+    banded = fp.select(
+        "doc", "w1", "w2", F.explode(F.array(*keys)).alias("bk")
+    ).select(
+        "doc",
+        "w1",
+        "w2",
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+        + F.bit_count(F.col("a.w2").bitwiseXOR(F.col("b.w2")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def contamination_report(
     train: DataFrame,
     eval_df: DataFrame,

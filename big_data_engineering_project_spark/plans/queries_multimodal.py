@@ -223,6 +223,82 @@ def q_media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_K = 3
+
+# the hashes CTE (aHash replay from the closed-form fixture) is shared
+# with q_media_phash_groups' oracle
+_HASHES_CTE = f"""px AS (
+  SELECT media_id, width, height, t.j - 1 AS i,
+         (media_id + (t.j - 1) * 31) % 256 AS v
+  FROM m, unnest(generate_series(1, width * height)) AS t(j)
+),
+cells AS (
+  SELECT media_id, ((i // width) * 8) // height AS r,
+         ((i % width) * 8) // width AS c,
+         SUM(v) AS cs, COUNT(*) AS cn
+  FROM px GROUP BY 1, 2, 3
+),
+tots AS (SELECT media_id, SUM(v) AS ts, COUNT(*) AS tn FROM px GROUP BY 1),
+bits AS (
+  SELECT cells.media_id, r * 8 + c AS k,
+         CASE WHEN cs * tn > ts * cn THEN 1 ELSE 0 END AS b
+  FROM cells JOIN tots ON tots.media_id = cells.media_id
+),
+hashes AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN k < 32 THEN b * (1 << k) ELSE 0 END) AS BIGINT)
+      AS ahash_hi,
+    CAST(SUM(CASE WHEN k >= 32 THEN b * (1 << (k - 32)) ELSE 0 END) AS BIGINT)
+      AS ahash_lo
+  FROM bits GROUP BY media_id
+)"""
+
+
+@register(
+    "q_media_phash_neardups",
+    oracle=f"""
+WITH {_FIXTURE_CTE},
+{_HASHES_CTE}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {_PHASH_K}
+ORDER BY id_a, id_b
+""",
+    doc=f"Perceptual-hash NEAR-duplicate image pairs (Hamming ≤ "
+    f"{_PHASH_K} over the 64-bit aHash) — the cross-modal member of "
+    "the near-dup family: a one-pixel-noise or re-encoded copy that "
+    "exact pHash grouping misses. Candidates via the SimHash "
+    "pigeonhole bands applied to the two BIGINT hash halves (k+1 "
+    "disjoint bands, ≥1 must match — exact, never all-pairs; a "
+    "boundary-straddling band composes from both words), verified by "
+    "popcount(xor) over candidates only; pixel bytes stopped at the "
+    "Arrow decode seam that produced the hashes. The oracle replays "
+    "the closed-form fixture aHash and takes all-pairs popcount — "
+    "band candidates ⊇ every true pair by pigeonhole, so the two "
+    "derivations must agree exactly "
+    "(operators/dedup.py:phash_neardup_pairs)",
+    tags=("multimodal", "dedup"),
+    invariants=(
+        "tests/test_multimodal.py::test_phash_neardup_planted_copy_and_bands",
+    ),
+)
+def q_media_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.multimodal.columns import (
+        perceptual_hash,
+    )
+    from big_data_engineering_project_spark.operators.dedup import (
+        phash_neardup_pairs,
+    )
+
+    media = load_media(spark, sf_dir)
+    return phash_neardup_pairs(
+        perceptual_hash(media), max_hamming=_PHASH_K
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "q_audio_frame_energy",
     oracle=f"""

@@ -118,6 +118,68 @@ def test_perceptual_hash_groups_visual_duplicates(spark):
     assert hashes[0] != hashes[3]  # different picture separates
 
 
+def test_phash_neardup_planted_copy_and_bands(spark):
+    """phash_neardup_pairs (the cross-modal near-dup member): a
+    one-pixel-noise copy (aHash Hamming 1) pairs with its original at
+    k=3; an inverted copy (Hamming 64) does not; and the banded
+    candidate rule is EXACT — operator pairs equal the brute-force
+    all-pairs popcount over the same hashes, planted or not."""
+    import struct as _s
+
+    from big_data_engineering_project_spark.multimodal.columns import (
+        MAGIC,
+        MEDIA_SCHEMA,
+        perceptual_hash,
+        synthetic_media,
+    )
+    from big_data_engineering_project_spark.operators.dedup import (
+        phash_neardup_pairs,
+    )
+
+    base = synthetic_media(spark, 12).collect()
+    orig = next(r for r in base if r["media_id"] == 0)  # w=h=8
+    w, h = orig["width"], orig["height"]
+    pay = list(bytes(orig["blob"])[8 : 8 + w * h])
+    ts, tn = sum(pay), len(pay)
+    noisy = list(pay)
+    # push ONE below-mean pixel to 255: flips that cell's bit, the
+    # slight global-mean shift leaves the rest (verified Hamming 1)
+    noisy[next(i for i, v in enumerate(pay) if v * tn <= ts)] = 255
+    inverted = [255 - v for v in pay]
+
+    def blob(pixels):
+        return MAGIC + _s.pack(">HH", w, h) + bytes(pixels)
+
+    extra = [
+        Row(media_id=100, kind="image", width=w, height=h,
+            blob=blob(noisy)),
+        Row(media_id=101, kind="image", width=w, height=h,
+            blob=blob(inverted)),
+    ]
+    media = spark.createDataFrame(base + extra, MEDIA_SCHEMA)
+    hashes = perceptual_hash(media)
+    hs = {
+        r["media_id"]: (r["ahash_hi"] | (r["ahash_lo"] << 32))
+        for r in hashes.collect()
+    }
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup_pairs(hashes, max_hamming=3).collect()
+    )
+    want = sorted(
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    )
+    assert got == want
+    pair_ids = {(a, b) for a, b, _d in got}
+    assert (0, 100) in pair_ids      # planted noisy copy found
+    assert (0, 101) not in pair_ids  # scrambled copy rejected
+    d_planted = next(d for a, b, d in got if (a, b) == (0, 100))
+    assert 1 <= d_planted <= 3
+
+
 def test_frame_energy_framing_tie_and_subframe(spark):
     """64-sample framing over the synthetic fixture: counts match
     len//64, tail samples are dropped, peak is the FIRST max frame,
