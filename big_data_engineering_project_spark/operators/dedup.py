@@ -806,6 +806,20 @@ def simhash_col(tokens: Column, bits: int = 32) -> Column:
     )
 
 
+def idf_ladder_thresholds(idf_scale: int, max_log2: int = 62) -> list[float]:
+    """The literal threshold list 2^(j/idf_scale), j = 1..idf_scale·
+    max_log2, shared verbatim by the Spark weight expression and the
+    DuckDB oracle: weight(df) = count of thresholds ≤ n_docs/df, which
+    equals floor(idf_scale·log2(n_docs/df)) with NO transcendental in
+    either engine (comparisons against identical double literals
+    cannot diverge; log2 can, and does so exactly at the integer
+    boundaries the floor ladder cares about). max_log2=62 covers any
+    corpus with < 2^62 documents; thresholds above the actual n_docs
+    count zero and cost nothing."""
+    s = int(idf_scale)
+    return [2.0 ** (j / s) for j in range(1, s * max_log2 + 1)]
+
+
 def simhash_weighted_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -829,18 +843,23 @@ def simhash_weighted_fingerprints(
     collapsed all fingerprints to one value (measured at sf0.01:
     112 875 of 124 750 possible pairs "verified" at Hamming 0). The
     default ×16 quantization keeps sub-bit IDF differences alive as
-    integer votes. NOTE this CHANGES the fingerprint semantics — the verified
-    pair set (popcount ≤ k over these fingerprints) is not the
-    unweighted operator's set, so adopting it as the default means
-    deliberately regenerating the registered all-pairs oracle; until
-    the measured trade justifies that, this is an experiment surface
-    probed by tools/growth_probe.py (simhash_band_weighted row).
+    integer votes. Registered with its own all-pairs oracle since r12
+    (q_simhash_weighted_neardups — r11 verdict task 6); the weight
+    ladder is computed WITHOUT a transcendental so the oracle is
+    exact: floor(idf_scale·log2(n/df)) ≡ |{j ≥ 1 : 2^(j/idf_scale) ≤
+    n/df}|, and the thresholds 2^(j/s) are Python-literal doubles
+    embedded identically in the Spark plan and the DuckDB SQL, so the
+    weight is a COUNT OF COMPARISONS on the identical double n/df —
+    no engine's log2 in the path (a floor(16·log2(4.0)) ladder sits
+    exactly ON an integer boundary, where a 1-ulp JVM-vs-libm log2
+    divergence flips the floor — measured hazard, not theoretical).
 
     Scale shape: one (doc, token) explode, a token-DF groupBy (the
     TF-IDF pass the corpus already runs), a broadcast-joinable token
-    weight table, then ONE partial-aggregable groupBy(doc) with `bits`
-    integer SUM columns — all codegen, no fold lambdas, shuffle
-    carries bits+1 longs per doc."""
+    weight table (the threshold array is evaluated once per DISTINCT
+    token, not per occurrence), then ONE partial-aggregable
+    groupBy(doc) with `bits` integer SUM columns — all codegen, no
+    fold lambdas, shuffle carries bits+1 longs per doc."""
     if not 1 <= bits <= 62:
         raise ValueError("simhash_weighted_fingerprints supports 1..62 bits")
     consts = _simhash_mix_consts(bits)
@@ -849,19 +868,20 @@ def simhash_weighted_fingerprints(
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
     n_docs = df.count()
+    thresholds = idf_ladder_thresholds(idf_scale)
+    ratio = F.lit(float(n_docs)) / F.col("__df").cast("double")
     dfreq = (
         toks.distinct()
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__df"))
         .withColumn(
             "__w",
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.floor(
-                    F.lit(float(idf_scale))
-                    * F.log2(F.lit(float(n_docs)) / F.col("__df"))
-                ).cast("long"),
-            ),
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(t) for t in thresholds]),
+                    lambda t: t <= ratio,
+                )
+            ).cast("long"),
         )
         .select("tok", "__w")
     )
@@ -924,6 +944,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     strategy: str = "auto",
     max_bucket_fraction: float | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs whose simhash fingerprints differ in ≤ `max_hamming`
     bits — real simhash dedup, not just identical-fingerprint buckets.
@@ -959,13 +980,24 @@ def simhash_neardup_pairs(
     Prefer the MinHash-LSH or cosine-LSH members when the corpus
     correlates — both measured flat-to-falling candidate fractions
     WITH high precision (SCALING.md round-10 table).
+
+    `fingerprints`: an explicit (doc, simhash) frame to band/verify
+    instead of deriving the default unweighted fingerprint from the
+    text — the seam the IDF-weighted variant
+    (simhash_weighted_fingerprints, gated as
+    q_simhash_weighted_neardups) plugs into, so the candidate join
+    and popcount verify stay single-sourced across fingerprint
+    flavors.
     """
-    simhash = (
-        simhash_mixed_col(tokens_col(F.col(text_col)), bits=bits)
-        if bits > 30
-        else simhash_col(tokens_col(F.col(text_col)), bits=bits)
-    )
-    fp = df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
+    if fingerprints is not None:
+        fp = fingerprints.select("doc", "simhash")
+    else:
+        simhash = (
+            simhash_mixed_col(tokens_col(F.col(text_col)), bits=bits)
+            if bits > 30
+            else simhash_col(tokens_col(F.col(text_col)), bits=bits)
+        )
+        fp = df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
     if max_hamming + 1 > bits:
         # With fewer bits than bands the leading bands would be
         # zero-width (constant key 0) and the "candidate" join would

@@ -392,7 +392,11 @@ ORDER BY doc_a, doc_b
     doc=f"SimHash({_NEARDUP_BITS}-bit mixed) Hamming-≤{_NEARDUP_MAX_HAMMING} "
     "near-dup pairs via pigeonhole banding (4 disjoint 15-bit bands: a "
     "pair within Hamming ≤ 3 matches ≥ 1 band exactly — linear "
-    "|docs|·4 keys, never all-pairs; oracle IS all-pairs)",
+    "|docs|·4 keys, never all-pairs; oracle IS all-pairs). NOTE: on "
+    "correlated corpora this unweighted fingerprint's precision "
+    "measurably halves across a 10× scale-up (growth-probe rows, "
+    "SCALING.md) — prefer q_simhash_weighted_neardups (gated since "
+    "r12) or the MinHash-LSH member there",
     tags=("pipeline", "dedup"),
 )
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +408,80 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_NEARDUP_BITS,
         max_hamming=_NEARDUP_MAX_HAMMING,
         strategy="bands",
+    ).orderBy("doc_a", "doc_b")
+
+
+_WSIM_SCALE = 16
+
+
+def _simhash_weighted_oracle() -> str:
+    consts = dedup._simhash_mix_consts(_NEARDUP_BITS)
+    ths = dedup.idf_ladder_thresholds(_WSIM_SCALE)
+    th_arr = "[" + ", ".join(repr(t) for t in ths) + "]"
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN ((h * {a} + {b}) % {P}) % 2 = 1 "
+        f"THEN w ELSE -w END) AS c{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN c{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_NEARDUP_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+occ AS (SELECT doc, unnest(t) AS tok FROM toks),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+        FROM occ GROUP BY tok),
+wt AS (SELECT tok,
+  CAST(len(list_filter({th_arr},
+       x -> x <= CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT) AS w
+  FROM dfq, nd),
+sv AS (SELECT occ.doc, {_POLY.format(s="tok")} AS h, wt.w
+       FROM occ JOIN wt USING (tok)),
+agg AS (SELECT doc, {sums} FROM sv GROUP BY doc),
+sh AS (SELECT doc, ({fp_terms})::BIGINT AS simhash FROM agg)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_NEARDUP_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_simhash_weighted_neardups",
+    oracle=_simhash_weighted_oracle(),
+    doc=f"IDF-WEIGHTED SimHash({_NEARDUP_BITS}-bit) Hamming-≤"
+    f"{_NEARDUP_MAX_HAMMING} near-dup pairs — the fingerprint the r11 "
+    "growth probe measured HOLDING precision ~flat across a 10× "
+    "scale-up on correlated corpora where the unweighted votes halve "
+    "(ubiquitous tokens dominate every doc's bits → hot band "
+    "buckets), now under its own exact gate (r11 verdict task 6): "
+    "each occurrence votes floor(16·log2(n/df)) computed WITHOUT a "
+    "transcendental — a count of comparisons against Python-literal "
+    "2^(j/16) thresholds shared verbatim with the oracle, since a "
+    "×16 log2 ladder sits exactly on integer boundaries where a "
+    "1-ulp engine divergence flips the floor. Same pigeonhole bands "
+    "+ popcount verify as q_simhash_neardups (single-sourced via the "
+    "fingerprints seam); oracle IS all-pairs over the replayed "
+    "weighted fingerprint "
+    "(operators/dedup.py:simhash_weighted_fingerprints)",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash_weighted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = dedup.simhash_weighted_fingerprints(
+        docs, "doc_id", "text", bits=_NEARDUP_BITS, idf_scale=_WSIM_SCALE
+    )
+    return dedup.simhash_neardup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=_NEARDUP_BITS,
+        max_hamming=_NEARDUP_MAX_HAMMING,
+        strategy="bands",
+        fingerprints=fp,
     ).orderBy("doc_a", "doc_b")
 
 
