@@ -1096,34 +1096,21 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def phash_neardup_pairs(
+def phash_band_table(
     hashes: DataFrame,
     max_hamming: int = 3,
     id_col: str = "media_id",
     hi_col: str = "ahash_hi",
     lo_col: str = "ahash_lo",
 ) -> DataFrame:
-    """Image near-duplicate pairs over 64-bit perceptual hashes stored
-    as two BIGINT halves (multimodal/columns.py:perceptual_hash's
-    ahash_hi = bits 0..31, ahash_lo = bits 32..63) — the CROSS-MODAL
-    member of the near-dup family (r11 verdict gap #3): a one-pixel-
-    noise or re-encoded copy lands within a few Hamming bits of the
-    original, which exact pHash grouping (q_media_phash_groups)
-    misses.
-
-    Candidate rule is the SimHash pigeonhole applied to the two-word
-    layout (simhash_band_table discipline): the 64 logical bits split
-    into max_hamming+1 disjoint bands (trailing band absorbs the
-    remainder), so ≤ k differing bits leave at least one band
-    identical — candidates are pairs matching any (band, value) key,
-    EXACT by pigeonhole, never all-pairs. A band straddling the word
-    boundary composes its value from both halves with literal
-    shifts. Verify is popcount(xor(hi))+popcount(xor(lo)) ≤ k over
-    the candidate set only; a pair matching several bands is
-    distinct-ed before verify. Everything shuffled is (id, band, val)
-    longs — pixel bytes never reach this operator at all, they
-    stopped at the Arrow decode seam that produced the hashes.
-    Output: (id_a, id_b, hamming), id_a < id_b."""
+    """(doc, w1, w2, band, val): the 64-bit two-word perceptual hash
+    exploded into its max_hamming+1 disjoint pigeonhole band keys —
+    THE single definition of the pHash band layout (the
+    simhash_band_table discipline): phash_neardup_pairs' candidate
+    join and tools/growth_probe.py's candidate-rule replica both call
+    this, so the probe can never silently measure a different rule
+    than the one shipped. A band straddling the 32-bit word boundary
+    composes its value from both halves with literal shifts."""
     bits, words = 64, 32
     if max_hamming + 1 > bits:
         raise ValueError(
@@ -1162,7 +1149,7 @@ def phash_neardup_pairs(
         keys.append(
             F.struct(F.lit(band).alias("band"), val.alias("val"))
         )
-    banded = fp.select(
+    return fp.select(
         "doc", "w1", "w2", F.explode(F.array(*keys)).alias("bk")
     ).select(
         "doc",
@@ -1171,6 +1158,37 @@ def phash_neardup_pairs(
         F.col("bk.band").alias("band"),
         F.col("bk.val").alias("val"),
     )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
+) -> DataFrame:
+    """Image near-duplicate pairs over 64-bit perceptual hashes stored
+    as two BIGINT halves (multimodal/columns.py:perceptual_hash's
+    ahash_hi = bits 0..31, ahash_lo = bits 32..63) — the CROSS-MODAL
+    member of the near-dup family (r11 verdict gap #3): a one-pixel-
+    noise or re-encoded copy lands within a few Hamming bits of the
+    original, which exact pHash grouping (q_media_phash_groups)
+    misses.
+
+    Candidate rule is the SimHash pigeonhole applied to the two-word
+    layout (simhash_band_table discipline): the 64 logical bits split
+    into max_hamming+1 disjoint bands (trailing band absorbs the
+    remainder), so ≤ k differing bits leave at least one band
+    identical — candidates are pairs matching any (band, value) key,
+    EXACT by pigeonhole, never all-pairs. A band straddling the word
+    boundary composes its value from both halves with literal
+    shifts. Verify is popcount(xor(hi))+popcount(xor(lo)) ≤ k over
+    the candidate set only; a pair matching several bands is
+    distinct-ed before verify. Everything shuffled is (id, band, val)
+    longs — pixel bytes never reach this operator at all, they
+    stopped at the Arrow decode seam that produced the hashes.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    banded = phash_band_table(hashes, max_hamming, id_col, hi_col, lo_col)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = (
         F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))

@@ -103,8 +103,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # family keeps 3 slots) and q_cm_heavy_hitters (multi-green; the
     # sketch family keeps KMV daily-merge + HDR + both HLL rows).
     "q_embedding_lsh_neardups",
-    "q_tf_cosine_neardups",
-    "q_sorted_neighborhood_dups",
+    # Round-12 rotation (newborn-slot policy + re-prove-changed-plans):
+    # IN — the three r12 newborns (q_pretrain_pipeline,
+    # q_media_phash_neardups, q_simhash_weighted_neardups) and the
+    # three r12 plan CONVERSIONS whose bodies/oracles changed and must
+    # re-prove under the committed gate (q_embedding_ivfpq_topk +
+    # q_embedding_ivfpq_residual_topk — donor codebooks + 2^20-ladder
+    # ADC, rows-only → exact; q_source_quality_gate — NULL-fingerprint
+    # sentinel fix on both sides). OUT — six multi-round gate-green
+    # veterans, each hash-green in the committed r9/r10/r11 artifacts
+    # and exact-oracle-green in every FULL sweep at both SFs:
+    # q_tf_cosine_neardups, q_sorted_neighborhood_dups,
+    # q_minhash_calibration (dedup/ER family keeps LSH-neardups,
+    # keep-best, clusters-star, FS scores + both pipeline composites
+    # under the gate), q_purchase_map, q_hop_distance, q_value_ndcg
+    # (eval family keeps AUC-by-cohort + calibration + MRR; graph
+    # keeps k-core + link prediction + clusters-star).
+    "q_pretrain_pipeline",
+    "q_media_phash_neardups",
+    "q_simhash_weighted_neardups",
+    "q_embedding_ivfpq_topk",
+    "q_embedding_ivfpq_residual_topk",
+    "q_source_quality_gate",
     # ...plus the window-funnel DP (gate proves linear ≡ k-way-join
     # semantics) and the trigram-index search (gate proves pruned ≡
     # full scan). Demoted: q_profile_events (gate-green r7; profiling
@@ -147,14 +167,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # MAP@k newborn — newborn-slot policy; the temporal family keeps
     # TWAP + spike-overlap + order-concurrency under the gate and the
     # dimension as-of stays exact-oracle-green in every FULL sweep)
-    "q_purchase_map",
     # (q_spike_order_overlap, gate-green r9+r10, demoted for the
     # round-11 MRR newborn — the ranking-eval family's third member
     # takes an exact-oracle slot; the interval-overlap join stays
     # exact-oracle-green in every FULL sweep and the temporal family
     # keeps TWAP + order-concurrency under the gate)
     "q_purchase_mrr",
-    "q_hop_distance",
     # (q_label_propagation_deep, gate-green r9+r10, demoted for the
     # round-11 BM25 newborn — the lexical ranker joins the search
     # family under the gate (rows-only with its python-reference
@@ -259,7 +277,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_media_phash_groups, gate-green r8, demoted for the round-9
     # estimator-calibration newborn — newborn-slot policy; the
     # multimodal trio keeps exact-oracle rows in every FULL sweep)
-    "q_minhash_calibration",
     # (q_ks_value_drift, gate-green r8, demoted for the round-9
     # per-key KLL newborn — newborn-slot policy; the anomaly family
     # keeps seasonal + trend + Theil-Sen under the gate)
@@ -353,7 +370,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # for the round-10 NDCG newborn — the eval family's ranking
     # member joins AUC-by-cohort + calibration under the gate; the PR
     # curve stays exact-oracle-green in every FULL sweep)
-    "q_value_ndcg",
     # ...and the incremental aggregate maintenance newborn (merged
     # sufficient-statistic states ≡ full recompute under the gate);
     # demoted for it: q_excess_shippers (gate-green in the committed

@@ -2549,6 +2549,329 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end PRETRAINING data pipeline (r11 verdict task 5) ----------------
+#
+# The full production shape q_curation_pipeline only sketches: source
+# gate → lang-ID → MinHash near-dup dedup (keep-best) → decontaminate
+# against the eval split → token-budget mix → concat-and-chunk pack,
+# with one accounting row PER STAGE so the interfaces between stages
+# sit under a single exact oracle.
+
+_PRETRAIN_MIX_PPM = {
+    "src0": 300_000,
+    "src1": 250_000,
+    "src2": 250_000,
+    "src3": 200_000,
+}
+_PRETRAIN_BUDGET = 4_000
+_PRETRAIN_CHUNK = 512
+
+
+def _pretrain_oracle() -> str:
+    lang_counts = ", ".join(
+        f"len(list_filter(t, x -> list_contains({sql_array(m)}, x))) AS c_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    lang_case = """CASE
+    WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+    WHEN c_de >= c_fr THEN 'de'
+    ELSE 'fr'
+  END"""
+    sig_items = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {P}))"
+        for a, b in MINHASH_SEEDS
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc, {band} AS band, ("
+        + " + ".join(
+            f"sig[{band * LSH_ROWS + r + 1}] * {B ** r}"
+            for r in range(LSH_ROWS)
+        )
+        + f") % {P} AS bucket FROM sig"
+        for band in range(LSH_BANDS)
+    )
+    ppm_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{k}' THEN {v}"
+            for k, v in sorted(_PRETRAIN_MIX_PPM.items())
+        )
+        + " ELSE 0 END"
+    )
+    jac = (
+        "len(list_intersect(ha.hv, hb.hv)) / CAST(len(ha.hv) + len(hb.hv)"
+        " - len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)"
+    )
+    return f"""
+WITH {_TOKS_CTE},
+{_HT_CTE},
+{_HV_CTE},
+feats AS (SELECT doc, len(t) AS n_toks, {lang_counts} FROM toks),
+ann AS (SELECT d.doc_id AS doc, d.source, f.n_toks, {lang_case} AS lang
+        FROM documents d JOIN feats f ON f.doc = d.doc_id),
+gpd AS (SELECT source,
+  CAST(FLOOR((0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+    + 0.5 * (1.0 - len(list_filter(t, x -> list_contains({_SW_ARR}, x)))
+      / CAST(GREATEST(len(t), 1) AS DOUBLE))) * 1048576.0) AS BIGINT) AS q,
+  COALESCE({_POLY.format(s="text")}, -1) AS fp
+  FROM (SELECT source, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents)),
+gfc AS (SELECT fp, COUNT(*) AS nfp FROM gpd GROUP BY 1),
+gag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(q) AS BIGINT) AS sq,
+        CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM gpd JOIN gfc USING (fp) GROUP BY 1),
+passed AS (SELECT source FROM gag
+  WHERE n_docs >= {_GATE_MIN_DOCS}
+    AND CAST(sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1048576.0)
+        >= {_GATE_MIN_Q}
+    AND CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) <= {_GATE_MAX_DUP}),
+kept1 AS (SELECT ann.* FROM ann JOIN passed USING (source)),
+kept2 AS (SELECT * FROM kept1 WHERE lang = 'en'),
+hs2 AS (SELECT hs.doc, hv FROM hs JOIN kept2 USING (doc)),
+sig AS (SELECT doc, [{sig_items}] AS sig FROM hs2),
+buckets AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cands
+  JOIN hs2 ha ON doc_a = ha.doc
+  JOIN hs2 hb ON doc_b = hb.doc
+  WHERE {jac} >= {JACCARD_THRESHOLD}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN (na.n_toks > nb.n_toks)
+         OR (na.n_toks = nb.n_toks AND doc_a < doc_b)
+         THEN doc_b ELSE doc_a END AS doc
+  FROM pairs
+  JOIN kept2 na ON na.doc = doc_a
+  JOIN kept2 nb ON nb.doc = doc_b
+),
+kept3 AS (SELECT * FROM kept2 ANTI JOIN losers USING (doc)),
+sp AS (SELECT doc_id AS doc, {_POLY.format(s="text")} % 100 AS b
+       FROM documents),
+ev AS (SELECT DISTINCT s FROM (
+  SELECT unnest(hv) AS s FROM hs JOIN sp USING (doc) WHERE b >= 90)),
+tr AS (SELECT hs.doc, len(hv) AS n_sh, unnest(hv) AS s
+       FROM hs JOIN kept3 USING (doc)),
+contam AS (
+  SELECT tr.doc FROM tr JOIN ev USING (s)
+  GROUP BY tr.doc, tr.n_sh
+  HAVING COUNT(DISTINCT tr.s) / CAST(tr.n_sh AS DOUBLE) >= {DECONTAM_TAU}
+),
+kept4 AS (SELECT * FROM kept3 ANTI JOIN contam USING (doc)),
+mw AS (
+  SELECT doc, source, n_toks,
+    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_before,
+    CAST((CAST({_PRETRAIN_BUDGET} AS BIGINT) * ({ppm_case}))
+         // 1000000 AS BIGINT) AS sbudget
+  FROM kept4
+),
+kept5 AS (SELECT * FROM mw WHERE tok_before < sbudget),
+pk AS (SELECT k.doc, len(string_split(d.text, ' ')) AS np
+       FROM kept5 k JOIN documents d ON d.doc_id = k.doc)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM ann) AS n_tokens,
+    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS detail
+  UNION ALL SELECT 1, 'source_gate',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept1),
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept1),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+  UNION ALL SELECT 2, 'lang_id',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept2),
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept2),
+    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM kept2)
+  UNION ALL SELECT 3, 'minhash_dedup',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept3),
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept3),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM losers)
+  UNION ALL SELECT 4, 'decontam',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept4),
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept4),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM contam)
+  UNION ALL SELECT 5, 'mix',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept5),
+    (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept5),
+    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM kept5)
+  UNION ALL SELECT 6, 'pack',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pk),
+    (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) FROM pk),
+    (SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0
+            ELSE (SUM(np) - 1) // {_PRETRAIN_CHUNK} + 1 END AS BIGINT)
+     FROM pk)
+) ORDER BY stage_idx
+"""
+
+
+@register(
+    "q_pretrain_pipeline",
+    oracle=_pretrain_oracle(),
+    doc="END-TO-END pretraining-data pipeline — the full production "
+    "composition (r11 verdict task 5), one exact-oracle accounting "
+    "row per stage (stage_idx, stage, n_docs, n_tokens, detail): "
+    "raw → SOURCE GATE (whole sources dropped by the "
+    "min-docs/quality/dup thresholds; detail = sources passed) → "
+    "LANG-ID (keep en; detail = sources remaining) → MINHASH "
+    "NEAR-DUP DEDUP, keep-best (a doc drops when any verified "
+    "Jaccard-≥0.5 neighbor has more tokens, ties to the lower id — "
+    "the greedy production filter, deliberately not CC-transitive; "
+    "detail = docs dropped) → DECONTAMINATE vs the content-hash test "
+    "split's shingle index (≥20% own-shingle overlap drops a doc — "
+    "eval-split members self-match and drop too; detail = docs "
+    "dropped) → TOKEN-BUDGET MIX by source (greedy id-order fill of "
+    "ppm·budget; detail = strata selected) → PACK into 512-token "
+    "chunks (detail = chunk count). Scale shape: every stage ships "
+    "ids/counters/hashed longs only — gate rows are (source, q_int, "
+    "fp), dedup rides the shared hashed-shingle index, the mix "
+    "window is per-source, and the pack join BROADCASTS the "
+    "budget-bounded manifest so corpus text never shuffles "
+    "(plan-audited). Survivor frames persist across the seven stage "
+    "aggregates (operators/governance.py + dedup.py + sampling.py + "
+    "text_analysis.py composed)",
+    headline=True,
+    tags=("pipeline", "governance", "dedup", "sampling", "text"),
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_engineering_project_spark.operators.governance import (
+        source_quality_gate,
+    )
+    from big_data_engineering_project_spark.operators.sampling import (
+        budget_mix_select,
+    )
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        lang_id_col,
+        pack_concat_chunks,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ann = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+        lang_id_col(dedup.tokens_col(F.col("text"))).alias("lang"),
+    )
+    passed = (
+        source_quality_gate(
+            docs, "doc_id", "text", "source",
+            _GATE_MIN_DOCS, _GATE_MIN_Q, _GATE_MAX_DUP,
+        )
+        .filter(F.col("passed"))
+        .select("source")
+    )
+    kept1 = ann.join(F.broadcast(passed), "source")
+    kept2 = dedup._persist_owned(kept1.filter(F.col("lang") == "en"))
+    hashed2 = _shared_hashed(spark, sf_dir, NGRAM_N).join(
+        kept2.select("doc"), "doc", "left_semi"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        threshold=JACCARD_THRESHOLD, n=NGRAM_N, hashed=hashed2,
+    )
+    na = kept2.select(F.col("doc").alias("doc_a"), F.col("n_toks").alias("na"))
+    nb = kept2.select(F.col("doc").alias("doc_b"), F.col("n_toks").alias("nb"))
+    losers = dedup._persist_owned(
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            F.when(
+                (F.col("na") > F.col("nb"))
+                | ((F.col("na") == F.col("nb"))
+                   & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_b"),
+            )
+            .otherwise(F.col("doc_a"))
+            .alias("doc")
+        )
+        .distinct()
+    )
+    kept3 = dedup._persist_owned(kept2.join(losers, "doc", "left_anti"))
+    heval = _shared_hashed(spark, sf_dir, NGRAM_N).join(
+        _shared_splits(spark, sf_dir).filter(F.col("split") == "test"),
+        "doc",
+        "left_semi",
+    ).select("doc", "hv")
+    htrain = _shared_hashed(spark, sf_dir, NGRAM_N).join(
+        kept3.select("doc"), "doc", "left_semi"
+    ).select("doc", "hv")
+    contam = dedup._persist_owned(
+        dedup.contamination_report(
+            docs, docs, "doc_id", "text", NGRAM_N,
+            hashed_train=htrain, hashed_eval=heval,
+        )
+        .filter(F.col("contaminated_frac") >= DECONTAM_TAU)
+        .select("doc")
+    )
+    kept4 = dedup._persist_owned(kept3.join(contam, "doc", "left_anti"))
+    kept5 = dedup._persist_owned(
+        budget_mix_select(
+            kept4, "source", "doc", "n_toks",
+            _PRETRAIN_MIX_PPM, _PRETRAIN_BUDGET,
+        ).withColumnRenamed("stratum", "source")
+    )
+    # pack joins the budget-BOUNDED manifest back to text by broadcast:
+    # the corpus side stays a row-local scan, text never shuffles.
+    sel_docs = docs.join(
+        F.broadcast(kept5.select(F.col("id").alias("doc_id"))), "doc_id"
+    )
+    packed = pack_concat_chunks(sel_docs, _PRETRAIN_CHUNK, "doc_id", "text")
+
+    def stage(idx: int, name: str, agg_df: DataFrame, detail_df: DataFrame):
+        return agg_df.crossJoin(detail_df).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "detail",
+        )
+
+    def counts(frame: DataFrame, tok_col: str = "n_toks") -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    def one(df_: DataFrame, expr) -> DataFrame:
+        return df_.agg(expr.cast("long").alias("detail"))
+
+    rows = [
+        stage(0, "raw", counts(ann),
+              one(docs, F.countDistinct("source"))),
+        stage(1, "source_gate", counts(kept1),
+              one(passed, F.count(F.lit(1)))),
+        stage(2, "lang_id", counts(kept2),
+              one(kept2, F.countDistinct("source"))),
+        stage(3, "minhash_dedup", counts(kept3),
+              one(losers, F.count(F.lit(1)))),
+        stage(4, "decontam", counts(kept4),
+              one(contam, F.count(F.lit(1)))),
+        stage(5, "mix", counts(kept5, "n_tokens"),
+              one(kept5, F.countDistinct("source"))),
+        stage(6, "pack", counts(packed, "n_tokens"),
+              one(
+                  packed,
+                  F.coalesce(F.max("chunk_last") + 1, F.lit(0)),
+              )),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")
+
+
 # --- SemDeDup-style semantic dedup --------------------------------------------
 
 

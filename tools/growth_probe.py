@@ -358,6 +358,94 @@ def simhash_bands_weighted(spark, sf_dir: str) -> dict:
     }
 
 
+def phash_bands(spark, sf_dir: str) -> dict:
+    # candidate rule of operators/dedup.py:phash_neardup_pairs —
+    # distinct media pairs matching >=1 pigeonhole band of the two-word
+    # 64-bit aHash (the SHARED phash_band_table, so this replica cannot
+    # drift from the shipped rule); verified = q_media_phash_neardups
+    # output (popcount(xor) <= k over both words)
+    from big_data_engineering_project_spark.multimodal.columns import (
+        load_media,
+        perceptual_hash,
+    )
+    from big_data_engineering_project_spark.operators.dedup import (
+        phash_band_table,
+    )
+    from big_data_engineering_project_spark.plans import REGISTRY
+    from big_data_engineering_project_spark.plans.queries_multimodal import (
+        _PHASH_K,
+    )
+
+    media = load_media(spark, sf_dir)
+    n_media = media.count()
+    banded = phash_band_table(perceptual_hash(media), _PHASH_K)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    verified = (
+        REGISTRY["q_media_phash_neardups"].builder(spark, sf_dir).count()
+    )
+    return {"n_media": n_media, "candidates": cand, "verified": verified}
+
+
+def fs_blocking(spark, sf_dir: str) -> dict:
+    # candidate discipline of operators/linkage.py:fellegi_sunter_pairs
+    # as registered (q_fs_linkage_scores): (nation, segment) blocks,
+    # degenerate blocks > 500 rows cut BEFORE the self-join. Every
+    # blocked pair is scored (scoring filters nothing), so `candidates`
+    # IS the pair mass the blocking admits — the growth number — and
+    # the discriminative outputs are the link/possible verdict counts.
+    from big_data_engineering_project_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        (F.col("c_acctbal") >= 0).alias("bal_pos"),
+        (F.expr("CAST(right(c_name, 1) AS INT)") % 2).alias("name_par"),
+    )
+    n_rows = cust.count()
+    blk = cust.groupBy("nk", "seg").agg(F.count(F.lit(1)).alias("c"))
+    kept_blocks = blk.filter(F.col("c") <= 500)
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "id",
+        ["nk", "seg"],
+        [("bal_band", 18, -7), ("bal_pos", 2, -12), ("name_par", 5, -5)],
+        max_block_size=500,
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("cand"),
+        F.sum(F.when(F.col("score") >= 20, 1).otherwise(0)).alias("links"),
+        F.sum(
+            F.when((F.col("score") >= 0) & (F.col("score") < 20), 1)
+            .otherwise(0)
+        ).alias("possible"),
+    ).collect()[0]
+    mx = blk.agg(F.max("c").alias("m")).collect()[0]["m"]
+    return {
+        "n_rows": n_rows,
+        "n_blocks": blk.count(),
+        "blocks_kept": kept_blocks.count(),
+        "largest_block": int(mx),
+        "candidates": int(agg["cand"]),
+        "verified": int(agg["links"]),
+        "possible": int(agg["possible"]),
+    }
+
+
 PROBES = {
     "tf_cosine_neardups": tf_cosine,
     "containment_neardups": containment,
@@ -366,6 +454,8 @@ PROBES = {
     "minhash_lsh_neardups": minhash_lsh,
     "simhash_band_neardups": simhash_bands,
     "simhash_band_weighted": simhash_bands_weighted,
+    "phash_band_neardups": phash_bands,
+    "fs_blocking": fs_blocking,
 }
 
 
