@@ -1267,7 +1267,20 @@ def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stemmed_docs",
-    oracle=None,  # Porter stemming is not SQL-expressible → rows-only check
+    oracle=None,  # rows-only, DELIBERATELY (r12 feasibility spike —
+    # r11 verdict task 9): Porter IS pure deterministic string
+    # rewriting, but a single-SELECT DuckDB replica needs the
+    # measure() condition (VC-run count with the CONTEXTUAL y-vowel
+    # rule) evaluated on the candidate stem of every one of ~60
+    # cascade rules — a generated ~300-line nested regexp/CASE
+    # expression per token (no CREATE MACRO: the driver runs one
+    # statement). That replica would be a second hand-written
+    # implementation sharing this author's reading of the spec,
+    # which is WEAKER evidence than the committed invariant below:
+    # the published Porter test vocabulary (canonical input→output
+    # vectors from the reference implementation's distribution)
+    # checked exactly, plus the fixpoint property. Kept rows-only
+    # with that stronger pin.
     doc="UD5: Porter stemmer over token arrays as Arrow-batched pandas UDF — NB cell 65",
     tags=("pipeline", "text", "udf"),
     invariants=(

@@ -123,6 +123,28 @@ def test_curation_pipeline_never_shuffles_text(plans):
     assert "Window" not in p
 
 
+def test_pretrain_pipeline_never_shuffles_text(plans):
+    """The composed pretraining pipeline (gate → lang-ID → minhash
+    dedup → decontam → mix → pack) must ship ids/counters/hashed longs
+    through every keyed Exchange — gate rows are (source, q_int, fp),
+    dedup rides the hashed-shingle index, and the pack stage joins the
+    budget-bounded manifest to the corpus by BROADCAST, so document
+    text never crosses a keyed shuffle (the curation-pipeline contract
+    extended to the full composition)."""
+    p = plans("q_pretrain_pipeline")
+    for block in p.split("\n\n"):
+        if (
+            "Exchange" in block.split("\n")[0]
+            and "RoundRobinPartitioning" not in block
+        ):
+            assert "text#" not in block, (
+                f"text column crosses a keyed shuffle:\n{block}"
+            )
+    # the manifest→corpus join for the pack stage is broadcast (the
+    # bounded side), never a shuffled hash join of the corpus on text
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
 def test_ann_plans_broadcast_query_never_shuffle_vectors(plans):
     """ANN scale posture: the (tiny, ≤ a few dozen rows) query/probe
     side broadcasts; the vector table itself never crosses a
