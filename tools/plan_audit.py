@@ -73,6 +73,11 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "(the two-level prefix-sum's bounded second level; the "
         "within-bucket window is partitioned)"
     ),
+    "q_pretrain_pipeline": (
+        "the pack stage's rolling offsets over the <= selected/4096-"
+        "row bucket table (q_pack_chunks' bounded second level, here "
+        "over the budget-bounded mix manifest — smaller still)"
+    ),
 }
 
 # Queries allowed a nested-loop/cross join because the broadcast side
@@ -154,6 +159,12 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_selfjoin_size_f2": "1-row exact-F2 stamp beside the sketch",
     "q_bm25_search": (
         "1-row corpus N/avgdl stamp (BM25 length normalization)"
+    ),
+    "q_pretrain_pipeline": (
+        "1-row stage-accounting stamps: each of the seven stage rows "
+        "crossJoins one (n_docs, n_tokens) aggregate with one 1-row "
+        "detail aggregate; all sides are global aggregates, bounded "
+        "by construction"
     ),
 }
 

@@ -1836,6 +1836,97 @@ def check_bm25_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_index_compaction(spark, root: str) -> dict:
+    """Compaction lifecycle of a streamed directory-per-batch index
+    (operators/compaction.py, r11 verdict task 1): stream two batches
+    into a BM25 index, serve; compact (batch dirs collapse to one
+    base, file count DROPS through the Hadoop-FS seam); serve again —
+    bit-equal; restart the stream with a third batch (clean-stop
+    contract) — it appends beside base and the final serve equals the
+    batch scorer over the full union."""
+    from big_data_engineering_project_spark.operators.compaction import (
+        compact_bm25_index,
+        count_files,
+    )
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_from_index,
+        bm25_scores,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_bm25_index_stream,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "scan", "merge"]
+    recs = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                vocab[(i * 5 + j) % len(vocab)] for j in range(5 + i % 4)
+            ),
+        }
+        for i in range(30)
+    ]
+    in_dir = os.path.join(root, "cmp_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs[:20], batch_size=10)
+    idx = os.path.join(root, "cmp_idx")
+    cp = os.path.join(root, "cmp_cp")
+    kw = dict(schema="doc_id LONG, text STRING")
+    run_bm25_index_stream(spark, in_dir, idx, cp, **kw)
+
+    terms = ["alpha", "merge"]
+
+    def serve():
+        return sorted(
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_from_index(
+                spark.read.parquet(os.path.join(idx, "postings")).drop(
+                    "batch"
+                ),
+                spark.read.parquet(os.path.join(idx, "doclens")).drop(
+                    "batch"
+                ),
+                terms,
+            ).collect()
+        )
+
+    pre = serve()
+    files_before = count_files(spark, os.path.join(idx, "postings"))
+    stats = compact_bm25_index(spark, idx)
+    files_after = count_files(spark, os.path.join(idx, "postings"))
+    post = serve()
+    # clean-stop restart: batch 2 arrives after compaction
+    _write_batches(in_dir, recs, batch_size=10)
+    run_bm25_index_stream(spark, in_dir, idx, cp, **kw)
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_scores(union, terms).collect()
+    )
+    final = serve()
+    res = {
+        "compacted": bool(stats["postings"]["compacted"]),
+        "files_before": files_before,
+        "files_after": files_after,
+        "hash_pre": _rows_hash(pre),
+        "hash_post": _rows_hash(post),
+        "rows_final": len(final),
+        "rows_batch": len(want),
+        "hash_final": _rows_hash(final),
+        "hash_batch": _rows_hash(want),
+    }
+    res["match"] = (
+        res["compacted"]
+        and files_after < files_before
+        and res["hash_pre"] == res["hash_post"]
+        and res["rows_final"] == res["rows_batch"] > 0
+        and res["hash_final"] == res["hash_batch"]
+    )
+    return res
+
+
 def check_mix_stream(spark, root: str) -> dict:
     """run_mix_stream (per-batch greedy mix fill against the ledger)
     ≡ batch budget_mix_select over the union: the accumulated manifest
@@ -2517,6 +2608,9 @@ def main() -> None:
         )
         results["decontam_maintenance"] = check_decontam_stream(spark, root)
         results["vocab_maintenance"] = check_vocab_stream(spark, root)
+        results["index_compaction_lifecycle"] = check_index_compaction(
+            spark, root
+        )
         elapsed = round(time.perf_counter() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
