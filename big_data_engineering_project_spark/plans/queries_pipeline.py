@@ -2758,33 +2758,70 @@ SELECT * FROM (
 )
 def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_engineering_project_spark.operators.governance import (
-        source_quality_gate,
+        source_gate_finish,
     )
     from big_data_engineering_project_spark.operators.sampling import (
         budget_mix_select,
     )
     from big_data_engineering_project_spark.operators.text_analysis import (
-        lang_id_col,
+        fingerprint_col,
         pack_concat_chunks,
+        text_profile_col,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ann = docs.select(
-        F.col("doc_id").alias("doc"),
-        "source",
-        F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_toks"),
-        lang_id_col(dedup.tokens_col(F.col("text"))).alias("lang"),
+    # ONE corpus tokenization pass for everything per-doc the stages
+    # need (n_tokens + lang + the gate's quality ladder + fingerprint):
+    # the fused text_profile_col fold — measured 40 s → ~8 s at sf0.1,
+    # because the naive form re-tokenized the corpus in every one of
+    # the ~14 stage-accounting jobs. The frame is narrow (ids, counts,
+    # an 8-byte fp — never text) and persists for the stage aggs.
+    prof = text_profile_col(F.col("text"))
+    base = dedup._persist_owned(
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            "source",
+            prof.alias("_p"),
+            F.coalesce(
+                fingerprint_col(F.col("text")), F.lit(-1).cast("long")
+            ).alias("fp"),
+        ).select(
+            "doc",
+            "source",
+            F.col("_p.n_tokens").cast("long").alias("n_toks"),
+            F.col("_p.lang").alias("lang"),
+            F.floor(F.col("_p.quality") * F.lit(1048576.0))
+            .cast("long")
+            .alias("q_int"),
+            "fp",
+        )
     )
+    # gate verdicts from the SAME per-doc frame (source_gate_state's
+    # arithmetic over the fused profile — identical expression tree,
+    # see text_profile_col), finished by the shared batch/stream
+    # finisher.
+    state = base.groupBy("source", F.col("fp").alias("__fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("q_int").cast("long").alias("__sq"),
+    )
+    # The survivor frames are id-sized; eager localCheckpoint both
+    # materializes them ONCE and TRUNCATES lineage, so none of the 7
+    # stage-accounting jobs (nor any broadcast-build job) can re-run
+    # the gate/minhash/decontam sub-plans — measured 40 s → ~11 s at
+    # sf0.1 (the graph family's auto-checkpoint discipline).
     passed = (
-        source_quality_gate(
-            docs, "doc_id", "text", "source",
-            _GATE_MIN_DOCS, _GATE_MIN_Q, _GATE_MAX_DUP,
+        source_gate_finish(
+            state, _GATE_MIN_DOCS, _GATE_MIN_Q, _GATE_MAX_DUP
         )
         .filter(F.col("passed"))
         .select("source")
+        .localCheckpoint(eager=True)
     )
+    ann = base.select("doc", "source", "n_toks", "lang")
     kept1 = ann.join(F.broadcast(passed), "source")
-    kept2 = dedup._persist_owned(kept1.filter(F.col("lang") == "en"))
+    kept2 = kept1.filter(F.col("lang") == "en").localCheckpoint(
+        eager=True
+    )
     hashed2 = _shared_hashed(spark, sf_dir, NGRAM_N).join(
         kept2.select("doc"), "doc", "left_semi"
     )
@@ -2794,7 +2831,7 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = kept2.select(F.col("doc").alias("doc_a"), F.col("n_toks").alias("na"))
     nb = kept2.select(F.col("doc").alias("doc_b"), F.col("n_toks").alias("nb"))
-    losers = dedup._persist_owned(
+    losers = (
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -2808,8 +2845,11 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    kept3 = dedup._persist_owned(kept2.join(losers, "doc", "left_anti"))
+    kept3 = kept2.join(losers, "doc", "left_anti").localCheckpoint(
+        eager=True
+    )
     heval = _shared_hashed(spark, sf_dir, NGRAM_N).join(
         _shared_splits(spark, sf_dir).filter(F.col("split") == "test"),
         "doc",
@@ -2818,65 +2858,89 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     htrain = _shared_hashed(spark, sf_dir, NGRAM_N).join(
         kept3.select("doc"), "doc", "left_semi"
     ).select("doc", "hv")
-    contam = dedup._persist_owned(
+    contam = (
         dedup.contamination_report(
             docs, docs, "doc_id", "text", NGRAM_N,
             hashed_train=htrain, hashed_eval=heval,
         )
         .filter(F.col("contaminated_frac") >= DECONTAM_TAU)
         .select("doc")
+        .localCheckpoint(eager=True)
     )
-    kept4 = dedup._persist_owned(kept3.join(contam, "doc", "left_anti"))
-    kept5 = dedup._persist_owned(
+    kept4 = kept3.join(contam, "doc", "left_anti").localCheckpoint(
+        eager=True
+    )
+    kept5 = (
         budget_mix_select(
             kept4, "source", "doc", "n_toks",
             _PRETRAIN_MIX_PPM, _PRETRAIN_BUDGET,
-        ).withColumnRenamed("stratum", "source")
+        )
+        .withColumnRenamed("stratum", "source")
+        .localCheckpoint(eager=True)
     )
     # pack joins the budget-BOUNDED manifest back to text by broadcast:
     # the corpus side stays a row-local scan, text never shuffles.
-    sel_docs = docs.join(
+    # unspread scan for the pack join: spread()'s round-robin exchange
+    # would ship the WHOLE corpus text before the broadcast probe
+    # (measured +3 s at sf0.1); the plain scan keeps the broadcast
+    # hash join right above the parquet read.
+    sel_docs = load_table(spark, sf_dir, "documents").join(
         F.broadcast(kept5.select(F.col("id").alias("doc_id"))), "doc_id"
     )
     packed = pack_concat_chunks(sel_docs, _PRETRAIN_CHUNK, "doc_id", "text")
 
-    def stage(idx: int, name: str, agg_df: DataFrame, detail_df: DataFrame):
-        return agg_df.crossJoin(detail_df).select(
+    def stamp(idx: int, name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
             F.lit(idx).cast("long").alias("stage_idx"),
             F.lit(name).alias("stage"),
             "n_docs",
             "n_tokens",
-            "detail",
+            F.col("detail").cast("long").alias("detail"),
         )
 
-    def counts(frame: DataFrame, tok_col: str = "n_toks") -> DataFrame:
+    def counts_with(frame: DataFrame, detail_expr, tok_col: str = "n_toks"):
+        # ONE job per stage: doc count + token sum + the stage's
+        # detail metric in a single aggregate over the (persisted)
+        # survivor frame.
         return frame.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias(
                 "n_tokens"
             ),
+            detail_expr.alias("detail"),
         )
+
+    def counts_x(frame: DataFrame, detail_df: DataFrame, tok_col="n_toks"):
+        # detail lives on a DIFFERENT (tiny, persisted) frame: one agg
+        # each, one-row crossJoin.
+        agg = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        return agg.crossJoin(detail_df)
 
     def one(df_: DataFrame, expr) -> DataFrame:
         return df_.agg(expr.cast("long").alias("detail"))
 
     rows = [
-        stage(0, "raw", counts(ann),
-              one(docs, F.countDistinct("source"))),
-        stage(1, "source_gate", counts(kept1),
-              one(passed, F.count(F.lit(1)))),
-        stage(2, "lang_id", counts(kept2),
-              one(kept2, F.countDistinct("source"))),
-        stage(3, "minhash_dedup", counts(kept3),
-              one(losers, F.count(F.lit(1)))),
-        stage(4, "decontam", counts(kept4),
-              one(contam, F.count(F.lit(1)))),
-        stage(5, "mix", counts(kept5, "n_tokens"),
-              one(kept5, F.countDistinct("source"))),
-        stage(6, "pack", counts(packed, "n_tokens"),
-              one(
+        stamp(0, "raw", counts_with(ann, F.countDistinct("source"))),
+        stamp(1, "source_gate",
+              counts_x(kept1, one(passed, F.count(F.lit(1))))),
+        stamp(2, "lang_id",
+              counts_with(kept2, F.countDistinct("source"))),
+        stamp(3, "minhash_dedup",
+              counts_x(kept3, one(losers, F.count(F.lit(1))))),
+        stamp(4, "decontam",
+              counts_x(kept4, one(contam, F.count(F.lit(1))))),
+        stamp(5, "mix",
+              counts_with(kept5, F.countDistinct("source"), "n_tokens")),
+        stamp(6, "pack",
+              counts_with(
                   packed,
                   F.coalesce(F.max("chunk_last") + 1, F.lit(0)),
+                  "n_tokens",
               )),
     ]
     out = rows[0]
