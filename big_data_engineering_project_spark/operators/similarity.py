@@ -946,6 +946,130 @@ def ivfpq_index_topk(
     )
 
 
+def ivfpq_index_topk_batch(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    adc_ladder: int = 1 << 20,
+) -> DataFrame:
+    """Serve MANY queries against the persisted IVF-PQ index in ONE
+    plan — the batched compressed-serving shape that completes the
+    matrix (ivf_index_topk_batch prunes a FLOAT index for a batch;
+    ivfpq_index_topk ADC-scores CODES for one query; this does both):
+
+    1. Probe selection is the ivf_index_topk_batch Catalyst shape:
+       queries broadcast-crossJoin the stored centroid table, per-query
+       row_number keeps the n_probe highest-affinity cells.
+    2. The per-query ADC DOT TABLES are Catalyst too — queries join the
+       stored codebook table (m·k tiny rows, broadcast) and each
+       (query, subspace, code) entry is the same left-assoc fold dot,
+       FLOOR-frozen onto the 2^20 ladder; the table rides back to the
+       probe rows as ONE map column per query (m·k entries), so no
+       query is ever collected to the driver. ‖cent‖² tables are
+       query-independent and stay driver literals (loaded books — the
+       single-query serve's arrays).
+    3. The code scan equi-joins the broadcast probe rows ON THE
+       PARTITION COLUMN (dynamic partition pruning, plan-asserted) and
+       each (row, query) score is m map lookups + m array lookups —
+       exact integer sums, one final double expression; per-query
+       top-k via the keyed window (WindowGroupLimit).
+
+    probe-all ≡ flat pq_topk(adc_ladder) per query bit-for-bit
+    (pytest anchor); output (query_id, vec_id, adc_dot_lad,
+    adc_nrm_lad, adc_cosine), k rows per query."""
+    import math
+
+    L = float(int(adc_ladder))
+    books = load_pq_codebooks(spark, index_path)
+    m, sub, k_codes = len(books), len(books[0][0]), len(books[0])
+    cent = spark.read.parquet(index_path + "/centroids")
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        as_double(F.col(vec_col)).alias("__q"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.desc("__aff"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__aff", cosine_col(F.col("__q"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("__qid", "__q", "cell")
+    )
+    # per-(query, subspace, code) laddered dot table → one map/query
+    cb = spark.read.parquet(index_path + "/codebooks")
+    qd = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "__qid",
+            (
+                F.col("subspace") * F.lit(k_codes) + F.col("code")
+            ).alias("__key"),
+            F.floor(
+                dot_col(
+                    F.expr(f"slice(__q, subspace * {sub} + 1, {sub})"),
+                    F.col("centroid"),
+                )
+                * F.lit(L)
+            )
+            .cast("long")
+            .alias("__qd"),
+        )
+        .groupBy("__qid")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__key"), F.collect_list("__qd")
+            ).alias("__qmap")
+        )
+    )
+    qn = q.select(
+        "__qid", F.sqrt(dot_col(F.col("__q"), F.col("__q"))).alias("__qn")
+    )
+    probes = probes.join(qd, "__qid").join(qn, "__qid").drop("__q")
+    codes = spark.read.parquet(index_path + "/codes")
+    joined = codes.join(F.broadcast(probes), "cell")
+    dot_lad = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__qmap"),
+            j * F.lit(k_codes) + F.element_at(F.col("codes"), j + 1),
+        ),
+    )
+    nrm_expr = F.lit(0).cast("long")
+    for j, book in enumerate(books):
+        n2 = [int(math.floor(sum(x * x for x in e) * L)) for e in book]
+        nrm_expr = nrm_expr + F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in n2]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+    score = F.when(
+        nrm_expr > 0,
+        (dot_lad.cast("double") / F.lit(L))
+        / (F.col("__qn") * F.sqrt(nrm_expr.cast("double") / F.lit(L))),
+    ).otherwise(F.lit(-2.0))
+    scored = joined.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        dot_lad.alias("adc_dot_lad"),
+        nrm_expr.alias("adc_nrm_lad"),
+        score.alias("adc_cosine"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # --- Cosine-LSH near-duplicate pairs (all-pairs, unsupervised) ---------------
 #
 # `blocked_neardup_pairs` bounds the quadratic with a GIVEN blocking

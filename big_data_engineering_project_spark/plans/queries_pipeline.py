@@ -1692,6 +1692,128 @@ LIMIT {k}
 """
 
 
+_IVFPQ_BATCH_QIDS = (5, 6)
+_IVFPQ_BATCH_K = 8
+
+
+def _pq_adc_batch_oracle(qids: tuple[int, ...], k: int) -> str:
+    """Batch variant of _pq_adc_oracle: per-query laddered ADC tables,
+    per-query top-k — codes are query-independent, so `pick` is shared
+    across the batch exactly like the Spark serve's code scan."""
+    m, sub, nd, lad = _PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD
+    qlist = ", ".join(str(x) for x in qids)
+    d2 = _adc_chain(
+        [
+            f"(e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+            f" * (e[{sub}*j+{i}] - c[{sub}*j+{i}])"
+            for i in range(1, sub + 1)
+        ]
+    )
+    qd = _adc_chain(
+        [f"qe[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    n2 = _adc_chain(
+        [f"c[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id IN ({qlist})),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code,
+              embedding::DOUBLE[] AS c
+       FROM embeddings WHERE vec_id BETWEEN 1 AND {nd}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id NOT IN ({qlist})),
+asn AS (
+  SELECT d.vec_id, u.j, cb.code, {d2} AS d2
+  FROM d, cb, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+pick AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                         ORDER BY d2 ASC, code ASC) AS rk
+    FROM asn) WHERE rk = 1
+),
+tab AS (
+  SELECT q.query_id, u.j, cb.code,
+    CAST(FLOOR({qd} * {lad}.0) AS BIGINT) AS qd_lad,
+    CAST(FLOOR({n2} * {lad}.0) AS BIGINT) AS n2_lad
+  FROM cb, q, unnest(generate_series(0, {m - 1})) AS u(j)
+),
+sc AS (
+  SELECT t.query_id, p.vec_id,
+    CAST(SUM(t.qd_lad) AS BIGINT) AS adc_dot_lad,
+    CAST(SUM(t.n2_lad) AS BIGINT) AS adc_nrm_lad
+  FROM pick p JOIN tab t ON p.j = t.j AND p.code = t.code
+  GROUP BY t.query_id, p.vec_id
+),
+scored AS (
+  SELECT sc.query_id, sc.vec_id, adc_dot_lad, adc_nrm_lad,
+    CASE WHEN adc_nrm_lad > 0 THEN
+      (CAST(adc_dot_lad AS DOUBLE) / {lad}.0)
+      / (sqrt({_fold_dot("qe", "qe")})
+         * sqrt(CAST(adc_nrm_lad AS DOUBLE) / {lad}.0))
+    ELSE -2.0 END AS adc_cosine
+  FROM sc JOIN q ON sc.query_id = q.query_id
+)
+SELECT query_id, vec_id, adc_dot_lad, adc_nrm_lad, adc_cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_cosine DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {k}
+ORDER BY query_id, adc_cosine DESC, vec_id ASC
+"""
+
+
+@register(
+    "q_embedding_ivfpq_batch_topk",
+    oracle=_pq_adc_batch_oracle(_IVFPQ_BATCH_QIDS, _IVFPQ_BATCH_K),
+    doc="BATCHED IVF-PQ serving — the serving-matrix completion "
+    "(ivf_index_topk_batch prunes a float index for a query batch; "
+    "ivfpq_index_topk ADC-scores codes for one query; this does "
+    "both): probe selection AND the per-query 2^20-laddered ADC dot "
+    "tables are pure Catalyst (queries join the stored centroid and "
+    "codebook tables — no query ever reaches the driver), the tables "
+    "ride back to the broadcast probe rows as one m·k-entry map per "
+    "query, the pruned code scan pays m map lookups + m literal-array "
+    "lookups per (row, query), and per-query top-k is the keyed "
+    "window. Exact-oracle (donor codebook, probe-all ≡ per-query flat "
+    "ladder-ADC — pytest-pinned bit-for-bit, plus the dynamicpruning "
+    "plan assertion at partial probes) "
+    "(operators/similarity.py:ivfpq_index_topk_batch)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivfpq_index_topk_batch_matches_flat_and_prunes",
+    ),
+)
+def q_embedding_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
+    queries = emb.filter(
+        F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    index_path = _pid_scoped_index_path("bde_ivfpqb_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
+        similarity.build_ivfpq_index(corpus, index_path, cents, books)
+        open(marker, "w").close()
+    return similarity.ivfpq_index_topk_batch(
+        spark,
+        index_path,
+        queries,
+        k=_IVFPQ_BATCH_K,
+        n_probe=8,
+        adc_ladder=_ADC_LAD,
+    ).orderBy("query_id", F.desc("adc_cosine"), F.asc("vec_id"))
+
+
 @register(
     "q_embedding_ivfpq_residual_topk",
     oracle=_rpq_adc_oracle(7, 10),

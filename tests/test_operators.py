@@ -3698,6 +3698,85 @@ def test_ivf_index_topk_batch_dpp_and_recall(spark, sf_dir, tmp_path):
     assert hits / (k * len(qids)) >= 0.4  # kmeans cells concentrate
 
 
+def test_ivfpq_index_topk_batch_matches_flat_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """Batched IVF-PQ serving: (a) probe-all over the index equals the
+    per-query FLAT ladder-ADC scorer bit-for-bit for every query in
+    the batch (integer dot/norm columns included — the Catalyst
+    per-query dot maps reproduce the driver-literal tables exactly);
+    (b) a partial-probe scan's PartitionFilters carry dynamicpruning
+    on the cell column; (c) per-query output is capped at k."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk_batch,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [2, 4]
+    donors = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r["embedding"][j * 4 : (j + 1) * 4]]
+            for r in donors
+        ]
+        for j in range(16)
+    ]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = str(tmp_path / "ivfpq_batch")
+    build_ivfpq_index(corpus, idx, cents, books)
+
+    k = 7
+    got = ivfpq_index_topk_batch(
+        spark, idx, queries, k=k, n_probe=4, adc_ladder=1 << 20
+    )
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_dot_lad"], r["adc_nrm_lad"],
+             r["adc_cosine"])
+        )
+    assert sorted(by_q) == qids
+    codes = pq_encode(corpus, books)
+    for qid in qids:
+        q1 = emb.filter(F.col("vec_id") == qid).select("embedding")
+        flat = [
+            (r["vec_id"], r["adc_dot_lad"], r["adc_nrm_lad"],
+             r["adc_cosine"])
+            for r in pq_topk(
+                codes, books, q1, k=k, adc_ladder=1 << 20
+            ).collect()
+        ]
+        assert (
+            sorted(by_q[qid], key=lambda t: (-t[3], t[0])) == flat
+        ), qid
+        assert len(by_q[qid]) == k
+
+    partial = ivfpq_index_topk_batch(
+        spark, idx, queries, k=k, n_probe=2, adc_ladder=1 << 20
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        partial._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "dynamicpruning" in pf.lower(), pf
+    for r in partial.collect():  # capped, integer columns well-typed
+        assert isinstance(r["adc_dot_lad"], int)
+
+
 def test_ivf_index_hadoop_fs_scheme_and_tag_probe(spark, sf_dir, tmp_path):
     """r10 verdict task 1 + ADVICE #2: every index-directory operation
     goes through the Hadoop FileSystem API, so the full build → append
