@@ -124,6 +124,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_simhash_weighted_neardups",
     "q_embedding_ivfpq_topk",
     "q_embedding_ivfpq_residual_topk",
+    # ...and the session's late newborn: batched IVF-PQ serving with
+    # Catalyst-side per-query ADC tables (newborn-slot policy).
+    # Demoted for it: q_join_size_forecast — gate-green in the
+    # committed r8/r9/r10/r11 artifacts and exact-oracle-green in
+    # every FULL sweep; the planning family stays covered there.
+    "q_embedding_ivfpq_batch_topk",
     "q_source_quality_gate",
     # ...plus the window-funnel DP (gate proves linear ≡ k-way-join
     # semantics) and the trigram-index search (gate proves pruned ≡
@@ -190,7 +196,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # hold exact-oracle rows in every FULL sweep).
     "q_kcore_parts",
     # "q_gap_fill_interp_6h" demoted r9 (gate-green r8)
-    "q_join_size_forecast",
     # Multimodal decode: the whole trio (q_media_decode_stats /
     # histogram_topk / frame_means, 2× gate-green EACH in the
     # committed r05+r06 artifacts) rotates out for round-7 newborns;
