@@ -118,6 +118,16 @@ def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     never read the blob column; cf. module docstring)."""
     import os
 
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_engine_confs,
+    )
+
+    # The media path bypasses load_table entirely when the fixture is
+    # already built, so a media query running FIRST in a vanilla driver
+    # session would otherwise reach its Arrow UDF without the package
+    # zip or engine confs (the r12 verify-drive regression): ensure
+    # both here, like load_table does for catalog tables.
+    ensure_engine_confs(spark)
     path = media_fixture_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         n = media_fixture_n(spark, sf_dir)
@@ -320,6 +330,18 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     decode_media — bytes stop at the UDF; only (id, hi, lo) leave.
     """
     import numpy as np
+
+    from big_data_engineering_project_spark.sources.catalog import (
+        ensure_package_on_executors,
+    )
+
+    # Like every other mapInPandas seam in this module: the UDF body
+    # pickles by module reference, so the package zip must be on the
+    # executors EVEN IF no load_table call preceded this query (the
+    # driver's vanilla session + a warm media fixture is exactly that
+    # order — caught by the r12 verify drive, where this was the one
+    # seam missing the call and q_media_phash_* failed when run first).
+    ensure_package_on_executors(media.sparkSession)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
