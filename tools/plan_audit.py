@@ -123,6 +123,12 @@ BOUNDED_CROSS: dict[str, str] = {
         "ranking (queries x n_cells affinity grid; n_cells <= 4096 "
         "by index construction)"
     ),
+    "q_embedding_ivfpq_batch_topk": (
+        "broadcast <= n_cells centroid table (probe ranking) AND "
+        "broadcast m*k-row codebook table (per-query laddered ADC dot "
+        "tables) — both index-construction-bounded; queries never "
+        "cross-join the corpus"
+    ),
     "q_purchase_auc": (
         "1-row min/max guard stamp (the explicit-bucket-width "
         "raise_error guard broadcast onto the distinct-score table)"
