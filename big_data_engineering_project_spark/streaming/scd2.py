@@ -1651,6 +1651,146 @@ def run_minhash_index_stream(
     query.awaitTermination()
 
 
+def run_phash_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain a perceptual-hash BAND INDEX over a micro-batched
+    media-ingest stream and emit Hamming-verified near-dup IMAGE pairs
+    incrementally — the cross-modal member of the streamed-dedup
+    family (run_minhash_index_stream's discipline applied to
+    operators/dedup.py:phash_neardup_pairs): each batch's hashes probe
+    the maintained band index for new×corpus candidates, generate
+    within-batch candidates, verify both with popcount(xor) over the
+    two BIGINT hash halves (the SAME phash_band_table layout as the
+    batch operator, so stream ≡ batch exactly), and append band rows +
+    hashes + verified pairs each as their own `batch=<lineage>-<id>`
+    directory — replays overwrite themselves, exactly-once BY
+    CONSTRUCTION, no marker. The stream carries (id, hi, lo) 24-byte
+    rows: pixel decoding happened at ingest in the Arrow seam
+    (multimodal/columns.py:perceptual_hash); blobs never enter the
+    stream. Long-running streams compact the three directories with
+    operators/compaction.py:compact_batches at clean stops. Contract:
+    media ids unique across batches (an append log). Union of pair
+    directories ≡ batch `phash_neardup_pairs` over the full corpus —
+    checked per round (tools/streaming_check.py
+    `phash_index_maintenance`)."""
+    import re
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        phash_band_table,
+    )
+
+    bands_root = os.path.join(index_path, "bands")
+    hashes_root = os.path.join(index_path, "hashes")
+    pairs_root = os.path.join(index_path, "pairs")
+
+    def read_prior(sp: SparkSession, root: str, tag: str) -> DataFrame | None:
+        if not os.path.exists(root):
+            return None
+        return sp.read.parquet(root).filter(F.col("batch") != tag).drop(
+            "batch"
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        tag = f"{lineage}-{batch_id}"
+        newb = phash_band_table(
+            batch_df, max_hamming, id_col, hi_col, lo_col
+        ).persist()
+        within = (
+            newb.alias("a")
+            .join(
+                newb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+            )
+        )
+        cands = within
+        prior_b = read_prior(sp, bands_root, tag)
+        if prior_b is not None:
+            cross = (
+                newb.alias("a")
+                .join(
+                    prior_b.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.val") == F.col("b.val")),
+                )
+                .select(
+                    F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+                    F.greatest(F.col("a.doc"), F.col("b.doc")).alias(
+                        "id_b"
+                    ),
+                )
+            )
+            cands = cands.unionByName(cross)
+        cands = cands.distinct()
+        hv = newb.select("doc", "w1", "w2").distinct()
+        prior_h = read_prior(sp, hashes_root, tag)
+        if prior_h is not None:
+            hv = hv.unionByName(prior_h.select("doc", "w1", "w2"))
+        ha = hv.select(
+            F.col("doc").alias("id_a"),
+            F.col("w1").alias("__w1a"),
+            F.col("w2").alias("__w2a"),
+        )
+        hb = hv.select(
+            F.col("doc").alias("id_b"),
+            F.col("w1").alias("__w1b"),
+            F.col("w2").alias("__w2b"),
+        )
+        hamming = (
+            F.bit_count(F.col("__w1a").bitwiseXOR(F.col("__w1b")))
+            + F.bit_count(F.col("__w2a").bitwiseXOR(F.col("__w2b")))
+        ).cast("long")
+        verified = (
+            cands.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"batch={tag}")
+        )
+        newb.select("doc", "band", "val").write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"batch={tag}")
+        )
+        hv.join(
+            batch_df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(hashes_root, f"batch={tag}")
+        )
+        newb.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_bm25_index_stream(
     spark: SparkSession,
     input_dir: str,

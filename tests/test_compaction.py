@@ -304,6 +304,33 @@ def test_vector_index_compaction_preserves_serve_and_cell_layout(
     }
 
 
+def test_compact_batches_explicit_file_scheme(spark, tmp_path):
+    """The whole compaction lifecycle against an explicit file://
+    SCHEME path — the proof every directory operation (listing, the
+    two swap renames, the self-heal probe, the recursive file count)
+    goes through the Hadoop FileSystem API and would run against
+    hdfs:// / s3a:// unchanged (the IVF-index scheme-test
+    discipline)."""
+    root = "file://" + str(tmp_path / "art")
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 4).alias("k"))
+    df.write.parquet(root + "/batch=t0")
+    df.write.parquet(root + "/batch=t1")
+    rows_before = sorted(
+        (r["id"], r["k"])
+        for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    files_before = count_files(spark, root)
+    stats = compact_batches(spark, root)
+    assert stats["compacted"] and stats["n_batches"] == 2
+    assert count_files(spark, root) < files_before
+    assert _batch_tags(str(tmp_path / "art")) == ["base"]
+    rows_after = sorted(
+        (r["id"], r["k"])
+        for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    assert rows_after == rows_before
+
+
 def test_compact_batches_noop_and_crash_self_heal(spark, tmp_path):
     """Edge contract: absent root and lone-base root are no-ops; a
     crash between the two swap renames (root gone, .swap-old intact)

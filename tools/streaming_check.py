@@ -1836,6 +1836,107 @@ def check_bm25_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_phash_index_stream(spark, root: str) -> dict:
+    """run_phash_index_stream (per-batch band/hash/pair directory
+    appends) ≡ batch phash_neardup_pairs over the union — the
+    cross-modal streamed-dedup twin: a noisy copy arriving TWO BATCHES
+    after its original must pair via the maintained band index, and a
+    dropped-commit replay (same lineage) overwrites its own
+    directories instead of duplicating pairs."""
+    import shutil as _shutil
+
+    from big_data_engineering_project_spark.operators.dedup import (
+        phash_neardup_pairs,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_phash_index_stream,
+    )
+
+    rng_vals = [
+        (i, (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF,
+         (0x85EBCA6B * (i + 7)) & 0x7FFFFFFF)
+        for i in range(18)
+    ]
+    recs = [
+        {"media_id": i, "ahash_hi": hi, "ahash_lo": lo}
+        for i, hi, lo in rng_vals
+    ]
+    # planted near-dups: 13 = copy of 1 with 2 bits flipped (cross-
+    # batch, batches of 6 → original in batch 0, copy in batch 2);
+    # 14 = exact copy of 2 (Hamming 0)
+    recs[13] = {
+        "media_id": 13,
+        "ahash_hi": recs[1]["ahash_hi"] ^ 0b101,
+        "ahash_lo": recs[1]["ahash_lo"],
+    }
+    recs[14] = {
+        "media_id": 14,
+        "ahash_hi": recs[2]["ahash_hi"],
+        "ahash_lo": recs[2]["ahash_lo"],
+    }
+    in_dir = os.path.join(root, "ph_in")
+    os.makedirs(in_dir)
+    _write_batches(in_dir, recs, batch_size=6)
+    idx = os.path.join(root, "ph_idx")
+    cp = os.path.join(root, "ph_cp")
+    kw = dict(
+        schema="media_id LONG, ahash_hi LONG, ahash_lo LONG",
+        max_hamming=3,
+    )
+    run_phash_index_stream(spark, in_dir, idx, cp, **kw)
+
+    def pair_rows():
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in spark.read.parquet(
+                os.path.join(idx, "pairs")
+            ).collect()
+        )
+
+    union = spark.createDataFrame(
+        [(r["media_id"], r["ahash_hi"], r["ahash_lo"]) for r in recs],
+        "media_id LONG, ahash_hi LONG, ahash_lo LONG",
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup_pairs(union, max_hamming=3).collect()
+    )
+    got = pair_rows()
+    n_bands = spark.read.parquet(os.path.join(idx, "bands")).count()
+
+    # replay the last batch: dropped commit, same lineage
+    cp2 = os.path.join(root, "ph_cp2")
+    _shutil.copytree(cp, cp2)
+    last_commit = os.path.join(cp2, "commits", "2")
+    if os.path.exists(last_commit):
+        os.remove(last_commit)
+    crc = os.path.join(cp2, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_phash_index_stream(spark, in_dir, idx, cp2, **kw)
+    got_replay = pair_rows()
+    n_bands_replay = spark.read.parquet(os.path.join(idx, "bands")).count()
+
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "cross_batch_pair": (1, 13, 2) in got,
+        "exact_pair": (2, 14, 0) in got,
+        "replay_identical": got_replay == got
+        and n_bands_replay == n_bands,
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["cross_batch_pair"]
+        and res["exact_pair"]
+        and res["replay_identical"]
+    )
+    return res
+
+
 def check_index_compaction(spark, root: str) -> dict:
     """Compaction lifecycle of a streamed directory-per-batch index
     (operators/compaction.py, r11 verdict task 1): stream two batches
@@ -2609,6 +2710,9 @@ def main() -> None:
         results["decontam_maintenance"] = check_decontam_stream(spark, root)
         results["vocab_maintenance"] = check_vocab_stream(spark, root)
         results["index_compaction_lifecycle"] = check_index_compaction(
+            spark, root
+        )
+        results["phash_index_maintenance"] = check_phash_index_stream(
             spark, root
         )
         elapsed = round(time.perf_counter() - t0, 1)
