@@ -694,8 +694,13 @@ def main() -> None:
         # final stage (69th headliner overflowed the 2-decimal form):
         # 1-decimal per-query seconds on stdout — full precision stays
         # in BENCH_DETAIL.json and on stderr, and bench_diff reads the
-        # detail file first.
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        # detail file first. Veterans stay collapsed into their family
+        # lines — rebuilding from ALL timings here would RE-ADD the ~27
+        # family-collapsed queries and grow the line in the stage meant
+        # to shrink it (r12 review finding).
+        compact["queries"] = {
+            k: round(v, 1) for k, v in timings.items() if k not in vet_names
+        }
         line = json.dumps(compact, separators=(",", ":"))
         print(
             f"# stdout line re-rounded to 1 decimal ({len(line)} chars)",

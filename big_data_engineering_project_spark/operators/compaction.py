@@ -98,6 +98,7 @@ def compact_batches(
     No-ops (compacted=False) when the root is absent, empty, or
     already a lone `batch=<base_tag>`."""
     bak = root + ".swap-old"
+    tmp = root + ".compact-tmp"
     fs, jroot = _hadoop_fs(spark, root)
     jvm = spark._jvm
     jbak = jvm.org.apache.hadoop.fs.Path(bak)
@@ -105,7 +106,11 @@ def compact_batches(
     # is complete under .swap-old — put it back and redo the compaction
     # from scratch (the tmp, if complete, is simply rebuilt).
     if not fs.exists(jroot) and fs.exists(jbak):
-        fs.rename(jbak, jroot)
+        if not fs.rename(jbak, jroot):
+            raise IOError(
+                f"compact_batches self-heal: rename {bak} -> {root} "
+                "failed; restore manually before compacting"
+            )
     tags = _fs_list_batches(spark, root)
     files_before = count_files(spark, root)
     stats = {
@@ -115,8 +120,15 @@ def compact_batches(
         "files_after": files_before,
     }
     if not tags or tags == [base_tag]:
+        # no-op — but a crash between the swap's second rename and the
+        # bak delete leaves a complete stale copy under .swap-old (and
+        # possibly .compact-tmp) that would otherwise persist FOREVER
+        # on a quiesced artifact (r12 review finding): with root intact
+        # and already compacted, both siblings are safe to reclaim.
+        if fs.exists(jroot):
+            _fs_delete(spark, bak)
+            _fs_delete(spark, tmp)
         return stats
-    tmp = root + ".compact-tmp"
     _fs_delete(spark, tmp)
     df = spark.read.parquet(root).drop("batch")
     dest = posixpath.join(tmp, f"batch={base_tag}")
@@ -129,11 +141,28 @@ def compact_batches(
         )
     else:
         df.coalesce(1).write.mode("overwrite").parquet(dest)
-    # two-rename atomic swap (ivf_index_rebuild_swap discipline)
+    # Two-rename atomic swap (ivf_index_rebuild_swap discipline).
+    # Hadoop FileSystem.rename reports failure by returning FALSE, not
+    # by raising (s3a/abfs renames are copy+delete and can fail
+    # mid-flight) — every return is checked, and .swap-old is deleted
+    # ONLY after the new root verifiably exists: ignoring a failed
+    # second rename and deleting bak anyway would destroy the only
+    # recoverable copy (r12 review finding).
     _fs_delete(spark, bak)
-    fs.rename(jroot, jbak)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jroot)
-    _fs_delete(spark, bak)
+    if not fs.rename(jroot, jbak):
+        raise IOError(
+            f"compact_batches: rename {root} -> {bak} failed; artifact "
+            "untouched, compaction aborted"
+        )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jroot):
+        # put the old artifact back — never leave root absent
+        fs.rename(jbak, jroot)
+        raise IOError(
+            f"compact_batches: rename {tmp} -> {root} failed; old "
+            "artifact restored, compacted copy left in .compact-tmp"
+        )
+    if fs.exists(jroot):
+        _fs_delete(spark, bak)
     stats["compacted"] = True
     stats["files_after"] = count_files(spark, root)
     return stats

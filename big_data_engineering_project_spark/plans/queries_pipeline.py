@@ -2151,7 +2151,7 @@ FROM lad GROUP BY label ORDER BY label
 
 @register(
     "q_pq_reconstruction_error",
-    oracle=_pq_err_oracle(16, 4, 16),
+    oracle=_pq_err_oracle(_PQ_M, _PQ_SUB, _PQ_DONORS),
     doc="PQ assignment-quality monitoring under the EXACT gate (the "
     "first PQ-family member with a hash-matched oracle): per label, "
     "summed squared reconstruction error of the argmin-L2 code "
@@ -2166,19 +2166,10 @@ FROM lad GROUP BY label ORDER BY label
 )
 def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    donors = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
-        .orderBy("vec_id")
-        .collect()
-    )
-    sub = 4
-    books = [
-        [
-            [float(x) for x in r["embedding"][j * sub : (j + 1) * sub]]
-            for r in donors
-        ]
-        for j in range(16)
-    ]
+    # the SAME donor codebook the whole PQ/IVF-PQ family serves with
+    # (shared helper — a drifted inline copy here would silently
+    # monitor a different quantizer than the one deployed)
+    books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
     return similarity.pq_reconstruction_error(
         emb, books, group_col="label"
     ).orderBy("label")

@@ -1770,11 +1770,13 @@ def run_phash_index_stream(
         newb.select("doc", "band", "val").write.mode("overwrite").parquet(
             os.path.join(bands_root, f"batch={tag}")
         )
-        hv.join(
-            batch_df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
-        ).write.mode("overwrite").parquet(
-            os.path.join(hashes_root, f"batch={tag}")
-        )
+        # the batch's own hashes only — already materialized in newb;
+        # semi-joining the (new ∪ prior-corpus) union back to the batch
+        # would re-scan every prior batch directory per trigger for the
+        # identical rows (r12 review finding)
+        newb.select("doc", "w1", "w2").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(hashes_root, f"batch={tag}"))
         newb.unpersist()
 
     stream = (
