@@ -155,11 +155,22 @@ def compact_batches(
             "untouched, compaction aborted"
         )
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jroot):
-        # put the old artifact back — never leave root absent
-        fs.rename(jbak, jroot)
+        # put the old artifact back — never leave root absent. The
+        # recovery rename can ALSO fail (copy+delete renames on
+        # s3a/abfs); claiming "restored" when root is actually absent
+        # would misdirect the operator's manual recovery (r12 ADVICE
+        # #1), so the message states which state the artifact is
+        # really in.
+        if fs.rename(jbak, jroot):
+            raise IOError(
+                f"compact_batches: rename {tmp} -> {root} failed; old "
+                "artifact restored, compacted copy left in .compact-tmp"
+            )
         raise IOError(
-            f"compact_batches: rename {tmp} -> {root} failed; old "
-            "artifact restored, compacted copy left in .compact-tmp"
+            f"compact_batches: rename {tmp} -> {root} failed AND the "
+            f"recovery rename {bak} -> {root} failed — root is ABSENT; "
+            f"manually restore from {bak} (complete old artifact) or "
+            f"{tmp} (complete compacted copy)"
         )
     if fs.exists(jroot):
         _fs_delete(spark, bak)

@@ -316,8 +316,12 @@ def _next_free_batch_tag(spark, parent_dir: str) -> str:
     against one index path must be serialized by the caller — the same
     single-writer discipline every directory-layout index (Delta
     without a commit service, raw FAISS shards) imposes. Concurrent
-    READS are always safe: a writer never mutates an existing batch
-    directory."""
+    READS are safe against APPENDS and rebuild-aside swaps (a writer
+    never mutates an existing batch directory) — but NOT against
+    compact_batches, whose two-rename swap renames the whole artifact
+    root away for a window and deletes absorbed batch directories
+    afterward (r12 ADVICE #2): readers racing a compaction must be
+    quiesced, or tolerate a transient missing-path retry."""
     existing = set(_fs_list_batches(spark, parent_dir))
     n = len(existing)
     while f"d{n}" in existing:
@@ -981,7 +985,18 @@ def ivfpq_index_topk_batch(
 
     probe-all ≡ flat pq_topk(adc_ladder) per query bit-for-bit
     (pytest anchor); output (query_id, vec_id, adc_dot_lad,
-    adc_nrm_lad, adc_cosine), k rows per query."""
+    adc_nrm_lad, adc_cosine), k rows per query.
+
+    Partial-probe caveat (r12 ADVICE #3): probe selection here ranks
+    cells with a CATALYST cosine + row_number, while the single-query
+    ivfpq_index_topk ranks them driver-side (_rank_cells) — the two
+    evaluate the same affinity on the same doubles, but a near-tie can
+    diverge at the ulp between JVM codegen and NumPy, yielding a
+    different probe SET when n_probe < n_cells. Batch ≡ single-query
+    parity is therefore guaranteed only probe-all (what the registered
+    query and the pytest pin); under partial probes both serves are
+    individually deterministic but not cross-guaranteed on affinity
+    ties."""
     import math
 
     L = float(int(adc_ladder))

@@ -793,11 +793,17 @@ def kll_summary(
     n_shards: int | None = None,
     id_col: str | None = None,
     rows_per_shard_target: int = 1_000_000,
+    shard_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Per-shard deterministic KLL summaries of an integral column:
     one row per shard (shard, n, err_bound, vs, ws). Sharding hashes
     `id_col` (or the value itself), so the summary depends on the
-    MULTISET, never the physical partitioning.
+    MULTISET, never the physical partitioning. `shard_expr` overrides
+    the default xxhash64 shard with any caller-supplied integer
+    Column in [0, n_shards) — the registered queries pass an affine
+    poly-hash so a SQL oracle can replay the EXACT shard assignment
+    (xxhash64 has no DuckDB twin); production callers keep the
+    default.
 
     Build-stage group size is BOUNDED two ways (r9 verdict task 2):
     (1) the input pre-collapses to weighted distinct values per shard
@@ -818,9 +824,13 @@ def kll_summary(
 
     if n_shards is None:
         n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
-    shard = F.pmod(
-        F.xxhash64(F.col(id_col if id_col else value_col)),
-        F.lit(n_shards),
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(
+            F.xxhash64(F.col(id_col if id_col else value_col)),
+            F.lit(n_shards),
+        )
     ).alias("shard")
     src = (
         df.select(shard, F.col(value_col).cast("long").alias("__v"))
@@ -957,6 +967,7 @@ def kll_summary_by_key(
     n_shards: int | None = None,
     id_col: str | None = None,
     rows_per_shard_target: int = 1_000_000,
+    shard_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Per-key deterministic KLL summaries — the production shape of
     kll_summary: build per (key, shard) in one applyInPandas pass,
@@ -967,14 +978,20 @@ def kll_summary_by_key(
     same two ways as kll_summary: weighted-distinct pre-collapse per
     (key, shard) plus the DEFAULT n_shards=None auto-scaling from the
     row count (explicit integers only pin a layout — see kll_summary).
-    Key columns keep their true schema types."""
+    Key columns keep their true schema types. `shard_expr` overrides
+    the xxhash64 shard exactly as in kll_summary (oracle-replayable
+    affine shards for the registered queries)."""
     import pandas as pd
 
     if n_shards is None:
         n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
-    shard = F.pmod(
-        F.xxhash64(F.col(id_col if id_col else value_col)),
-        F.lit(n_shards),
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(
+            F.xxhash64(F.col(id_col if id_col else value_col)),
+            F.lit(n_shards),
+        )
     ).alias("__shard")
     src = (
         df.select(

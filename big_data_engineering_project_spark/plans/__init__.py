@@ -273,7 +273,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_approx_quantile_contrast, rows-only gate row committed r8
     # WITH its invariants, demoted for the round-9 newborn: the
     # deterministic certified-bound KLL summary takes the quantile
-    # family's engine-approx slot — newborn-slot policy)
+    # family's engine-approx slot — newborn-slot policy. EXACT-ORACLE
+    # since r13: the unrolled single-sweep compactor replay, see
+    # queries_pipeline.py:_kll_oracle — the gate's last two err rows
+    # turned hash-green, 50/50)
     "q_kll_value_quantiles",
     # (q_winsorized_value_by_type, gate-green r7 + judge-verified,
     # demoted for the newborn media perceptual hash — which also

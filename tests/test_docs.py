@@ -38,9 +38,10 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_approx_quantile_contrast",  # t-digest internals engine-specific (error-bound pytest)
         "q_hll_daily_merge",  # DataSketches registers engine-internal (merged==direct + error-bound pytest)
         "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
-        "q_kll_value_quantiles",  # iterative compactor hierarchy (certified-bound property pytest)
-        "q_kll_quantiles_by_type",  # per-key compactor hierarchy (per-key bound + path-equality pytest)
-        "q_kll_quantiles_by_user",  # BIGINT-keyed compactor hierarchy (LONG-key Arrow round-trip pytest)
+        # r13: all three KLL rows moved to exact oracles (unrolled
+        # single-sweep compactor replay + affine shard_expr,
+        # queries_pipeline.py:_kll_oracle) — the driver gate's last
+        # two err rows turned hash-green.
         # r12: q_embedding_pq_topk / q_embedding_ivfpq_topk /
         # q_embedding_ivfpq_residual_topk moved to exact oracles
         # (donor-derived codebooks + 2^20-ladder ADC tables), and
