@@ -950,6 +950,62 @@ def ivfpq_index_topk(
     )
 
 
+def ivfpq_index_refined_topk(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    shortlist_mult: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_ladder: int | None = None,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the FAISS `refine` pattern
+    (IndexRefineFlat), the missing production step between compressed
+    recall and final ranking (r12 verdict task 4): quantization error
+    in the 8-byte codes can flip near-ties, so stage 1 over-fetches
+    k′ = shortlist_mult·k candidates from the compressed index
+    (ivfpq_index_topk — partition-pruned code scan, ADC literal
+    tables), and stage 2 rescales ONLY those k′ ids against the raw
+    float vectors: the k′-row id list broadcasts against the plain
+    vector scan (broadcast hash join right above the parquet read —
+    never a corpus-wide score or sort; at 100 TB the raw-vector I/O
+    is k′ row-group reads, not a second full pass), exact fold-cosine,
+    total-order top-k. Refined recall ≥ ADC recall whenever the true
+    neighbors reach the shortlist (pytest-pinned on the planted-
+    neighbor fixture); both stages deterministic → exact-oracle-able.
+    Output (id, adc_cosine, cosine) — the compressed score rides
+    along for observability of the quantization gap."""
+    kprime = int(shortlist_mult) * int(k)
+    short = ivfpq_index_topk(
+        spark,
+        index_path,
+        query_df,
+        k=kprime,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        adc_ladder=adc_ladder,
+    ).select(id_col, "adc_cosine")
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    raw = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    return (
+        raw.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.col("adc_cosine"),
+            cosine_col(F.col("_v"), qlit).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_index_topk_batch(
     spark,
     index_path: str,

@@ -1300,14 +1300,68 @@ def q_stemmed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed ANN (the scale path; recall<1 by construction) ---
+#
+# EXACT-ORACLE since r13 (r12 verdict task 2): "approximate" means
+# recall < 1 vs brute force, NOT nondeterministic — the hyperplanes
+# are a pure function of (plane_idx, i) (similarity.py:
+# _pseudo_hyperplane), the bucket bits are signs of left-assoc fold
+# dots both engines compute bit-identically (the proven _fold_dot
+# discipline), and the top-k tie order is total (cosine DESC, vec_id
+# ASC). The oracle regenerates the plane components from the SAME
+# integer poly-hash formula — CAST(h AS DOUBLE)/(P-1)*2-1 on
+# identical int64 h is bit-equal to the Python floats Spark inlines
+# (verified component-by-component, 384/384) — so bucket assignment,
+# the Hamming≤1 multi-probe expansion (XOR masks), and the cosine
+# scores all replay exactly.
+
+_LSH_TOPK_PLANES = 6
+_LSH_TOPK_K = 10
+
+
+def _lsh_topk_oracle() -> str:
+    masks = [0] + [1 << i for i in range(_LSH_TOPK_PLANES)]
+    mvals = ", ".join(f"({m})" for m in masks)
+    cos = (
+        f"{_fold_dot('db.e', 'pr.qe')} / (sqrt({_fold_dot('db.e', 'db.e')})"
+        f" * sqrt({_fold_dot('pr.qe', 'pr.qe')}))"
+    )
+    return f"""
+WITH planes AS (
+  SELECT p, i,
+         CAST((472882049 * (p * 10007 + (i - 1)) + 291898331) % {P} AS DOUBLE)
+           / CAST({P - 1} AS DOUBLE) * 2.0 - 1.0 AS c
+  FROM range(0, {_LSH_TOPK_PLANES}) t(p), range(1, {_DIMS + 1}) r(i)
+),
+plist AS (SELECT p, list(c ORDER BY i) AS pl FROM planes GROUP BY p),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0),
+db AS MATERIALIZED (
+  SELECT d.vec_id, d.e,
+         CAST(SUM(CASE WHEN {_fold_dot('d.e', 'pl.pl')} >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM d, plist pl GROUP BY d.vec_id, d.e
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT q.qe,
+         CAST(SUM(CASE WHEN {_fold_dot('q.qe', 'pl.pl')} >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS qbucket
+  FROM q, plist pl GROUP BY q.qe
+),
+pr AS (SELECT xor(qbucket, m) AS probe, qe FROM qb, (VALUES {mvals}) mm(m))
+SELECT db.vec_id, {cos} AS cosine
+FROM db JOIN pr ON db.bucket = pr.probe
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_LSH_TOPK_K}
+"""
 
 
 @register(
     "q_embedding_lsh_topk",
-    oracle=None,  # approximate by design → rows-only check; exactness
-    # is covered by q_embedding_topk (brute force) and the subset/
-    # consistency tests in tests/test_operators.py.
-    doc="Hyperplane-LSH bucketed ANN top-k (scan restricted to query's bucket)",
+    oracle=_lsh_topk_oracle(),
+    doc="Hyperplane-LSH bucketed ANN top-k (scan restricted to the "
+    "query's bucket + Hamming≤1 probes); recall<1 vs brute force by "
+    "construction but fully deterministic — exact-oracle since r13 "
+    "(integer-formula plane replay, see _lsh_topk_oracle)",
     tags=("pipeline", "similarity"),
     invariants=(
         "tests/test_operators.py::test_lsh_topk_recall",
@@ -1365,12 +1419,68 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EXACT-ORACLE since r13 (r12 verdict task 3): the registered query's
+# coarse quantizer is the fixture fallback — centroids ARE the
+# embeddings of the 8 lowest-id corpus vectors (vec_id 1..8), i.e.
+# SQL-derivable donor rows, the same trick that exact-gated the PQ
+# family. The replay: cell = argmax fold-cosine against the donor
+# rows (ties → lowest cell, matching array_position-first), probe
+# cells = the 2 query-nearest donors (cosine DESC, id ASC — the
+# driver-side _rank_cells total order; its Python sum() and the SQL
+# list_reduce are the same left-assoc fold from zero), then exact
+# fold-cosine top-k over the probed cells. The kmeans-trained
+# quantizer path stays pytest-pinned (invariants below).
+
+_IVF_TOPK_CELLS = 8
+_IVF_TOPK_PROBE = 2
+_IVF_TOPK_K = 10
+
+
+def _ivf_topk_oracle() -> str:
+    def fold_cos(a: str, b: str) -> str:
+        return (
+            f"{_fold_dot(a, b)} / (sqrt({_fold_dot(a, a)})"
+            f" * sqrt({_fold_dot(b, b)}))"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_TOPK_CELLS}
+),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+assign AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT d.vec_id, d.e, c.cid,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY {fold_cos('d.e', 'c.ce')} DESC, c.cid ASC) AS rn
+    FROM d, cents c)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY {fold_cos('q.qe', 'c.ce')} DESC, c.cid ASC) AS rn
+    FROM cents c, q)
+  WHERE rn <= {_IVF_TOPK_PROBE}
+)
+SELECT v.vec_id, {fold_cos('v.e', 'q.qe')} AS cosine
+FROM assign v JOIN probe p ON v.cid = p.cid, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_IVF_TOPK_K}
+"""
+
+
 @register(
     "q_embedding_ivf_topk",
-    oracle=None,  # approximate by design (probes 2/8 cells) → rows-only;
-    # exactness of returned cosines + all-cells==brute-force equivalence
-    # are covered in tests/test_operators.py.
-    doc="IVF-style ANN: coarse cells + n_probe nearest-cell scan (scale path)",
+    oracle=_ivf_topk_oracle(),
+    doc="IVF-style ANN: coarse cells + n_probe nearest-cell scan "
+    "(scale path); recall<1 vs brute force by construction but fully "
+    "deterministic — exact-oracle since r13 via the donor-centroid "
+    "replay (see _ivf_topk_oracle)",
     tags=("pipeline", "similarity"),
     invariants=(
         "tests/test_operators.py::test_ivf_topk_recall_and_exact_cosines",
@@ -1418,13 +1528,13 @@ def _donor_pq_books(emb, m: int, sub: int, n_donors: int):
     ]
 
 
-def _pq_adc_oracle(qid: int, corpus_where: str, k: int) -> str:
-    """DuckDB replay of the ladder-ADC PQ top-k: codes = argmin-L2
-    against the donor codebook (left-assoc d2 chains, ties → lowest
-    code), ADC tables floor-frozen per (subspace, code) entry onto the
-    2^20 ladder BEFORE summation — dot/norm are order-free BIGINT sums
-    of m lookups, the score one final double expression both engines
-    round identically."""
+def _pq_adc_prefix(qid: int, corpus_where: str) -> str:
+    """Shared CTE chain of the ladder-ADC oracles — everything through
+    `sc` (per-row laddered dot/norm sums): codes = argmin-L2 against
+    the donor codebook (left-assoc d2 chains, ties → lowest code), ADC
+    tables floor-frozen per (subspace, code) entry onto the 2^20
+    ladder BEFORE summation — dot/norm are order-free BIGINT sums of m
+    lookups."""
     m, sub, nd, lad = _PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD
     d2 = _adc_chain(
         [
@@ -1439,8 +1549,7 @@ def _pq_adc_oracle(qid: int, corpus_where: str, k: int) -> str:
     n2 = _adc_chain(
         [f"c[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
     )
-    return f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+    return f"""q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id = {qid}),
 cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code,
               embedding::DOUBLE[] AS c
@@ -1470,15 +1579,56 @@ sc AS (
     CAST(SUM(t.n2_lad) AS BIGINT) AS adc_nrm_lad
   FROM pick p JOIN tab t ON p.j = t.j AND p.code = t.code
   GROUP BY p.vec_id
-)
-SELECT vec_id, adc_dot_lad, adc_nrm_lad,
-  CASE WHEN adc_nrm_lad > 0 THEN
+)"""
+
+
+_PQ_ADC_SCORE = """CASE WHEN adc_nrm_lad > 0 THEN
     (CAST(adc_dot_lad AS DOUBLE) / {lad}.0)
-    / (sqrt({_fold_dot("qe", "qe")})
+    / (sqrt({qq})
        * sqrt(CAST(adc_nrm_lad AS DOUBLE) / {lad}.0))
-  ELSE -2.0 END AS adc_cosine
+  ELSE -2.0 END"""
+
+
+def _pq_adc_oracle(qid: int, corpus_where: str, k: int) -> str:
+    """DuckDB replay of the ladder-ADC PQ top-k (see _pq_adc_prefix);
+    the score is one final double expression both engines round
+    identically."""
+    score = _PQ_ADC_SCORE.format(lad=_ADC_LAD, qq=_fold_dot("qe", "qe"))
+    return f"""
+WITH {_pq_adc_prefix(qid, corpus_where)}
+SELECT vec_id, adc_dot_lad, adc_nrm_lad,
+  {score} AS adc_cosine
 FROM sc, q
 ORDER BY adc_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def _pq_refined_oracle(
+    qid: int, corpus_where: str, k: int, mult: int
+) -> str:
+    """DuckDB replay of the refined serve (FAISS IndexRefineFlat
+    shape): the ladder-ADC shortlist takes the top mult·k codes under
+    the same total order as the compressed oracle, then ONLY those
+    ids are exact-rescored with the raw-vector fold cosine — both
+    stages deterministic, so shortlist membership and the final
+    ranking replay bit-for-bit."""
+    score = _PQ_ADC_SCORE.format(lad=_ADC_LAD, qq=_fold_dot("qe", "qe"))
+    cos = (
+        f"{_fold_dot('d.e', 'q.qe')} / (sqrt({_fold_dot('d.e', 'd.e')})"
+        f" * sqrt({_fold_dot('q.qe', 'q.qe')}))"
+    )
+    return f"""
+WITH {_pq_adc_prefix(qid, corpus_where)},
+short AS (
+  SELECT vec_id, {score} AS adc_cosine
+  FROM sc, q
+  ORDER BY adc_cosine DESC, vec_id ASC
+  LIMIT {mult * k}
+)
+SELECT s.vec_id, s.adc_cosine, {cos} AS cosine
+FROM short s JOIN d ON d.vec_id = s.vec_id, q
+ORDER BY cosine DESC, s.vec_id ASC
 LIMIT {k}
 """
 
@@ -1517,6 +1667,30 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the pid-scoped IVF-PQ fixture index shared by
+    the compressed and refined serves (day-0 build on vec_id%10!=0,
+    day-1 append of the rest; donor codebooks; 8 donor centroids) —
+    bench reps and the refined query time the SERVE, not the build."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 == 0))
+    index_path = _pid_scoped_index_path("bde_ivfpq_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
+        similarity.build_ivfpq_index(corpus, index_path, cents, books)
+        similarity.ivfpq_index_append(day1, index_path)
+        open(marker, "w").close()
+    return index_path
+
+
 @register(
     "q_embedding_ivfpq_topk",
     oracle=_pq_adc_oracle(7, "vec_id != 7", 10),
@@ -1541,25 +1715,48 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 != 0))
-    day1 = emb.filter((F.col("vec_id") != 7) & (F.col("vec_id") % 10 == 0))
     query = emb.filter(F.col("vec_id") == 7).select("embedding")
-    index_path = _pid_scoped_index_path("bde_ivfpq_", sf_dir)
-    marker = os.path.join(index_path, "_built")
-    if not os.path.exists(marker):
-        cents = [
-            [float(x) for x in r["embedding"]]
-            for r in corpus.orderBy("vec_id").limit(8).collect()
-        ]
-        books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
-        similarity.build_ivfpq_index(corpus, index_path, cents, books)
-        similarity.ivfpq_index_append(day1, index_path)
-        open(marker, "w").close()
+    index_path = _ivfpq_fixture_index(spark, sf_dir)
     return similarity.ivfpq_index_topk(
         spark, index_path, query, k=10, n_probe=8, adc_ladder=_ADC_LAD
+    )
+
+
+@register(
+    "q_embedding_ivfpq_refined_topk",
+    oracle=_pq_refined_oracle(7, "vec_id != 7", 10, 4),
+    doc="IVF-PQ serve + exact re-rank — the FAISS IndexRefineFlat "
+    "production pattern (r12 verdict task 4): the compressed index "
+    "over-fetches a 4k ADC shortlist (partition-pruned 8-byte code "
+    "scan), then ONLY those 40 ids are rescored against the raw "
+    "float vectors (the id list broadcasts against the plain vector "
+    "scan — k′ row lookups, never a second corpus pass) and the "
+    "exact fold-cosine picks the final 10. Rescues ADC quantization "
+    "near-tie flips; refined recall ≥ ADC recall pytest-pinned on "
+    "the planted-neighbor fixture. Both stages deterministic → "
+    "under the exact gate from birth "
+    "(operators/similarity.py:ivfpq_index_refined_topk)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivfpq_refined_topk_recall_and_shortlist_bound",
+    ),
+)
+def q_embedding_ivfpq_refined_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    index_path = _ivfpq_fixture_index(spark, sf_dir)
+    return similarity.ivfpq_index_refined_topk(
+        spark,
+        index_path,
+        emb.filter(F.col("vec_id") != 7),
+        query,
+        k=10,
+        shortlist_mult=4,
+        n_probe=8,
+        adc_ladder=_ADC_LAD,
     )
 
 

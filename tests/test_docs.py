@@ -29,8 +29,6 @@ def test_every_query_has_oracle_or_known_rows_only():
     # oracle unless genuinely non-SQL-expressible AND added here.
     known_rows_only = {
         "q_semantic_dedup_pairs",  # iterative KMeans clustering bound
-        "q_embedding_lsh_topk",  # approximate (recall-floor pytest)
-        "q_embedding_ivf_topk",  # approximate (recall/planted pytest)
         "q_embedding_kmeans",  # iterative (SSE pytest)
         "q_stemmed_docs",  # Porter stemmer (unit-vector pytest)
         "q_compression_ratio",  # zlib codec (determinism/ordering pytest)

@@ -4801,6 +4801,58 @@ def test_ivfpq_index_build_append_probe(spark, sf_dir, tmp_path):
     )
 
 
+def test_ivfpq_refined_topk_recall_and_shortlist_bound(spark, tmp_path):
+    """FAISS `refine` pattern (ivfpq_index_refined_topk): on the
+    planted-neighbor fixture (a) refined recall@10 ≥ plain ADC
+    recall — exact rescoring can only fix quantization flips, never
+    introduce them; (b) every returned id comes from the k′=4k ADC
+    shortlist (the refine stage scores ONLY shortlist ids); (c) the
+    refined cosines equal brute-force cosines bit-for-bit for the
+    returned ids (the re-rank IS the exact scorer)."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_refined_topk,
+        ivfpq_index_topk,
+        pq_train_codebooks,
+    )
+
+    emb, planted = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    cents = kmeans_centers(base, k=6, seed=7)
+    books = pq_train_codebooks(base, m=4, k=8, dims=16, seed=11)
+    idx = str(tmp_path / "ivfpq_refine_index")
+    build_ivfpq_index(base, idx, cents, books)
+
+    k = 10
+    exact_rows = brute_force_topk(base, q, k=base.count()).collect()
+    exact_top = {r["vec_id"] for r in exact_rows[:k]}
+    exact_cos = {r["vec_id"]: r["cosine"] for r in exact_rows}
+    adc_ids = {
+        r["vec_id"]
+        for r in ivfpq_index_topk(spark, idx, q, k=k, n_probe=6).collect()
+    }
+    short_ids = {
+        r["vec_id"]
+        for r in ivfpq_index_topk(spark, idx, q, k=4 * k, n_probe=6).collect()
+    }
+    refined = ivfpq_index_refined_topk(
+        spark, idx, base, q, k=k, shortlist_mult=4, n_probe=6
+    ).collect()
+    refined_ids = {r["vec_id"] for r in refined}
+    # (a) exact rescoring never hurts recall
+    adc_recall = len(adc_ids & exact_top) / k
+    ref_recall = len(refined_ids & exact_top) / k
+    assert ref_recall >= adc_recall, (ref_recall, adc_recall)
+    # (b) refined output ⊆ the ADC shortlist
+    assert refined_ids <= short_ids
+    # (c) refined cosines are the exact brute-force cosines
+    for r in refined:
+        assert r["cosine"] == exact_cos[r["vec_id"]], r
+
+
 def test_auc_from_weighted_serving_seam(spark):
     """auc_from_weighted over a hand-built weighted-distinct state
     must equal auc_exact over the expanded rows (keyed), including a
