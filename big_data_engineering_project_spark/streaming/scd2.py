@@ -133,6 +133,71 @@ def _applied_batch_id(path: str, checkpoint_dir: str) -> int | None:
     return m[1]
 
 
+def _compact_on_stop(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    roots: list[tuple[str, tuple[str, ...]]],
+) -> dict:
+    """Opt-in auto-compaction at availableNow termination for the
+    directory-per-batch maintainers (r12 verdict task 5): availableNow
+    commits every processed batch to the checkpoint BEFORE
+    awaitTermination returns — the exact window operators/
+    compaction.py's clean-stop contract names safe — so folding the
+    batch directories into the base here can never turn a replay into
+    a duplicate append. Runs AFTER awaitTermination in the runner
+    itself, closing the lifecycle loop a user previously had to know
+    to drive manually.
+
+    Defense-in-depth: before touching anything it re-derives the
+    checkpoint's last committed batch id (the `commits/` files Spark
+    writes per batch) and REFUSES loudly if any batch directory of
+    THIS lineage carries a higher id — that state means the safe-
+    window assumption is broken (a concurrent writer on the same
+    artifact, or a clock-skewed copy of our tags), and compacting
+    would bake an uncommitted batch into the base, double-applying it
+    when the stream replays. Foreign-lineage directories (a previous
+    checkpoint's fully-committed history, explicit day-0 tags) are
+    absorbed as normal data — their replay protection died with their
+    checkpoint. `roots` is [(artifact_root, partition_by)] so the
+    cell-partitioned ANN tables keep their pruning layout."""
+    import re as _re
+
+    from big_data_engineering_project_spark.operators.compaction import (
+        compact_batches,
+    )
+    from big_data_engineering_project_spark.operators.similarity import (
+        _fs_list_batches,
+    )
+
+    lineage = _re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    committed = (
+        [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+        if os.path.isdir(commits_dir)
+        else []
+    )
+    last = max(committed) if committed else -1
+    stats: dict = {}
+    for root, partition_by in roots:
+        for tag in _fs_list_batches(spark, root):
+            if not tag.startswith(lineage + "-"):
+                continue
+            suffix = tag[len(lineage) + 1 :]
+            if suffix.isdigit() and int(suffix) > last:
+                raise RuntimeError(
+                    f"compact_on_stop: {root} holds batch={tag} beyond "
+                    f"the checkpoint's last committed batch ({last}) — "
+                    "refusing to compact an uncommitted batch into the "
+                    "base (it would double-apply on replay). Another "
+                    "writer is racing this artifact; quiesce it and "
+                    "compact manually."
+                )
+        stats[root] = compact_batches(
+            spark, root, partition_by=tuple(partition_by)
+        )
+    return stats
+
+
 def _write_state_tmp(
     merged: DataFrame,
     path: str,
@@ -1259,6 +1324,7 @@ def run_decontam_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Streaming benchmark decontamination: every micro-batch of
     ingested TRAIN docs is screened against the static EVAL shingle
@@ -1302,6 +1368,8 @@ def run_decontam_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(spark, checkpoint_dir, [(out_path, ())])
 
 
 def run_ivf_append_stream(
@@ -1313,6 +1381,7 @@ def run_ivf_append_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Maintain the persisted IVF ANN index over a micro-batched
     embedding stream — the speed-layer twin of the batch
@@ -1363,6 +1432,10 @@ def run_ivf_append_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(
+            spark, checkpoint_dir, [(index_path + "/vectors", ("cell",))]
+        )
 
 
 def run_reservoir_stream(
@@ -1537,6 +1610,7 @@ def run_minhash_index_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Maintain a MinHash-LSH BAND INDEX over a micro-batched document
     stream and emit Jaccard-verified near-dup pairs incrementally —
@@ -1649,6 +1723,12 @@ def run_minhash_index_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(
+            spark,
+            checkpoint_dir,
+            [(bands_root, ()), (sh_root, ()), (pairs_root, ())],
+        )
 
 
 def run_phash_index_stream(
@@ -1662,6 +1742,7 @@ def run_phash_index_stream(
     hi_col: str = "ahash_hi",
     lo_col: str = "ahash_lo",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Maintain a perceptual-hash BAND INDEX over a micro-batched
     media-ingest stream and emit Hamming-verified near-dup IMAGE pairs
@@ -1791,6 +1872,12 @@ def run_phash_index_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(
+            spark,
+            checkpoint_dir,
+            [(bands_root, ()), (hashes_root, ()), (pairs_root, ())],
+        )
 
 
 def run_bm25_index_stream(
@@ -1802,6 +1889,7 @@ def run_bm25_index_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Maintain a lexical search index — posting table (doc, term, tf)
     + doc-length table (doc, dl) — over a micro-batched document
@@ -1847,6 +1935,15 @@ def run_bm25_index_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(
+            spark,
+            checkpoint_dir,
+            [
+                (os.path.join(index_path, "postings"), ()),
+                (os.path.join(index_path, "doclens"), ()),
+            ],
+        )
 
 
 def run_mix_stream(
@@ -1862,6 +1959,7 @@ def run_mix_stream(
     text_col: str = "text",
     strata_col: str = "lang",
     max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
 ) -> None:
     """Maintain the token-budget training-mix MANIFEST
     (operators/sampling.py:budget_mix_select) over a micro-batched
@@ -2006,3 +2104,5 @@ def run_mix_stream(
         .start()
     )
     query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(spark, checkpoint_dir, [(manifest_path, ())])

@@ -369,5 +369,82 @@ def test_compact_batches_noop_and_crash_self_heal(spark, tmp_path):
     assert rows_after == rows_before == sorted(base_rows * 2)
 
 
+def test_compact_on_stop_hook_cycle_and_refusal(spark, tmp_path):
+    """The opt-in compact_on_stop hook in the streamed-index runners
+    (streaming/scd2.py:_compact_on_stop): (a) a run with the flag
+    leaves a lone compacted base whose serve is bit-equal to the
+    batch path; (b) a restart ingests new batches beside base and the
+    flag folds them into a fresh base, still bit-equal over the
+    union; (c) the guard REFUSES when a batch dir of the current
+    lineage carries an id beyond the checkpoint's last commit (the
+    double-apply hazard)."""
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        bm25_from_index,
+        bm25_scores,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        _compact_on_stop,
+        _lineage_id,
+        run_bm25_index_stream,
+    )
+
+    docs = [
+        {"doc_id": i, "text": f"alpha beta w{i % 3} gamma" + " alpha" * (i % 2)}
+        for i in range(9)
+    ]
+    in_dir = tmp_path / "in"
+    _write_ordered_json(in_dir, [docs[:3], docs[3:6]])
+    idx = str(tmp_path / "bm_idx")
+    cp = str(tmp_path / "cp")
+    kw = dict(schema="doc_id LONG, text STRING", compact_on_stop=True)
+    run_bm25_index_stream(spark, str(in_dir), idx, cp, **kw)
+
+    terms = ["alpha", "w1"]
+
+    def serve():
+        return sorted(
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_from_index(
+                spark.read.parquet(idx + "/postings").drop("batch"),
+                spark.read.parquet(idx + "/doclens").drop("batch"),
+                terms,
+            ).collect()
+        )
+
+    def want(upto):
+        union = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs[:upto]],
+            "doc_id LONG, text STRING",
+        )
+        return sorted(
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_scores(union, terms).collect()
+        )
+
+    # (a) the flag compacted both tables to a lone base, serve bit-equal
+    assert _batch_tags(idx + "/postings") == ["base"]
+    assert _batch_tags(idx + "/doclens") == ["base"]
+    assert serve() == want(6) and len(want(6)) > 0
+
+    # (b) restart: batch 2 appends beside base, the stop folds it in
+    _write_ordered_json(in_dir, [docs[:3], docs[3:6], docs[6:]])
+    run_bm25_index_stream(spark, str(in_dir), idx, cp, **kw)
+    assert _batch_tags(idx + "/postings") == ["base"]
+    assert serve() == want(9)
+
+    # (c) a current-lineage batch dir beyond the last commit → refuse
+    import re
+
+    lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(cp))
+    rogue = os.path.join(idx, "postings", f"batch={lineage}-99")
+    spark.read.parquet(idx + "/postings").drop("batch").write.parquet(rogue)
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        _compact_on_stop(
+            spark, cp, [(os.path.join(idx, "postings"), ())]
+        )
+    # the artifact was not touched by the refused call
+    assert f"{lineage}-99" in _batch_tags(idx + "/postings")
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

@@ -1996,9 +1996,14 @@ def check_index_compaction(spark, root: str) -> dict:
     stats = compact_bm25_index(spark, idx)
     files_after = count_files(spark, os.path.join(idx, "postings"))
     post = serve()
-    # clean-stop restart: batch 2 arrives after compaction
+    # clean-stop restart: batch 2 arrives after compaction, and THIS
+    # run exercises the r13 compact_on_stop hook — the availableNow
+    # termination itself folds the new batch dir into a fresh lone
+    # base, so the final serve reads one base directory only.
     _write_batches(in_dir, recs, batch_size=10)
-    run_bm25_index_stream(spark, in_dir, idx, cp, **kw)
+    run_bm25_index_stream(
+        spark, in_dir, idx, cp, compact_on_stop=True, **kw
+    )
     union = spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in recs], "doc_id LONG, text STRING"
     )
@@ -2007,6 +2012,11 @@ def check_index_compaction(spark, root: str) -> dict:
         for r in bm25_scores(union, terms).collect()
     )
     final = serve()
+    final_tags = sorted(
+        d[len("batch=") :]
+        for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("batch=")
+    )
     res = {
         "compacted": bool(stats["postings"]["compacted"]),
         "files_before": files_before,
@@ -2017,6 +2027,7 @@ def check_index_compaction(spark, root: str) -> dict:
         "rows_batch": len(want),
         "hash_final": _rows_hash(final),
         "hash_batch": _rows_hash(want),
+        "final_tags": final_tags,
     }
     res["match"] = (
         res["compacted"]
@@ -2024,6 +2035,7 @@ def check_index_compaction(spark, root: str) -> dict:
         and res["hash_pre"] == res["hash_post"]
         and res["rows_final"] == res["rows_batch"] > 0
         and res["hash_final"] == res["hash_batch"]
+        and final_tags == ["base"]
     )
     return res
 
