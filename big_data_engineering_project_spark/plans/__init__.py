@@ -122,7 +122,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pretrain_pipeline",
     "q_media_phash_neardups",
     "q_simhash_weighted_neardups",
-    "q_embedding_ivfpq_topk",
+    # (q_embedding_ivfpq_topk, gate-green r12 + judge-verified,
+    # demoted for the round-13 REFINED serve newborn — which SUBSUMES
+    # it: the refined query's shortlist stage IS ivfpq_index_topk over
+    # the same pid-scoped index build, so the compressed-serve
+    # mechanics stay under the gate inside the composed row, and the
+    # plain serve stays exact-oracle-green in every FULL sweep)
+    "q_embedding_ivfpq_refined_topk",
     "q_embedding_ivfpq_residual_topk",
     # ...and the session's late newborn: batched IVF-PQ serving with
     # Catalyst-side per-query ADC tables (newborn-slot policy).

@@ -12,16 +12,18 @@ shown for flagged queries). Queries present in only one file are
 listed separately so added/removed headliners can't silently skew the
 total.
 
-DUAL-PROBE normalization (r10 verdict task 6): queries are classified
-JVM-pure vs Python-path from PLANAUDIT.json's per-query `python_path`
-field (the plan audit greps each physical plan for ArrowEvalPython /
-MapInPandas / FlatMapGroupsInPandas nodes), and each class is
-normalized by ITS OWN calibration probe — JVM-CPU for pure plans, the
-mapInPandas Python-worker probe for Arrow-seam plans. The r10 final
-bench measured q_media_histogram_topk drifting 2.5x raw while every
-JVM query normalized to 1.00x: exactly the drift class the JVM probe
-cannot see. Without a PLANAUDIT file (or for unlisted queries) the
-JVM probe is used for everything, as before.
+TRIPLE-PROBE normalization (r10 verdict task 6 + r12 task 6): queries
+are classified from PLANAUDIT.json — `python_path` plans (ArrowEval
+Python / MapInPandas / FlatMapGroupsInPandas nodes) normalize by the
+Python-worker probe; JVM-pure plans with ≥ SHUFFLE_EXCHANGE_MIN
+Exchange nodes normalize by the shuffle probe (repartition-aggregate —
+the exchange/memory-bandwidth resource class that inflated 1.4-3x in
+the r8/r12 host windows while the CPU probe moved ≤1.19x); everything
+else by the JVM-CPU probe. The r10 final bench measured
+q_media_histogram_topk drifting 2.5x raw while every JVM query
+normalized to 1.00x: exactly the drift class the JVM probe cannot see.
+Without a PLANAUDIT file (or for unlisted queries, or pre-r13
+artifacts lacking a probe) the JVM probe is the fallback, as before.
 """
 
 from __future__ import annotations
@@ -131,6 +133,9 @@ def probe_sec(doc: dict, kind: str = "jvm") -> float | None:
     cal = doc.get("calibration") or {}
     if kind == "jvm":
         pre, post = cal.get("pre_sec"), cal.get("post_sec")
+    elif kind == "sh":
+        pre = cal.get("sh_pre", cal.get("shuffle_pre_sec"))
+        post = cal.get("sh_post", cal.get("shuffle_post_sec"))
     else:
         pre = cal.get("py_pre", cal.get("python_pre_sec"))
         post = cal.get("py_post", cal.get("python_post_sec"))
@@ -139,16 +144,29 @@ def probe_sec(doc: dict, kind: str = "jvm") -> float | None:
     return None
 
 
-def load_python_path_classes(planaudit: str) -> set[str]:
-    """Names of queries whose physical plan crosses a Python worker,
-    from PLANAUDIT.json's per-query python_path field."""
+# A JVM-pure plan with at least this many Exchange nodes is normalized
+# by the SHUFFLE probe instead of the CPU probe: the r8/r12 host
+# windows inflated exchange-heavy queries 1.4-3x while the CPU probe
+# moved 1.06-1.19x, so CPU-normalizing them mislabels a window as a
+# regression. Iterative graph/multi-stage queries sit far above this
+# threshold; simple scan-agg queries sit below it.
+SHUFFLE_EXCHANGE_MIN = 5
+
+
+def load_probe_classes(planaudit: str) -> tuple[set[str], set[str]]:
+    """(python-path names, shuffle-heavy names) from PLANAUDIT.json.
+    Python-path wins when both apply — the Arrow seam dominates."""
     with open(planaudit) as fh:
         doc = json.load(fh)
-    return {
+    qs = doc.get("queries", {})
+    py = {name for name, q in qs.items() if q.get("python_path")}
+    sh = {
         name
-        for name, q in doc.get("queries", {}).items()
-        if q.get("python_path")
+        for name, q in qs.items()
+        if not q.get("python_path")
+        and q.get("n_exchanges", 0) >= SHUFFLE_EXCHANGE_MIN
     }
+    return py, sh
 
 
 def main() -> int:
@@ -167,9 +185,10 @@ def main() -> int:
         )
         planaudit = default if os.path.exists(default) else None
     py_class: set[str] = set()
+    sh_class: set[str] = set()
     if planaudit:
         try:
-            py_class = load_python_path_classes(planaudit)
+            py_class, sh_class = load_probe_classes(planaudit)
         except (OSError, json.JSONDecodeError, KeyError) as exc:
             print(f"# PLANAUDIT unreadable ({exc}); JVM probe only")
     old_doc, new_doc = load(args[0]), load(args[1])
@@ -179,11 +198,13 @@ def main() -> int:
     # ratio of the query's OWN resource class — what's left is
     # plan/engine change, not host-speed or Python-worker drift.
     ratios: dict[str, float | None] = {}
-    for kind in ("jvm", "py"):
+    for kind in ("jvm", "py", "sh"):
         po, pn = probe_sec(old_doc, kind), probe_sec(new_doc, kind)
         ratios[kind] = (pn / po) if (po and pn) else None
     if ratios["py"] is None:  # older artifacts lack the Python probe
         ratios["py"] = ratios["jvm"]
+    if ratios["sh"] is None:  # pre-r13 artifacts lack the shuffle probe
+        ratios["sh"] = ratios["jvm"]
     common = sorted(set(old) & set(new))
     rows = [
         (n, old[n], new[n], new[n] / old[n] if old[n] else float("inf"))
@@ -194,7 +215,7 @@ def main() -> int:
     norm_hdr = f" {'norm':>6} {'cls':>3}" if any_probe else ""
     print(f"{'query':<28} {'old':>7} {'new':>7} {'ratio':>6}{norm_hdr}")
     for n, o, w, r in rows:
-        cls = "py" if n in py_class else "jvm"
+        cls = "py" if n in py_class else ("sh" if n in sh_class else "jvm")
         pr = ratios[cls]
         nr = r / pr if pr else None
         flagged = (nr if nr is not None else r) > 1.2
@@ -212,19 +233,28 @@ def main() -> int:
         f"{len(common)} queries)"
     )
     if ratios["jvm"]:
-        jvm_names = [n for n in common if n not in py_class]
+        jvm_names = [
+            n for n in common if n not in py_class and n not in sh_class
+        ]
         py_names = [n for n in common if n in py_class]
+        sh_names = [n for n in common if n in sh_class]
         print(
             f"JVM probe drift {ratios['jvm']:.2f}x"
             + (
                 f"; Python probe drift {ratios['py']:.2f}x"
                 if ratios["py"] != ratios["jvm"]
-                else " (no separate Python probe; used for both classes)"
+                else " (no separate Python probe; used for py class)"
+            )
+            + (
+                f"; shuffle probe drift {ratios['sh']:.2f}x"
+                if ratios["sh"] != ratios["jvm"]
+                else " (no separate shuffle probe; used for sh class)"
             )
         )
         for label, names, kind in (
             ("jvm-class", jvm_names, "jvm"),
             ("py-class", py_names, "py"),
+            ("sh-class", sh_names, "sh"),
         ):
             if not names:
                 continue

@@ -446,6 +446,118 @@ def fs_blocking(spark, sf_dir: str) -> dict:
     }
 
 
+def pretrain_pipeline(spark, sf_dir: str) -> dict:
+    """Composed-pipeline growth row (r12 verdict task 7): the
+    per-stage SURVIVOR accounting of the registered
+    q_pretrain_pipeline (gate → lang-ID → dedup → decontam → mix →
+    pack), as stage-survivor doc fractions vs the raw corpus, plus
+    the dedup stage's candidate mass (the MinHash band-bucket pair
+    count over the GATE+LANG survivor set — the composed interaction
+    a 100 TB operator actually runs: the gate shrinks the corpus the
+    dedup stage shingles, so candidate growth must be read at the
+    composed stage input, not the raw corpus). The stage rows are the
+    registered query's own output (exact-oracle-gated), so this probe
+    can't drift from the operator."""
+    from big_data_engineering_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_pretrain_pipeline"].builder(spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r["stage_idx"])
+    raw_docs = rows[0]["n_docs"]
+    stages = {
+        r["stage"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "frac_of_raw": round(r["n_docs"] / raw_docs, 4) if raw_docs else None,
+        }
+        for r in rows
+    }
+    # dedup-stage candidate mass over the COMPOSED survivor input:
+    # replicate the gate+lang survivor selection the registered
+    # pipeline feeds its dedup stage (queries_pipeline.py:
+    # q_pretrain_pipeline — fused text_profile_col → source_gate_finish
+    # → lang == 'en'), then the band-bucket candidate rule
+    # (dedup.py:minhash_lsh_pairs) on the survivor-filtered shared
+    # shingle frame, exactly as hashed2 in the query body.
+    from big_data_engineering_project_spark.operators.dedup import (
+        minhash_band_buckets,
+        with_minhash_signature,
+    )
+    from big_data_engineering_project_spark.operators.governance import (
+        source_gate_finish,
+    )
+    from big_data_engineering_project_spark.operators.text_analysis import (
+        fingerprint_col,
+        text_profile_col,
+    )
+    from big_data_engineering_project_spark.plans.queries_pipeline import (
+        _GATE_MAX_DUP,
+        _GATE_MIN_DOCS,
+        _GATE_MIN_Q,
+        NGRAM_N,
+        _shared_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = text_profile_col(F.col("text"))
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        prof.alias("_p"),
+        F.coalesce(fingerprint_col(F.col("text")), F.lit(-1).cast("long")).alias(
+            "fp"
+        ),
+    ).select(
+        "doc",
+        "source",
+        F.col("_p.lang").alias("lang"),
+        F.floor(F.col("_p.quality") * F.lit(1048576.0))
+        .cast("long")
+        .alias("q_int"),
+        "fp",
+    )
+    state = base.groupBy("source", F.col("fp").alias("__fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("q_int").cast("long").alias("__sq"),
+    )
+    passed = (
+        source_gate_finish(state, _GATE_MIN_DOCS, _GATE_MIN_Q, _GATE_MAX_DUP)
+        .filter(F.col("passed"))
+        .select("source")
+    )
+    surv = (
+        base.join(F.broadcast(passed), "source")
+        .filter(F.col("lang") == "en")
+        .select("doc")
+    )
+    n_surv = surv.count()
+    hashed2 = _shared_hashed(spark, sf_dir, NGRAM_N).join(
+        surv, "doc", "left_semi"
+    )
+    buckets = minhash_band_buckets(
+        with_minhash_signature(hashed2).select("doc", "sig")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    return {
+        "stages": stages,
+        "dedup_input_docs": n_surv,
+        "dedup_candidates": cand,
+        "cand_frac_of_n2": round(cand / (n_surv * (n_surv - 1) / 2), 6)
+        if n_surv > 1
+        else None,
+    }
+
+
 PROBES = {
     "tf_cosine_neardups": tf_cosine,
     "containment_neardups": containment,
@@ -456,17 +568,29 @@ PROBES = {
     "simhash_band_weighted": simhash_bands_weighted,
     "phash_band_neardups": phash_bands,
     "fs_blocking": fs_blocking,
+    "pretrain_pipeline": pretrain_pipeline,
 }
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    ops = None
+    if args and args[0] == "--ops":
+        ops = set(args[1].split(","))
+        args = args[2:]
+        unknown = ops - set(PROBES)
+        if unknown:
+            print(f"unknown ops: {sorted(unknown)}", file=sys.stderr)
+            return 2
+    sf_dirs = args or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
     spark = get_spark("growth-probe")
     for sf_dir in sf_dirs:
         for name, fn in PROBES.items():
+            if ops is not None and name not in ops:
+                continue
             row = {"op": name, "sf_dir": sf_dir, **fn(spark, sf_dir)}
             print(json.dumps(row), flush=True)
     spark.stop()

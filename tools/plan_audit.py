@@ -236,10 +236,18 @@ def audit(sf_dir: str) -> dict:
                 plan,
             )
         )
+        # Exchange count, for the r13 shuffle-probe normalization: a
+        # JVM-pure query dominated by Exchanges drifts with the host's
+        # shuffle/memory-bandwidth class (the r8/r12 host-window
+        # signature), which neither the CPU nor the Python probe
+        # tracks — bench_diff classifies n_exchanges-heavy plans to
+        # the shuffle probe.
+        n_exchanges = len(re.findall(r"\bExchange\b", plan))
         out[name] = {
             "flags": flags,
             "allowed": allowed,
             "python_path": python_path,
+            "n_exchanges": n_exchanges,
         }
         if flags:
             n_flagged += 1
