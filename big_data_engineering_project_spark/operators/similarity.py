@@ -950,6 +950,189 @@ def ivfpq_index_topk(
     )
 
 
+def merge_vector_indexes(
+    spark,
+    dest_path: str,
+    src_path: str,
+    table: str = "vectors",
+    check_quantizers: bool = True,
+) -> dict:
+    """Merge one persisted ANN index into another — the FAISS
+    `merge_from` / `merge_ondisk` analog, the step after SHARDED
+    PARALLEL BUILDS (at 100 TB you build per-shard indexes
+    concurrently against the same frozen quantizers, then merge the
+    artifacts; re-encoding nothing). Because both indexes store codes
+    assigned by their frozen quantizer tables, a merge is pure
+    DIRECTORY algebra: every `batch=<tag>` child of src's table is
+    copied under a fresh collision-safe tag in dest (the
+    `_next_free_batch_tag` probe; src is never mutated), so serving
+    dest afterwards ≡ serving one index built over the union corpus
+    bit-for-bit (pytest + the exact-gated registered query).
+
+    SAFETY: refuses unless the two indexes' frozen quantizer tables
+    (centroids, and codebooks when present) are row-identical —
+    merging codes encoded against different quantizers silently
+    corrupts every ADC score. Same single-writer contract as appends:
+    do not merge while a stream maintainer or compaction runs on
+    dest. Returns {"copied": [tags...], "n_rows_added": int}."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    if check_quantizers:
+        subs = ["centroids"]
+        fs_d, _ = _hadoop_fs(spark, dest_path)
+        for sub in ("codebooks",):
+            d_has = fs_d.exists(jvm.org.apache.hadoop.fs.Path(f"{dest_path}/{sub}"))
+            fs_s, _ = _hadoop_fs(spark, src_path)
+            s_has = fs_s.exists(jvm.org.apache.hadoop.fs.Path(f"{src_path}/{sub}"))
+            if d_has != s_has:
+                raise ValueError(
+                    f"merge_vector_indexes: {sub} present on one index "
+                    "only — different index kinds cannot merge"
+                )
+            if d_has:
+                subs.append(sub)
+        for sub in subs:
+            a = sorted(
+                tuple(r) for r in spark.read.parquet(f"{dest_path}/{sub}").collect()
+            )
+            b = sorted(
+                tuple(r) for r in spark.read.parquet(f"{src_path}/{sub}").collect()
+            )
+            if a != b:
+                raise ValueError(
+                    f"merge_vector_indexes: frozen {sub} tables differ — "
+                    "refusing to merge codes encoded against different "
+                    "quantizers (every ADC score would be silently wrong). "
+                    "Rebuild one shard against the other's quantizers."
+                )
+    src_tbl = f"{src_path}/{table}"
+    dest_tbl = f"{dest_path}/{table}"
+    fs_src, _ = _hadoop_fs(spark, src_tbl)
+    fs_dst, jdest = _hadoop_fs(spark, dest_tbl)
+    copied: list[str] = []
+    n_added = 0
+    for tag in _fs_list_batches(spark, src_tbl):
+        new_tag = _next_free_batch_tag(spark, dest_tbl)
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs_src,
+            jvm.org.apache.hadoop.fs.Path(f"{src_tbl}/batch={tag}"),
+            fs_dst,
+            jvm.org.apache.hadoop.fs.Path(f"{dest_tbl}/batch={new_tag}"),
+            False,
+            conf,
+        )
+        if not ok:
+            raise IOError(
+                f"merge_vector_indexes: copy of batch={tag} into "
+                f"{dest_tbl}/batch={new_tag} failed — dest may hold a "
+                "partial batch directory; delete it and re-merge (src "
+                "is untouched)"
+            )
+        copied.append(new_tag)
+        n_added += (
+            spark.read.parquet(f"{dest_tbl}/batch={new_tag}").count()
+        )
+    return {"copied": copied, "n_rows_added": n_added}
+
+
+def ivf_index_cell_stats(spark, index_path: str, table: str = "vectors") -> DataFrame:
+    """Operational health report of a persisted IVF / IVF-PQ index:
+    one row per centroid cell — occupancy, integer share_ppm, and the
+    FAISS `imbalance_factor` (k·Σc²/n², 1.0 = perfectly balanced;
+    listing cost and probe latency scale with the largest cells, so
+    this is the number that says 'refit the quantizer' before serving
+    degrades). EMPTY cells are reported as zero rows (left join from
+    the frozen centroid table — an empty cell is exactly the health
+    signal a count over the code table alone would hide). All
+    aggregates are integer (count, Σc²); the factor is one double
+    expression (k·Σc² / n / n, left-assoc). Works on `vectors/` (IVF)
+    and `codes/` (IVF-PQ) tables alike; the scan reads only the
+    partition column and ids — never vectors or codes."""
+    cents = spark.read.parquet(index_path + "/centroids").select("cell")
+    per = (
+        spark.read.parquet(f"{index_path}/{table}")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    allc = cents.join(per, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+    )
+    tot = allc.agg(
+        F.sum("n_vecs").cast("long").alias("__total"),
+        F.sum(F.col("n_vecs") * F.col("n_vecs")).cast("long").alias("__ss"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    return (
+        allc.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 DIV __total").alias("share_ppm"),
+            F.col("__total").alias("total_vecs"),
+            (
+                (F.col("__k") * F.col("__ss")).cast("double")
+                / F.col("__total")
+                / F.col("__total")
+            ).alias("imbalance"),
+        )
+        .orderBy("cell")
+    )
+
+
+def matryoshka_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    prefix_dims: int,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine ANN over matryoshka (MRL) embeddings — the
+    dimension-wise sibling of ivfpq_index_refined_topk's refine
+    pattern: MRL-trained embeddings pack most of the signal into the
+    leading components, so stage 1 ranks by cosine over only the
+    FIRST `prefix_dims` components and keeps a k′ = shortlist_mult·k
+    shortlist, and stage 2 rescales ONLY those ids with the full-dim
+    exact cosine (broadcast id list against the plain vector scan —
+    the refine join shape). At 100 TB the prefix scan reads a
+    MATERIALIZED prefix column/table (prefix_dims/dims of the vector
+    bytes); here the prefix is sliced row-local from the full array —
+    same plan shape minus the narrow scan, and the fixture embeddings
+    are not MRL-trained, so the recall pytest pins the planted-
+    neighbor regime, not this corpus. Both stages deterministic
+    (left-assoc folds, total-order ties) → exact-oracle-able.
+    Output (id, prefix_cosine, cosine)."""
+    kprime = int(shortlist_mult) * int(k)
+    qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
+    qpre = F.array(*[F.lit(x) for x in qvec[:prefix_dims]])
+    qfull = F.array(*[F.lit(x) for x in qvec])
+    v = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    short = (
+        v.select(
+            F.col(id_col),
+            cosine_col(
+                F.slice(F.col("_v"), 1, prefix_dims), qpre
+            ).alias("prefix_cosine"),
+        )
+        .orderBy(F.desc("prefix_cosine"), F.asc(id_col))
+        .limit(kprime)
+    )
+    return (
+        v.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.col("prefix_cosine"),
+            cosine_col(F.col("_v"), qfull).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_index_refined_topk(
     spark,
     index_path: str,

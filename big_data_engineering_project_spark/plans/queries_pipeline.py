@@ -634,6 +634,34 @@ def _pid_scoped_index_path(prefix: str, sf_dir: str) -> str:
     return f"{stem}_{os.getpid()}"
 
 
+def _ivf_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build+append-if-absent the pid-scoped float-IVF fixture index
+    (the q_embedding_ivf_batch_topk marker discipline): the day-0
+    build and day-1 append are deterministic per sf_dir and the path
+    is pid-scoped, so bench reps and every query sharing the index
+    time the SERVE — the production steady state, where the index
+    already exists and only queries run — instead of re-paying the
+    one-off build every rep. Centroids are the deterministic offline
+    quantizer stand-in (the 8 lowest-id day-0 vectors — SQL-derivable
+    donors; the kmeans fit is the pytest path)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
+    index_path = _pid_scoped_index_path("bde_ivf_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        similarity.build_ivf_index(corpus, index_path, cents)
+        similarity.ivf_index_append(day1, index_path)
+        open(marker, "w").close()
+    return index_path
+
+
 @register(
     "q_embedding_ivf_incremental",
     oracle=f"""
@@ -666,33 +694,154 @@ LIMIT 12
     ),
 )
 def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
-    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
     query = emb.filter(F.col("vec_id") == 1).select("embedding")
-    n_cells = 8
-    index_path = _pid_scoped_index_path("bde_ivf_", sf_dir)
-    marker = os.path.join(index_path, "_built")
-    # build+append-if-absent (the q_embedding_ivf_batch_topk marker
-    # discipline): the day-0 build and day-1 append are deterministic
-    # per sf_dir and the path is pid-scoped, so bench reps time the
-    # SERVE — the production steady state, where the index already
-    # exists and only queries run — instead of re-paying the one-off
-    # build every rep.
-    if not os.path.exists(marker):
-        # deterministic offline quantizer stand-in (result is centroid-
-        # independent under probe-all; the kmeans fit is the pytest path)
-        cents = [
-            [float(x) for x in r["embedding"]]
-            for r in corpus.orderBy("vec_id").limit(n_cells).collect()
-        ]
-        similarity.build_ivf_index(corpus, index_path, cents)
-        similarity.ivf_index_append(day1, index_path)
-        open(marker, "w").close()
+    index_path = _ivf_fixture_index(spark, sf_dir)
     return similarity.ivf_index_topk(
-        spark, index_path, query, k=12, n_probe=n_cells
+        spark, index_path, query, k=12, n_probe=8
+    )
+
+
+def _ivf_health_oracle() -> str:
+    """Replay of ivf_index_cell_stats over the fixture IVF index:
+    cell = argmax fold-cosine against the donor centroids (the 8
+    lowest-id day-0 vectors; ties → lowest cell = array_position-
+    first), per-cell counts over the WHOLE indexed set (day-0 + the
+    day-1 append — the index assigns appends with the same frozen
+    centroids), empty cells kept as zero rows, integer share_ppm,
+    imbalance = k·Σc²/n/n left-assoc."""
+
+    def fold_cos(a: str, b: str) -> str:
+        return (
+            f"{_fold_dot(a, b)} / (sqrt({_fold_dot(a, a)})"
+            f" * sqrt({_fold_dot(b, b)}))"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         embedding::DOUBLE[] AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id != 1 AND vec_id % 10 != 0
+        ORDER BY vec_id LIMIT 8)
+),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id != 1),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY {fold_cos('d.e', 'c.ce')} DESC, c.cell ASC) AS rn
+    FROM d, cents c)
+  WHERE rn = 1
+),
+per AS (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY cell),
+allc AS (
+  SELECT c.cell, CAST(COALESCE(p.n_vecs, 0) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN per p ON c.cell = p.cell
+),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+         CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM allc
+)
+SELECT a.cell, a.n_vecs,
+       a.n_vecs * 1000000 // t.total AS share_ppm,
+       t.total AS total_vecs,
+       CAST(t.k * t.ss AS DOUBLE) / t.total / t.total AS imbalance
+FROM allc a, tot t
+ORDER BY a.cell
+"""
+
+
+@register(
+    "q_ann_index_health",
+    oracle=_ivf_health_oracle(),
+    doc="ANN index health report over the persisted fixture IVF "
+    "index: per-cell occupancy (EMPTY cells kept — the signal a scan "
+    "of the code table alone hides), integer share_ppm, and the "
+    "FAISS imbalance_factor k·Σc²/n² (1.0 = balanced; probe latency "
+    "and listing cost scale with the largest cells, so this is the "
+    "refit-the-quantizer alarm). The scan reads only the partition "
+    "column — never vectors. Exact oracle replays the donor-centroid "
+    "assignment over day-0 + day-1 (operators/similarity.py:"
+    "ivf_index_cell_stats)",
+    tags=("pipeline", "similarity", "governance"),
+)
+def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_path = _ivf_fixture_index(spark, sf_dir)
+    return similarity.ivf_index_cell_stats(spark, index_path)
+
+
+_MRL_PREFIX = 16
+_MRL_K = 10
+_MRL_MULT = 4
+_MRL_QID = 3
+
+
+def _matryoshka_oracle() -> str:
+    def fold_dot_n(a: str, b: str, n: int) -> str:
+        return (
+            f"list_reduce([CAST(0.0 AS DOUBLE)] + "
+            f"list_transform(range(1, {n + 1}), i -> {a}[i] * {b}[i]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def fold_cos_n(a: str, b: str, n: int) -> str:
+        return (
+            f"{fold_dot_n(a, b, n)} / (sqrt({fold_dot_n(a, a, n)})"
+            f" * sqrt({fold_dot_n(b, b, n)}))"
+        )
+
+    p = _MRL_PREFIX
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = {_MRL_QID}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id != {_MRL_QID}),
+short AS (
+  SELECT vec_id, {fold_cos_n('d.e', 'q.qe', p)} AS prefix_cosine
+  FROM d, q
+  ORDER BY prefix_cosine DESC, vec_id ASC
+  LIMIT {_MRL_MULT * _MRL_K}
+)
+SELECT s.vec_id, s.prefix_cosine,
+       {fold_cos_n('d.e', 'q.qe', _DIMS)} AS cosine
+FROM short s JOIN d ON d.vec_id = s.vec_id, q
+ORDER BY cosine DESC, s.vec_id ASC
+LIMIT {_MRL_K}
+"""
+
+
+@register(
+    "q_embedding_matryoshka_topk",
+    oracle=_matryoshka_oracle(),
+    doc="Coarse-to-fine matryoshka (MRL) ANN: rank by cosine over the "
+    f"FIRST {_MRL_PREFIX} of {_DIMS} dims (at scale a materialized "
+    "prefix column — 1/4 of the vector bytes), keep a 4k shortlist, "
+    "exact full-dim rescore of ONLY those ids (broadcast id list "
+    "above the plain vector scan — the refine join shape). The "
+    "dimension-wise sibling of the IVF-PQ refine step; deterministic "
+    "both stages → exact oracle from birth "
+    "(operators/similarity.py:matryoshka_topk)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_matryoshka_topk_recall_and_shortlist_bound",
+    ),
+)
+def q_embedding_matryoshka_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _MRL_QID).select("embedding")
+    return similarity.matryoshka_topk(
+        emb.filter(F.col("vec_id") != _MRL_QID),
+        query,
+        k=_MRL_K,
+        prefix_dims=_MRL_PREFIX,
+        shortlist_mult=_MRL_MULT,
     )
 
 
@@ -1718,6 +1867,68 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 7).select("embedding")
     index_path = _ivfpq_fixture_index(spark, sf_dir)
+    return similarity.ivfpq_index_topk(
+        spark, index_path, query, k=10, n_probe=8, adc_ladder=_ADC_LAD
+    )
+
+
+def _ivfpq_merged_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the SHARDED-BUILD fixture: the corpus
+    (vec_id != 7) splits into odd/even shards, each shard builds its
+    own IVF-PQ index against the SAME frozen quantizers (explicit
+    donor centroids from the full corpus's 8 lowest ids + donor
+    codebooks), then merge_vector_indexes folds shard B into shard A
+    — the 100 TB parallel-build-then-merge lifecycle. Serving the
+    merged index probe-all must equal the flat ADC oracle over the
+    whole corpus (the exact gate on this query IS that claim)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 7)
+    shard_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    shard_b = corpus.filter(F.col("vec_id") % 2 == 0)
+    index_a = _pid_scoped_index_path("bde_ivfpq_mrg_a_", sf_dir)
+    index_b = _pid_scoped_index_path("bde_ivfpq_mrg_b_", sf_dir)
+    marker = os.path.join(index_a, "_merged")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
+        similarity.build_ivfpq_index(shard_a, index_a, cents, books)
+        similarity.build_ivfpq_index(shard_b, index_b, cents, books)
+        similarity.merge_vector_indexes(
+            spark, index_a, index_b, table="codes"
+        )
+        open(marker, "w").close()
+    return index_a
+
+
+@register(
+    "q_embedding_ivfpq_merged_topk",
+    oracle=_pq_adc_oracle(7, "vec_id != 7", 10),
+    doc="Sharded-parallel-build + MERGE lifecycle of the persisted "
+    "IVF-PQ index (the FAISS merge_from/merge_ondisk step): the "
+    "corpus builds as two independent shard indexes against the SAME "
+    "frozen quantizers, merge_vector_indexes folds one into the "
+    "other by pure directory algebra (codes re-encode nothing; "
+    "quantizer-equality enforced, mismatches refused), and the "
+    "probe-all serve of the MERGED index hash-equals the flat ADC "
+    "oracle over the whole corpus — the exact gate proves the merge "
+    "loses and duplicates nothing "
+    "(operators/similarity.py:merge_vector_indexes)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_merge_vector_indexes_serve_and_refusal",
+    ),
+)
+def q_embedding_ivfpq_merged_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    index_path = _ivfpq_merged_fixture_index(spark, sf_dir)
     return similarity.ivfpq_index_topk(
         spark, index_path, query, k=10, n_probe=8, adc_ladder=_ADC_LAD
     )

@@ -4853,6 +4853,109 @@ def test_ivfpq_refined_topk_recall_and_shortlist_bound(spark, tmp_path):
         assert r["cosine"] == exact_cos[r["vec_id"]], r
 
 
+def test_merge_vector_indexes_serve_and_refusal(spark, tmp_path):
+    """FAISS merge_from analog (merge_vector_indexes): (a) two shard
+    indexes built against the SAME frozen quantizers merge into a
+    serve bit-equal to one index built over the union; (b) src is
+    untouched and its batch dirs land under fresh tags; (c) a
+    quantizer mismatch REFUSES (merging codes encoded against
+    different codebooks corrupts every ADC score)."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        _fs_list_batches,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        merge_vector_indexes,
+        pq_train_codebooks,
+    )
+
+    emb, _planted = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    a = base.filter(F.col("vec_id") % 2 == 1)
+    b = base.filter(F.col("vec_id") % 2 == 0)
+    cents = kmeans_centers(base, k=4, seed=7)
+    books = pq_train_codebooks(base, m=4, k=8, dims=16, seed=11)
+    ia, ib, iu = (
+        str(tmp_path / "shard_a"),
+        str(tmp_path / "shard_b"),
+        str(tmp_path / "union"),
+    )
+    build_ivfpq_index(a, ia, cents, books)
+    build_ivfpq_index(b, ib, cents, books)
+    build_ivfpq_index(base, iu, cents, books)
+    src_tags_before = _fs_list_batches(spark, ib + "/codes")
+    stats = merge_vector_indexes(spark, ia, ib, table="codes")
+    # (b) src untouched, fresh tags in dest, row count adds up
+    assert _fs_list_batches(spark, ib + "/codes") == src_tags_before
+    assert stats["n_rows_added"] == b.count()
+    dest_tags = _fs_list_batches(spark, ia + "/codes")
+    assert len(dest_tags) == len(set(dest_tags)) == 2
+    # (a) merged serve == union-built serve, probe-all
+    k = 12
+    merged = [
+        tuple(r)
+        for r in ivfpq_index_topk(spark, ia, q, k=k, n_probe=4).collect()
+    ]
+    union = [
+        tuple(r)
+        for r in ivfpq_index_topk(spark, iu, q, k=k, n_probe=4).collect()
+    ]
+    assert merged == union and len(merged) == k
+    # (c) quantizer mismatch refuses
+    import pytest as _pytest
+
+    other_books = pq_train_codebooks(base, m=4, k=8, dims=16, seed=99)
+    ic = str(tmp_path / "shard_c")
+    build_ivfpq_index(b, ic, cents, other_books)
+    with _pytest.raises(ValueError, match="refusing to merge"):
+        merge_vector_indexes(spark, ia, ic, table="codes")
+
+
+def test_matryoshka_topk_recall_and_shortlist_bound(spark):
+    """Coarse-to-fine MRL serving (matryoshka_topk): on the planted
+    fixture the planted neighbors are uniform perturbations of the
+    query, so their PREFIX cosine is high too — (a) full recall@10
+    through the 4k prefix shortlist; (b) output ⊆ prefix shortlist;
+    (c) final cosines ≡ brute force bit-for-bit."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+
+    emb, planted = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    k = 10
+    exact_rows = brute_force_topk(base, q, k=base.count()).collect()
+    exact_top = {r["vec_id"] for r in exact_rows[:k]}
+    exact_cos = {r["vec_id"]: r["cosine"] for r in exact_rows}
+    got = matryoshka_topk(
+        base, q, k=k, prefix_dims=8, shortlist_mult=4
+    ).collect()
+    got_ids = {r["vec_id"] for r in got}
+    assert len(got_ids & exact_top) / k >= 0.9, got_ids
+    # shortlist bound: re-derive the prefix shortlist independently
+    qvec = [float(x) for x in q.first()[0]][:8]
+    import math
+
+    def pre_cos(v):
+        v8 = [float(x) for x in v][:8]
+        dot = sum(a * b for a, b in zip(v8, qvec))
+        na = math.sqrt(sum(a * a for a in v8))
+        nb = math.sqrt(sum(b * b for b in qvec))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        ((pre_cos(r["embedding"]), r["vec_id"]) for r in base.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    short = {vid for _c, vid in ranked[: 4 * k]}
+    assert got_ids <= short
+    for r in got:
+        assert r["cosine"] == exact_cos[r["vec_id"]], r
+
+
 def test_auc_from_weighted_serving_seam(spark):
     """auc_from_weighted over a hand-built weighted-distinct state
     must equal auc_exact over the expanded rows (keyed), including a
