@@ -70,16 +70,33 @@ def test_load_prefers_detail_map_and_dual_probe(tmp_path):
     assert bench_diff.probe_sec(bench_diff.load(str(p2)), "py") == 0.5
 
 
-def test_planaudit_python_path_classification():
+def test_planaudit_probe_classification():
     path = os.path.join(ROOT, "PLANAUDIT.json")
-    classes = bench_diff.load_python_path_classes(path)
+    py, sh = bench_diff.load_probe_classes(path)
     # the Arrow-seam families must classify as python-path; pure
     # Catalyst queries must not
-    assert "q_media_histogram_topk" in classes
-    assert "q_video_scene_cuts" in classes
-    assert "q_kll_value_quantiles" in classes
-    assert "q_counts_by_type" not in classes
-    assert "q_hybrid_search_rrf_by_query" not in classes
+    assert "q_media_histogram_topk" in py
+    assert "q_video_scene_cuts" in py
+    assert "q_kll_value_quantiles" in py
+    assert "q_counts_by_type" not in py
+    assert "q_hybrid_search_rrf_by_query" not in py
+    # shuffle class (r13): exchange-heavy JVM plans, disjoint from py;
+    # simple scan-aggregate plans stay in the CPU class
+    assert not (py & sh)
+    assert "q_link_prediction" in sh
+    assert "q_dedup_minhash_lsh" in sh
+    assert "q_counts_by_type" not in sh
+    # known limit: localCheckpoint-truncated iteratives (e.g.
+    # q_label_propagation) expose only post-checkpoint Exchanges in
+    # their final plan and may classify jvm — documented in bench_diff
+    # shuffle-probe keys parse from both artifact spellings
+    assert bench_diff.probe_sec(
+        {"calibration": {"sh_pre": 0.8, "sh_post": 0.6}}, "sh"
+    ) == 0.7
+    assert bench_diff.probe_sec(
+        {"calibration": {"shuffle_pre_sec": 1.0, "shuffle_post_sec": 0.5}},
+        "sh",
+    ) == 0.75
 
 
 def test_load_reads_every_committed_bench_artifact():

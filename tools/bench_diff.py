@@ -149,7 +149,12 @@ def probe_sec(doc: dict, kind: str = "jvm") -> float | None:
 # windows inflated exchange-heavy queries 1.4-3x while the CPU probe
 # moved 1.06-1.19x, so CPU-normalizing them mislabels a window as a
 # regression. Iterative graph/multi-stage queries sit far above this
-# threshold; simple scan-agg queries sit below it.
+# threshold; simple scan-agg queries sit below it. Known limit: an
+# iterative query whose loop localCheckpoints per step (lineage
+# truncation) exposes only its POST-checkpoint Exchanges in the final
+# plan — e.g. q_label_propagation counts 1 — and classifies jvm; the
+# classification is a measured improvement over CPU-only, not a
+# perfect partition.
 SHUFFLE_EXCHANGE_MIN = 5
 
 

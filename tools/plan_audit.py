@@ -96,6 +96,10 @@ BOUNDED_CROSS: dict[str, str] = {
     "q_dedup_keep_best": "1-row corpus-count stamp",
     "q_dedup_containment": "1-row corpus-count stamp (DF cut)",
     "q_embedding_topk": "1-row broadcast query vector",
+    "q_ann_index_health": (
+        "1-row totals stamp crossed onto the n_cells-bounded "
+        "(≤ centroid count) per-cell occupancy rows"
+    ),
     "q_embedding_int8_topk": "1-row broadcast query + scale",
     "q_embedding_lsh_neardups": "broadcast hyperplane sign table",
     "q_mean_token_freq": "1-row corpus token total",
