@@ -563,6 +563,13 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
 
+    # Ambient-window snapshot BEFORE any work: loadavg read at
+    # payload-build time would measure the bench's own load, not the
+    # window the run started in (the number the idle-host rule gates
+    # on). End-of-run load is recorded separately below.
+    load_start = os.getloadavg()
+    t_start = int(time.time())
+
     spark = get_spark("bde-bench")
     # One trivial action so JVM/codegen warm-up isn't charged to the
     # first measured query (measures the engine, not JIT start-up).
@@ -666,9 +673,10 @@ def main() -> None:
         # documenting instead of a cold-reader trap.
         "session": {
             "pid": os.getpid(),
-            "unix_time": int(time.time()),
-            "loadavg_1m": round(os.getloadavg()[0], 2),
-            "loadavg_5m": round(os.getloadavg()[1], 2),
+            "started_unix": t_start,
+            "start_loadavg_1m": round(load_start[0], 2),
+            "start_loadavg_5m": round(load_start[1], 2),
+            "end_loadavg_1m": round(os.getloadavg()[0], 2),
         },
     }
     # Per-run detail: side file + stderr, never the parsed stdout line.
