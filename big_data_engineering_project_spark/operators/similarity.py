@@ -950,6 +950,163 @@ def ivfpq_index_topk(
     )
 
 
+def _lloyd_final_assignment(
+    vectors: DataFrame,
+    init_centers: list[list[float]],
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    ladder: int,
+) -> DataFrame:
+    """Shared Lloyd's iteration core (see lloyd_kmeans_ladder for the
+    full cross-engine contract): run n_iter laddered
+    assignment/update cycles and return the FINAL assignment frame
+    (id, _v, cluster, _d2)."""
+    L = float(int(ladder))
+    centers = [[float(x) for x in c] for c in init_centers]
+    k = len(centers)
+    v = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+
+    def d2_col(center: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"), lit, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cs: list[list[float]]) -> DataFrame:
+        dists = F.array(*[d2_col(c) for c in cs])
+        return v.withColumn(
+            "cluster",
+            F.array_position(dists, F.array_min(dists)).cast("int"),
+        ).withColumn("_d2", F.array_min(dists))
+
+    for _ in range(int(n_iter)):
+        asn = assign(centers)
+        rows = (
+            asn.select(
+                "cluster", F.posexplode(F.col("_v")).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.lit(L)).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], float] = {}
+        for r in rows:
+            upd[(int(r["cluster"]), int(r["dim"]))] = (
+                float(r["s"]) / L / float(r["cnt"])
+            )
+        centers = [
+            [
+                upd.get((j + 1, i), centers[j][i])
+                for i in range(len(centers[j]))
+            ]
+            for j in range(k)
+        ]
+    return assign(centers)
+
+
+def semantic_neardup_pairs_lloyd(
+    vectors: DataFrame,
+    init_centers: list[list[float]],
+    tau: float,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ladder: int = 1 << 20,
+) -> DataFrame:
+    """SemDeDup with a fully REPLAYABLE clustering stage: run the
+    laddered Lloyd's iteration (deterministic, exact-oracle-able —
+    _lloyd_final_assignment), then emit within-cluster pairs whose
+    exact fold-cosine ≥ tau. The cluster structure bounds the pair
+    space exactly as SemDeDup prescribes (quadratic only inside a
+    cluster; at 100 TB k scales with the corpus so cluster sizes stay
+    bounded), and unlike the MLlib-backed q_semantic_dedup_pairs
+    (rows-only: kmeans|| RNG init) every stage here sits under the
+    cross-engine hash gate. Output (cluster, id_a, id_b, cosine)."""
+    asn = _lloyd_final_assignment(
+        vectors, init_centers, n_iter, id_col, vec_col, ladder
+    ).select(F.col(id_col), F.col("_v"), F.col("cluster"))
+    a = asn.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = asn.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lloyd_kmeans_ladder(
+    vectors: DataFrame,
+    init_centers: list[list[float]],
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ladder: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic LADDERED Lloyd's k-means — iterative clustering
+    under the exact cross-engine gate (the PCA power-iteration
+    discipline applied to Lloyd's): a FIXED number of
+    assignment/update cycles from EXPLICIT initial centers, every
+    cross-engine-fragile reduction frozen onto the 2^20 integer
+    ladder. Per cycle: (1) assignment = argmin left-assoc-fold
+    squared-L2 against the current center literals (ties → lowest
+    cluster, array_position-first); (2) update = per-(cluster, dim)
+    BIGINT sums of floor(component·2^20) — order-free — with the mean
+    one fixed-shape double expression (CAST(sum)/2^20/count) both
+    engines round identically; empty clusters keep their previous
+    center. Center tables are k·dims rows — driver-side by nature
+    (the same boundedness as kmeans_centers), and each iteration is
+    ONE distributed pass (no per-row Python). A final assignment with
+    the converged centers yields (cluster, n_vecs, sse_lad) — sse_lad
+    the laddered within-cluster squared error, the monotone quantity
+    the pytest pins.
+
+    This is the REPLAYABLE twin of ml.kmeans_centers (MLlib: kmeans||
+    RNG init + engine-internal convergence — honestly rows-only);
+    production quantizer training keeps MLlib, and this operator puts
+    the Lloyd ITERATION itself under the hash gate."""
+    final = _lloyd_final_assignment(
+        vectors, init_centers, n_iter, id_col, vec_col, ladder
+    )
+    L = float(int(ladder))
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                F.floor(F.col("_d2") * F.lit(L)).cast("long")
+            ).alias("sse_lad"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def merge_vector_indexes(
     spark,
     dest_path: str,

@@ -2945,6 +2945,179 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLOYD_K = 4
+_LLOYD_ITER = 4
+_LLOYD_LAD = 1 << 20
+
+
+def _lloyd_d2fold(e: str, cl: str) -> str:
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] + "
+        f"list_transform(range(1, {_DIMS + 1}), "
+        f"i -> ({e}[i] - {cl}[i]) * ({e}[i] - {cl}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _lloyd_cte_prefix() -> str:
+    """Shared unrolled-iteration CTE chain of the Lloyd oracles,
+    through the final assignment `af` (vec_id, cell, d2): per step,
+    the assignment is a row_number argmin over left-assoc-fold
+    squared-L2 (ties → lowest cluster ≡ Spark's array_position-
+    first), the update is per-(cluster, dim) BIGINT ladder sums with
+    the mean one fixed-shape double expression (CAST(s)/2^20/cnt —
+    the identical operand order the Spark driver computes), empty
+    clusters keep the previous center via LEFT JOIN. Center tables
+    MATERIALIZED per step (the CTE-inlining blow-up guard)."""
+    L = f"{float(_LLOYD_LAD)!r}"
+    d2fold = _lloyd_d2fold
+
+    parts = [
+        f"""d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT dn.cell, r.i, dn.e[r.i] AS val
+  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+               embedding::DOUBLE[] AS e
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {_LLOYD_K}) dn,
+       range(1, {_DIMS + 1}) r(i)
+),
+cl0 AS (SELECT cell, list(val ORDER BY i) AS cl FROM c0 GROUP BY cell)"""
+    ]
+    for t in range(_LLOYD_ITER):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT d.vec_id, d.e, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY {d2fold('d.e', 'c.cl')} ASC,
+                                       c.cell ASC) AS rn
+    FROM d, cl{t} c) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cell, r.i,
+         SUM(CAST(FLOOR(a.e[r.i] * {L}) AS BIGINT)) AS s,
+         COUNT(*) AS cnt
+  FROM a{t} a, range(1, {_DIMS + 1}) r(i)
+  GROUP BY a.cell, r.i
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT c.cell, c.i,
+         CASE WHEN u.cnt IS NOT NULL
+              THEN CAST(u.s AS DOUBLE) / {L} / u.cnt
+              ELSE c.val END AS val
+  FROM c{t} c LEFT JOIN u{t} u ON u.cell = c.cell AND u.i = c.i
+),
+cl{t + 1} AS (SELECT cell, list(val ORDER BY i) AS cl
+              FROM c{t + 1} GROUP BY cell)"""
+        )
+    parts.append(
+        f"""af AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT d.vec_id, c.cell, {d2fold('d.e', 'c.cl')} AS d2,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY {d2fold('d.e', 'c.cl')} ASC,
+                                       c.cell ASC) AS rn
+    FROM d, cl{_LLOYD_ITER} c) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def _lloyd_oracle() -> str:
+    L = f"{float(_LLOYD_LAD)!r}"
+    return f"""{_lloyd_cte_prefix()}
+SELECT CAST(cell AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(d2 * {L}) AS BIGINT)) AS BIGINT) AS sse_lad
+FROM af GROUP BY cell ORDER BY cluster"""
+
+
+def _lloyd_init(emb: DataFrame) -> list[list[float]]:
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= _LLOYD_K)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
+@register(
+    "q_embedding_kmeans_lloyd",
+    oracle=_lloyd_oracle(),
+    doc="Deterministic LADDERED Lloyd's k-means — ITERATIVE CLUSTERING "
+    "under the exact cross-engine gate (the class that normally only "
+    "gets rows-only; joins q_embedding_pca_power and the KLL sweep): "
+    f"{_LLOYD_ITER} fixed assignment/update cycles from donor initial "
+    "centers (vec_id 1..4), argmin fold-L2 assignment with "
+    "array_position-first ties, per-(cluster, dim) BIGINT ladder-sum "
+    "means, empty clusters keep their center; output per-cluster "
+    "sizes + laddered within-cluster SSE. The MLlib path "
+    "(q_embedding_kmeans — kmeans|| RNG init, engine-internal "
+    "convergence) honestly stays rows-only; this row puts the Lloyd "
+    "ITERATION itself under the hash gate "
+    "(operators/similarity.py:lloyd_kmeans_ladder)",
+    tags=("pipeline", "similarity", "ml"),
+    invariants=(
+        "tests/test_operators.py::test_lloyd_kmeans_ladder_monotone_sse",
+    ),
+)
+def q_embedding_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lloyd_kmeans_ladder(
+        emb, _lloyd_init(emb), n_iter=_LLOYD_ITER, ladder=_LLOYD_LAD
+    )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semantic_lloyd_oracle() -> str:
+    cos = (
+        f"{_fold_dot('da.e', 'db.e')} / (sqrt({_fold_dot('da.e', 'da.e')})"
+        f" * sqrt({_fold_dot('db.e', 'db.e')}))"
+    )
+    return f"""{_lloyd_cte_prefix()}
+SELECT CAST(a.cell AS INTEGER) AS cluster,
+       a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos} AS cosine
+FROM af a
+JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN d da ON da.vec_id = a.vec_id
+JOIN d db ON db.vec_id = b.vec_id
+WHERE {cos} >= {_SEMDEDUP_TAU}
+ORDER BY id_a, id_b"""
+
+
+@register(
+    "q_semantic_dedup_lloyd",
+    oracle=_semantic_lloyd_oracle(),
+    doc="SemDeDup with a fully REPLAYABLE clustering stage: the "
+    "laddered-Lloyd partition bounds the pair space (quadratic only "
+    "inside a cluster — at 100 TB k scales with the corpus), then "
+    "exact fold-cosine ≥ τ inside each cluster. Unlike the "
+    "MLlib-backed q_semantic_dedup_pairs (honestly rows-only: "
+    "kmeans|| RNG init), EVERY stage here — the iterative clustering "
+    "included — sits under the cross-engine hash gate "
+    "(operators/similarity.py:semantic_neardup_pairs_lloyd)",
+    tags=("pipeline", "similarity", "dedup", "ml"),
+)
+def q_semantic_dedup_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_neardup_pairs_lloyd(
+        emb,
+        _lloyd_init(emb),
+        tau=_SEMDEDUP_TAU,
+        n_iter=_LLOYD_ITER,
+        ladder=_LLOYD_LAD,
+    )
+
+
 # --- end-to-end curation pipeline ---------------------------------------------
 
 _CURATION_MIN_QUALITY = 0.5

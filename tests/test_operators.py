@@ -4853,6 +4853,39 @@ def test_ivfpq_refined_topk_recall_and_shortlist_bound(spark, tmp_path):
         assert r["cosine"] == exact_cos[r["vec_id"]], r
 
 
+def test_lloyd_kmeans_ladder_monotone_sse(spark):
+    """Laddered Lloyd's (lloyd_kmeans_ladder): (a) total laddered SSE
+    is non-increasing as n_iter grows (Lloyd's descent property
+    survives the 2^20 quantization at far-above-rounding scale);
+    (b) the partition covers every vector; (c) iterated clustering
+    beats the 0-iteration donor assignment on the planted fixture
+    (centers move toward the true cluster)."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        lloyd_kmeans_ladder,
+    )
+
+    emb, _planted = _planted_embeddings(spark)
+    init = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= 4)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    n = emb.count()
+    sses = []
+    for it in (0, 1, 2, 4):
+        rows = lloyd_kmeans_ladder(emb, init, n_iter=it).collect()
+        assert sum(r["n_vecs"] for r in rows) == n  # covering
+        sses.append(sum(r["sse_lad"] for r in rows))
+    # descent: each deeper run is no worse (ladder floor rounds one
+    # unit at most per vector; the planted fixture's gains are huge)
+    for a, b in zip(sses, sses[1:]):
+        assert b <= a + n, (sses,)
+    assert sses[-1] < sses[0]  # strictly better than donor assignment
+
+
 def test_merge_vector_indexes_serve_and_refusal(spark, tmp_path):
     """FAISS merge_from analog (merge_vector_indexes): (a) two shard
     indexes built against the SAME frozen quantizers merge into a
