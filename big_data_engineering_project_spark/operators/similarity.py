@@ -1170,20 +1170,44 @@ def merge_vector_indexes(
     n_added = 0
     for tag in _fs_list_batches(spark, src_tbl):
         new_tag = _next_free_batch_tag(spark, dest_tbl)
+        # Stage the copy in a dot-prefixed temp dir (invisible to
+        # _fs_list_batches AND to partition discovery) and only
+        # RENAME it into batch=<new_tag> on success — the
+        # compact_batches two-step discipline: a crash mid-copy
+        # leaves only an inert .merge-tmp-* dir, never a partial
+        # batch directory that would serve with silently missing
+        # rows (r13 ADVICE #1).
+        tmp_path = jvm.org.apache.hadoop.fs.Path(
+            f"{dest_tbl}/.merge-tmp-{new_tag}"
+        )
+        if fs_dst.exists(tmp_path):
+            fs_dst.delete(tmp_path, True)
         ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
             fs_src,
             jvm.org.apache.hadoop.fs.Path(f"{src_tbl}/batch={tag}"),
             fs_dst,
-            jvm.org.apache.hadoop.fs.Path(f"{dest_tbl}/batch={new_tag}"),
+            tmp_path,
             False,
             conf,
         )
         if not ok:
+            fs_dst.delete(tmp_path, True)
             raise IOError(
-                f"merge_vector_indexes: copy of batch={tag} into "
-                f"{dest_tbl}/batch={new_tag} failed — dest may hold a "
-                "partial batch directory; delete it and re-merge (src "
-                "is untouched)"
+                f"merge_vector_indexes: staged copy of batch={tag} "
+                f"into {dest_tbl}/.merge-tmp-{new_tag} failed — dest "
+                "batches are untouched (temp dir removed); re-merge "
+                "(src is untouched)"
+            )
+        final_path = jvm.org.apache.hadoop.fs.Path(
+            f"{dest_tbl}/batch={new_tag}"
+        )
+        if not fs_dst.rename(tmp_path, final_path):
+            raise IOError(
+                f"merge_vector_indexes: rename of staged "
+                f".merge-tmp-{new_tag} into batch={new_tag} failed — "
+                f"the staged copy remains at {dest_tbl}/.merge-tmp-"
+                f"{new_tag} (invisible to serving); delete it and "
+                "re-merge (src is untouched)"
             )
         copied.append(new_tag)
         n_added += (
@@ -1220,17 +1244,25 @@ def ivf_index_cell_stats(spark, index_path: str, table: str = "vectors") -> Data
         F.sum(F.col("n_vecs") * F.col("n_vecs")).cast("long").alias("__ss"),
         F.count(F.lit(1)).cast("long").alias("__k"),
     )
+    # Empty index (total_vecs = 0) is a state a health report must
+    # DESCRIBE, not crash on (ANSI mode) or NULL-out silently
+    # (default mode): share_ppm reads 0, imbalance stays NULL — "no
+    # data" is not "balanced" (r13 ADVICE #4).
     return (
         allc.crossJoin(F.broadcast(tot))
         .select(
             "cell",
             "n_vecs",
-            F.expr("n_vecs * 1000000 DIV __total").alias("share_ppm"),
+            F.expr(
+                "CASE WHEN __total = 0 THEN 0L "
+                "ELSE n_vecs * 1000000 DIV __total END"
+            ).alias("share_ppm"),
             F.col("__total").alias("total_vecs"),
-            (
+            F.when(
+                F.col("__total") > 0,
                 (F.col("__k") * F.col("__ss")).cast("double")
                 / F.col("__total")
-                / F.col("__total")
+                / F.col("__total"),
             ).alias("imbalance"),
         )
         .orderBy("cell")

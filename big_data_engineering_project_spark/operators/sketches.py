@@ -822,16 +822,20 @@ def kll_summary(
     are bit-deterministic in the multiset (auto depends only on n)."""
     import pandas as pd
 
-    if n_shards is None:
-        n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
-    shard = (
-        shard_expr
-        if shard_expr is not None
-        else F.pmod(
+    # shard_expr CONTRACT: values must land in [0, n_shards_used) for
+    # whatever shard layout the caller intends — the expression IS the
+    # layout, so n_shards is ignored and the auto-shard df.count()
+    # pass is skipped (r13 ADVICE #5: counting just to derive a number
+    # the supplied expression then ignores is a wasted full pass).
+    if shard_expr is not None:
+        shard = shard_expr.alias("shard")
+    else:
+        if n_shards is None:
+            n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
+        shard = F.pmod(
             F.xxhash64(F.col(id_col if id_col else value_col)),
             F.lit(n_shards),
-        )
-    ).alias("shard")
+        ).alias("shard")
     src = (
         df.select(shard, F.col(value_col).cast("long").alias("__v"))
         .where(F.col("__v").isNotNull())
@@ -983,16 +987,18 @@ def kll_summary_by_key(
     affine shards for the registered queries)."""
     import pandas as pd
 
-    if n_shards is None:
-        n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
-    shard = (
-        shard_expr
-        if shard_expr is not None
-        else F.pmod(
+    # Same shard_expr contract as kll_summary: the expression IS the
+    # shard layout (values in the caller's intended [0, n)), so the
+    # auto-shard count pass is skipped when it's supplied.
+    if shard_expr is not None:
+        shard = shard_expr.alias("__shard")
+    else:
+        if n_shards is None:
+            n_shards = _kll_auto_shards(df.count(), rows_per_shard_target)
+        shard = F.pmod(
             F.xxhash64(F.col(id_col if id_col else value_col)),
             F.lit(n_shards),
-        )
-    ).alias("__shard")
+        ).alias("__shard")
     src = (
         df.select(
             *key_cols, shard, F.col(value_col).cast("long").alias("__v")

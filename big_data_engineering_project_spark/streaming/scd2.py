@@ -170,15 +170,31 @@ def _compact_on_stop(
     )
 
     lineage = _re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
-    commits_dir = os.path.join(checkpoint_dir, "commits")
+    # List commits/ through the Hadoop FS API, like _fs_list_batches:
+    # os.listdir only exists for local checkpoints, and on s3a/abfs it
+    # would report commits/ absent → last=-1 → a spurious refusal on
+    # every committed batch (r13 ADVICE #2).
+    from big_data_engineering_project_spark.operators.similarity import (
+        _hadoop_fs,
+    )
+
+    commits_dir = checkpoint_dir.rstrip("/") + "/commits"
+    fs, jpath = _hadoop_fs(spark, commits_dir)
     committed = (
-        [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
-        if os.path.isdir(commits_dir)
+        [
+            int(st.getPath().getName())
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().isdigit()
+        ]
+        if fs.exists(jpath)
         else []
     )
     last = max(committed) if committed else -1
-    stats: dict = {}
-    for root, partition_by in roots:
+    # Refusal scan over ALL roots FIRST, compaction only after every
+    # root passes: a per-root guard-then-compact loop would leave
+    # roots 1..N-1 compacted when root N refuses, a mixed artifact
+    # state the RuntimeError's wording would belie (r13 ADVICE #3).
+    for root, _partition_by in roots:
         for tag in _fs_list_batches(spark, root):
             if not tag.startswith(lineage + "-"):
                 continue
@@ -190,8 +206,10 @@ def _compact_on_stop(
                     "refusing to compact an uncommitted batch into the "
                     "base (it would double-apply on replay). Another "
                     "writer is racing this artifact; quiesce it and "
-                    "compact manually."
+                    "compact manually. No root was compacted."
                 )
+    stats: dict = {}
+    for root, partition_by in roots:
         stats[root] = compact_batches(
             spark, root, partition_by=tuple(partition_by)
         )
