@@ -1513,6 +1513,75 @@ def ivfpq_index_topk_batch(
     )
 
 
+def ivfpq_index_batch_refined_topk(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    shortlist_mult: int = 4,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    adc_ladder: int = 1 << 20,
+) -> DataFrame:
+    """BATCHED ADC shortlist + exact re-rank — the shape a production
+    serving fleet actually runs (r13 verdict task 1): refine is
+    worthless at 100 TB if it forces one plan per query, so this
+    composes ivfpq_index_topk_batch's per-query compressed shortlist
+    (k′ = shortlist_mult·k per query, partition-pruned code scan,
+    per-query laddered ADC map — ONE plan for the whole batch) with
+    ONE exact re-rank stage: the (query_id, vec_id, adc_cosine)
+    shortlist — Q·k′ rows — joins the query vectors (Q·k′·dims
+    doubles, still tiny) and BROADCASTS against the plain vector scan
+    right above the parquet read, so the raw-vector I/O is Q·k′ row
+    lookups in one corpus pass, never Q passes and never a corpus-
+    wide score. Exact fold-cosine per (row, query), per-query top-k
+    via the keyed window (WindowGroupLimit). Both stages
+    deterministic (the batch serve's ladder + total-order windows;
+    the fold cosine) → exact-oracle-able from birth.
+
+    probe-all batch-refined ≡ per-query ivfpq_index_refined_topk
+    bit-for-bit (pytest anchor); under partial probes the same
+    single-vs-batch affinity-tie caveat as ivfpq_index_topk_batch
+    applies. Output (query_id, vec_id, adc_cosine, cosine), k rows
+    per query."""
+    kprime = int(shortlist_mult) * int(k)
+    short = ivfpq_index_topk_batch(
+        spark,
+        index_path,
+        queries_df,
+        k=kprime,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        id_col=id_col,
+        adc_ladder=adc_ladder,
+    ).select(query_id_col, id_col, "adc_cosine")
+    q = queries_df.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__q")
+    )
+    short_q = short.join(q, query_id_col)
+    raw = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    scored = raw.join(F.broadcast(short_q), id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("adc_cosine"),
+        cosine_col(F.col("_v"), F.col("__q")).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # --- Cosine-LSH near-duplicate pairs (all-pairs, unsupervised) ---------------
 #
 # `blocked_neardup_pairs` bounds the quadratic with a GIVEN blocking

@@ -128,7 +128,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the same pid-scoped index build, so the compressed-serve
     # mechanics stay under the gate inside the composed row, and the
     # plain serve stays exact-oracle-green in every FULL sweep)
-    "q_embedding_ivfpq_refined_topk",
+    # (q_embedding_ivfpq_refined_topk, gate-green r13 + judge-verified
+    # at both SFs, demoted for the round-14 BATCH-refined newborn —
+    # which SUBSUMES it the way it subsumed the flat serve: the
+    # batch-refined re-rank is the identical broadcast-shortlist +
+    # fold-cosine composition applied per query, pytest pins
+    # batch-refined ≡ per-query refined bit-for-bit, and the
+    # single-query row stays exact-oracle-green in every FULL sweep)
+    "q_embedding_ivfpq_batch_refined_topk",
     "q_embedding_ivfpq_residual_topk",
     # ...and the session's late newborn: batched IVF-PQ serving with
     # Catalyst-side per-query ADC tables (newborn-slot policy).

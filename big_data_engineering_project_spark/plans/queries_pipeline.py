@@ -2104,10 +2104,12 @@ _IVFPQ_BATCH_QIDS = (5, 6)
 _IVFPQ_BATCH_K = 8
 
 
-def _pq_adc_batch_oracle(qids: tuple[int, ...], k: int) -> str:
-    """Batch variant of _pq_adc_oracle: per-query laddered ADC tables,
-    per-query top-k — codes are query-independent, so `pick` is shared
-    across the batch exactly like the Spark serve's code scan."""
+def _pq_adc_batch_prefix(qids: tuple[int, ...]) -> str:
+    """Shared CTE chain of the BATCH ladder-ADC oracles — everything
+    through `scored` (per-(query, row) ADC cosine): the batch variant
+    of _pq_adc_prefix, with per-query laddered ADC tables and the
+    query-independent `pick` shared across the batch exactly like the
+    Spark serve's code scan."""
     m, sub, nd, lad = _PQ_M, _PQ_SUB, _PQ_DONORS, _ADC_LAD
     qlist = ", ".join(str(x) for x in qids)
     d2 = _adc_chain(
@@ -2123,8 +2125,7 @@ def _pq_adc_batch_oracle(qids: tuple[int, ...], k: int) -> str:
     n2 = _adc_chain(
         [f"c[{sub}*j+{i}] * c[{sub}*j+{i}]" for i in range(1, sub + 1)]
     )
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    return f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
            FROM embeddings WHERE vec_id IN ({qlist})),
 cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code,
               embedding::DOUBLE[] AS c
@@ -2163,13 +2164,58 @@ scored AS (
          * sqrt(CAST(adc_nrm_lad AS DOUBLE) / {lad}.0))
     ELSE -2.0 END AS adc_cosine
   FROM sc JOIN q ON sc.query_id = q.query_id
-)
+)"""
+
+
+def _pq_adc_batch_oracle(qids: tuple[int, ...], k: int) -> str:
+    """Batch variant of _pq_adc_oracle: per-query laddered ADC tables,
+    per-query top-k (see _pq_adc_batch_prefix)."""
+    return f"""
+WITH {_pq_adc_batch_prefix(qids)}
 SELECT query_id, vec_id, adc_dot_lad, adc_nrm_lad, adc_cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_cosine DESC, vec_id ASC) AS rk
   FROM scored
 ) WHERE rk <= {k}
 ORDER BY query_id, adc_cosine DESC, vec_id ASC
+"""
+
+
+def _pq_batch_refined_oracle(
+    qids: tuple[int, ...], k: int, mult: int
+) -> str:
+    """DuckDB replay of the BATCHED refined serve: per-query ladder-
+    ADC shortlists of mult·k codes under the compressed oracle's
+    total order, then ONLY those (query, id) pairs exact-rescored
+    with the raw-vector fold cosine and re-ranked per query — the
+    batch composition of _pq_refined_oracle, both stages
+    deterministic so shortlist membership and the final per-query
+    ranking replay bit-for-bit."""
+    cos = (
+        f"{_fold_dot('d.e', 'q.qe')} / (sqrt({_fold_dot('d.e', 'd.e')})"
+        f" * sqrt({_fold_dot('q.qe', 'q.qe')}))"
+    )
+    return f"""
+WITH {_pq_adc_batch_prefix(qids)},
+short AS (
+  SELECT query_id, vec_id, adc_cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_cosine DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {mult * k}
+),
+ref AS (
+  SELECT s.query_id, s.vec_id, s.adc_cosine, {cos} AS cosine
+  FROM short s
+  JOIN d ON d.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, adc_cosine, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM ref
+) WHERE rk <= {k}
+ORDER BY query_id, cosine DESC, vec_id ASC
 """
 
 
@@ -2195,13 +2241,33 @@ ORDER BY query_id, adc_cosine DESC, vec_id ASC
     ),
 )
 def q_embedding_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = _ivfpq_batch_queries(spark, sf_dir)
+    index_path = _ivfpq_batch_fixture_index(spark, sf_dir)
+    return similarity.ivfpq_index_topk_batch(
+        spark,
+        index_path,
+        queries,
+        k=_IVFPQ_BATCH_K,
+        n_probe=8,
+        adc_ladder=_ADC_LAD,
+    ).orderBy("query_id", F.desc("adc_cosine"), F.asc("vec_id"))
+
+
+def _ivfpq_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS))
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _ivfpq_batch_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the pid-scoped IVF-PQ fixture shared by the
+    batched compressed and batched refined serves (corpus = all but
+    the two batch query ids; donor codebooks; 8 donor centroids)."""
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(~F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
-    queries = emb.filter(
-        F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS))
-    ).select(F.col("vec_id").alias("query_id"), "embedding")
     index_path = _pid_scoped_index_path("bde_ivfpqb_", sf_dir)
     marker = os.path.join(index_path, "_built")
     if not os.path.exists(marker):
@@ -2212,14 +2278,46 @@ def q_embedding_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = _donor_pq_books(emb, _PQ_M, _PQ_SUB, _PQ_DONORS)
         similarity.build_ivfpq_index(corpus, index_path, cents, books)
         open(marker, "w").close()
-    return similarity.ivfpq_index_topk_batch(
+    return index_path
+
+
+@register(
+    "q_embedding_ivfpq_batch_refined_topk",
+    oracle=_pq_batch_refined_oracle(_IVFPQ_BATCH_QIDS, _IVFPQ_BATCH_K, 4),
+    doc="BATCHED refined ANN serving — the shape a 100 TB serving "
+    "fleet actually runs (r13 verdict task 1; refine is worthless at "
+    "scale if it forces one plan per query): ivfpq_index_topk_batch "
+    "over-fetches a per-query 4k ADC shortlist in ONE plan (pruned "
+    "code scan, per-query 2^20-laddered ADC maps), then ONE exact "
+    "re-rank stage broadcasts the Q·k' (query_id, vec_id) shortlist "
+    "+ query vectors against the plain vector scan — Q·k' row "
+    "lookups in one corpus pass, exact fold-cosine per (row, query), "
+    "per-query WindowGroupLimit top-k. Both stages deterministic → "
+    "exact gate from birth; probe-all batch-refined ≡ per-query "
+    "ivfpq_index_refined_topk pytest-pinned bit-for-bit "
+    "(operators/similarity.py:ivfpq_index_batch_refined_topk)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_ivfpq_batch_refined_matches_per_query_refined",
+    ),
+)
+def q_embedding_ivfpq_batch_refined_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
+    queries = _ivfpq_batch_queries(spark, sf_dir)
+    index_path = _ivfpq_batch_fixture_index(spark, sf_dir)
+    return similarity.ivfpq_index_batch_refined_topk(
         spark,
         index_path,
+        corpus,
         queries,
         k=_IVFPQ_BATCH_K,
+        shortlist_mult=4,
         n_probe=8,
         adc_ladder=_ADC_LAD,
-    ).orderBy("query_id", F.desc("adc_cosine"), F.asc("vec_id"))
+    ).orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
 
 
 @register(

@@ -3777,6 +3777,77 @@ def test_ivfpq_index_topk_batch_matches_flat_and_prunes(
         assert isinstance(r["adc_dot_lad"], int)
 
 
+def test_ivfpq_batch_refined_matches_per_query_refined(
+    spark, sf_dir, tmp_path
+):
+    """Batched refined serving (r13 verdict task 1): probe-all
+    batch-refined ≡ the per-query ivfpq_index_refined_topk serve
+    bit-for-bit for every query in the batch (same shortlist
+    membership, same exact cosines, same final ranking), with k rows
+    per query, and the exact re-rank stage joins the broadcast
+    shortlist — the plan carries a BroadcastHashJoin above the raw
+    vector scan, never a corpus-wide sort."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_batch_refined_topk,
+        ivfpq_index_refined_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [2, 4]
+    donors = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r["embedding"][j * 4 : (j + 1) * 4]]
+            for r in donors
+        ]
+        for j in range(16)
+    ]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = str(tmp_path / "ivfpq_batch_ref")
+    build_ivfpq_index(corpus, idx, cents, books)
+
+    k = 5
+    got = ivfpq_index_batch_refined_topk(
+        spark, idx, corpus, queries, k=k, shortlist_mult=4,
+        n_probe=4, adc_ladder=1 << 20,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_cosine"], r["cosine"])
+        )
+    assert sorted(by_q) == qids
+    for qid in qids:
+        q1 = emb.filter(F.col("vec_id") == qid).select("embedding")
+        single = [
+            (r["vec_id"], r["adc_cosine"], r["cosine"])
+            for r in ivfpq_index_refined_topk(
+                spark, idx, corpus, q1, k=k, shortlist_mult=4,
+                n_probe=4, adc_ladder=1 << 20,
+            ).collect()
+        ]
+        assert len(by_q[qid]) == k
+        assert (
+            sorted(by_q[qid], key=lambda t: (-t[2], t[0])) == single
+        ), qid
+
+
 def test_ivf_index_hadoop_fs_scheme_and_tag_probe(spark, sf_dir, tmp_path):
     """r10 verdict task 1 + ADVICE #2: every index-directory operation
     goes through the Hadoop FileSystem API, so the full build → append
