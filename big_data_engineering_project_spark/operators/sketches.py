@@ -641,6 +641,146 @@ def ams_f2(
     )
 
 
+# --- Replayable HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007) -------------
+#
+# The engine's native DataSketches HLL (F.hll_sketch_agg) keeps its
+# register bytes engine-internal, so no cross-engine value oracle can
+# exist for it. This is the same estimator with the registers OUT IN
+# THE OPEN: register index = low p bits of the replayable scrambled
+# poly-hash, rank = leading-zero count of the remaining bits + 1,
+# register value = MAX(rank) — a plain groupBy, mergeable at any
+# granularity (day registers → range registers is just another MAX,
+# lossless like same-lgK DataSketches union). Every arithmetic step is
+# gate-safe by construction, not by luck:
+#   - ranks come from an integer CASE ladder (no log2/float);
+#   - the harmonic mean is an INTEGER sum — each register contributes
+#     2^(RMAX - M_j), empty registers 2^RMAX, total < 2^31 — so the
+#     raw estimate is one exactly-rounded IEEE division of exact
+#     integers times a Python-computed double literal (alpha·m²·2^RMAX)
+#     injected identically into both engines;
+#   - the linear-counting branch m·ln(m/V) has a FINITE input domain
+#     (V ∈ 1..m): the rounded-to-integer estimate is proven equal
+#     between JVM Math.log and DuckDB/libm ln by EXHAUSTIVE
+#     enumeration of all m inputs (tests/test_operators.py::
+#     test_hll_linear_counting_rounding_exhaustive; closest approach
+#     to a rounding boundary is ~1e-4 ≈ 4e11 ulps of margin), so the
+#     branch is deterministic over its whole domain, not
+#     probabilistically safe.
+# The estimate is therefore a BIGINT both engines agree on bit-for-bit
+# — the conversion recipe the round-13 KLL unroll established, applied
+# to the last sketch family that lacked it.
+
+HLL_P_BITS = 12
+HLL_M = 1 << HLL_P_BITS  # 4096 registers → rsd ≈ 1.04/sqrt(m) ≈ 1.6%
+# alpha_m · m² · 2^RMAX, computed once in Python (IEEE doubles, the
+# same arithmetic both engines would do) and injected as one literal.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+
+
+def _hll_rmax(hash_range: int) -> int:
+    """Rank of an all-zero body (= q leading zeros + 1) for hashes in
+    [0, hash_range): body = h >> p has q = bit_length((hash_range-1)>>p)
+    significant bits."""
+    return ((hash_range - 1) >> HLL_P_BITS).bit_length() + 1
+
+
+def hll_rank_expr(h: Column, hash_range: int = HASH_PRIME) -> Column:
+    """Rank (leading zeros of the post-index hash body + 1) as a pure
+    integer CASE ladder — replayable in any SQL engine, no float log."""
+    rmax = _hll_rmax(hash_range)
+    body = F.shiftright(h, HLL_P_BITS)
+    c = F.when(body >= (1 << (rmax - 2)), F.lit(1))
+    for r in range(2, rmax):
+        c = c.when(body >= (1 << (rmax - 1 - r)), F.lit(r))
+    return c.otherwise(F.lit(rmax))
+
+
+def hll_rank_sql(h: str, hash_range: int = HASH_PRIME) -> str:
+    """DuckDB mirror of hll_rank_expr (same ladder, same constants)."""
+    rmax = _hll_rmax(hash_range)
+    arms = " ".join(
+        f"WHEN (({h}) >> {HLL_P_BITS}) >= {1 << (rmax - 1 - r)} THEN {r}"
+        for r in range(1, rmax)
+    )
+    return f"(CASE {arms} ELSE {rmax} END)"
+
+
+def hll_registers_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_col: str,
+    hash_range: int = HASH_PRIME,
+) -> DataFrame:
+    """Per-key open-register HLL sketch: one row per (key, register j)
+    with r = MAX(rank). `hash_col` must be a uniform nonnegative hash
+    in [0, hash_range) (see plans.queries_pipeline._kmv_mix). The
+    output IS the mergeable summary — a coarser rollup is
+    groupBy(coarser_keys, "j").agg(max("r"))."""
+    h = F.col(hash_col)
+    return df.groupBy(
+        *key_cols, h.bitwiseAND(HLL_M - 1).alias("j")
+    ).agg(F.max(hll_rank_expr(h, hash_range)).alias("r"))
+
+
+def hll_estimate_agg(
+    regs: DataFrame,
+    key_cols: list[str],
+    hash_range: int = HASH_PRIME,
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """BIGINT distinct-count estimate per key from an open-register
+    table (hll_registers_agg output): scaled-integer harmonic mean,
+    alpha bias correction, linear counting below 2.5m — every branch
+    bit-reproducible cross-engine (see module section comment)."""
+    rmax = _hll_rmax(hash_range)
+    m = HLL_M
+    amm = _HLL_ALPHA * float(m) * float(m) * float(1 << rmax)
+    agg = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - r)")).alias("__s"),
+    )
+    raw = F.lit(amm) / (
+        F.col("__s") + (F.lit(m) - F.col("__np")) * F.lit(1 << rmax)
+    ).cast("double")
+    v = (F.lit(m) - F.col("__np")).cast("long")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.floor(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.floor(raw + F.lit(0.5)))
+    return agg.select(*key_cols, est.cast("long").alias(out_col))
+
+
+def hll_estimate_sql(
+    regs_rel: str,
+    key_cols: list[str],
+    hash_range: int = HASH_PRIME,
+    out_col: str = "hll_estimate",
+) -> str:
+    """DuckDB mirror of hll_estimate_agg over a relation/CTE named
+    `regs_rel` with columns (key_cols..., j, r): returns a SELECT
+    producing (key_cols..., out_col). Same literals, same expression
+    shapes, same branch condition as the Spark side."""
+    rmax = _hll_rmax(hash_range)
+    m = HLL_M
+    amm = _HLL_ALPHA * float(m) * float(m) * float(1 << rmax)
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT {keys},
+       CAST(CASE
+         WHEN {amm!r} / CAST(SUM((1::BIGINT) << ({rmax} - r))
+                + ({m} - COUNT(*)) * {1 << rmax} AS DOUBLE) <= {2.5 * m!r}
+              AND {m} - COUNT(*) > 0
+         THEN FLOOR({float(m)!r} * ln({float(m)!r}
+                / CAST({m} - COUNT(*) AS DOUBLE)) + 0.5)
+         ELSE FLOOR({amm!r} / CAST(SUM((1::BIGINT) << ({rmax} - r))
+                + ({m} - COUNT(*)) * {1 << rmax} AS DOUBLE) + 0.5)
+       END AS BIGINT) AS {out_col}
+FROM {regs_rel} GROUP BY {keys}"""
+
+
 # --- Deterministic KLL-style quantile summary (certified rank error) -----------
 #
 # The histogram/HDR pair above trades error for VALUE-RANGE knowledge

@@ -334,7 +334,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoted — the iterative-fixed-point class stays gated via LPA
     # and the deep-LPA auto-checkpoint query in FULL sweeps)
     # "q_cheapest_part_paths" demoted r9 (gate-green r8)
-    "q_link_prediction",
+    # (q_link_prediction, 6× gate-green r8–r13, demoted for the
+    # round-14 HLL CONVERSION pair below — re-prove-changed-plans
+    # policy; the graph family keeps k-core + star-CC + Pareto under
+    # the gate and link prediction stays exact-oracle-green in every
+    # FULL sweep)
     "q_pareto_parts",
     # Join strategies: bloom-pruned semi (q_topk_lineitems_sharded,
     # gate-green r7, demoted for the newborn Theil-Sen robust trend —
@@ -343,7 +347,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_weighted_median_price",
     "q_theil_sen_trend",
     # Profiling + set algebra + grouping-sets family
-    "q_rfm_segments",
+    # (q_rfm_segments, 6× gate-green r8–r13, demoted with
+    # q_link_prediction for the round-14 HLL conversion pair — the
+    # behavior family keeps TWAP + order-concurrency + attribution
+    # under the gate and RFM stays exact-oracle-green in every FULL
+    # sweep.) IN: both HLL rows, rows-only since birth (register
+    # bytes were engine-internal), CONVERTED to the exact cross-
+    # engine gate in r14 — open registers over the quadratic-mixed
+    # replayable poly-hash, scaled-integer harmonic mean, linear-
+    # counting branch proven by exhaustive enumeration of its finite
+    # domain (operators/sketches.py) — so their first hash-green
+    # verdicts land in a committed artifact the round the plans
+    # changed (re-prove-changed-plans policy, the r12/r13 precedent).
+    "q_hll_distinct_users",
+    "q_hll_daily_merge",
     # Warehouse maintenance — the four remaining round-7 newborns
     # (SCD2 history, basket pairs, OHLC bars, FK-orphan audit) take
     # gate slots the round they are born; q_serving_try_cast (6×

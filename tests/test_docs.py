@@ -32,10 +32,14 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_embedding_kmeans",  # iterative (SSE pytest)
         "q_stemmed_docs",  # Porter stemmer (unit-vector pytest)
         "q_compression_ratio",  # zlib codec (determinism/ordering pytest)
-        "q_hll_distinct_users",  # HLL registers are engine-internal (error-bound pytest)
         "q_approx_quantile_contrast",  # t-digest internals engine-specific (error-bound pytest)
-        "q_hll_daily_merge",  # DataSketches registers engine-internal (merged==direct + error-bound pytest)
         "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
+        # r14: both HLL rows moved to exact oracles (open registers
+        # over the quadratic-mixed replayable poly-hash + scaled-
+        # integer harmonic mean + exhaustively-proven rounded linear
+        # counting, operators/sketches.py) — the engine-internal
+        # DataSketches surface stays pytest-pinned in the streaming
+        # twin (run_hll_stream).
         # r13: all three KLL rows moved to exact oracles (unrolled
         # single-sweep compactor replay + affine shard_expr,
         # queries_pipeline.py:_kll_oracle) — the driver gate's last

@@ -1629,10 +1629,10 @@ def test_approx_quantiles_within_bound(spark, sf_dir):
 
 
 def test_hll_daily_merge_equals_direct(spark, sf_dir):
-    """DataSketches HLL union at equal lgK is lossless in register
-    space: the per-day-merged estimate must EQUAL the direct
-    whole-range estimate, and both must sit within the lgK=14 rsd
-    (~0.41%, allow 5x margin) of the exact distinct count."""
+    """Open-register HLL union (MAX per register) is lossless exactly
+    like same-lgK DataSketches union: the per-day-merged estimate must
+    EQUAL the direct whole-range estimate, and both must sit within
+    ~5x the m=4096 rsd (1.6%) of the exact distinct count."""
     from big_data_engineering_project_spark.plans import REGISTRY
 
     rows = REGISTRY["q_hll_daily_merge"].builder(spark, sf_dir).collect()
@@ -1640,8 +1640,47 @@ def test_hll_daily_merge_equals_direct(spark, sf_dir):
     for r in rows:
         assert r["est_merged"] == r["est_direct"], r
         assert abs(r["est_merged"] - r["exact"]) <= max(
-            1, int(0.02 * r["exact"])
+            1, int(0.08 * r["exact"])
         ), r
+
+
+def test_hll_linear_counting_rounding_exhaustive(spark):
+    """The PROOF that the replayable HLL's only transcendental step is
+    gate-safe: the linear-counting branch floor(m·ln(m/V) + 0.5) has a
+    FINITE input domain (V ∈ 1..m zero registers), so JVM Math.log and
+    DuckDB/libm ln are compared on ALL m=4096 possible inputs — the
+    raw doubles differ in the last ulp on ~7% of them (measured 302),
+    but the ROUNDED BIGINT estimate agrees everywhere (closest
+    approach of est+0.5 to an integer is ~1.07e-4 ≈ 4e11 ulps of
+    margin). Exhaustive over the domain → deterministic, not
+    probabilistic."""
+    import duckdb
+
+    from big_data_engineering_project_spark.operators.sketches import HLL_M
+
+    got = {
+        r["v"]: r["est"]
+        for r in spark.range(1, HLL_M + 1)
+        .select(
+            F.col("id").alias("v"),
+            F.floor(
+                F.lit(float(HLL_M))
+                * F.log(F.lit(float(HLL_M)) / F.col("id").cast("double"))
+                + F.lit(0.5)
+            ).alias("est"),
+        )
+        .collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT v, CAST(FLOOR({float(HLL_M)!r} * ln({float(HLL_M)!r} "
+            f"/ CAST(v AS DOUBLE)) + 0.5) AS BIGINT) "
+            f"FROM range(1, {HLL_M + 1}) t(v)"
+        )
+        .fetchall()
+    )
+    assert got == want
 
 
 def test_incremental_rs_persisted_index_two_day_ingest(
