@@ -344,7 +344,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gate-green r7, demoted for the newborn Theil-Sen robust trend —
     # the sharded-rank form stays plan-pinned in test_plans and
     # exact-oracle-green in every FULL sweep)
-    "q_weighted_median_price",
+    # (q_weighted_median_price, 6× gate-green r8–r13, demoted for the
+    # round-14 materialized-prefix matryoshka newborn — newborn-slot
+    # policy; robust stats keep Theil-Sen + Gini under the gate and
+    # the weighted median stays exact-oracle-green in every FULL
+    # sweep.) IN: the index-backed matryoshka serve — the narrow
+    # prefix-table scan the r13 row-local form only documented,
+    # exact-oracle from birth over the day-0 ∪ day-1 fixture index.
+    "q_embedding_matryoshka_index_topk",
     "q_theil_sen_trend",
     # Profiling + set algebra + grouping-sets family
     # (q_rfm_segments, 6× gate-green r8–r13, demoted with

@@ -781,7 +781,9 @@ _MRL_MULT = 4
 _MRL_QID = 3
 
 
-def _matryoshka_oracle() -> str:
+def _matryoshka_oracle(
+    qid: int = _MRL_QID, corpus_where: str | None = None
+) -> str:
     def fold_dot_n(a: str, b: str, n: int) -> str:
         return (
             f"list_reduce([CAST(0.0 AS DOUBLE)] + "
@@ -796,11 +798,12 @@ def _matryoshka_oracle() -> str:
         )
 
     p = _MRL_PREFIX
+    where = corpus_where or f"vec_id != {qid}"
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
-           WHERE vec_id = {_MRL_QID}),
+           WHERE vec_id = {qid}),
 d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE vec_id != {_MRL_QID}),
+      WHERE {where}),
 short AS (
   SELECT vec_id, {fold_cos_n('d.e', 'q.qe', p)} AS prefix_cosine
   FROM d, q
@@ -838,6 +841,46 @@ def q_embedding_matryoshka_topk(
     query = emb.filter(F.col("vec_id") == _MRL_QID).select("embedding")
     return similarity.matryoshka_topk(
         emb.filter(F.col("vec_id") != _MRL_QID),
+        query,
+        k=_MRL_K,
+        prefix_dims=_MRL_PREFIX,
+        shortlist_mult=_MRL_MULT,
+    )
+
+
+@register(
+    "q_embedding_matryoshka_index_topk",
+    oracle=_matryoshka_oracle(qid=1, corpus_where="vec_id != 1"),
+    doc="Matryoshka coarse-to-fine ANN served from the PERSISTED "
+    f"index with a MATERIALIZED prefix table (r13 verdict gap #2 — "
+    "the narrow scan the row-local matryoshka_topk only documented): "
+    f"stage 1 ranks by cosine over `prefix{_MRL_PREFIX}/` — "
+    f"{_MRL_PREFIX}/{_DIMS} of the corpus BYTES ON DISK, not a "
+    "row-local slice of a full-width read — stage 2 broadcasts the "
+    "4k-id shortlist against `vectors/` for the exact full-dim "
+    "rescore (the refine join shape). The prefix table materializes "
+    "INCREMENTALLY per batch directory (day-0 build + day-1 append "
+    "here — the same pid-scoped fixture index every persisted-ANN "
+    "query shares, so bench times the steady-state SERVE), and a "
+    "serve against a just-appended index materializes only the "
+    "missing batch instead of silently dropping its rows. Exact "
+    "oracle from birth: both stages deterministic, corpus = the "
+    "indexed day-0 ∪ day-1 set "
+    "(operators/similarity.py:matryoshka_index_topk)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_matryoshka_index_matches_rowlocal_and_appends",
+    ),
+)
+def q_embedding_matryoshka_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    index_path = _ivf_fixture_index(spark, sf_dir)
+    return similarity.matryoshka_index_topk(
+        spark,
+        index_path,
         query,
         k=_MRL_K,
         prefix_dims=_MRL_PREFIX,

@@ -5099,6 +5099,60 @@ def test_matryoshka_topk_recall_and_shortlist_bound(spark):
         assert r["cosine"] == exact_cos[r["vec_id"]], r
 
 
+def test_matryoshka_index_matches_rowlocal_and_appends(spark, tmp_path):
+    """The materialized-prefix serve (matryoshka_index_topk) must be
+    bit-identical to the row-local matryoshka_topk over the same
+    corpus; the prefix table materializes INCREMENTALLY — the first
+    serve writes one prefix batch per vectors batch, a re-serve
+    materializes nothing, and a serve after ivf_index_append
+    materializes ONLY the new batch and sees its rows (an appended
+    planted near-duplicate must surface in the top-k instead of being
+    silently missed by a stale prefix table)."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        _fs_list_batches,
+        build_ivf_index,
+        ivf_index_append,
+        matryoshka_index_topk,
+        matryoshka_prefix_materialize,
+        matryoshka_topk,
+    )
+
+    emb, planted = _planted_embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "mrl_idx")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in base.orderBy("vec_id").limit(4).collect()
+    ]
+    build_ivf_index(base, idx, cents)
+    got = matryoshka_index_topk(
+        spark, idx, q, k=10, prefix_dims=8, shortlist_mult=4
+    ).collect()
+    want = matryoshka_topk(
+        base, q, k=10, prefix_dims=8, shortlist_mult=4
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # one prefix batch per vectors batch; a second pass is a no-op
+    assert _fs_list_batches(spark, idx + "/prefix8") == _fs_list_batches(
+        spark, idx + "/vectors"
+    )
+    assert matryoshka_prefix_materialize(spark, idx, 8) == []
+    # append a near-copy of the query: the serve must materialize the
+    # new batch's prefix and rank the newcomer at the top
+    qvec = [float(x) for x in q.first()[0]]
+    new = spark.createDataFrame(
+        [(9999, [x * 0.999 + 0.0001 for x in qvec])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    ivf_index_append(new, idx)
+    got2 = matryoshka_index_topk(
+        spark, idx, q, k=10, prefix_dims=8, shortlist_mult=4
+    ).collect()
+    assert got2[0]["vec_id"] == 9999
+    assert "d1" in _fs_list_batches(spark, idx + "/prefix8")
+
+
 def test_auc_from_weighted_serving_seam(spark):
     """auc_from_weighted over a hand-built weighted-distinct state
     must equal auc_exact over the expanded rows (keyed), including a
