@@ -446,5 +446,110 @@ def test_compact_on_stop_hook_cycle_and_refusal(spark, tmp_path):
     assert f"{lineage}-99" in _batch_tags(idx + "/postings")
 
 
+def test_merge_compact_composed_lifecycle(spark, tmp_path):
+    """The two directory-algebra lifecycle ops COMPOSED — the exact
+    sequence a sharded 100 TB build runs (r13 verdict gap #4), which
+    each op's own twin never exercised: shard-build → append → MERGE
+    shard B in → COMPACT (absorbing merged batches into base) → MERGE
+    shard C into the compacted index (its fresh tag must probe past
+    the absorbed base, landing at d1 again with no stale leftovers) →
+    COMPACT again. At every stage the probe-all serve must stay
+    bit-equal to a single index built over the same union corpus, and
+    after each compaction the batch list is exactly [base] with the
+    inner cell=N layout intact."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        merge_vector_indexes,
+        pq_train_codebooks,
+    )
+
+    def vec(i):
+        return [
+            float((i * 7 + d * 5) % 13) / 13.0 + 0.05 for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(1, 61)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    a0 = emb.filter(F.col("vec_id") % 3 == 0)
+    a1 = emb.filter(F.col("vec_id") % 3 == 1).filter(F.col("vec_id") < 30)
+    b = emb.filter(F.col("vec_id") % 3 == 1).filter(F.col("vec_id") >= 30)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    cents = kmeans_centers(emb, k=4, seed=7)
+    books = pq_train_codebooks(emb, m=4, k=8, dims=16, seed=11)
+
+    ia = str(tmp_path / "main")
+    build_ivfpq_index(a0, ia, cents, books)
+    ivfpq_index_append(a1, ia)
+
+    def serve():
+        return [
+            tuple(r)
+            for r in ivfpq_index_topk(
+                spark, ia, query, k=10, n_probe=4
+            ).collect()
+        ]
+
+    def union_serve(df):
+        iu = str(tmp_path / "u")
+        import shutil
+
+        shutil.rmtree(iu, ignore_errors=True)
+        build_ivfpq_index(df, iu, cents, books)
+        return [
+            tuple(r)
+            for r in ivfpq_index_topk(
+                spark, iu, query, k=10, n_probe=4
+            ).collect()
+        ]
+
+    # merge shard B into the appended index, then compact-after-merge
+    ib = str(tmp_path / "shard_b")
+    build_ivfpq_index(b, ib, cents, books)
+    merge_vector_indexes(spark, ia, ib, table="codes")
+    ab = a0.union(a1).union(b)
+    want_ab = union_serve(ab)
+    assert serve() == want_ab
+    stats = compact_vector_index(spark, ia, table="codes")
+    assert stats["codes"]["compacted"]
+    assert _batch_tags(ia + "/codes") == ["base"]
+    assert any(
+        d.startswith("cell=") for d in os.listdir(ia + "/codes/batch=base")
+    )
+    assert serve() == want_ab
+
+    # merge shard C into the COMPACTED index: its src batch=base must
+    # land under a fresh tag probed past the absorbed base (d1), and
+    # the serve must equal the three-way union
+    ic = str(tmp_path / "shard_c")
+    build_ivfpq_index(c, ic, cents, books)
+    st = merge_vector_indexes(spark, ia, ic, table="codes")
+    assert st["copied"] == ["d1"] and st["n_rows_added"] == c.count()
+    assert _batch_tags(ia + "/codes") == ["base", "d1"]
+    abc = ab.union(c)
+    want_abc = union_serve(abc)
+    assert serve() == want_abc
+
+    # compact again: back to a lone base, serve unchanged, and no
+    # .merge-tmp / .swap-old / .compact-tmp residue anywhere
+    stats2 = compact_vector_index(spark, ia, table="codes")
+    assert stats2["codes"]["compacted"]
+    assert _batch_tags(ia + "/codes") == ["base"]
+    assert serve() == want_abc
+    residue = [
+        d
+        for d in os.listdir(ia + "/codes")
+        if d.startswith(".merge-tmp") or d.startswith(".")
+    ] + [
+        d
+        for d in os.listdir(str(tmp_path))
+        if d.endswith(".swap-old") or d.endswith(".compact-tmp")
+    ]
+    assert residue == [], residue
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

@@ -5099,6 +5099,69 @@ def test_matryoshka_topk_recall_and_shortlist_bound(spark):
         assert r["cosine"] == exact_cos[r["vec_id"]], r
 
 
+def test_ivf_health_refit_serve_equality(spark, tmp_path):
+    """Threshold → refit → serve-equality, connected (the health
+    report alarmed but nothing acted): a pathologically-quantized
+    index (every vector lands in cell 1 → imbalance = k) must trip
+    ivf_index_refit_if_unbalanced, the refit must restore balance
+    (k-means over the INDEXED vectors — no external corpus), and the
+    probe-all serve must be bit-equal across the swap. Below
+    threshold → untouched no-op."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_cell_stats,
+        ivf_index_refit_if_unbalanced,
+        ivf_index_topk,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for c in range(4):
+        for i in range(10):
+            v = [5.0 + rng.random() for _ in range(8)]
+            v[c] += 30.0  # four well-separated positive clusters
+            rows.append((c * 10 + i + 1, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") == 1).select("embedding")
+    idx = str(tmp_path / "skewed")
+    # cell 1 points at the positive orthant, cells 2-4 at negative
+    # directions no (all-positive) vector matches: everything → cell 1
+    bad_cents = [[1.0] * 8] + [
+        [-1.0 if d == c else -0.1 for d in range(8)] for c in range(3)
+    ]
+    build_ivf_index(emb, idx, bad_cents)
+    health = ivf_index_cell_stats(spark, idx).collect()
+    assert health[0]["imbalance"] == 4.0  # k·n²/n² — worst case
+    assert [r["n_vecs"] for r in health] == [40, 0, 0, 0]
+
+    def serve():
+        return [
+            tuple(r)
+            for r in ivf_index_topk(spark, idx, q, k=10, n_probe=4).collect()
+        ]
+
+    before = serve()
+    # below threshold → untouched
+    noop = ivf_index_refit_if_unbalanced(spark, idx, threshold=10.0)
+    assert noop == {
+        "refit": False,
+        "imbalance": 4.0,
+        "imbalance_after": None,
+        "n_cells": 4,
+    }
+    assert serve() == before
+    # above threshold → refit, balance restored, serve bit-equal
+    res = ivf_index_refit_if_unbalanced(spark, idx, threshold=2.0)
+    assert res["refit"] and res["imbalance"] == 4.0
+    assert res["imbalance_after"] < 1.5
+    assert serve() == before
+    # the health report over the refit index agrees with the result
+    after = ivf_index_cell_stats(spark, idx).collect()
+    assert all(r["n_vecs"] > 0 for r in after)
+
+
 def test_matryoshka_index_matches_rowlocal_and_appends(spark, tmp_path):
     """The materialized-prefix serve (matryoshka_index_topk) must be
     bit-identical to the row-local matryoshka_topk over the same
