@@ -76,6 +76,7 @@ def compact_batches(
     root: str,
     partition_by: tuple[str, ...] = (),
     base_tag: str = "base",
+    transform=None,
 ) -> dict:
     """Collapse every `batch=<tag>` child of `root` into one
     `batch=<base_tag>` directory holding the identical rows, swapped
@@ -95,8 +96,14 @@ def compact_batches(
     compacts (postings, band rows, manifests) are index-sized, not
     corpus-sized, so one file per root is the honest default.
 
+    `transform` (optional, df -> df) rewrites the rows on the way
+    through — the seam vector_index_vacuum uses to apply delete
+    tombstones physically during the compaction pass. With a
+    transform, a lone `batch=<base_tag>` is still rewritten (the
+    filter must apply to every batch); without one it stays a no-op.
+
     No-ops (compacted=False) when the root is absent, empty, or
-    already a lone `batch=<base_tag>`."""
+    already a lone `batch=<base_tag>` with no transform."""
     bak = root + ".swap-old"
     tmp = root + ".compact-tmp"
     fs, jroot = _hadoop_fs(spark, root)
@@ -119,7 +126,7 @@ def compact_batches(
         "files_before": files_before,
         "files_after": files_before,
     }
-    if not tags or tags == [base_tag]:
+    if not tags or (tags == [base_tag] and transform is None):
         # no-op — but a crash between the swap's second rename and the
         # bak delete leaves a complete stale copy under .swap-old (and
         # possibly .compact-tmp) that would otherwise persist FOREVER
@@ -131,6 +138,8 @@ def compact_batches(
         return stats
     _fs_delete(spark, tmp)
     df = spark.read.parquet(root).drop("batch")
+    if transform is not None:
+        df = transform(df)
     dest = posixpath.join(tmp, f"batch={base_tag}")
     if partition_by:
         (

@@ -498,9 +498,11 @@ def ivf_index_topk(
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
     probe_cells = _rank_cells(qvec, cents, n_probe)
     qlit = F.array(*[F.lit(x) for x in qvec])
+    scan = spark.read.parquet(index_path + "/vectors").filter(
+        F.col("cell").isin(probe_cells)
+    )
     return (
-        spark.read.parquet(index_path + "/vectors")
-        .filter(F.col("cell").isin(probe_cells))
+        _minus_tombstones(spark, index_path, scan, id_col)
         .select(
             F.col(id_col),
             cosine_col(F.col("vec"), qlit).alias("cosine"),
@@ -557,7 +559,12 @@ def ivf_index_topk_batch(
         .filter(F.col("__pr") <= n_probe)
         .select("__qid", "__q", "cell")
     )
-    vecs = spark.read.parquet(index_path + "/vectors")
+    vecs = _minus_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(index_path + "/vectors"),
+        id_col,
+    )
     scored = vecs.join(F.broadcast(probes), "cell").select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
@@ -925,8 +932,13 @@ def ivfpq_index_topk(
     books = load_pq_codebooks(spark, index_path)
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
     probe_cells = _rank_cells(qvec, cents, n_probe)
-    pruned = spark.read.parquet(index_path + "/codes").filter(
-        F.col("cell").isin(probe_cells)
+    pruned = _minus_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(index_path + "/codes").filter(
+            F.col("cell").isin(probe_cells)
+        ),
+        id_col,
     )
     if adc_ladder is not None:
         d, n, s = _adc_ladder_cols(qvec, books, adc_ladder)
@@ -1162,6 +1174,16 @@ def merge_vector_indexes(
                     "quantizers (every ADC score would be silently wrong). "
                     "Rebuild one shard against the other's quantizers."
                 )
+    # Live delete tombstones on src do NOT copy with its batches —
+    # merging would silently resurrect every deleted row in dest.
+    # Vacuum src first. Dest tombstones are fine: they stay live and
+    # keep applying to the merged rows (ids are index-global).
+    if _fs_list_batches(spark, src_path + "/tombstones"):
+        raise ValueError(
+            "merge_vector_indexes: src index has live delete "
+            "tombstones — vacuum src (vector_index_vacuum) before "
+            "merging, or its deleted rows would be resurrected in dest"
+        )
     src_tbl = f"{src_path}/{table}"
     dest_tbl = f"{dest_path}/{table}"
     fs_src, _ = _hadoop_fs(spark, src_tbl)
@@ -1306,9 +1328,16 @@ def ivf_index_refit_if_unbalanced(
         return out
     from big_data_engineering_project_spark.ml import kmeans_centers
 
-    vecs = spark.read.parquet(index_path + "/vectors").select(
-        "vec_id", F.col("vec").alias("embedding")
-    )
+    # Apply live tombstones BEFORE the rebuild: the swap replaces the
+    # whole index root (tombstones/ included), so rebuilding unfiltered
+    # vectors would silently resurrect every deleted row — the refit
+    # doubles as a vacuum.
+    vecs = _minus_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(index_path + "/vectors"),
+        "vec_id",
+    ).select("vec_id", F.col("vec").alias("embedding"))
     # localCheckpoint: the rebuild deletes the directories this plan
     # reads — materialize the corpus before the swap touches them.
     vecs = vecs.localCheckpoint(eager=True)
@@ -1324,6 +1353,125 @@ def ivf_index_refit_if_unbalanced(
         ),
     )
     return out
+
+
+# --- Delete tombstones (takedown / right-to-be-forgotten at index scale) ------
+#
+# The lifecycle piece the build → append → merge → compact matrix
+# still lacked: REMOVING rows. At 100 TB a takedown cannot rewrite
+# the corpus synchronously, so deletes follow the classic LSM/Delta
+# discipline — a delete WRITES a tombstone batch (O(deleted ids), the
+# corpus is untouched), every serve anti-joins the broadcast tombstone
+# id set (delete-sized, not corpus-sized), and the periodic VACUUM
+# applies tombstones physically during a compaction rewrite and only
+# then clears them. Crash anywhere = at worst tombstones outlive
+# their rows, and an anti-join against absent ids is a no-op — every
+# state serves correctly, every step idempotent.
+
+
+def load_index_tombstones(spark, index_path: str, id_col: str = "vec_id"):
+    """The index's live deleted-id set (distinct union of all
+    tombstone batches), or None when no tombstones exist. Delete-
+    sized by construction — serves broadcast it."""
+    tomb_dir = index_path + "/tombstones"
+    if not _fs_list_batches(spark, tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select(id_col).distinct()
+
+
+def vector_index_delete(
+    spark,
+    index_path: str,
+    ids,
+    tag: str | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Delete vectors from a persisted index by id: writes ONE
+    tombstone batch directory (`tombstones/batch=<tag>`) holding the
+    distinct ids — never reads or rewrites the corpus. `ids` is a
+    DataFrame with `id_col` or a plain iterable. Takes effect on the
+    NEXT serve (every serve anti-joins live tombstones); physical
+    removal is vector_index_vacuum. Default tags probe forward like
+    appends; an explicit tag REPLACES its batch (idempotent replay).
+    Deleting ids that were never indexed is legal and harmless (the
+    anti-join just never matches). Single-writer contract as for all
+    directory mutations. Returns {"tag": tag, "n_ids": n}."""
+    tomb_dir = index_path + "/tombstones"
+    if tag is None:
+        tag = _next_free_batch_tag(spark, tomb_dir)
+    df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} LONG"
+        )
+    )
+    df = df.select(id_col).distinct()
+    n = df.count()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tomb_dir}/batch={tag}"
+    )
+    return {"tag": tag, "n_ids": int(n)}
+
+
+def _minus_tombstones(
+    spark, index_path: str, scan: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Serve-side tombstone filter: anti-join the broadcast deleted-id
+    set; a tombstone-free index returns the scan unchanged (zero plan
+    cost on the common path)."""
+    tomb = load_index_tombstones(spark, index_path, id_col)
+    if tomb is None:
+        return scan
+    return scan.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def vector_index_vacuum(
+    spark,
+    index_path: str,
+    table: str = "vectors",
+    id_col: str = "vec_id",
+) -> dict:
+    """Apply tombstones PHYSICALLY: one compaction rewrite of the
+    index's batch directories with the tombstoned rows filtered out
+    (compact_batches' transform seam — same build-aside + two-rename
+    atomic swap, inner cell layout preserved), then clear the
+    tombstone directories. Crash-ordering is safe by construction:
+    tombstones are deleted only AFTER the swapped-in root verifiably
+    exists, and a crash before that leaves tombstones whose rows are
+    already gone — an anti-join no-op, cleared by the next vacuum.
+    No-op when the index has no tombstones (use compact_vector_index
+    for a pure compaction). Returns the compact stats plus
+    {"n_tombstones": n}."""
+    from big_data_engineering_project_spark.operators.compaction import (
+        compact_batches,
+    )
+
+    tomb = load_index_tombstones(spark, index_path, id_col)
+    if tomb is None:
+        return {"vacuumed": False, "n_tombstones": 0}
+    tomb = tomb.localCheckpoint(eager=True)  # survives the tombstone delete below
+    n = tomb.count()
+    stats = compact_batches(
+        spark,
+        f"{index_path}/{table}",
+        partition_by=("cell",),
+        transform=lambda df: df.join(F.broadcast(tomb), id_col, "left_anti"),
+    )
+    _fs_delete(spark, index_path + "/tombstones")
+    # Materialized prefix tables are DERIVED data still holding the
+    # deleted rows. With tombstones cleared, a stale prefix batch
+    # cannot produce wrong results (stage 2's inner join against the
+    # vacuumed vectors drops dead ids) but it wastes shortlist slots
+    # forever — drop them; the next matryoshka serve re-materializes
+    # from the vacuumed vectors.
+    fs, jroot = _hadoop_fs(spark, index_path)
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("prefix"):
+                fs.delete(st.getPath(), True)
+    return {"vacuumed": True, "n_tombstones": int(n), **stats}
 
 
 def matryoshka_topk(
@@ -1451,7 +1599,12 @@ def matryoshka_index_topk(
     qpre = F.array(*[F.lit(x) for x in qvec[: int(prefix_dims)]])
     qfull = F.array(*[F.lit(x) for x in qvec])
     short = (
-        spark.read.parquet(index_path + f"/prefix{int(prefix_dims)}")
+        _minus_tombstones(
+            spark,
+            index_path,
+            spark.read.parquet(index_path + f"/prefix{int(prefix_dims)}"),
+            id_col,
+        )
         .select(
             F.col(id_col),
             cosine_col(F.col("prefix"), qpre).alias("prefix_cosine"),
@@ -1625,7 +1778,12 @@ def ivfpq_index_topk_batch(
         "__qid", F.sqrt(dot_col(F.col("__q"), F.col("__q"))).alias("__qn")
     )
     probes = probes.join(qd, "__qid").join(qn, "__qid").drop("__q")
-    codes = spark.read.parquet(index_path + "/codes")
+    codes = _minus_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(index_path + "/codes"),
+        id_col,
+    )
     joined = codes.join(F.broadcast(probes), "cell")
     dot_lad = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -2823,6 +2981,7 @@ def ivfpq_residual_index_topk(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    out = _minus_tombstones(spark, index_path, out, id_col)
     return out.orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(k)
 
 

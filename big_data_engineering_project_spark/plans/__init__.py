@@ -373,7 +373,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gate slots the round they are born; q_serving_try_cast (6×
     # gate-green, the most-verified query in the registry) is the
     # fifth demotion.
-    "q_erasure_cascade_audit",
+    # (q_erasure_cascade_audit, 6× gate-green r8–r13, demoted for the
+    # round-14 DELETE-aware ANN serve newborn — the erasure family's
+    # INDEX-side member: tombstone batches, anti-join serves, vacuum;
+    # the audit stays exact-oracle-green in every FULL sweep and
+    # governance keeps k-anonymity + the new delete row under the
+    # gate.)
+    "q_embedding_ivf_delete_serve",
     "q_gini_by_type",
     # Final two late-round newborns (newborn-slot policy): the BPE
     # merge trainer (rows-only, reference-equality invariant attached)

@@ -702,6 +702,78 @@ def q_embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfdel_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Pid-scoped IVF fixture with LIVE DELETE TOMBSTONES: the
+    q_embedding_ivf_incremental build+append, then vector_index_delete
+    of every vec_id % 17 == 0 (a deterministic, SQL-derivable takedown
+    set). Separate stem from the shared fixture — deletes mutate serve
+    results, so this index is not shared with the non-delete queries.
+    Build-if-absent marker: bench reps time the tombstone-filtered
+    SERVE, the steady state of an index between vacuums."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 != 0))
+    day1 = emb.filter((F.col("vec_id") != 1) & (F.col("vec_id") % 10 == 0))
+    index_path = _pid_scoped_index_path("bde_ivfdel_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        similarity.build_ivf_index(corpus, index_path, cents)
+        similarity.ivf_index_append(day1, index_path)
+        similarity.vector_index_delete(
+            spark,
+            index_path,
+            emb.filter(F.col("vec_id") % 17 == 0).select("vec_id"),
+        )
+        open(marker, "w").close()
+    return index_path
+
+
+@register(
+    "q_embedding_ivf_delete_serve",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id != 1 AND vec_id % 17 != 0)
+SELECT vec_id, {_COS} AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 12
+""",
+    doc="DELETE-aware ANN serving — the lifecycle step the build → "
+    "append → merge → compact matrix lacked (takedown / right-to-be-"
+    "forgotten at index scale): vector_index_delete writes a "
+    "TOMBSTONE batch (O(deleted ids) — the corpus is never rewritten "
+    "synchronously, the LSM/Delta delete discipline), every serve "
+    "anti-joins the broadcast delete-sized id set, and the periodic "
+    "vector_index_vacuum applies tombstones physically during a "
+    "compaction rewrite before clearing them (pytest pins the whole "
+    "lifecycle incl. crash-window idempotence, the merge-resurrection "
+    "refusal, and refit-as-vacuum). Here: the day-0+day-1 index with "
+    "vec_id % 17 == 0 tombstoned, served probe-all — EXACT oracle "
+    "from birth (brute force over the surviving corpus) "
+    "(operators/similarity.py:vector_index_delete)",
+    tags=("pipeline", "similarity", "governance"),
+    invariants=(
+        "tests/test_operators.py::test_vector_index_delete_serve_all_shapes",
+        "tests/test_operators.py::test_vector_index_vacuum_merge_refit_interactions",
+    ),
+)
+def q_embedding_ivf_delete_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding")
+    index_path = _ivfdel_fixture_index(spark, sf_dir)
+    return similarity.ivf_index_topk(
+        spark, index_path, query, k=12, n_probe=8
+    )
+
+
 def _ivf_health_oracle() -> str:
     """Replay of ivf_index_cell_stats over the fixture IVF index:
     cell = argmax fold-cosine against the donor centroids (the 8

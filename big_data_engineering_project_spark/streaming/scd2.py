@@ -1456,6 +1456,69 @@ def run_ivf_append_stream(
         )
 
 
+def run_index_delete_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str = "vec_id",
+    max_files_per_trigger: int = 1,
+    compact_on_stop: bool = False,
+) -> None:
+    """Maintain a persisted ANN index's DELETE TOMBSTONES over a
+    micro-batched takedown feed — the speed-layer twin of the batch
+    `operators/similarity.py:vector_index_delete`: takedown requests
+    (GDPR erasure, contamination strikes) arrive continuously in
+    production, and each micro-batch's ids become their own
+    `tombstones/batch=<lineage>-<id>` directory. Directory-per-batch
+    makes redelivery EXACTLY-ONCE by construction (a replayed batch
+    overwrites its own directory — deleting twice is also naturally
+    idempotent, but the tag discipline keeps the artifact canonical);
+    the lineage id keeps a fresh checkpoint from colliding with a
+    previous stream's directories. Every serve anti-joins the live
+    tombstone union, so a request takes effect at the NEXT serve with
+    no index rewrite; physical removal stays a deliberate
+    vector_index_vacuum. `compact_on_stop` folds the accumulated
+    tombstone batch dirs into one `batch=base` at availableNow
+    termination (tombstones/ is a directory-per-batch artifact like
+    any other) with the standard uncommitted-batch refusal."""
+    import re
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        vector_index_delete,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lineage = re.sub(r"[^A-Za-z0-9]", "", _lineage_id(checkpoint_dir))
+        vector_index_delete(
+            spark,
+            index_path,
+            batch_df.select(id_col),
+            tag=f"{lineage}-{batch_id}",
+            id_col=id_col,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if compact_on_stop:
+        _compact_on_stop(
+            spark, checkpoint_dir, [(index_path + "/tombstones", ())]
+        )
+
+
 def run_reservoir_stream(
     spark: SparkSession,
     input_dir: str,

@@ -5099,6 +5099,178 @@ def test_matryoshka_topk_recall_and_shortlist_bound(spark):
         assert r["cosine"] == exact_cos[r["vec_id"]], r
 
 
+def test_vector_index_delete_serve_all_shapes(spark, tmp_path):
+    """vector_index_delete must take effect on EVERY serve shape
+    without touching the corpus: single-query IVF, batched IVF,
+    IVF-PQ ADC, residual IVF-PQ, and the materialized-prefix
+    matryoshka serve all drop the tombstoned id; deleting a
+    never-indexed id is harmless; a tombstone-free index's serve is
+    unchanged (the filter is a no-op on the common path)."""
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        build_ivfpq_residual_index,
+        ivf_index_topk,
+        ivf_index_topk_batch,
+        ivfpq_index_topk,
+        ivfpq_residual_index_topk,
+        matryoshka_index_topk,
+        pq_train_codebooks,
+        vector_index_delete,
+    )
+
+    def vec(i):
+        return [float((i * 7 + d * 5) % 13) / 13.0 + 0.05 for d in range(16)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 41)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select("embedding")
+    qb = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") != 1)
+    cents = kmeans_centers(corpus, k=4, seed=7)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, cents)
+
+    def ids_single():
+        return [
+            r["vec_id"]
+            for r in ivf_index_topk(spark, idx, q, k=40, n_probe=4).collect()
+        ]
+
+    before = ids_single()
+    victim = before[0]
+    st = vector_index_delete(spark, idx, [victim, 999_999])
+    assert st == {"tag": "d0", "n_ids": 2}
+    after = ids_single()
+    assert victim not in after
+    assert set(after) == set(before) - {victim}
+    assert victim not in {
+        r["vec_id"]
+        for r in ivf_index_topk_batch(
+            spark, idx, qb, k=40, n_probe=4
+        ).collect()
+    }
+    assert victim not in {
+        r["vec_id"]
+        for r in matryoshka_index_topk(
+            spark, idx, q, k=30, prefix_dims=8
+        ).collect()
+    }
+    # compressed shapes: same tombstones, separate PQ/residual indexes
+    books = pq_train_codebooks(corpus, m=4, k=8, dims=16, seed=11)
+    for builder, server, name in (
+        (build_ivfpq_index, ivfpq_index_topk, "pq"),
+        (
+            build_ivfpq_residual_index,
+            ivfpq_residual_index_topk,
+            "res",
+        ),
+    ):
+        p = str(tmp_path / name)
+        builder(corpus, p, cents, books)
+        got0 = {
+            r["vec_id"]
+            for r in server(spark, p, q, k=39, n_probe=4).collect()
+        }
+        assert victim in got0  # present pre-delete
+        vector_index_delete(spark, p, [victim])
+        got1 = {
+            r["vec_id"]
+            for r in server(spark, p, q, k=39, n_probe=4).collect()
+        }
+        assert victim not in got1 and got1 == got0 - {victim}
+
+
+def test_vector_index_vacuum_merge_refit_interactions(spark, tmp_path):
+    """The tombstone lifecycle's interactions with the OTHER
+    directory-algebra ops: (a) vacuum removes the rows physically
+    (direct parquet read), clears tombstones, drops derived prefix
+    tables, leaves the serve bit-equal, and a second vacuum is a
+    no-op; (b) merging a src index with live tombstones REFUSES
+    (its deleted rows would be resurrected in dest — vacuum first),
+    and succeeds after the vacuum; (c) refit-if-unbalanced applies
+    tombstones before rebuilding (the swap replaces the whole root,
+    tombstones included — an unfiltered rebuild would resurrect)."""
+    import os
+
+    from big_data_engineering_project_spark.ml import kmeans_centers
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_refit_if_unbalanced,
+        ivf_index_topk,
+        matryoshka_index_topk,
+        merge_vector_indexes,
+        vector_index_delete,
+        vector_index_vacuum,
+    )
+
+    def vec(i):
+        return [float((i * 7 + d * 5) % 13) / 13.0 + 0.05 for d in range(8)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 31)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select("embedding")
+    corpus = emb.filter(F.col("vec_id") != 1)
+    cents = kmeans_centers(corpus, k=3, seed=7)
+    idx = str(tmp_path / "main")
+    build_ivf_index(corpus, idx, cents)
+    # materialize a prefix table so the vacuum has derived data to drop
+    matryoshka_index_topk(spark, idx, q, k=5, prefix_dims=4).collect()
+    assert os.path.isdir(idx + "/prefix4")
+
+    victims = [6, 12]
+    vector_index_delete(spark, idx, victims)
+    served = [
+        tuple(r)
+        for r in ivf_index_topk(spark, idx, q, k=30, n_probe=3).collect()
+    ]
+    st = vector_index_vacuum(spark, idx)
+    assert st["vacuumed"] and st["n_tombstones"] == 2 and st["compacted"]
+    stored = {
+        r["vec_id"] for r in spark.read.parquet(idx + "/vectors").collect()
+    }
+    assert stored == {i for i in range(2, 31) if i not in victims}
+    assert not os.path.isdir(idx + "/tombstones")
+    assert not os.path.isdir(idx + "/prefix4")
+    assert [
+        tuple(r)
+        for r in ivf_index_topk(spark, idx, q, k=30, n_probe=3).collect()
+    ] == served
+    assert vector_index_vacuum(spark, idx) == {
+        "vacuumed": False,
+        "n_tombstones": 0,
+    }
+
+    # (b) merge refuses while src holds live tombstones
+    import pytest
+
+    src = str(tmp_path / "src")
+    build_ivf_index(corpus, src, cents)
+    vector_index_delete(spark, src, [20])
+    with pytest.raises(ValueError, match="vacuum src"):
+        merge_vector_indexes(spark, idx, src, table="vectors")
+    vector_index_vacuum(spark, src)
+    st2 = merge_vector_indexes(spark, idx, src, table="vectors")
+    assert st2["n_rows_added"] == 28  # 29 corpus rows minus deleted 20
+
+    # (c) refit applies tombstones: delete, then force a refit and
+    # check the rebuilt index no longer contains the row anywhere
+    vector_index_delete(spark, idx, [25])
+    res = ivf_index_refit_if_unbalanced(spark, idx, threshold=0.5)
+    assert res["refit"]
+    assert not os.path.isdir(idx + "/tombstones")
+    assert 25 not in {
+        r["vec_id"] for r in spark.read.parquet(idx + "/vectors").collect()
+    }
+
+
 def test_ivf_health_refit_serve_equality(spark, tmp_path):
     """Threshold → refit → serve-equality, connected (the health
     report alarmed but nothing acted): a pathologically-quantized

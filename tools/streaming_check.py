@@ -1669,6 +1669,95 @@ def check_ivf_index_stream(spark, root: str) -> dict:
     return res
 
 
+def check_index_delete_stream(spark, root: str) -> dict:
+    """run_index_delete_stream (micro-batched takedown feed →
+    tombstone batch dirs, exactly-once) ≡ one batch
+    vector_index_delete of the union id set: probe-all top-k over the
+    maintained index is hash-equal to the batch-deleted twin AND to
+    brute force over the SURVIVING corpus. compact_on_stop folds the
+    three tombstone batch dirs into one base; the serve is unchanged
+    by the fold."""
+    import math
+
+    from big_data_engineering_project_spark.operators.similarity import (
+        _fs_list_batches,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        vector_index_delete,
+    )
+    from big_data_engineering_project_spark.streaming.scd2 import (
+        run_index_delete_stream,
+    )
+
+    def vec(i: int) -> list[float]:
+        return [
+            round(math.sin(0.7 * i + j * 1.3), 6) for j in range(8)
+        ]
+
+    base_rows = [(i, vec(i)) for i in range(60)]
+    base = spark.createDataFrame(
+        base_rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = [vec(i * 9) for i in range(5)]
+    idx = os.path.join(root, "del_idx")
+    build_ivf_index(base, idx, cents)
+    deleted = [i for i in range(60) if i % 4 == 1]  # 15 ids, 3 batches
+    in_dir = os.path.join(root, "del_in")
+    os.makedirs(in_dir)
+    _write_batches(
+        in_dir, [{"vec_id": i} for i in deleted], batch_size=5
+    )
+    run_index_delete_stream(
+        spark,
+        in_dir,
+        idx,
+        os.path.join(root, "del_cp"),
+        schema="vec_id LONG",
+        compact_on_stop=True,
+    )
+    tomb_tags = _fs_list_batches(spark, idx + "/tombstones")
+
+    query = spark.createDataFrame([(vec(42),)], "embedding ARRAY<DOUBLE>")
+    k = 12
+    got = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in ivf_index_topk(spark, idx, query, k=k, n_probe=5).collect()
+    ]
+    # batch twin: same base index, one batch delete of the union set
+    idx2 = os.path.join(root, "del_idx_batch")
+    build_ivf_index(base, idx2, cents)
+    vector_index_delete(spark, idx2, deleted)
+    want = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in ivf_index_topk(spark, idx2, query, k=k, n_probe=5).collect()
+    ]
+    surviving = base.filter(~F.col("vec_id").isin(deleted))
+    brute = [
+        (r["vec_id"], round(r["cosine"], 12))
+        for r in brute_force_topk(surviving, query, k=k).collect()
+    ]
+    res = {
+        "rows_stream": len(got),
+        "rows_batch": len(want),
+        "hash_stream": _rows_hash(got),
+        "hash_batch": _rows_hash(want),
+        "probe_all_equals_brute": got == brute,
+        "tombstones_compacted": tomb_tags == ["base"],
+        "no_deleted_served": not (
+            {i for i, _c in got} & set(deleted)
+        ),
+    }
+    res["match"] = (
+        res["rows_stream"] == res["rows_batch"] > 0
+        and res["hash_stream"] == res["hash_batch"]
+        and res["probe_all_equals_brute"]
+        and res["tombstones_compacted"]
+        and res["no_deleted_served"]
+    )
+    return res
+
+
 def check_minhash_index_stream(spark, root: str) -> dict:
     """run_minhash_index_stream (per-batch band-index append + probe +
     exact-Jaccard verify) ≡ batch minhash_lsh_pairs over the union:
@@ -2708,6 +2797,9 @@ def main() -> None:
         results["hll_maintenance"] = check_hll_stream(spark, root)
         results["kll_maintenance"] = check_kll_stream(spark, root)
         results["ivf_index_maintenance"] = check_ivf_index_stream(spark, root)
+        results["index_delete_maintenance"] = check_index_delete_stream(
+            spark, root
+        )
         results["pack_maintenance"] = check_pack_stream(spark, root)
         results["minhash_index_maintenance"] = check_minhash_index_stream(spark, root)
         results["bm25_index_maintenance"] = check_bm25_index_stream(spark, root)
