@@ -1627,6 +1627,87 @@ def matryoshka_index_topk(
     )
 
 
+def matryoshka_index_topk_batch(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int,
+    prefix_dims: int,
+    shortlist_mult: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve MANY queries through the materialized prefix table in
+    ONE plan — the batched composition of matryoshka_index_topk, the
+    same completion step the IVF-PQ family got with its batch-refined
+    serve: production retrieval is thousands of queries per plan, not
+    one. Stage 1 broadcast-crossJoins the query batch against the
+    NARROW prefix scan (still prefix_dims/dims of the corpus bytes —
+    read ONCE for the whole batch, not per query) and keeps a
+    per-query k′ = shortlist_mult·k shortlist via WindowGroupLimit;
+    stage 2 broadcasts the Q·k′ (query, id) shortlist against the
+    full vectors/ scan for the exact full-dim rescore (one pass for
+    the whole batch — never per-query corpus reads). Missing prefix
+    batches materialize first; tombstones anti-join at stage 1.
+    Per-query results ≡ matryoshka_index_topk bit-for-bit
+    (pytest-pinned). Output (query_id, vec_id, prefix_cosine,
+    cosine), k rows per query."""
+    matryoshka_prefix_materialize(spark, index_path, prefix_dims, id_col)
+    kprime = int(shortlist_mult) * int(k)
+    q = queries_df.select(
+        F.col(query_id_col).alias("__qid"),
+        F.slice(as_double(F.col(vec_col)), 1, int(prefix_dims)).alias(
+            "__qpre"
+        ),
+        as_double(F.col(vec_col)).alias("__qfull"),
+    )
+    pre = _minus_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(index_path + f"/prefix{int(prefix_dims)}"),
+        id_col,
+    )
+    scored = pre.crossJoin(
+        F.broadcast(q.select("__qid", "__qpre"))
+    ).select(
+        "__qid",
+        F.col(id_col),
+        cosine_col(F.col("prefix"), F.col("__qpre")).alias(
+            "prefix_cosine"
+        ),
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.desc("prefix_cosine"), F.asc(id_col)
+    )
+    short = (
+        scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= kprime)
+        .drop("__rk")
+    )
+    full = spark.read.parquet(index_path + "/vectors").select(
+        F.col(id_col), F.col("vec").alias("__v")
+    )
+    rescored = (
+        full.join(F.broadcast(short), id_col)
+        .join(F.broadcast(q.select("__qid", "__qfull")), "__qid")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("prefix_cosine"),
+            cosine_col(F.col("__v"), F.col("__qfull")).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        rescored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def ivfpq_index_refined_topk(
     spark,
     index_path: str,

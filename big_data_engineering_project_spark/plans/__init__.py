@@ -348,10 +348,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-14 materialized-prefix matryoshka newborn — newborn-slot
     # policy; robust stats keep Theil-Sen + Gini under the gate and
     # the weighted median stays exact-oracle-green in every FULL
-    # sweep.) IN: the index-backed matryoshka serve — the narrow
-    # prefix-table scan the r13 row-local form only documented,
-    # exact-oracle from birth over the day-0 ∪ day-1 fixture index.
-    "q_embedding_matryoshka_index_topk",
+    # sweep.) IN: the BATCHED index-backed matryoshka serve — the
+    # narrow prefix-table scan the r13 row-local form only
+    # documented, served many-queries-one-plan; it SUBSUMES the
+    # single-query q_embedding_matryoshka_index_topk born the same
+    # session (identical per-query composition, pytest pins batch ≡
+    # per-query bit-for-bit — the r13 refined-over-flat precedent),
+    # which stays exact-oracle-green in every FULL sweep.
+    "q_embedding_matryoshka_batch_topk",
     "q_theil_sen_trend",
     # Profiling + set algebra + grouping-sets family
     # (q_rfm_segments, 6× gate-green r8–r13, demoted with

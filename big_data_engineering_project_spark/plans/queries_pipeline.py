@@ -960,6 +960,89 @@ def q_embedding_matryoshka_index_topk(
     )
 
 
+def _fold_cos_n_sql(a: str, b: str, n: int) -> str:
+    """Prefix cosine over the first n components — DuckDB mirror of
+    cosine_col over F.slice (left-assoc fold, same as _COS)."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce([CAST(0.0 AS DOUBLE)] + "
+            f"list_transform(range(1, {n + 1}), i -> {x}[i] * {y}[i]), "
+            "(acc, v) -> acc + v)"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+@register(
+    "q_embedding_matryoshka_batch_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id NOT IN (1, 2, 3)),
+sc AS (SELECT query_id, vec_id,
+              {_fold_cos_n_sql('d.e', 'q.qe', _MRL_PREFIX)} AS prefix_cosine,
+              {_fold_cos_n_sql('d.e', 'q.qe', _DIMS)} AS cosine
+       FROM d, q),
+short AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY prefix_cosine DESC, vec_id ASC) AS pk FROM sc)
+  WHERE pk <= {_MRL_MULT * _MRL_K})
+SELECT query_id, vec_id, prefix_cosine, cosine FROM (
+  SELECT query_id, vec_id, prefix_cosine, cosine,
+         row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM short)
+WHERE rk <= {_MRL_K}
+ORDER BY query_id, cosine DESC, vec_id ASC
+""",
+    doc="BATCHED matryoshka serving through the materialized prefix "
+    "table — the many-queries-one-plan completion the IVF-PQ family "
+    "got with its batch-refined serve: three query vectors "
+    "broadcast-crossJoin the NARROW prefix scan (read ONCE for the "
+    "whole batch), per-query 4k shortlist via WindowGroupLimit, then "
+    "ONE broadcast rescore pass of the Q·k′ shortlist against "
+    "vectors/ — never per-query corpus reads. Shares the pid-scoped "
+    "bde_ivfb_ fixture index with q_embedding_ivf_batch_topk (bench "
+    "times the steady-state serve). Exact oracle from birth: "
+    "per-query prefix shortlist + full-dim rescore replayed in SQL "
+    "(operators/similarity.py:matryoshka_index_topk_batch)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_matryoshka_batch_matches_per_query",
+    ),
+)
+def q_embedding_matryoshka_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index_path = _pid_scoped_index_path("bde_ivfb_", sf_dir)
+    marker = os.path.join(index_path, "_built")
+    if not os.path.exists(marker):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.orderBy("vec_id").limit(8).collect()
+        ]
+        similarity.build_ivf_index(corpus, index_path, cents)
+        open(marker, "w").close()
+    return similarity.matryoshka_index_topk_batch(
+        spark,
+        index_path,
+        queries,
+        k=_MRL_K,
+        prefix_dims=_MRL_PREFIX,
+        shortlist_mult=_MRL_MULT,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
 _IVF_BATCH_K = 8
 
 

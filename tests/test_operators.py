@@ -5388,6 +5388,50 @@ def test_matryoshka_index_matches_rowlocal_and_appends(spark, tmp_path):
     assert "d1" in _fs_list_batches(spark, idx + "/prefix8")
 
 
+def test_matryoshka_batch_matches_per_query(spark, tmp_path):
+    """matryoshka_index_topk_batch must equal the per-query
+    matryoshka_index_topk bit-for-bit for every query in the batch
+    (same shortlist, same rescore, same total-order ties) — the
+    batch-refined-vs-refined equivalence discipline applied to the
+    prefix-table serve."""
+    from big_data_engineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        matryoshka_index_topk,
+        matryoshka_index_topk_batch,
+    )
+
+    emb, _planted = _planted_embeddings(spark)
+    qids = [0, 3, 7]
+    corpus = emb.filter(~F.col("vec_id").isin(qids))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "mrlb")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    build_ivf_index(corpus, idx, cents)
+    got = matryoshka_index_topk_batch(
+        spark, idx, queries, k=8, prefix_dims=8, shortlist_mult=3
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["prefix_cosine"], r["cosine"])
+        )
+    assert sorted(by_q) == qids
+    for qid in qids:
+        q1 = emb.filter(F.col("vec_id") == qid).select("embedding")
+        want = [
+            (r["vec_id"], r["prefix_cosine"], r["cosine"])
+            for r in matryoshka_index_topk(
+                spark, idx, q1, k=8, prefix_dims=8, shortlist_mult=3
+            ).collect()
+        ]
+        assert by_q[qid] == want, qid
+
+
 def test_auc_from_weighted_serving_seam(spark):
     """auc_from_weighted over a hand-built weighted-distinct state
     must equal auc_exact over the expanded rows (keyed), including a
