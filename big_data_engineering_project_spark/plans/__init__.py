@@ -384,7 +384,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # governance keeps k-anonymity + the new delete row under the
     # gate.)
     "q_embedding_ivf_delete_serve",
-    "q_gini_by_type",
+    # (q_gini_by_type, 6× gate-green r8–r13, demoted for the round-14
+    # binary-quantized ANN newborn — newborn-slot policy; the
+    # inequality stat stays exact-oracle-green in every FULL sweep.)
+    # IN: the 1-bit sign-quantization serve completing the
+    # compression matrix between int8 and PQ — integer Hamming
+    # shortlist over two-BIGINT signatures + exact rescore, exact
+    # oracle from birth.
+    "q_embedding_binary_topk",
     # Final two late-round newborns (newborn-slot policy): the BPE
     # merge trainer (rows-only, reference-equality invariant attached)
     # and the snapshot profile drift. Demoted: q_ohlc_daily_value and

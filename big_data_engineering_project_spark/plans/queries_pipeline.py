@@ -960,6 +960,83 @@ def q_embedding_matryoshka_index_topk(
     )
 
 
+_BIN_QID = 2
+_BIN_K = 10
+_BIN_MULT = 8
+
+
+def _binary_oracle() -> str:
+    def pack(e: str, lo: int, hi: int) -> str:
+        return (
+            f"list_reduce([CAST(0 AS BIGINT)] + "
+            f"list_transform(range({lo}, {hi + 1}), "
+            f"i -> CASE WHEN {e}[i] > 0.0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END), (acc, x) -> acc * 2 + x)"
+        )
+
+    h = _DIMS // 2
+    cos = (
+        f"{_fold_dot('d.e', 'q.qe')} / (sqrt({_fold_dot('d.e', 'd.e')})"
+        f" * sqrt({_fold_dot('q.qe', 'q.qe')}))"
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                  {pack('(embedding::DOUBLE[])', 1, h)} AS qb1,
+                  {pack('(embedding::DOUBLE[])', h + 1, _DIMS)} AS qb2
+           FROM embeddings WHERE vec_id = {_BIN_QID}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             {pack('(embedding::DOUBLE[])', 1, h)} AS b1,
+             {pack('(embedding::DOUBLE[])', h + 1, _DIMS)} AS b2
+      FROM embeddings WHERE vec_id != {_BIN_QID}),
+short AS (
+  SELECT d.vec_id,
+         bit_count(xor(d.b1, q.qb1)) + bit_count(xor(d.b2, q.qb2))
+           AS hamming
+  FROM d, q
+  ORDER BY hamming ASC, vec_id ASC
+  LIMIT {_BIN_MULT * _BIN_K}
+)
+SELECT s.vec_id, s.hamming, {cos} AS cosine
+FROM short s JOIN d ON d.vec_id = s.vec_id, q
+ORDER BY cosine DESC, s.vec_id ASC
+LIMIT {_BIN_K}
+"""
+
+
+@register(
+    "q_embedding_binary_topk",
+    oracle=_binary_oracle(),
+    doc="BINARY-quantized ANN (FAISS IndexBinaryFlat analog) — the "
+    "1-bit member completing the compression matrix between int8 and "
+    "PQ: sign-bit signatures packed into two BIGINT halves (16 bytes "
+    f"per {_DIMS}-dim vector, a 32× byte cut — at 100 TB the "
+    "stage-1 scan reads 3 % of the corpus), Hamming ranking via two "
+    "xor + bit_count integer ops in whole-stage codegen (no float "
+    "math touches the wide scan), an 8k over-fetch (Hamming is "
+    "coarse — 65 distinct values), then exact full-cosine rescore of "
+    "only the shortlist (the refine join shape). Sign quantization + "
+    "integer Hamming + total-order ties are deterministic end to end "
+    "→ exact oracle from birth "
+    "(operators/similarity.py:binary_hamming_topk)",
+    tags=("pipeline", "similarity"),
+    invariants=(
+        "tests/test_operators.py::test_binary_hamming_topk_recall_and_exactness",
+    ),
+)
+def q_embedding_binary_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _BIN_QID).select("embedding")
+    return similarity.binary_hamming_topk(
+        emb.filter(F.col("vec_id") != _BIN_QID),
+        query,
+        k=_BIN_K,
+        dims=_DIMS,
+        shortlist_mult=_BIN_MULT,
+    )
+
+
 def _fold_cos_n_sql(a: str, b: str, n: int) -> str:
     """Prefix cosine over the first n components — DuckDB mirror of
     cosine_col over F.slice (left-assoc fold, same as _COS)."""
