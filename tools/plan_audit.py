@@ -133,6 +133,22 @@ BOUNDED_CROSS: dict[str, str] = {
         "tables) — both index-construction-bounded; queries never "
         "cross-join the corpus"
     ),
+    "q_embedding_ivfpq_batch_refined_topk": (
+        "the batch ADC stage's crossJoins (q_embedding_ivfpq_batch_"
+        "topk: centroid + codebook broadcasts, index-bounded) plus "
+        "the refine stage's broadcast |queries|-row full-vector "
+        "frame onto the Q*k'-row shortlist — all bounded by the "
+        "query batch / index construction, never corpus x corpus"
+    ),
+    "q_embedding_matryoshka_batch_topk": (
+        "broadcast |queries|-row prefix/full query frames (3 here) "
+        "crossJoin the NARROW prefix scan — stage 1 is deliberately "
+        "brute-force over the prefix column (every query scores "
+        "every 16/64-dim prefix; that IS the matryoshka stage-1 "
+        "design), bounded by the serving batch; the corpus never "
+        "self-joins and the full-width scan only sees the broadcast "
+        "Q*k' shortlist"
+    ),
     "q_purchase_auc": (
         "1-row min/max guard stamp (the explicit-bucket-width "
         "raise_error guard broadcast onto the distinct-score table)"
