@@ -401,7 +401,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_bpe_merges, rows-only gate row committed r8 WITH its
     # reference-equality invariant, demoted for the round-9 sweep-line
     # newborn — newborn-slot policy)
-    "q_order_concurrency",
+    # (q_order_concurrency, 6× gate-green r8–r13, demoted for the
+    # round-14 BPE-merges CONVERSION — re-prove-changed-plans policy;
+    # the temporal family keeps TWAP + SCD2-temporal under the gate
+    # and the interval-concurrency query stays exact-oracle-green in
+    # every FULL sweep.) IN: the BPE trainer, rows-only since birth
+    # (iterative + per-step driver argmax), converted via the
+    # fixed-iteration unroll recipe — per-step argmax CTEs with the
+    # exact tie-break, positional merge replay guarded by error() on
+    # the equal-pair case (queries_pipeline._bpe_merges_oracle).
+    "q_bpe_merges",
     # (q_profile_drift, gate-green r8, demoted for the round-9 exact
     # AUC newborn — newborn-slot policy; profiling stays exact-oracle
     # green in every FULL sweep)

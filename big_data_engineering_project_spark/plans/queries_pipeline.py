@@ -1518,8 +1518,8 @@ def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Frozen BPE merge table for the ENCODE query — the serving shape: a
 # tokenizer is a frozen artifact applied to new data, so the merge
 # list is a literal shared by the Spark plan and the oracle (unlike
-# q_bpe_merges, which TRAINS and is rows-only because training is
-# iterative). Chained dependencies ('t','h' then 'th','e'; 'a','n'
+# q_bpe_merges, which TRAINS — its r14 oracle replays the argmax per
+# step as data). Chained dependencies ('t','h' then 'th','e'; 'a','n'
 # then 'an','d') exercise merged-symbol reuse across steps.
 _BPE_ENC_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
@@ -5864,18 +5864,86 @@ def q_substring_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training (rows-only: iterative + driver argmax) ----------------
 
 
+def _bpe_merges_oracle(n_merges: int = 8, min_freq: int = 2) -> str:
+    """Unrolled replay of bpe_train_merges — the KLL/Lloyd fixed-
+    iteration recipe applied to the last rows-only family with a
+    convertible core: per step, a pair-frequency CTE over the evolving
+    vocab, a 1-row argmax CTE (freq DESC, l ASC, r ASC — the exact
+    Spark tie-break), and the merge applied POSITIONALLY with scalar
+    subqueries (the data-dependent analog of the literal-merge encode
+    oracle: emit l||r at a hit start, drop the consumed right
+    neighbour). The positional scan equals the greedy left-to-right
+    fold whenever left ≠ right (two adjacent hits would need one
+    symbol to be both right and left); an equal-pair argmax raises a
+    loud DuckDB error() instead of replaying silently wrong — the
+    gate then ERRs rather than passes. Early stop (max freq <
+    min_freq) replays naturally: the argmax CTE is empty, the vocab
+    passes through unchanged, and every later step stays empty."""
+    parts = [
+        "w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents) WHERE w != '' GROUP BY w)",
+        "v0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM w0)",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, SUM(cnt) AS freq
+  FROM v{i}, unnest(generate_series(1, len(syms) - 1)) AS s(j)
+  WHERE len(syms) >= 2 GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT CASE WHEN l = r THEN error(
+           'equal-pair BPE merge: positional replay invalid — '
+           'bring back a working greedy fold') ELSE l END AS l,
+         r, freq
+  FROM (SELECT l, r, freq FROM p{i} WHERE freq >= {min_freq}
+        ORDER BY freq DESC, l ASC, r ASC LIMIT 1))"""
+        )
+        parts.append(
+            # the 1-row (or empty) argmax LEFT JOINs ON TRUE so the
+            # merge pair rides as plain columns — DuckDB forbids
+            # subqueries inside lambda bodies
+            f"""v{i + 1} AS (
+  SELECT w, cnt,
+    CASE WHEN m.l IS NULL THEN syms
+    ELSE list_filter(
+      list_transform(range(1, len(syms) + 1), j -> CASE
+        WHEN syms[j] = m.l AND syms[j + 1] = m.r THEN m.l || m.r
+        WHEN j > 1 AND syms[j - 1] = m.l AND syms[j] = m.r THEN NULL
+        ELSE syms[j] END),
+      x -> x IS NOT NULL)
+    END AS syms
+  FROM v{i} LEFT JOIN m{i} m ON TRUE)"""
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, l AS \"left\", "
+        f"r AS \"right\", CAST(freq AS BIGINT) AS freq FROM m{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({rows}) ORDER BY step"
+    )
+
+
 @register(
     "q_bpe_merges",
-    oracle=None,  # iterative re-tokenization with a per-step argmax is
-    # not SQL-expressible; exactness is pinned by the pure-Python
-    # reference equality pytest below.
+    oracle=_bpe_merges_oracle(),
     doc=(
         "BPE merge-table training (8 merges, Sennrich et al. 2016) over "
         "the documents corpus: iterates the WORD-FREQUENCY table (vocab-"
         "sized, never the corpus), one collected argmax row per merge, "
         "merge application as a pure Catalyst fold with exact greedy "
         "left-to-right semantics (operators/text_analysis.py:"
-        "bpe_train_merges)"
+        "bpe_train_merges). CONVERTED to the exact gate in r14 — the "
+        "fixed-iteration unroll recipe (KLL r13, Lloyd r13) applied to "
+        "the trainer: per-step argmax CTEs with the exact (freq DESC, "
+        "l, r) tie-break, positional merge replay valid for left ≠ "
+        "right with a loud error() guard on the equal-pair case, "
+        "natural early-stop replay (see _bpe_merges_oracle); the "
+        "pure-Python reference pytest stays as the second independent "
+        "check"
     ),
     tags=("pipeline", "text", "iterative"),
     invariants=(

@@ -33,7 +33,9 @@ def test_every_query_has_oracle_or_known_rows_only():
         "q_stemmed_docs",  # Porter stemmer (unit-vector pytest)
         "q_compression_ratio",  # zlib codec (determinism/ordering pytest)
         "q_approx_quantile_contrast",  # t-digest internals engine-specific (error-bound pytest)
-        "q_bpe_merges",  # iterative driver-argmax BPE training (exact reference-equality pytest)
+        # r14: q_bpe_merges moved to an exact oracle (fixed-iteration
+        # unroll with per-step argmax CTEs + positional merge replay,
+        # equal-pair error() guard — queries_pipeline._bpe_merges_oracle).
         # r14: both HLL rows moved to exact oracles (open registers
         # over the quadratic-mixed replayable poly-hash + scaled-
         # integer harmonic mean + exhaustively-proven rounded linear
