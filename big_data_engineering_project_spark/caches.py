@@ -33,6 +33,12 @@ def clear_all_owned_caches() -> None:
     from big_data_engineering_project_spark.operators.linkage import (
         clear_linkage_caches,
     )
+    from big_data_engineering_project_spark.operators.similarity import (
+        clear_similarity_caches,
+    )
+    from big_data_engineering_project_spark.operators.sketches import (
+        clear_sketches_caches,
+    )
 
     for fn in (
         clear_dedup_caches,
@@ -41,6 +47,8 @@ def clear_all_owned_caches() -> None:
         clear_linkage_caches,
         clear_frontier_caches,
         clear_features_caches,
+        clear_sketches_caches,
+        clear_similarity_caches,
     ):
         try:
             fn()

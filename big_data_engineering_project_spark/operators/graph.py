@@ -78,7 +78,16 @@ def pagerank(
     weights (divide the whole weight column by a constant) above that.
     """
     e_src, e_dst, e_w = F.col(src), F.col(dst), F.col(weight)
-    nodes = (
+    # nodes and the out-weighted edge frame are STATIC across every
+    # iteration, but each iteration's plan embeds a fresh copy of
+    # their lineage — when `edges` is itself derived (a windowed
+    # transition count, a support-filtered pair table), the derivation
+    # re-executes once per iteration unless the frame is materialized.
+    # Persist both once (owned-cache lifecycle, reclaimed by
+    # clear_graph_caches): iterations then read the cached frames, and
+    # the nodes.count() below materializes the node cache up front.
+    # Results are unchanged — persistence is an execution boundary.
+    nodes = _persist_owned(
         edges.select(e_src.alias("node"))
         .union(edges.select(e_dst.alias("node")))
         .distinct()
@@ -92,9 +101,11 @@ def pagerank(
     # it. out_w is node-sized, so the join is left to AQE: broadcast
     # when it fits, sort-merge co-partitioned with the groupBy above
     # when it doesn't.
-    e = edges.select(
-        e_src.alias("__s"), e_dst.alias("__d"), e_w.alias("__w")
-    ).join(out_w, "__s")
+    e = _persist_owned(
+        edges.select(
+            e_src.alias("__s"), e_dst.alias("__d"), e_w.alias("__w")
+        ).join(out_w, "__s")
+    )
 
     pr = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for it in range(iters):
@@ -180,9 +191,17 @@ def label_propagation(
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
         materialize_every = 1
     e_src, e_dst, e_w = F.col(src), F.col(dst), F.col(weight)
-    und = edges.select(
-        e_src.alias("a"), e_dst.alias("b"), e_w.alias("__w")
-    ).union(edges.select(e_dst.alias("a"), e_src.alias("b"), e_w.alias("__w")))
+    # The undirected edge frame is static across iterations; persist it
+    # once (same rationale as pagerank above — when `edges` is derived,
+    # e.g. the sparsified transition graph, every iteration's vote join
+    # would otherwise re-run the derivation). Owned-cache lifecycle.
+    und = _persist_owned(
+        edges.select(
+            e_src.alias("a"), e_dst.alias("b"), e_w.alias("__w")
+        ).union(
+            edges.select(e_dst.alias("a"), e_src.alias("b"), e_w.alias("__w"))
+        )
+    )
     nodes = und.select(F.col("a").alias("node")).distinct()
     lab = nodes.select("node", F.col("node").alias("label"))
     for it in range(iters):
@@ -218,7 +237,12 @@ def label_propagation(
 # bounded owned-cache lifecycle as the association counts table
 # (operators/association.py).
 _OWNED_PERSISTS: list[DataFrame] = []
-_MAX_OWNED = 4
+# Sized for the deepest single-query composition (pagerank holds 2 —
+# nodes + out-weighted edges — and a pipeline may chain 2-3 graph ops);
+# all owned frames are node/edge-cardinality summaries, tiny vs the
+# inputs, and FIFO eviction must never reclaim a frame the CURRENT
+# query still iterates over.
+_MAX_OWNED = 8
 
 
 def clear_graph_caches() -> None:
@@ -358,6 +382,11 @@ def hop_distance(
     if materialize is None and max_hops > _BFS_PURE_LINEAGE_MAX_HOPS:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
         materialize_every = 1
+    # Deliberately NOT persisting `edges` here: at ≤ the pure-lineage
+    # budget this operator runs as ONE job and AQE exchange reuse
+    # already dedupes the per-hop edge subtrees — measured r14:
+    # persisting REGRESSED 2.2 s → 3.4 s at sf0.1 (cache
+    # materialization barrier vs. free reuse).
     settled = sources.select(
         F.col(sources.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("dist"),
@@ -426,7 +455,10 @@ def k_core(
     if materialize is None and budget > _KCORE_PURE_LINEAGE_MAX_ITERS:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
         materialize_every = 1
-    und = (
+    # The symmetrized start frame feeds the first peel's degree agg AND
+    # both its semi joins; persist it once so a derived `edges` input
+    # is not re-derived per consumer (owned-cache lifecycle).
+    und = _persist_owned(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
@@ -499,6 +531,10 @@ def shortest_path_costs(
     if materialize is None and iters > _SSSP_PURE_LINEAGE_MAX_ITERS:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
         materialize_every = 1
+    # Static edge list re-joined every round — persist once (owned-
+    # cache lifecycle) so a derived edge frame is not re-derived
+    # per relaxation.
+    edges = _persist_owned(edges)
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"),
         F.lit(0).cast("long").alias("cost"),
@@ -552,15 +588,25 @@ def link_prediction(
     while perturbing scores the least. Pass None only when the degree
     distribution is known to be bounded.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # `e` feeds three consumers (both union arms via `und`, and the
+    # final anti-join) and `ctr` feeds both sides of the wedge
+    # self-join — when `edges` is derived (a support-filtered pair
+    # table), each consumer would re-run the derivation. Persist both
+    # once (owned-cache lifecycle); `ctr` is edge-cardinality ×2 rows
+    # of (long, long, long), bounded.
+    e = _persist_owned(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     if max_center_degree is not None:
         deg = deg.filter(F.col("deg") <= int(max_center_degree))
-    ctr = und.join(deg, "a").select(
-        F.col("a").alias("z"),
-        F.col("b").alias("n"),
-        F.expr(f"CAST({int(ra_scale)} AS BIGINT) div deg").alias("ra"),
+    ctr = _persist_owned(
+        und.join(deg, "a").select(
+            F.col("a").alias("z"),
+            F.col("b").alias("n"),
+            F.expr(f"CAST({int(ra_scale)} AS BIGINT) div deg").alias("ra"),
+        )
     )
     wedges = (
         ctr.alias("l")

@@ -21,11 +21,43 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from big_data_engineering_project_spark.sources.catalog import spread
 
 HASH_PRIME = 1_000_000_007
 HASH_BASE = 31  # shared with dedup._char_poly_hash (same fold)
+
+# Narrow derived frames that feed multiple downstream consumers (the
+# LSH band table feeds the bucket-size cut AND both sides of the
+# candidate self-join; the norm table feeds both verify probes) —
+# without a pin each consumer re-runs the explode/aggregate lineage
+# from the corpus scan. Same owned-cache lifecycle as the dedup
+# shingle memo; reclaimed via clear_similarity_caches() (wired into
+# caches.clear_all_owned_caches).
+_OWNED_PERSISTS: list[DataFrame] = []
+_MAX_OWNED_PERSISTS = 8
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _OWNED_PERSISTS.append(df)
+    while len(_OWNED_PERSISTS) > _MAX_OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop(0).unpersist()
+        except Exception:
+            pass
+    return df
+
+
+def clear_similarity_caches() -> None:
+    """Unpersist every frame this module pinned. Safe anytime —
+    consumers recompute their bounded frames; results unaffected."""
+    while _OWNED_PERSISTS:
+        try:
+            _OWNED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
 
 
 def as_double(vec: Column) -> Column:
@@ -2161,7 +2193,10 @@ def cosine_lsh_neardups(
     # Norms relationally too (the same interpreted-fold rule as the
     # signatures — this is a per-corpus-row computation): one codegen
     # groupBy over the component frame, joined back at node
-    # cardinality.
+    # cardinality. NOT pinned: the whole operator is one job, and
+    # AQE exchange reuse already dedupes the identical agg subtrees —
+    # measured r14: pinning norms+bands REGRESSED 3.0 s → 7.0 s
+    # (cache materialization barriers beat the reuse they replaced).
     norms = comp.groupBy("_id").agg(
         F.sum(F.col("v") * F.col("v")).cast("long").alias("_nrm")
     )
