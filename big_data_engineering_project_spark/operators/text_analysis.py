@@ -106,6 +106,27 @@ def text_profile_col(text: Column) -> Column:
     return F.aggregate(toks, init, step, finish)
 
 
+# The fused profile is a LARGE expression tree (7-field struct step ×
+# stopword/marker isin lists): constructing it costs ~0.8 s of pure
+# driver-side py4j traffic, paid per builder call — per bench rep, per
+# streaming query start. The tree is an immutable unresolved
+# expression, reusable across any number of plans in the process, so
+# memoize per input column name. (Results are unchanged — this caches
+# an expression OBJECT, never data.)
+_TEXT_PROFILE_MEMO: dict[str, Column] = {}
+
+
+def text_profile_named(col_name: str = "text") -> Column:
+    """Memoized `text_profile_col(F.col(col_name))` — use this from
+    query builders / streaming starts; fall back to text_profile_col
+    only for non-trivial input expressions."""
+    memo = _TEXT_PROFILE_MEMO.get(col_name)
+    if memo is None:
+        memo = text_profile_col(F.col(col_name))
+        _TEXT_PROFILE_MEMO[col_name] = memo
+    return memo
+
+
 def lang_id_col(tokens: Column) -> Column:
     """Marker-word language heuristic: count per-language marker hits,
     argmax with fixed priority order (en > es > de > fr) on ties; zero

@@ -221,7 +221,7 @@ def run_curation_stream(
     from big_data_engineering_project_spark.operators.sampling import with_split
     from big_data_engineering_project_spark.operators.text_analysis import (
         fingerprint_col,
-        text_profile_col,
+        text_profile_named,
     )
 
     src = (
@@ -229,7 +229,7 @@ def run_curation_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(input_dir)
     )
-    prof = text_profile_col(F.col("text"))
+    prof = text_profile_named("text")
     kept = (
         src.select("doc_id", "source", "text", prof.alias("_prof"))
         .filter(
