@@ -72,6 +72,19 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     ensure_package_on_executors(spark)
 
 
+# One scan plan per (session, dir, table): spark.read.parquet re-reads
+# the footer for schema inference and re-lists the path on EVERY call,
+# and ensure_engine_confs adds py4j roundtrips — pure driver overhead
+# repeated for every builder invocation in a multi-query session. The
+# memoized DataFrame is an immutable plan object (reusing it caches no
+# data); the key includes the Spark applicationId so a restarted
+# context never sees a stale plan. Caveat: the plan snapshots the file
+# listing — callers that REWRITE a catalog parquet in place mid-session
+# must not rely on load_table re-listing (no current caller does; the
+# fixture dirs are read-only).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one catalog table.
 
@@ -82,6 +95,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -99,7 +116,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_MEMO[key] = df
     return df
+
+
+_SPREAD_MEMO: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -115,9 +136,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # df.rdd re-plans the query just to read the partition count — a
+    # driver-side cost paid per call. Memoize per input DataFrame
+    # object (the load_table memo above makes table frames identical
+    # across calls); the stored input reference keeps id(df) stable.
+    key = (id(df), target)
+    memo = _SPREAD_MEMO.get(key)
+    if memo is not None:
+        return memo[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    _SPREAD_MEMO[key] = (df, out)
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
