@@ -26,6 +26,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -183,7 +184,16 @@ def _decode_one(blob: bytes) -> tuple[int, int, int, float]:
         )
     w, h = struct.unpack(">HH", blob[4:8])
     payload = blob[8 : 8 + w * h]
-    mean = sum(payload) / len(payload) if payload else 0.0
+    # Vectorized byte sum (guide-§4 lesson: hand whole buffers to
+    # native code, never loop bytes in Python). int(ndarray.sum()) is
+    # the same exact integer Python's sum(bytes) produces, so the
+    # mean's IEEE division is bit-identical to the scalar form.
+    mean = (
+        int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64))
+        / len(payload)
+        if payload
+        else 0.0
+    )
     return w, h, len(payload), mean
 
 
@@ -214,7 +224,13 @@ def decode_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(decode, DECODED_SCHEMA)
+    # Project to exactly the columns the function touches — an opaque
+    # mapInPandas defeats Catalyst column pruning (guide §4), so the
+    # select is the only thing keeping unused columns off the Arrow
+    # boundary and out of the scan.
+    return media.select("media_id", "kind", "blob").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
 
 
 FEATURE_SCHEMA = StructType(
@@ -244,13 +260,19 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
         for pdf in batches:
             all_counts, hists = [], []
             for blob in pdf["blob"]:
-                payload = blob[8:]
-                counts = [0] * bins
-                for b in payload:
-                    counts[b * bins // 256] += 1
+                # Vectorized binning (was a per-byte Python loop — the
+                # guide-§4 anti-pattern): bin = b·bins // 256 over the
+                # uint8 buffer, exact integer arithmetic, so counts are
+                # identical to the scalar form; the normalized doubles
+                # divide the same exact integers.
+                payload = np.frombuffer(blob, dtype=np.uint8)[8:]
+                counts = np.bincount(
+                    payload.astype(np.int64) * bins // 256,
+                    minlength=bins,
+                ).astype(np.int64)
                 total = max(len(payload), 1)
-                all_counts.append(counts)
-                hists.append([c / total for c in counts])
+                all_counts.append(counts.tolist())
+                hists.append((counts / total).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -259,7 +281,9 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(
+        featurize, FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
