@@ -978,11 +978,18 @@ def doc_lm_cost(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc", "p.term_a", "p.term_b")
-    cnt = bg.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
-    fst = cnt.groupBy("term_a").agg(F.sum("c_ab").alias("c_first"))
     per_doc = bg.groupBy("doc", "term_a", "term_b").agg(
         F.count(F.lit(1)).alias("mult")
     )
+    # Corpus bigram counts DERIVE from the per-doc multiplicities
+    # (Σ mult ≡ occurrence count, bit-identical): the bigram explode —
+    # a full corpus tokenize pass — then feeds exactly ONE consumer
+    # instead of two, and the corpus count aggregates over the smaller
+    # distinct-(doc,bigram) frame instead of raw occurrences.
+    cnt = per_doc.groupBy("term_a", "term_b").agg(
+        F.sum("mult").cast("long").alias("c_ab")
+    )
+    fst = cnt.groupBy("term_a").agg(F.sum("c_ab").alias("c_first"))
     costed = (
         per_doc.join(cnt, ["term_a", "term_b"])
         .join(fst, "term_a")
