@@ -52,6 +52,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-optimize INSIDE cached plans (partition coalescing
+        # above all): the engine pins many bounded frames (shingle
+        # memo, graph edge frames, two-phase rank shuffles), and
+        # without this flag a cached subtree executes with the static
+        # shuffle-partition count — dozens of near-empty tasks per
+        # tiny cached aggregate locally, uncoalesced small partitions
+        # at cluster scale. Values are unchanged (AQE moves partition
+        # BOUNDARIES only; every pinned consumer reads the one
+        # materialization) — measured r14 interleaved A/B:
+        # q_rfm_segments −28%, q_mg_heavy_hitters −21%,
+        # q_link_prediction −20%, rest flat; full oracle sweep green.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         # Arrow-vectorized pandas UDF transfer (UD2 sentiment, UD5 stem).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
