@@ -112,18 +112,30 @@ def text_profile_col(text: Column) -> Column:
 # streaming query start. The tree is an immutable unresolved
 # expression, reusable across any number of plans in the process, so
 # memoize per input column name. (Results are unchanged — this caches
-# an expression OBJECT, never data.)
-_TEXT_PROFILE_MEMO: dict[str, Column] = {}
+# an expression OBJECT, never data.) The Column holds py4j handles
+# bound to the JVM gateway, so the key includes a gateway token: a
+# restarted gateway in the same Python process gets a fresh tree
+# instead of stale java refs that fail opaquely (r14 ADVICE).
+_TEXT_PROFILE_MEMO: dict[tuple[int, str], Column] = {}
+
+
+def _gateway_token() -> int:
+    from pyspark import SparkContext
+
+    return id(SparkContext._gateway)
 
 
 def text_profile_named(col_name: str = "text") -> Column:
     """Memoized `text_profile_col(F.col(col_name))` — use this from
     query builders / streaming starts; fall back to text_profile_col
     only for non-trivial input expressions."""
-    memo = _TEXT_PROFILE_MEMO.get(col_name)
+    key = (_gateway_token(), col_name)
+    memo = _TEXT_PROFILE_MEMO.get(key)
     if memo is None:
+        for stale in [k for k in _TEXT_PROFILE_MEMO if k[0] != key[0]]:
+            _TEXT_PROFILE_MEMO.pop(stale, None)
         memo = text_profile_col(F.col(col_name))
-        _TEXT_PROFILE_MEMO[col_name] = memo
+        _TEXT_PROFILE_MEMO[key] = memo
     return memo
 
 

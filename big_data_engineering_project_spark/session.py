@@ -60,9 +60,12 @@ def get_spark(
         # tiny cached aggregate locally, uncoalesced small partitions
         # at cluster scale. Values are unchanged (AQE moves partition
         # BOUNDARIES only; every pinned consumer reads the one
-        # materialization) — measured r14 interleaved A/B:
-        # q_rfm_segments −28%, q_mg_heavy_hitters −21%,
-        # q_link_prediction −20%, rest flat; full oracle sweep green.
+        # materialization). Re-adjudicated r15 over the dedup family +
+        # pretrain + the pinned-frame queries in a committed
+        # interleaved A/B (plans/r15/ab_cachedplan_aqe.json):
+        # link_prediction +31%, mg +12%, decontaminate +10%,
+        # incremental_rs +6%, ngram/pretrain/rfm wash, minhash −11%
+        # (burst-contaminated arm); total 3.4% in favor of ON — keep.
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",

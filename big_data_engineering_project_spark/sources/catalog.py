@@ -69,6 +69,13 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Performance parity with get_spark-built sessions (r14 ADVICE):
+    # AQE inside cached plans — re-adjudicated r15 in a committed
+    # interleaved A/B (plans/r15/ab_cachedplan_aqe.json: keep ON).
+    # Runtime-settable; values unchanged (partition boundaries only).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     ensure_package_on_executors(spark)
 
 
@@ -77,12 +84,17 @@ def ensure_engine_confs(spark: SparkSession) -> None:
 # and ensure_engine_confs adds py4j roundtrips — pure driver overhead
 # repeated for every builder invocation in a multi-query session. The
 # memoized DataFrame is an immutable plan object (reusing it caches no
-# data); the key includes the Spark applicationId so a restarted
-# context never sees a stale plan. Caveat: the plan snapshots the file
-# listing — callers that REWRITE a catalog parquet in place mid-session
-# must not rely on load_table re-listing (no current caller does; the
-# fixture dirs are read-only).
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# data); the key includes BOTH the Spark applicationId (a restarted
+# context never sees a stale plan) and id(spark) (sibling sessions
+# from newSession() share one applicationId but must each get their
+# own DataFrame and their own ensure_engine_confs pass — session confs
+# like nanosAsLong are per-session). Bounded by sessions × dirs ×
+# tables, a handful of plan handles in practice. Caveat: the plan
+# snapshots the file listing — callers that REWRITE a catalog parquet
+# in place mid-session must not rely on load_table re-listing (no
+# current caller does; the fixture dirs are read-only). Explicit
+# reclaim: clear_catalog_memos().
+_TABLE_MEMO: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
@@ -120,7 +132,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_SPREAD_MEMO: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+_SPREAD_MEMO: dict[tuple[int, int], DataFrame] = {}
+
+
+def clear_catalog_memos() -> None:
+    """Drop the memoized scan plans and spread results (plan objects
+    only — nothing is persisted, so there is nothing to unpersist).
+    Companion to caches.clear_all_owned_caches, which deliberately does
+    NOT clear these: the bench calls that between every query, and
+    re-planning every table scan per query is exactly the driver
+    overhead the memos remove."""
+    _TABLE_MEMO.clear()
+    _SPREAD_MEMO.clear()
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -137,15 +160,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     # df.rdd re-plans the query just to read the partition count — a
-    # driver-side cost paid per call. Memoize per input DataFrame
-    # object (the load_table memo above makes table frames identical
-    # across calls); the stored input reference keeps id(df) stable.
+    # driver-side cost paid per call. Memoize ONLY for frames that are
+    # themselves _TABLE_MEMO entries: those are the repeated callers
+    # (id(df) is stable because the table memo retains the frame), and
+    # restricting to them bounds the memo at tables × targets. A fresh
+    # df.select(...) input would never hit its id again — memoizing it
+    # would retain one dead DataFrame per call (r14 ADVICE leak).
+    is_table_frame = any(df is v for v in _TABLE_MEMO.values())
     key = (id(df), target)
-    memo = _SPREAD_MEMO.get(key)
-    if memo is not None:
-        return memo[1]
+    if is_table_frame:
+        memo = _SPREAD_MEMO.get(key)
+        if memo is not None:
+            return memo
     out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
-    _SPREAD_MEMO[key] = (df, out)
+    if is_table_frame:
+        _SPREAD_MEMO[key] = out
     return out
 
 
