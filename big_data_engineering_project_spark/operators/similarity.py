@@ -64,6 +64,187 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# --- Arrow-vectorized serve scoring (guide §4.2) ------------------------------
+#
+# Catalyst evaluates zip_with()/aggregate() lambdas on the INTERPRETED
+# expression path (no whole-stage codegen): a 64-element fold costs
+# ~0.5 µs/element/row, so fold-heavy serves spend their time in
+# per-row lambda dispatch, not arithmetic. Where the per-row fold load
+# is rich enough to beat the Python round-trip (int8_topk: quantize +
+# three folds — 2.55x in the r15 A/B, plans/r15/ab_arrow_serve.json),
+# scoring crosses the Python boundary ONCE per batch (mapInArrow over
+# exactly the id + vector columns) and computes the same arithmetic
+# vectorized in numpy; where it is not (brute_force_topk 0.68x, the
+# LSH verify 1.00x — artifacts ditto), the expression fold stays.
+# Bit-exactness is preserved by construction:
+#   - float cosine: the sequential left-fold is reproduced by looping
+#     over DIMENSIONS and vectorizing over ROWS — per row the adds and
+#     multiplies happen in the identical order as F.aggregate's fold;
+#   - int8: quantization is round-half-away-from-zero on the exact
+#     double (what Spark's round() computes for scale 0 — see
+#     _round_half_away), dots/norms are exact int64 sums, and the
+#     final divide mirrors Spark's NULL-on-zero-denominator.
+# The fold implementations below remain as the expression-only
+# reference (pinned equal by pytest; SPARK_GRAFT_SERVE_FOLD=1 routes
+# the operators back to them for A/B adjudication).
+
+
+def _serve_via_arrow() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SERVE_FOLD") != "1"
+
+
+def _list_matrix(arr, np):
+    """(n, D) float64 matrix from a pyarrow ListArray of floats.
+    Requires rectangular lists (the embeddings-table contract); raises
+    on ragged input rather than silently diverging from zip_with's
+    null-extension semantics."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0))
+    lens = np.asarray(arr.value_lengths())
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("ragged vector column in arrow serve path")
+    flat = np.asarray(
+        arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+    )
+    return flat.reshape(n, d)
+
+
+def _round_half_away(x, np):
+    """Vectorized round matching Spark's round(x, 0) on doubles:
+    BigDecimal.valueOf(d).setScale(0, HALF_UP) == round-half-away-from-
+    zero evaluated on the exact double value (the shortest decimal
+    repr of a double is *.5 iff the double IS exactly *.5)."""
+    r = np.round(x)  # ties-to-even
+    t = np.trunc(x)
+    frac = x - t
+    r = np.where(frac == 0.5, t + 1.0, r)
+    r = np.where(frac == -0.5, t - 1.0, r)
+    return r
+
+
+def _fold_dot_rows(V, Q, np):
+    """Per-row sequential left-fold dot in float64: acc = (acc + v_j*q_j)
+    for j = 0..D-1 — the exact operation order of dot_col's
+    F.aggregate, vectorized across rows."""
+    acc = np.zeros(V.shape[0])
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * Q[:, j]
+    return acc
+
+
+def _arrow_cosine_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """brute_force_topk's scoring stage via mapInArrow (bit-identical
+    to the fold path; see module comment)."""
+    pairs = spread(vectors).select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(query_df.select(F.col(vec_col).alias("_q")))
+    )
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            V = _list_matrix(batch.column(1), np)
+            Q = _list_matrix(batch.column(2), np)
+            dot = _fold_dot_rows(V, Q, np)
+            den = np.sqrt(_fold_dot_rows(V, V, np)) * np.sqrt(
+                _fold_dot_rows(Q, Q, np)
+            )
+            if (den == 0.0).any():
+                # mirror the fold path: the session runs ANSI SQL
+                # (Spark 4 default), where double division by zero is
+                # an error, not NULL
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm vector in cosine serve"
+                )
+            cos = dot / den
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=[id_col, "cosine"],
+            )
+
+    return (
+        pairs.mapInArrow(score, f"{id_col} long, cosine double")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _arrow_int8_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """int8_topk's quantize+score stage via mapInArrow (exact integer
+    dots; quantization matches Spark round() bit-for-bit — see module
+    comment)."""
+    pairs = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(query_df.select(F.col(vec_col).alias("_q")))
+    )
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            V = _list_matrix(batch.column(1), np)
+            Q = _list_matrix(batch.column(2), np)
+            mxv = np.max(np.abs(V), axis=1)
+            mxq = np.max(np.abs(Q), axis=1)
+            keep = (mxv > 0) & (mxq > 0)  # zero vectors have no direction
+            if not keep.any():
+                continue
+            ids, V, Q = ids[keep], V[keep], Q[keep]
+            qv = _round_half_away(V / (mxv[keep] / 127.0)[:, None], np)
+            qq = _round_half_away(Q / (mxq[keep] / 127.0)[:, None], np)
+            qv = qv.astype(np.int64)
+            qq = qq.astype(np.int64)
+            # exact int64 sums; |component| <= 127 so D*127^2 cannot
+            # overflow for any realistic D
+            dot = np.einsum("ij,ij->i", qv, qq)
+            na = np.einsum("ij,ij->i", qv, qv)
+            nb = np.einsum("ij,ij->i", qq, qq)
+            # na, nb >= 127^2 > 0: the max-|x| component quantizes to
+            # exactly +/-127, so no zero-denominator mask is needed
+            cos = dot.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=[id_col, "qcosine"],
+            )
+
+    return (
+        pairs.mapInArrow(score, f"{id_col} long, qcosine double")
+        .orderBy(F.desc("qcosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double (order-stable)."""
     return F.aggregate(
@@ -87,7 +268,12 @@ def brute_force_topk(
 
     The query side is crossJoin(broadcast(...)) — zero shuffle of the
     vector table; Catalyst executes orderBy().limit(k) as
-    TakeOrderedAndProject (per-partition heaps).
+    TakeOrderedAndProject (per-partition heaps). Deliberately NOT the
+    Arrow path: the r15 interleaved A/B (plans/r15/ab_arrow_serve.json)
+    measured the numpy scorer 32% SLOWER here — three plain folds per
+    row are cheap enough that the per-task Python round-trip dominates
+    at bench scale, unlike int8_topk whose quantize+score folds are 2.5x
+    richer (_arrow_cosine_topk kept for the pinned-equality test).
     """
     q = query_df.select(as_double(F.col(vec_col)).alias("_q"))
     return (
@@ -2262,6 +2448,13 @@ def cosine_lsh_neardups(
         F.col("_qv").alias("_qb"),
         F.col("_nrm").alias("_nb"),
     )
+    # Verify stage stays the expression fold: the r15 interleaved A/B
+    # (plans/r15/ab_lsh_verify_arrow.json) measured an Arrow/numpy
+    # verify at EXACTLY 1.00x — shipping two 64-long arrays per
+    # candidate pair through Arrow costs what the interpreted fold
+    # costs, and the operator's remaining time is the candidate
+    # self-join + fixed job cost, not the verify arithmetic.
+    joined = cand.join(qa, "id_a").join(qb, "id_b")
     dot = F.aggregate(
         F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
         zero,
@@ -2270,9 +2463,7 @@ def cosine_lsh_neardups(
     tn2 = F.lit(tau_num * tau_num).cast("long")
     td2 = F.lit(tau_den * tau_den).cast("long")
     return (
-        cand.join(qa, "id_a")
-        .join(qb, "id_b")
-        .withColumn("dot_q", dot)
+        joined.withColumn("dot_q", dot)
         .filter(
             (F.col("dot_q") > 0)
             & (
@@ -2344,7 +2535,11 @@ def int8_topk(
     unlike the float-fold cosine whose sum order matters), while
     recall vs the exact ranking is pinned by pytest. Same plan shape
     as brute_force_topk: broadcast 1-row quantized query, zero shuffle
-    of the vector table, TakeOrderedAndProject."""
+    of the vector table, TakeOrderedAndProject. Quantize+score run in
+    the Arrow/numpy path by default (bit-identical — see the module
+    comment; SPARK_GRAFT_SERVE_FOLD=1 restores the expression fold)."""
+    if _serve_via_arrow():
+        return _arrow_int8_topk(vectors, query_df, k, id_col, vec_col)
     qv = int8_quantize(vectors, id_col, vec_col)
     qq = int8_quantize(
         query_df.select(F.lit(-1).alias(id_col), F.col(vec_col)),

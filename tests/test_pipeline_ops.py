@@ -1045,6 +1045,84 @@ def test_int8_topk_recall_and_quantization(spark, sf_dir):
     assert [r["vec_id"] for r in kept] == [2]
 
 
+def test_arrow_serve_paths_match_expression_folds(
+    spark, sf_dir, monkeypatch
+):
+    """The Arrow/numpy serve scorers are pinned BIT-EQUAL to the
+    expression-fold reference (r15 §4.2 optimization): int8_topk's
+    default path vs SPARK_GRAFT_SERVE_FOLD=1, on the fixture AND on a
+    synthetic frame engineered to hit the rounding edge (components
+    whose scaled value is exactly *.5 — Spark round() goes half-away-
+    from-zero, numpy's default is half-to-even) and the zero-vector
+    drop. The float cosine helper is pinned too, including the
+    ANSI zero-denominator error (kept as a reference: the brute
+    serve measured FASTER on the fold path, plans/r15/ab_arrow_serve)."""
+    from big_data_engineering_project_spark.operators import similarity
+    from big_data_engineering_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    # scale = 4/127; components 1.0 and 3.0 scale to exactly 31.75 /
+    # 95.25 (dyadic rationals - exact in binary), exercising the
+    # fractional-tie handling; the 4.0 anchor hits the +/-127 rail;
+    # vec 3 is all-zero and must drop on both paths.
+    synth = spark.createDataFrame(
+        [
+            (1, [4.0, 1.0, 3.0, -1.0]),
+            (2, [2.0, -4.0, 1.0, 0.5]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+            (4, [1.0, 1.0, 1.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    sq = spark.createDataFrame(
+        [([4.0, 1.0, 3.0, -1.0],)], "embedding ARRAY<DOUBLE>"
+    )
+
+    def run(fn, *args, **kw):
+        monkeypatch.delenv("SPARK_GRAFT_SERVE_FOLD", raising=False)
+        arrow = [tuple(r) for r in fn(*args, **kw).collect()]
+        monkeypatch.setenv("SPARK_GRAFT_SERVE_FOLD", "1")
+        fold = [tuple(r) for r in fn(*args, **kw).collect()]
+        monkeypatch.delenv("SPARK_GRAFT_SERVE_FOLD", raising=False)
+        return arrow, fold
+
+    for vectors, q in ((rest, query), (synth, sq)):
+        arrow, fold = run(similarity.int8_topk, vectors, q, k=10)
+        assert arrow == fold and len(arrow) > 0
+
+    # float-cosine helper vs the fold brute force (on the non-zero
+    # rows: under ANSI SQL — the Spark 4 default the session runs —
+    # a zero-norm vector makes BOTH paths raise on the 0.0 divide,
+    # so the zero row is excluded here and the raise asserted below)
+    nz = synth.filter(F.col("vec_id") != 3)
+    exact_fold = [
+        tuple(r)
+        for r in similarity.brute_force_topk(nz, sq, k=10).collect()
+    ]
+    exact_arrow = [
+        tuple(r)
+        for r in similarity._arrow_cosine_topk(
+            nz, sq, 10, "vec_id", "embedding"
+        ).collect()
+    ]
+    assert exact_arrow == exact_fold and len(exact_fold) == 3
+    import pytest
+
+    for fn in (
+        similarity.brute_force_topk,
+        lambda v, q, k: similarity._arrow_cosine_topk(
+            v, q, k, "vec_id", "embedding"
+        ),
+    ):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            fn(synth, sq, 10).collect()
+
+
 def test_margin_knn_pairs_hub_suppression(spark):
     # A hub y-vector near EVERY x scores high raw cosine but its kNN
     # denominator is also high -> margin ~1; a mutual best pair with a
