@@ -626,31 +626,53 @@ def hashed_shingle_table_arrow(
     )
 
 
-def with_minhash_signature(hashed: DataFrame) -> DataFrame:
+def _minhash_sig_expr() -> Column:
+    # one immutable tree per process (16 seeds x a transform over the
+    # fixed 'hv' column name): ~0.58 s of py4j construction per call
+    # otherwise, paid by every minhash caller per bench rep (r15
+    # expression-memo pass)
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
     def min_hash(a: int, b: int) -> Column:
         # NB: factory closure, not default-arg lambda — extra params
         # would change the lambda arity Spark uses to bind HOF args.
         return F.array_min(F.transform("hv", lambda h: (a * h + b) % HASH_PRIME))
 
-    sig = F.array(*[min_hash(a, b) for a, b in MINHASH_SEEDS])
-    return hashed.withColumn("sig", sig)
+    return memo_expr(
+        ("minhash_sig", MINHASH_SEEDS),
+        lambda: F.array(*[min_hash(a, b) for a, b in MINHASH_SEEDS]),
+    )
+
+
+def with_minhash_signature(hashed: DataFrame) -> DataFrame:
+    return hashed.withColumn("sig", _minhash_sig_expr())
 
 
 def minhash_band_buckets(sig_df: DataFrame) -> DataFrame:
     """(doc, band, bucket) — LSH banding: bucket = order-independent
     polynomial combine of the band's signature rows mod P."""
-    bands = []
-    for band in range(LSH_BANDS):
-        combined = F.lit(0).cast("long")
-        for r in range(LSH_ROWS):
-            j = band * LSH_ROWS + r
-            combined = combined + F.element_at("sig", j + 1) * (HASH_BASE ** r)
-        bands.append(
-            F.struct(F.lit(band).alias("band"), (combined % HASH_PRIME).alias("bucket"))
-        )
-    return sig_df.select(
-        "doc", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    def build() -> Column:
+        bands = []
+        for band in range(LSH_BANDS):
+            combined = F.lit(0).cast("long")
+            for r in range(LSH_ROWS):
+                j = band * LSH_ROWS + r
+                combined = combined + F.element_at("sig", j + 1) * (HASH_BASE ** r)
+            bands.append(
+                F.struct(F.lit(band).alias("band"), (combined % HASH_PRIME).alias("bucket"))
+            )
+        return F.explode(F.array(*bands))
+
+    bb = memo_expr(("minhash_bands", LSH_BANDS, LSH_ROWS), build)
+    return sig_df.select("doc", bb.alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def minhash_lsh_pairs(
@@ -702,16 +724,24 @@ def verify_jaccard_pairs(
     over HASHED shingle sets — long-array intersects, no document text
     in the shuffle. Shared by the batch LSH pass and the streaming
     band-index runner so stream ≡ batch down to the division."""
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    inter, jacc = memo_expr(
+        ("verify_jaccard",),
+        lambda: (
+            F.size(F.array_intersect("sa", "sb")),
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        ),
+    )
     sh = hashed.select("doc", "hv")
     return (
         cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("hv", "sa"), "doc_a")
         .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("hv", "sb"), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
-        )
+        .withColumn("inter", inter)
+        .withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

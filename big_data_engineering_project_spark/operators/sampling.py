@@ -436,48 +436,71 @@ def budget_mix_select(
     """
     from pyspark.sql import Window
 
-    ppm_map = F.create_map(
-        *[F.lit(x) for kv in targets_ppm.items() for x in kv]
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    def build():
+        ppm_map = F.create_map(
+            *[F.lit(x) for kv in targets_ppm.items() for x in kv]
+        )
+        w_in = (
+            Window.partitionBy("stratum", "__b")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        )
+        w_off = (
+            Window.partitionBy("stratum")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        )
+        return {
+            "__b": (F.col(id_col) / bucket_size).cast("long"),
+            "__run_in": F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+            "__btot": F.sum("n_tokens"),
+            "__off": F.coalesce(F.sum("__btot").over(w_off), F.lit(0)),
+            "tok_before": (F.col("__run_in") + F.col("__off")).cast("long"),
+            "__ppm": F.coalesce(
+                ppm_map[F.col("stratum")].cast("long"), F.lit(0)
+            ),
+            "stratum_budget": F.expr(
+                f"CAST(CAST({int(budget_tokens)} AS BIGINT) * __ppm "
+                "DIV 1000000 AS BIGINT)"
+            ),
+        }
+
+    # expression trees memoized per parameter set (r15 expression-memo
+    # pass: ~1.0 s of py4j construction per call otherwise); the
+    # withColumn chain is collapsed into staged selects — the
+    # optimized plan is unchanged
+    e = memo_expr(
+        (
+            "budget_mix",
+            strata_col,
+            id_col,
+            n_tokens_col,
+            tuple(sorted(targets_ppm.items())),
+            int(budget_tokens),
+            int(bucket_size),
+        ),
+        build,
     )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(strata_col).alias("stratum"),
         F.col(n_tokens_col).cast("long").alias("n_tokens"),
-        (F.col(id_col) / bucket_size).cast("long").alias("__b"),
+        e["__b"].alias("__b"),
     )
-    w_in = (
-        Window.partitionBy("stratum", "__b")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    within = base.select("*", e["__run_in"].alias("__run_in"))
+    offsets = (
+        base.groupBy("stratum", "__b")
+        .agg(e["__btot"].alias("__btot"))
+        .select("stratum", "__b", e["__off"].alias("__off"))
     )
-    within = base.withColumn(
-        "__run_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    )
-    per_bucket = base.groupBy("stratum", "__b").agg(
-        F.sum("n_tokens").alias("__btot")
-    )
-    w_off = (
-        Window.partitionBy("stratum")
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offsets = per_bucket.withColumn(
-        "__off", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
-    ).select("stratum", "__b", "__off")
-    ppm = F.coalesce(ppm_map[F.col("stratum")].cast("long"), F.lit(0))
     return (
         within.join(F.broadcast(offsets), ["stratum", "__b"])
-        .withColumn(
-            "tok_before", (F.col("__run_in") + F.col("__off")).cast("long")
-        )
-        .withColumn("__ppm", ppm)
-        .withColumn(
-            "stratum_budget",
-            F.expr(
-                f"CAST(CAST({int(budget_tokens)} AS BIGINT) * __ppm "
-                "DIV 1000000 AS BIGINT)"
-            ),
-        )
+        .select("*", e["tok_before"].alias("tok_before"), e["__ppm"].alias("__ppm"))
+        .select("*", e["stratum_budget"].alias("stratum_budget"))
         .filter(F.col("tok_before") < F.col("stratum_budget"))
         .select("id", "stratum", "n_tokens", "tok_before", "stratum_budget")
     )
