@@ -430,7 +430,10 @@ def ivf_topk(
 
     v = spread(vectors).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_cell", _cell_expr([c for _i, c in cents], F.col("_v")))
+    ).withColumn(
+        "_cell",
+        _cell_expr_m(("col", "_v"), [c for _i, c in cents], F.col("_v")),
+    )
 
     # Query-side: rank all cells by affinity, probe the best n_probe.
     qvec = [float(x) for x in query_df.select(vec_col).first()[0]]
@@ -458,6 +461,30 @@ def _cell_expr(centroids: list[list[float]], vec: Column) -> Column:
         ]
     )
     return F.array_position(cos, F.array_max(cos)).cast("int")
+
+
+def _quant_key(quantizer) -> tuple:
+    """Hashable memo key for a centroid list / codebook list — pure
+    float data, so equal keys mean identical literal trees."""
+    return tuple(
+        tuple(x) if not isinstance(x[0], list) else tuple(map(tuple, x))
+        for x in quantizer
+    )
+
+
+def _cell_expr_m(vec_key: tuple, centroids, vec: Column) -> Column:
+    """Memoized _cell_expr: ~0.9 s of py4j literal construction per
+    call (k × dims F.lit's). `vec_key` must uniquely describe how
+    `vec` is built from fixed column names (r15 expression-memo
+    pass — see functions/expr_memo.py)."""
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    return memo_expr(
+        ("ivf_cell", vec_key, _quant_key(centroids)),
+        lambda: _cell_expr(centroids, vec),
+    )
 
 
 def _rank_cells(
@@ -608,7 +635,7 @@ def _assign_cells(
             F.col(id_col),
             as_double(F.col(vec_col)).alias("vec"),
         )
-        .withColumn("cell", _cell_expr(centroids, F.col("vec")))
+        .withColumn("cell", _cell_expr_m(("col", "vec"), centroids, F.col("vec")))
         .repartition("cell")
     )
 
@@ -826,20 +853,28 @@ def pq_train_codebooks(
     (dims/m)-dim subvector slice. Codebooks total m·k·(dims/m) floats
     — driver-side by nature (the trained quantizer artifact), inlined
     into plans as literals exactly like IVF centroids."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from big_data_engineering_project_spark.ml import kmeans_centers
 
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub = dims // m
-    books = []
-    for j in range(m):
+
+    def _train(j: int) -> list[list[float]]:
         sliced = vectors.select(
             F.slice(as_double(F.col(vec_col)), j * sub + 1, sub).alias("sv")
         )
-        books.append(
-            kmeans_centers(sliced, k=k, seed=seed + j, emb_col="sv")
-        )
-    return books
+        return kmeans_centers(sliced, k=k, seed=seed + j, emb_col="sv")
+
+    # The m per-subspace fits are independent seeded kmeans runs over
+    # disjoint slices; submit them from concurrent driver threads so
+    # each fit's ~25 small jobs (kmeans|| init + 20 iterations)
+    # interleave on the idle cores instead of serializing. Centroids
+    # are identical to the sequential loop — concurrency changes only
+    # job scheduling, never a fit's input, partitioning, or seed.
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
+        return list(ex.map(_train, range(m)))
 
 
 def pq_encode(
@@ -855,7 +890,9 @@ def pq_encode(
     the float corpus into the 8-byte/vector code table."""
     return vectors.select(
         F.col(id_col),
-        _pq_codes_expr(as_double(F.col(vec_col)), codebooks).alias("codes"),
+        _pq_codes_expr_m(
+            ("as_double", vec_col), as_double(F.col(vec_col)), codebooks
+        ).alias("codes"),
     )
 
 
@@ -885,6 +922,22 @@ def _pq_codes_expr(dv, codebooks: list[list[list[float]]]):
             (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
         )
     return F.array(*code_cols)
+
+
+def _pq_codes_expr_m(dv_key: tuple, dv, codebooks) -> Column:
+    """Memoized _pq_codes_expr: the m·k distance folds cost a measured
+    3.6-5.5 s of pure py4j construction per call — paid by every
+    index build/append/encode otherwise. `dv_key` must uniquely
+    describe how `dv` is built from fixed column names (r15
+    expression-memo pass)."""
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    return memo_expr(
+        ("pq_codes", dv_key, _quant_key(codebooks)),
+        lambda: _pq_codes_expr(dv, codebooks),
+    )
 
 
 def pq_topk(
@@ -944,7 +997,21 @@ def _adc_cosine_expr(qvec: list[float], codebooks: list[list[list[float]]]):
     """The ADC cosine expression over a `codes` column: per-subspace
     query·centroid dot tables and centroid norms inlined as literals
     (2m lookups per row) — shared by the flat scorer and the
-    persisted IVF-PQ index serve."""
+    persisted IVF-PQ index serve. Memoized on the (query, codebooks)
+    values — the tree references only the fixed `codes` column, so
+    bench reps and repeat serves of the same query skip the ~0.5 s
+    of literal-table construction (r15 expression-memo pass)."""
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    return memo_expr(
+        ("adc_cosine", tuple(qvec), _quant_key(codebooks)),
+        lambda: _adc_cosine_expr_build(qvec, codebooks),
+    )
+
+
+def _adc_cosine_expr_build(qvec, codebooks):
     import math
 
     qn = math.sqrt(sum(x * x for x in qvec))
@@ -980,7 +1047,19 @@ def _adc_ladder_cols(
     power-of-two divisions, one sqrt and one division — all correctly
     rounded on identical inputs, hence bit-equal across engines. The
     oracle replays the same floors from the SQL-derivable codebook
-    (plans/queries_pipeline.py:_pq_adc_oracle)."""
+    (plans/queries_pipeline.py:_pq_adc_oracle). Memoized on the
+    (query, codebooks, ladder) values like _adc_cosine_expr."""
+    from big_data_engineering_project_spark.functions.expr_memo import (
+        memo_expr,
+    )
+
+    return memo_expr(
+        ("adc_ladder", tuple(qvec), _quant_key(codebooks), int(ladder)),
+        lambda: _adc_ladder_cols_build(qvec, codebooks, ladder),
+    )
+
+
+def _adc_ladder_cols_build(qvec, codebooks, ladder):
     import math
 
     L = float(int(ladder))
@@ -1080,8 +1159,10 @@ def _encode_cells(
         spread(vectors)
         .select(
             F.col(id_col),
-            _pq_codes_expr(dv, codebooks).alias("codes"),
-            _cell_expr(centroids, dv).alias("cell"),
+            _pq_codes_expr_m(("as_double", vec_col), dv, codebooks).alias(
+                "codes"
+            ),
+            _cell_expr_m(("as_double", vec_col), centroids, dv).alias("cell"),
         )
         .repartition("cell")
     )
@@ -3223,7 +3304,7 @@ def _encode_residual_cells(
     once per row and the code folds reference the materialized
     column."""
     dv = as_double(F.col(vec_col))
-    cell = _cell_expr(centroids, dv)
+    cell = _cell_expr_m(("as_double", vec_col), centroids, dv)
     cent_arr = F.array(
         *[F.array(*[F.lit(x) for x in c]) for c in centroids]
     )
@@ -3239,7 +3320,9 @@ def _encode_residual_cells(
     )
     return staged.select(
         F.col(id_col),
-        _pq_codes_expr(F.col("__r"), codebooks).alias("codes"),
+        _pq_codes_expr_m(("col", "__r"), F.col("__r"), codebooks).alias(
+            "codes"
+        ),
         "cell",
     )
 
